@@ -1,0 +1,114 @@
+"""Vector distance/similarity column expressions.
+
+The reference's single vector operator is pgvector's L2 ``<->``
+(fever_multi_agent.py:71, test_connection.py:93), evaluated per row in C
+inside Postgres. Here each metric is a *native* Spark column expression
+(``zip_with`` + ``aggregate``): it stays inside whole-stage codegen, needs
+no Python round trip, and Catalyst can pipeline it with the surrounding
+scan/filter/top-k. That keeps the flagship KNN completely JVM-side.
+
+All math is done in double precision regardless of the stored element
+type (fixtures store float32) so results are reproducible against the
+DuckDB oracle (`list_distance` on DOUBLE[]).
+
+At 100 TB: these expressions scale linearly with rows × dim and never
+shuffle. For very wide vectors (≥ 1k dims) an Arrow pandas_udf with numpy
+can win on constant factors — `pandas_l2_udf` below is that escape hatch;
+benchmarks at 64-d and 768-d showed the native expression within budget,
+so it is the default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column | str) -> Column:
+    c = F.col(v) if isinstance(v, str) else v
+    return c.cast("array<double>")
+
+
+def vector_literal(vec) -> Column:
+    """Python list → array<double> literal column.
+
+    Replaces the reference's client-side pgvector adapter
+    (``register_vector`` + ``%s::vector`` cast, fever_multi_agent.py:33,71).
+    """
+    return F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>")
+
+
+def l2_distance_sq(a: Column | str, b: Column | str) -> Column:
+    """Squared Euclidean distance — same ordering as L2, one sqrt cheaper.
+
+    Use for top-k ranking where only the order matters.
+    """
+    a, b = _as_double(a), _as_double(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    """Exact Euclidean distance — pgvector ``<->`` semantics
+    (reference: fever_multi_agent.py:71)."""
+    return F.sqrt(l2_distance_sq(a, b))
+
+
+def dot_product(a: Column | str, b: Column | str) -> Column:
+    """Inner product — pgvector ``<#>`` is the negated form."""
+    a, b = _as_double(a), _as_double(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot_product(a, a))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """cos(a, b) = a·b / (|a||b|). NULL-safe on zero vectors (returns NULL
+    rather than dividing by zero, matching SQL division semantics)."""
+    a, b = _as_double(a), _as_double(b)
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom != 0.0, dot_product(a, b) / denom)
+
+
+def cosine_distance(a: Column | str, b: Column | str) -> Column:
+    """pgvector ``<=>`` semantics: 1 - cosine similarity."""
+    return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def random_vector(dim: int, seed: int = 42) -> Column:
+    """Deterministic pseudo-random query vector (reference:
+    test_connection.py:86 uses ``np.random.rand(768)``).
+
+    Seeded `F.rand` keeps it reproducible across runs and executors.
+    """
+    return F.array(*[F.rand(seed + i) for i in range(dim)]).cast("array<double>")
+
+
+def pandas_l2_udf():
+    """Arrow-vectorized L2 fallback for very wide vectors.
+
+    Returns a pandas_udf computing per-row L2 distance between two
+    array columns via numpy. ~10-100× faster than row-at-a-time Python
+    UDFs (Arrow batch transfer), but still loses to the native expression
+    at 64-d; kept for the 768-d reference-shaped path and beyond.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _l2(a: pd.Series, b: pd.Series) -> pd.Series:
+        am = np.stack(a.to_numpy())
+        bm = np.stack(b.to_numpy())
+        return pd.Series(np.sqrt(((am - bm) ** 2).sum(axis=1)))
+
+    return _l2

@@ -1,0 +1,69 @@
+"""Parquet table registry + catalog probe.
+
+Replaces the reference's storage layer (Postgres table restored from a
+pg_dump, setup.sh:73-77) with columnar Parquet scans — Catalyst pushes
+filters and prunes columns into the scan, which at 100 TB is the
+difference between reading terabytes and reading gigabytes.
+
+The catalog-existence probe mirrors test_connection.py:36-42
+(``information_schema.tables`` EXISTS check).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Pure `spark.read.parquet` — projection and
+    predicates applied downstream reach the scan via Catalyst pushdown.
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads as a
+    nanosecond long (see session.py nanosAsLong); converted here to a
+    proper TimestampType. Fixture values are whole microseconds, so the
+    ns→µs division is lossless and matches DuckDB's µs TIMESTAMP read.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all fixture tables as temp views for `spark.sql` use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table_exists(spark: SparkSession, name: str) -> bool:
+    """Catalog existence probe (reference: test_connection.py:36-42).
+
+    Checks both the persistent catalog and session temp views, the Spark
+    analogue of Postgres's information_schema EXISTS query.
+    """
+    return spark.catalog.tableExists(name)
