@@ -1,0 +1,283 @@
+"""Deduplication operators (north-star extension, BASELINE.json):
+exact, MinHash, SimHash, n-gram Jaccard, embedding-cosine.
+
+Scale design notes (these run over 100 TB of documents, so every
+operator avoids the O(N²) cross product):
+
+- exact: hash-groupBy on the dedup key — one shuffle, map-side combined.
+- MinHash LSH: shingle → md5 minhash signature → band keys →
+  *equi-join on band key* (an inverted index), so only docs sharing a
+  band collide. Candidate pairs then verified with the full signature.
+- n-gram Jaccard: inverted-index join on shingle (only pairs sharing a
+  shingle are materialized), never a cross join.
+- SimHash: 32-bit signature; banding on 8-bit sub-keys guarantees recall
+  for hamming ≤ 3 without pairwise comparison.
+- embedding-cosine: exact pairwise only within LSH/IVF buckets at scale
+  (operators/ann.py); the exact all-pairs form here is for modest N.
+
+Hash portability: md5 only (identical across Spark/DuckDB), never
+engine-native hash().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_db_setup_spark.functions.text import tokens, word_shingles
+from vector_db_setup_spark.functions.vector import cosine_similarity
+
+
+def _md5(col: Column) -> Column:
+    return F.md5(F.encode(col, "UTF-8"))
+
+
+def exact_dedup(
+    df: DataFrame, key_cols: list[str], id_col: str
+) -> DataFrame:
+    """Keep the lowest-id row per duplicate-key group (hash-groupBy
+    dedup). One shuffle on the key; min() is map-side combined."""
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for hash function h, the minimum
+    of md5(h || '|' || shingle) over the doc's shingles.
+
+    Long format (id, h, sig) — the join-friendly layout for both the
+    estimate join and LSH banding. Docs with < shingle_n tokens have no
+    shingles and drop out (nothing to hash).
+
+    Plan: explode shingles (narrow) → explode seeds (narrow) →
+    groupBy(id, h).min — a single shuffle keyed by (id, h), partially
+    aggregated map-side.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("s")
+    )
+    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
+    hashed = sh.select(
+        id_col,
+        F.explode(seeds).alias("h"),
+        "s",
+    ).withColumn("hv", _md5(F.concat_ws("|", F.col("h").cast("string"), F.col("s"))))
+    return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("sig"))
+
+
+def minhash_match_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", min_matches: int = 1
+) -> DataFrame:
+    """Estimated-similarity pairs: join signatures on the hash index and
+    count positions where the minhash agrees. matches/num_hashes is the
+    Jaccard estimate. Self-join keyed on h — fine for modest N; at scale
+    use `minhash_lsh_candidates` to restrict to banded candidates first."""
+    a = sigs.select(
+        F.col(id_col).alias("id_a"), F.col("h"), F.col("sig").alias("sig_a")
+    )
+    b = sigs.select(
+        F.col(id_col).alias("id_b"), F.col("h"), F.col("sig").alias("sig_b")
+    )
+    joined = a.join(b, "h").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        joined.groupBy("id_a", "id_b")
+        .agg(
+            F.sum((F.col("sig_a") == F.col("sig_b")).cast("int")).alias("matches")
+        )
+        .filter(F.col("matches") >= min_matches)
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """LSH banding: concat each band's signatures into a band key, then
+    equi-join docs sharing a band key. THE scale path: cost is driven by
+    actual collisions, not N². Output: distinct candidate (id_a, id_b)."""
+    rows_per_band = num_hashes // bands
+    banded = (
+        sigs.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
+        .groupBy(id_col, "band")
+        .agg(F.concat_ws("", F.sort_array(F.collect_list("sig"))).alias("band_key"))
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard via inverted index: only pairs sharing at
+    least one shingle are scored. jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+
+    The shingle join is the only shuffle that grows with corpus size;
+    hot shingles (stopword runs) are the skew risk — at scale, drop
+    shingles with document frequency above a cap (standard practice)
+    before the join.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("s")
+    ).distinct()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "s")
+    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .select("id_a", "id_b", "n_inter", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+) -> DataFrame:
+    """32-bit SimHash over distinct tokens.
+
+    Each token's md5's first 8 hex chars supply 32 feature bits; each bit
+    votes ±1; the signature bit is 1 where the vote is positive. Bit
+    extraction goes through a hex-char lookup (strpos) so the identical
+    computation runs in the DuckDB oracle (no engine-native hash/conv).
+    """
+    assert bits <= 32
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("w")
+    )
+    # first 8 md5 hex chars as a 32-bit integer (conv is Spark-side;
+    # DuckDB mirrors with ('0x' || hex8)::BIGINT)
+    hx = toks.withColumn(
+        "hv", F.conv(F.substring(_md5(F.col("w")), 1, 8), 16, 10).cast("long")
+    )
+    bitpos = hx.select(
+        id_col,
+        "hv",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    )
+    bit = F.expr("shiftright(hv, b)").bitwiseAND(F.lit(1))
+    votes = (
+        bitpos.withColumn("vote", F.when(bit == 1, 1).otherwise(-1))
+        .groupBy(id_col, "b")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_hamming_pairs(
+    sim: DataFrame, id_col: str = "doc_id", max_hamming: int | None = None
+) -> DataFrame:
+    """Pairwise hamming distance between simhash signatures.
+
+    All-pairs form (use after banding at scale): hamming =
+    bit_count(xor). Optionally filtered to ≤ max_hamming.
+    """
+    a = sim.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sim.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    out = pairs.withColumn(
+        "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    ).select("id_a", "id_b", "hamming")
+    if max_hamming is not None:
+        out = out.filter(F.col("hamming") <= max_hamming)
+    return out
+
+
+def simhash_banded_pairs(
+    sim: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Scale path: docs agreeing on ≥1 of `bands` 8-bit sub-keys become
+    candidates (guaranteed recall for hamming < bands), then exact
+    hamming verification. Equi-join on (band, key) — no cross product."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    exploded = sim.select(
+        id_col,
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn(
+        "band_key",
+        F.expr(f"shiftright(simhash, band * {width})").bitwiseAND(F.lit(mask)),
+    )
+    a = exploded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_key"
+    )
+    b = exploded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "band_key"
+    )
+    cands = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_similar_pairs(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs form).
+
+    At scale, never run this raw: restrict to ANN buckets
+    (operators/ann.py ivf_assign / lsh bucketing) so the pairwise work is
+    per-bucket. The exact form remains the verifier inside each bucket.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    out = pairs.withColumn(
+        "cosine", cosine_similarity(F.col("v_a"), F.col("v_b"))
+    ).select("id_a", "id_b", "cosine")
+    if min_cosine is not None:
+        out = out.filter(F.col("cosine") >= min_cosine)
+    return out

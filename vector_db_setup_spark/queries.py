@@ -431,3 +431,616 @@ def substring_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(hit), 6).alias("accuracy"),
         F.count(F.lit(1)).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication & text analysis (north-star extensions, BASELINE.json)
+# ---------------------------------------------------------------------------
+
+from vector_db_setup_spark.functions.text import (  # noqa: E402
+    avg_token_len,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    stopword_ratio,
+    token_count,
+)
+from vector_db_setup_spark.operators import dedup as dd  # noqa: E402
+
+# shared DuckDB CTE fragments (mirror functions/text.py exactly)
+_STOP_SQL = "['a','the','of','and','to','in','is']"
+
+
+def _shingle_cte(where: str = "") -> str:
+    return f"""
+    toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+             FROM documents {where}),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(
+                      generate_series(1, greatest(len(w) - 2, 0)),
+                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+           FROM toks)
+    """
+
+
+_MINHASH_CTE = """
+    mh AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS sig
+           FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS h) hs
+           GROUP BY doc_id, h)
+"""
+
+
+@register(
+    "dedup_exact_groups",
+    """
+    SELECT lang, source, min(doc_id) AS keeper_id, count(*) AS group_size
+    FROM documents GROUP BY lang, source
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: one representative (min id) per
+    duplicate-key group. Single map-side-combined shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(d, ["lang", "source"], "doc_id")
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH {_shingle_cte("WHERE doc_id < 50")}, {_MINHASH_CTE}
+    SELECT doc_id, h, sig FROM mh
+    """,
+)
+def minhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 hashes, 3-word shingles) for a doc sample.
+    md5-based hashing is bit-identical in the DuckDB oracle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return dd.minhash_signatures(d)
+
+
+@register(
+    "minhash_est_pairs",
+    f"""
+    WITH {_shingle_cte("WHERE doc_id < 100")}, {_MINHASH_CTE}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           count(*) FILTER (WHERE a.sig = b.sig) AS matches
+    FROM mh a JOIN mh b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING count(*) FILTER (WHERE a.sig = b.sig) >= 1
+    ORDER BY matches DESC, id_a ASC, id_b ASC
+    LIMIT 20
+    """,
+)
+def minhash_est_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top estimated-similarity pairs by matching-minhash count
+    (matches/8 ≈ Jaccard)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    sigs = dd.minhash_signatures(d)
+    pairs = dd.minhash_match_pairs(sigs, min_matches=1)
+    return pairs.orderBy(
+        F.col("matches").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(20)
+
+
+@register(
+    "minhash_lsh_candidates",
+    f"""
+    WITH {_shingle_cte()}, {_MINHASH_CTE},
+    banded AS (
+        SELECT doc_id, h // 2 AS band,
+               string_agg(sig, '' ORDER BY sig ASC) AS band_key
+        FROM mh GROUP BY doc_id, h // 2
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding (4 bands × 2 rows): near-dup candidates via equi-join
+    on band keys — THE 100 TB dedup path (no pairwise comparison)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_candidates(dd.minhash_signatures(d))
+
+
+@register(
+    "ngram_jaccard_topk",
+    f"""
+    WITH {_shingle_cte()},
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, n_inter,
+           round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    ORDER BY n_inter / (sa.n + sb.n - n_inter) DESC, id_a ASC, id_b ASC
+    LIMIT 30
+    """,
+)
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard via inverted-index join (no cross product);
+    top-30 most similar pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d)
+    return (
+        pairs.orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(30)
+        .select("id_a", "id_b", "n_inter", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+_SIMHASH_CTE = """
+    toksd AS (SELECT doc_id,
+                     unnest(list_distinct(string_split(lower(text), ' '))) AS w
+              FROM documents {where}),
+    hx AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 8))::BIGINT AS hv
+           FROM toksd),
+    bitpos AS (SELECT doc_id, hv, unnest(generate_series(0, 31)) AS b FROM hx),
+    votes AS (SELECT doc_id, b,
+                     sum(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM bitpos GROUP BY doc_id, b),
+    simh AS (SELECT doc_id,
+                    CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b)
+                                  ELSE 0 END) AS BIGINT) AS simhash
+             FROM votes GROUP BY doc_id)
+"""
+
+
+@register(
+    "simhash_values",
+    f"""
+    WITH {_SIMHASH_CTE.format(where="WHERE doc_id < 100")}
+    SELECT doc_id, simhash FROM simh
+    """,
+)
+def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (md5-bit majority vote)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dd.simhash(d)
+
+
+@register(
+    "simhash_hamming_topk",
+    f"""
+    WITH {_SIMHASH_CTE.format(where="WHERE doc_id < 80")}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+    ORDER BY hamming ASC, id_a ASC, id_b ASC
+    LIMIT 20
+    """,
+)
+def simhash_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closest document pairs by SimHash hamming distance."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
+    pairs = dd.simhash_hamming_pairs(dd.simhash(d))
+    return (
+        pairs.withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy(F.col("hamming").asc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "embedding_similar_topk",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) DESC,
+             id_a ASC, id_b ASC
+    LIMIT 20
+    """,
+)
+def embedding_similar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: top-20 most similar
+    pairs. Exact all-pairs here; at scale restricted to ANN buckets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dd.embedding_similar_pairs(emb)
+    return (
+        pairs.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(20)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+@register(
+    "doc_fingerprints",
+    """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split(lower(text), ' '))), ' ')) AS fingerprint
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive token-set fingerprint (md5)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "text_profile",
+    f"""
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS tok_cnt,
+           round(len(list_filter(w, x -> list_contains({_STOP_SQL}, x)))
+                 / len(w), 6) AS stop_ratio,
+           round(list_sum(list_transform(w, x -> length(x))) / len(w), 6)
+               AS avg_tok_len,
+           round((least(len(w) / 50.0, 1.0)
+                  + (1.0 - abs(len(list_filter(w, x ->
+                        list_contains({_STOP_SQL}, x))) / len(w) - 0.1) / 0.9)
+                  + CASE WHEN list_sum(list_transform(w, x -> length(x)))
+                              / len(w) BETWEEN 3.0 AND 8.0
+                         THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+          FROM documents WHERE doc_id < 100)
+    """,
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: token count, stopword ratio, average
+    token length, composite quality score (C4/Gopher-style filter)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("tok_cnt"),
+        F.round(stopword_ratio("text"), 6).alias("stop_ratio"),
+        F.round(avg_token_len("text"), 6).alias("avg_tok_len"),
+        F.round(quality_score("text"), 6).alias("quality"),
+    )
+
+
+@register(
+    "lang_id_detect",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN s_de = best AND best > 0 THEN 'de'
+                WHEN s_en = best AND best > 0 THEN 'en'
+                WHEN s_es = best AND best > 0 THEN 'es'
+                WHEN s_fr = best AND best > 0 THEN 'fr'
+                WHEN s_zh = best AND best > 0 THEN 'zh'
+                ELSE 'und' END AS detected
+    FROM (
+        SELECT doc_id, lang,
+               len(list_filter(w, x -> list_contains(
+                   ['der','die','und','das','ist'], x))) AS s_de,
+               len(list_filter(w, x -> list_contains(
+                   ['the','and','of','to','a'], x))) AS s_en,
+               len(list_filter(w, x -> list_contains(
+                   ['el','la','los','que','de'], x))) AS s_es,
+               len(list_filter(w, x -> list_contains(
+                   ['le','la','les','et','est'], x))) AS s_fr,
+               len(list_filter(w, x -> list_contains(
+                   ['de5','shi4','le5','zai4','he2'], x))) AS s_zh,
+               greatest(s_de, s_en, s_es, s_fr, s_zh) AS best
+        FROM (SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+              FROM documents)
+    )
+    """,
+)
+def lang_id_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word language-ID heuristic vs the labeled lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", lang_id("text").alias("detected"))
+
+
+@register(
+    "lang_stats",
+    """
+    SELECT lang, count(*) AS n_docs,
+           round(avg(CAST(len(string_split(lower(text), ' ')) AS DOUBLE)), 6)
+               AS avg_tokens,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(token_count("text").cast("double")), 6).alias("avg_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inventory completeness: windows, rollup/cube, set ops, semi/anti
+# (SURVEY.md §2.4/§2.5/§2.7, build plan §7 step 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (status → status+priority → grand)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "cube_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n,
+           round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over return flag × line status."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+@register(
+    "count_distinct_custs",
+    """
+    SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def count_distinct_custs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISTINCT aggregate (two-phase: dedup expand + count)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c.c_nationkey AS c_nationkey, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders, by nation.
+    Broadcast the distinct key set of the smaller side at scale."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "big_spender_segments",
+    """
+    SELECT c.c_mktsegment AS c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def big_spender_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with ≥1 large order, by segment."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "nation_set_ops",
+    """
+    SELECT 'both' AS op, nk FROM (
+        SELECT DISTINCT c_nationkey AS nk FROM customer
+        INTERSECT
+        SELECT DISTINCT s_nationkey AS nk FROM supplier)
+    UNION ALL
+    SELECT 'cust_only' AS op, nk FROM (
+        SELECT DISTINCT c_nationkey AS nk FROM customer
+        EXCEPT
+        SELECT DISTINCT s_nationkey AS nk FROM supplier)
+    """,
+)
+def nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL inventory coverage (SURVEY.md §2.7):
+    nations having both customers and suppliers vs customers only."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")
+    ).distinct()
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")
+    ).distinct()
+    both = c.intersect(s).select(F.lit("both").alias("op"), "nk")
+    cust_only = c.exceptAll(s).select(F.lit("cust_only").alias("op"), "nk")
+    return both.unionAll(cust_only)
+
+
+@register(
+    "customer_order_windows",
+    """
+    SELECT o_custkey, o_orderkey, rn,
+           round(run_total, 2) AS run_total,
+           round(prev_price, 2) AS prev_price
+    FROM (
+        SELECT o_custkey, o_orderkey,
+               CAST(row_number() OVER w AS INTEGER) AS rn,
+               sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate ASC, o_orderkey ASC
+                                       ROWS UNBOUNDED PRECEDING) AS run_total,
+               lag(o_totalprice) OVER w AS prev_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate ASC, o_orderkey ASC)
+    ) WHERE rn <= 3
+    """,
+)
+def customer_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function inventory (SURVEY.md §2.5): row_number, running
+    sum, lag over each customer's order history; first 3 orders each."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.row_number().over(w).alias("rn"),
+            F.round(F.sum("o_totalprice").over(wrun), 2).alias("run_total"),
+            F.round(F.lag("o_totalprice").over(w), 2).alias("prev_price"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events table: time windows, sessions, JSON (SURVEY.md §2.10 batch forms)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type, count(*) AS n,
+           round(sum(value), 6) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation — the batch form of
+    the Structured Streaming windowed agg (same F.window call works on
+    readStream; see streaming/)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH g AS (
+        SELECT user_id, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via 30-min inactivity gaps (lag + cumulative flag —
+    the batch analogue of session_window in streaming/). Fractional
+    seconds compared in double precision on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    sec = F.col("ts").cast("double")
+    prev = F.lag(sec).over(w)
+    flag = F.when(prev.isNull() | ((sec - prev) > 1800), 1).otherwise(0)
+    return (
+        ev.select("user_id", "event_id", flag.alias("new_session"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column handling (events.props, SURVEY.md §1.3):
+    extract a field and aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(
+            F.avg(F.get_json_object("props", "$.k").cast("int")), 6
+        ).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "events_dedup_first",
+    """
+    SELECT user_id, event_type, min(ts) AS first_ts, count(*) AS n
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def events_dedup_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-earliest dedup per (user, event_type) — deterministic form of
+    dropDuplicates (min-ts agg; dropDuplicates keeps an arbitrary row)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "string_funcs_part",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           concat_ws('#', p_brand, p_type) AS brand_type,
+           substr(p_name, 1, 10) AS name10,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           contains(p_type, 'a') AS has_a
+    FROM part
+    """,
+)
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function inventory (SURVEY.md §2.8 F1-F5): upper,
+    concat_ws, substring, length, containment."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 10).alias("name10"),
+        F.length("p_name").alias("name_len"),
+        F.col("p_type").contains("a").alias("has_a"),
+    )
