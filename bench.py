@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with a noop sink (full execution, no
+driver-side result materialization cost). One warmup action first so JVM
+startup/codegen doesn't pollute query timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vector_db_setup_spark import queries as q
+from vector_db_setup_spark.session import get_spark
+
+# The headline set: flagship KNN + one representative per operator family
+# (join/agg, window, dedup at scale, similarity, streaming-batch window).
+HEADLINE = [
+    "knn_l2_flagship",
+    "batch_knn",
+    "embedding_similar_topk",
+    "pricing_summary",
+    "top_customers",
+    "regional_revenue",
+    "customer_order_windows",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_topk",
+    "simhash_hamming_topk",
+    "events_tumbling",
+    "events_sessionize",
+]
+
+
+def _force(df) -> None:
+    """Execute the full plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch the fact table once (JVM/codegen/file-listing warm)
+    from vector_db_setup_spark.sources.registry import load_table
+
+    load_table(spark, sf_dir, "lineitem").count()
+
+    qs = q.queries()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

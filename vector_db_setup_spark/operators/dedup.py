@@ -43,6 +43,44 @@ def exact_dedup(
     )
 
 
+def minhash_signature_array(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document as one array column: element h is
+    the minimum of md5(h || '|' || shingle) over the doc's shingles.
+
+    Plan: one explode (narrow), codegen'd md5 per seed as flat columns,
+    then a single map-side-combined groupBy(id) with one min per seed —
+    the shuffle moves ≤ one row per document. Docs with < shingle_n
+    tokens have no shingles and drop out entirely.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("s")
+    )
+    # md5 as a flat (non-higher-order) expression stays in whole-stage
+    # codegen; an array_min(transform(...)) formulation interprets every
+    # hash AND re-evaluates the shingle expression per seed (~7× slower
+    # measured at sf0.1)
+    hashed = sh.select(
+        id_col,
+        *[
+            _md5(F.concat_ws("|", F.lit(str(i)), F.col("s"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[F.min(f"h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"),
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -50,27 +88,13 @@ def minhash_signatures(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: for hash function h, the minimum
-    of md5(h || '|' || shingle) over the doc's shingles.
-
-    Long format (id, h, sig) — the join-friendly layout for both the
-    estimate join and LSH banding. Docs with < shingle_n tokens have no
-    shingles and drop out (nothing to hash).
-
-    Plan: explode shingles (narrow) → explode seeds (narrow) →
-    groupBy(id, h).min — a single shuffle keyed by (id, h), partially
-    aggregated map-side.
-    """
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("s")
-    )
-    seeds = F.array(*[F.lit(i) for i in range(num_hashes)])
-    hashed = sh.select(
-        id_col,
-        F.explode(seeds).alias("h"),
-        "s",
-    ).withColumn("hv", _md5(F.concat_ws("|", F.col("h").cast("string"), F.col("s"))))
-    return hashed.groupBy(id_col, "h").agg(F.min("hv").alias("sig"))
+    """Long-format (id, h, sig) view of `minhash_signature_array` — the
+    join-friendly layout for the estimate join. Shingle-less docs drop
+    out (matching an explode-based formulation)."""
+    arr = minhash_signature_array(df, text_col, id_col, num_hashes, shingle_n)
+    return arr.select(
+        F.col(id_col), F.posexplode("sig").alias("h", "sig")
+    ).filter(F.col("sig").isNotNull())
 
 
 def minhash_match_pairs(
@@ -97,19 +121,38 @@ def minhash_match_pairs(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
     id_col: str = "doc_id",
     bands: int = 4,
     num_hashes: int = 8,
+    shingle_n: int = 3,
 ) -> DataFrame:
-    """LSH banding: concat each band's signatures into a band key, then
-    equi-join docs sharing a band key. THE scale path: cost is driven by
-    actual collisions, not N². Output: distinct candidate (id_a, id_b)."""
-    rows_per_band = num_hashes // bands
+    """LSH banding: per band, concat that band's (sorted) signature
+    slice into a band key, then equi-join docs sharing a band key. THE
+    scale path: cost is driven by actual collisions, not N². Output:
+    distinct candidate (id_a, id_b).
+
+    Band keys come straight off the signature array (slice + array_sort +
+    concat_ws) — the only shuffle in the whole pipeline is the band-key
+    self-join."""
+    rpb = num_hashes // bands
+    arr = minhash_signature_array(df, text_col, id_col, num_hashes, shingle_n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "", F.array_sort(F.slice("sig", b * rpb + 1, rpb))
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
     banded = (
-        sigs.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
-        .groupBy(id_col, "band")
-        .agg(F.concat_ws("", F.sort_array(F.collect_list("sig"))).alias("band_key"))
+        arr.select(F.col(id_col), F.explode(band_structs).alias("bk"))
+        .select(id_col, "bk.band", "bk.band_key")
+        .filter(F.col("band_key") != "")  # shingle-less docs excluded
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")

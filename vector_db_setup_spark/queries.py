@@ -541,7 +541,7 @@ def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands × 2 rows): near-dup candidates via equi-join
     on band keys — THE 100 TB dedup path (no pairwise comparison)."""
     d = load_table(spark, sf_dir, "documents")
-    return dd.minhash_lsh_candidates(dd.minhash_signatures(d))
+    return dd.minhash_lsh_candidates(d)
 
 
 @register(
@@ -641,14 +641,14 @@ def simhash_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_similar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: top-20 most similar
-    pairs. Exact all-pairs here; at scale restricted to ANN buckets."""
+    pairs, computed as a blocked distributed GEMM (operators/similarity)
+    — each partition multiplies its chunk against the broadcast
+    normalized corpus and emits only a local top-k."""
+    from vector_db_setup_spark.operators.similarity import cosine_topk_pairs_blocked
+
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = dd.embedding_similar_pairs(emb)
-    return (
-        pairs.orderBy(F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc())
-        .limit(20)
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-    )
+    pairs = cosine_topk_pairs_blocked(emb, k=20)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 @register(
