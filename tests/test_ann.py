@@ -1,0 +1,81 @@
+"""ANN index builds: determinism and recall against exact KNN (the
+reference is exact-only; ANN is the mandated batch-build extension, so
+the quality bar is recall vs the exact result, not an oracle)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMOKE
+from vector_db_setup_spark.operators.ann import (
+    ivf_assign,
+    ivf_search,
+    kmeans_centroids,
+    lsh_bucket,
+    random_hyperplanes,
+)
+from vector_db_setup_spark.operators.knn import knn_topk
+from vector_db_setup_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def centroids(spark, emb):
+    return kmeans_centroids(emb, k=8)
+
+
+def test_ivf_assignment_covers_all(spark, emb, centroids):
+    assigned = ivf_assign(emb, centroids)
+    assert assigned.count() == emb.count()
+    ids = [r[0] for r in assigned.select("cluster_id").distinct().collect()]
+    assert all(0 <= i < 8 for i in ids)
+
+
+def test_ivf_recall_vs_exact(spark, emb, centroids):
+    q = emb.filter("vec_id = 7").select("embedding").first()[0]
+    exact = {
+        r["vec_id"]
+        for r in knn_topk(emb, "embedding", q, k=10).select("vec_id").collect()
+    }
+    assigned = ivf_assign(emb, centroids)
+    approx = {
+        r["vec_id"]
+        for r in ivf_search(assigned, centroids, q, k=10, nprobe=4)
+        .select("vec_id")
+        .collect()
+    }
+    # probing half the clusters must recover most of the exact top-10
+    assert len(exact & approx) >= 6
+
+
+def test_lsh_same_bucket_for_identical_vectors(spark, emb):
+    planes = random_hyperplanes(64, n_planes=8)
+    b = lsh_bucket(emb, planes)
+    one = b.filter("vec_id = 3").select("bucket_id").first()[0]
+    again = lsh_bucket(emb.filter("vec_id = 3"), planes).first()["bucket_id"]
+    assert one == again
+    n_buckets = b.select("bucket_id").distinct().count()
+    assert 1 < n_buckets <= 256
+
+
+def test_ivf_partitioned_write_prunes(spark, emb, centroids, tmp_path):
+    from vector_db_setup_spark.operators.ann import ivf_write
+
+    path = str(tmp_path / "ivf")
+    ivf_write(ivf_assign(emb, centroids), path)
+    idx = spark.read.parquet(path)
+    one_cluster = idx.filter("cluster_id = 0")
+    plan = one_cluster._jdf.queryExecution().executedPlan().toString()
+    # partition filter must reach the scan (pruned read, not post-filter)
+    assert "PartitionFilters: [isnotnull(cluster_id" in plan
+    total = sum(
+        r["n"] for r in idx.groupBy("cluster_id").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    )
+    assert total == emb.count()

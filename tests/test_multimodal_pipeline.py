@@ -1,0 +1,98 @@
+"""Multimodal plumbing, FEVER pipeline stages, JSONL source/sink."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_SMOKE
+from vector_db_setup_spark.multimodal.columns import (
+    attach_fake_binary,
+    decode_image,
+    extract_image_features,
+    sample_video_frames,
+)
+from vector_db_setup_spark.operators.pipeline import (
+    evaluate,
+    fever_pipeline,
+    make_claims,
+)
+from vector_db_setup_spark.sources.jsonl import (
+    read_claims,
+    write_results_json,
+    write_results_single_file,
+)
+from vector_db_setup_spark.sources.registry import load_table
+
+
+def test_binary_column_plumbing(spark):
+    d = load_table(spark, SF_SMOKE, "documents").limit(20)
+    with_bin = attach_fake_binary(d)
+    row = with_bin.select("img", "img_meta").first()
+    assert isinstance(row["img"], (bytes, bytearray)) and len(row["img"]) == 16
+    assert row["img_meta"]["mime"] == "image/fake"
+    feats = extract_image_features(with_bin).collect()
+    assert len(feats) == 20
+    for f in feats:
+        assert f["n_bytes"] == 16
+        assert 0.0 <= f["mean_byte"] <= 255.0
+        assert sum(f["histogram"]) == 16
+
+
+def test_decode_stub_contract():
+    img = decode_image(b"\x10" * 16)
+    assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
+    # deterministic in the payload
+    assert (decode_image(b"\x10" * 16) == img).all()
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x10" * 16, real=True)
+
+
+def test_video_stub_raises():
+    with pytest.raises(NotImplementedError):
+        sample_video_frames(None)
+
+
+def test_fever_pipeline_shape(spark):
+    out = fever_pipeline(spark, SF_SMOKE, n_claims=5, k=3)
+    rows = out.collect()
+    assert len(rows) == 5
+    labels = {"SUPPORTS", "REFUTES", "NOT ENOUGH INFO"}
+    for r in rows:
+        assert r["judged"] in labels
+        assert r["final"].startswith("Verdict: ")
+    acc = evaluate(out).first()
+    assert acc["total"] == 5 and 0.0 <= acc["accuracy"] <= 1.0
+
+
+def test_jsonl_roundtrip(spark, tmp_path):
+    src = tmp_path / "claims.jsonl"
+    with open(src, "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"id": i, "claim": f"claim {i}", "label": "SUPPORTS"}) + "\n")
+        # missing fields → null via schema (reference .get() semantics)
+        f.write(json.dumps({"id": 99}) + "\n")
+    df = read_claims(spark, str(src), limit=5)
+    assert df.count() == 5
+    all_df = read_claims(spark, str(src))
+    assert all_df.filter("claim IS NULL").count() == 1
+
+    out_dir = tmp_path / "out"
+    write_results_json(all_df, str(out_dir))
+    back = spark.read.json(str(out_dir))
+    assert back.count() == 11
+
+    golden = tmp_path / "golden.json"
+    write_results_single_file(df, str(golden))
+    data = json.loads(golden.read_text())
+    assert len(data) == 5 and set(data[0]) == {"id", "claim", "label"}
+
+
+def test_catalog_probe(spark):
+    from vector_db_setup_spark.sources.registry import register_views, table_exists
+
+    register_views(spark, SF_SMOKE)
+    assert table_exists(spark, "documents")
+    assert not table_exists(spark, "no_such_table")

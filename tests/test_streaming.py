@@ -1,0 +1,57 @@
+"""Structured Streaming correctness via batch-equivalence: the stream
+(availableNow over the static fixture) must produce exactly the batch
+twin's rows. DuckDB can't oracle a stream; the batch twin is
+oracle-checked in test_oracle_parity, closing the loop."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+from vector_db_setup_spark import queries as q
+from vector_db_setup_spark.streaming.events import (
+    run_to_memory,
+    sessionized_stream,
+    stream_events,
+    streaming_dedup,
+    tumbling_counts_stream,
+)
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark):
+    stream = tumbling_counts_stream(stream_events(spark, SF_SMOKE))
+    run_to_memory(stream, "t_tumble", mode="complete")
+    got = _sorted_rows(spark.table("t_tumble"))
+    want = _sorted_rows(q.events_tumbling(spark, SF_SMOKE))
+    assert got == want
+
+
+def test_session_stream_equals_batch(spark):
+    stream = sessionized_stream(stream_events(spark, SF_SMOKE))
+    run_to_memory(stream, "t_sess", mode="complete")
+    got = _sorted_rows(spark.table("t_sess"))
+    batch = q.events_session_window(spark, SF_SMOKE)
+    # batch twin aggregates per (user, session); stream groups the same
+    want = sorted(
+        (r["session_start"], r["session_end"], r["user_id"], r["n_events"])
+        for r in batch.collect()
+    )
+    assert got == want
+
+
+def test_streaming_dedup_bounds(spark):
+    events = stream_events(spark, SF_SMOKE)
+    deduped = streaming_dedup(events)
+    run_to_memory(deduped, "t_dedup", mode="append")
+    n = spark.table("t_dedup").count()
+    distinct_keys = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    total = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    # at least one row per live key, never more than the input
+    assert distinct_keys <= n <= total

@@ -1,0 +1,125 @@
+"""Approximate-nearest-neighbor batch index builds (SURVEY.md §2.9 V6).
+
+The reference does exact KNN only (no ANN index anywhere — zero DDL;
+setup.sh:73-77 just restores a dump). The driver mandate is *batch* index
+builds via DataFrame ops — online ANN serving stays out of Spark
+(BASELINE.json "spark_approach").
+
+Two index families, both as plain DataFrame transforms:
+
+- **IVF** (inverted file): KMeans centroids (MLlib, seeded) → assign each
+  vector to its nearest centroid → write partitioned by cluster id.
+  Search probes the `nprobe` nearest centroids and scans only those
+  partitions — at 100 TB, partition pruning on `cluster_id` turns a full
+  corpus scan into reading nprobe/k of the data.
+- **Random-projection LSH**: seeded Gaussian hyperplanes → sign-bit
+  bucket key per vector. Equal keys = candidate bucket; search/dedup
+  happens within buckets. Plane generation is a numpy RNG with a fixed
+  seed — deterministic across runs and executors.
+
+Both are *batch build + batch search* patterns; the physical win is
+locality (bucketed/partitioned storage), not a special runtime.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_setup_spark.functions.vector import l2_distance_sq, vector_literal
+from vector_db_setup_spark.operators.knn import knn_topk
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 20,
+) -> np.ndarray:
+    """Train IVF centroids with MLlib KMeans (seeded, deterministic for a
+    fixed dataset + seed). Returns a k×d numpy array."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ds = emb.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(ds)
+    return np.array([np.asarray(c) for c in model.clusterCenters()])
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector its nearest-centroid id as `cluster_id`.
+
+    Centroids ship as a literal array-of-arrays (k×d doubles — tiny);
+    the argmin is a native expression, so assignment is a pure map stage.
+    """
+    cents = F.array(*[vector_literal(c) for c in centroids])
+    dists = F.transform(cents, lambda c: l2_distance_sq(F.col(vec_col), c))
+    return emb.withColumn(
+        "cluster_id", F.array_position(dists, F.array_min(dists)).cast("int") - 1
+    )
+
+
+def ivf_write(
+    assigned: DataFrame, path: str, partition_col: str = "cluster_id"
+) -> None:
+    """Materialize the IVF index: parquet partitioned by cluster id, so a
+    probe reads only its clusters' directories (partition pruning)."""
+    assigned.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    query_vec,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    metric: str = "l2",
+) -> DataFrame:
+    """Probe the nprobe nearest centroids, exact top-k within them.
+
+    The cluster_id filter is a pushable predicate: over an `ivf_write`
+    layout it prunes partitions before any IO.
+    """
+    q = np.asarray(query_vec, dtype=np.float64)
+    d2 = ((centroids - q) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:nprobe]]
+    cand = assigned.filter(F.col("cluster_id").isin(probe))
+    return knn_topk(cand, vec_col, list(q), k=k, metric=metric)
+
+
+def random_hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
+    """Seeded Gaussian hyperplanes for sign-bit LSH."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket(
+    emb: DataFrame,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-projection LSH bucket id: bit b = sign(v · plane_b).
+
+    Native dot products against literal planes — pure map stage. Vectors
+    with equal `bucket_id` are near-duplicate/near-neighbor candidates.
+    """
+    from vector_db_setup_spark.functions.vector import dot_product
+
+    bit_terms = [
+        F.when(
+            dot_product(F.col(vec_col), vector_literal(p)) > 0,
+            F.lit(1 << b).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for b, p in enumerate(planes)
+    ]
+    bucket = bit_terms[0]
+    for t in bit_terms[1:]:
+        bucket = bucket + t
+    return emb.withColumn("bucket_id", bucket)

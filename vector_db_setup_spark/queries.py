@@ -1044,3 +1044,234 @@ def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").alias("name_len"),
         F.col("p_type").contains("a").alias("has_a"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FEVER pipeline, session/sliding windows, multimodal, ANN
+# (SURVEY.md §3.1, §2.10, §2.9 V6 — build plan §7 steps 3/5/6/7)
+# ---------------------------------------------------------------------------
+
+_DET_LABEL_SQL = (
+    "CASE ('0x' || substr(md5({expr}), 1, 1))::INT % 3 "
+    "WHEN 0 THEN 'SUPPORTS' WHEN 1 THEN 'REFUTES' "
+    "ELSE 'NOT ENOUGH INFO' END"
+)
+
+_FEVER_CTE = f"""
+    claims AS (
+        SELECT doc_id AS claim_id, text AS claim,
+               {_DET_LABEL_SQL.format(expr="text")} AS label
+        FROM documents WHERE doc_id < 5),
+    qv AS (SELECT c.claim_id, c.claim, c.label, e.embedding::DOUBLE[] AS qvec
+           FROM claims c JOIN embeddings e ON c.claim_id = e.vec_id),
+    corpus AS (SELECT d.doc_id, e.embedding::DOUBLE[] AS emb
+               FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    topk AS (
+        SELECT * FROM (
+            SELECT q.claim_id, q.claim, q.label, c.doc_id,
+                   row_number() OVER (
+                       PARTITION BY q.claim_id
+                       ORDER BY list_distance(c.emb, q.qvec) ASC,
+                                c.doc_id ASC) AS rn
+            FROM corpus c CROSS JOIN qv q)
+        WHERE rn <= 3),
+    gathered AS (
+        SELECT claim_id, claim, label,
+               string_agg('[Doc ' || rn || '] doc:' || doc_id, '\n\n'
+                          ORDER BY rn ASC) AS context,
+               count(*) AS n_docs
+        FROM topk GROUP BY claim_id, claim, label),
+    styled AS (
+        SELECT claim_id, claim, label, context,
+               unnest(['precise', 'balanced', 'creative']) AS style
+        FROM gathered),
+    ans AS (
+        SELECT *,
+               {_DET_LABEL_SQL.format(expr="claim || '|' || style || '|' || context")}
+                   AS answer
+        FROM styled),
+    counted AS (SELECT claim_id, claim, label, answer, count(*) AS c
+                FROM ans GROUP BY claim_id, claim, label, answer),
+    judged AS (
+        SELECT claim_id, label, answer AS judged FROM (
+            SELECT *, row_number() OVER (PARTITION BY claim_id
+                                         ORDER BY c DESC, answer ASC) AS rn
+            FROM counted)
+        WHERE rn = 1),
+    final AS (SELECT claim_id, label, judged,
+                     'Verdict: ' || judged AS final
+              FROM judged)
+"""
+
+
+@register(
+    "fever_pipeline",
+    f"WITH {_FEVER_CTE} SELECT claim_id, label, judged, final FROM final",
+)
+def fever_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship workload (fever_multi_agent.py:222-255)
+    restated set-orientedly: retrieve → 3-style answer fan-out → majority
+    vote → edit, with deterministic LLM stand-ins."""
+    from vector_db_setup_spark.operators.pipeline import fever_pipeline
+
+    return fever_pipeline(spark, sf_dir).select(
+        "claim_id", "label", "judged", "final"
+    )
+
+
+@register(
+    "fever_accuracy",
+    f"""
+    WITH {_FEVER_CTE}
+    SELECT round(avg(CASE WHEN instr(upper(final), upper(label)) > 0
+                          THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+           count(*) AS total
+    FROM final
+    """,
+)
+def fever_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end eval (reference A3: evaluate_predictions,
+    fever_multi_agent.py:275-296) over the pipeline output."""
+    from vector_db_setup_spark.operators.pipeline import evaluate, fever_pipeline
+
+    return evaluate(fever_pipeline(spark, sf_dir))
+
+
+@register(
+    "events_session_window",
+    """
+    WITH g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+    s AS (SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM g)
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id, count(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (30-min gap) batch form — identical
+    expression to streaming/sessionized_stream; oracle mirrors the merge
+    semantics with a lag/cumsum rewrite ([start, last+gap) windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "events_sliding",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) - o * INTERVAL 1 HOUR
+               AS window_start,
+           event_type, count(*) AS n
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o) offs
+    GROUP BY 1, 2
+    """,
+)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2h window, 1h slide): every event counted in two
+    overlapping windows — batch twin of sliding_counts_stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@register(
+    "multimodal_byte_stats",
+    """
+    SELECT doc_id,
+           CAST(octet_length(unhex(md5(text))) AS INTEGER) AS n_bytes,
+           round(list_sum(list_transform(generate_series(1, 16),
+                     i -> ('0x' || substr(md5(text), i*2 - 1, 2))::INT))
+                 / 16.0, 6) AS mean_byte
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def multimodal_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable slice of the multimodal path: typed binary
+    payload stats computed natively (length + mean byte). The fuller
+    mapInPandas feature extractor is exercised in tests (no SQL oracle
+    for Arrow-batched histograms)."""
+    from vector_db_setup_spark.multimodal.columns import binary_byte_stats
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return binary_byte_stats(d)
+
+
+# --- rows-only entries (no ANSI-SQL equivalent; driver records a weaker
+# --- rows-only check, SURVEY.md §5)
+
+
+@register("knn_random_vector")
+def knn_random_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-vector KNN smoke (reference test_connection.py:86-97:
+    np.random 768-d query, top-5). Seeded F.rand → reproducible across
+    runs but not SQL-oracle-able (engine RNGs differ)."""
+    from vector_db_setup_spark.functions.vector import l2_distance, random_vector
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    scored = emb.withColumn(
+        "distance", l2_distance(F.col("embedding"), random_vector(dim))
+    )
+    return (
+        scored.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(5)
+        .select("vec_id", F.round("distance", 6).alias("distance"))
+    )
+
+
+@register("ivf_cluster_sizes")
+def ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF batch index build (SURVEY.md §2.9 V6): KMeans centroids →
+    nearest-centroid assignment → per-cluster cardinality. Iterative
+    KMeans is not SQL-expressible → rows-only check; recall is asserted
+    in tests/test_ann.py instead."""
+    from vector_db_setup_spark.operators.ann import ivf_assign, kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8)
+    return (
+        ivf_assign(emb, cents)
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cluster_id")
+    )
+
+
+@register("lsh_bucket_counts")
+def lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection LSH bucketing: seeded hyperplanes → sign-bit
+    bucket id → bucket cardinalities. Plane literals come from a seeded
+    host RNG → rows-only check."""
+    from vector_db_setup_spark.operators.ann import lsh_bucket, random_hyperplanes
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    planes = random_hyperplanes(dim, n_planes=8)
+    return (
+        lsh_bucket(emb, planes)
+        .groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket_id")
+    )

@@ -1,0 +1,122 @@
+"""Structured Streaming operators over the events table (SURVEY.md §2.10).
+
+The reference has no streaming at all (synchronous batch loop,
+fever_multi_agent.py:316-330); the driver's `events` fixture mandates the
+extension. Design rule: every streaming transformation here is the SAME
+DataFrame expression as its batch query twin (queries.py events_*), so
+correctness is established by batch-equivalence — run the stream with an
+availableNow trigger over the same parquet and compare to the batch
+result (tests/test_streaming.py). DuckDB can't oracle a stream; the
+batch twin is oracle-checked instead.
+
+Watermarks bound state: at production scale the tumbling/sliding aggs
+keep one row of state per (window × event_type), evicted once the
+watermark passes the window end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over the events parquet directory.
+
+    Parquet-dir streaming needs an explicit schema; reuse the batch
+    registry's (including the ns→µs ts conversion).
+    """
+    from vector_db_setup_spark.sources.registry import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    reader = spark.readStream.schema(
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # FileStreamSource needs a directory basePath; select the single
+    # fixture file out of it with a glob filter
+    raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # keep schema identical to the batch view
+    return raw.select(*batch.columns)
+
+
+def tumbling_counts_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window counts with late-data watermark —
+    streaming twin of queries.events_tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+def sliding_counts_stream(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Sliding-window counts (each event lands in window/slide windows)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def sessionized_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (merge events within `gap`) — streaming
+    twin of queries.events_session_window; state is one open session per
+    user, closed by the watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame, watermark: str = "1 hour", keys: list[str] | None = None
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon
+    (dropDuplicatesWithinWatermark): the streaming analogue of exact
+    dedup with bounded state."""
+    keys = keys or ["user_id", "event_type"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete"):
+    """Execute a stream with availableNow over the static fixture and
+    land results in an in-memory table — the batch-equivalence harness.
+    Returns the query after awaiting termination."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
