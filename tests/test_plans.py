@@ -1,0 +1,71 @@
+"""Plan-shape regressions: the scale claims must be visible in the
+executed plan, not just in docstrings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from vector_db_setup_spark import queries as q
+from vector_db_setup_spark.plans.inspect import (
+    has_broadcast_join,
+    has_take_ordered,
+    n_exchanges,
+    scan_pushed_filters,
+)
+from vector_db_setup_spark.sources.registry import load_table
+
+
+def test_flagship_knn_is_shuffle_free(spark):
+    df = q.knn_l2_flagship(spark, SF_ORACLE)
+    assert has_take_ordered(df), "top-k must compile to TakeOrderedAndProject"
+    assert has_broadcast_join(df), "doc⋈emb must broadcast, not shuffle"
+    assert n_exchanges(df) == 0, "no shuffle exchange anywhere in the KNN"
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    import re
+
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    df = q.regional_revenue(spark, SF_ORACLE)
+    assert has_broadcast_join(df)
+    # exactly one hash shuffle (the final 2-column agg); the range
+    # exchange for the presentation ORDER BY is allowed
+    assert len(re.findall(r"Exchange hashpartitioning", executed_plan(df))) == 1
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = load_table(spark, SF_ORACLE, "lineitem").filter(
+        F.col("l_returnflag") == "A"
+    ).select("l_orderkey")
+    pushed = scan_pushed_filters(li)
+    assert any("l_returnflag" in p for p in pushed), pushed
+
+
+def test_column_pruning(spark):
+    df = load_table(spark, SF_ORACLE, "lineitem").select("l_orderkey", "l_quantity")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "l_extendedprice" not in plan, "unused columns must not be read"
+
+
+def test_pricing_summary_partial_agg(spark):
+    df = q.pricing_summary(spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # partial HashAggregate before the exchange (map-side combine)
+    first_agg = plan.index("HashAggregate")
+    first_ex = plan.index("Exchange")
+    assert first_agg < first_ex or plan.count("HashAggregate") >= 2
+
+
+def test_embed_expr_equals_udf(spark):
+    from vector_db_setup_spark.functions.embed import hash_embed_expr, hash_embed_udf
+
+    d = load_table(spark, SF_ORACLE, "documents").filter("doc_id < 20")
+    a = d.select("doc_id", hash_embed_expr("text").alias("e")).collect()
+    b = d.select("doc_id", hash_embed_udf()("text").alias("e")).collect()
+    va = {r["doc_id"]: r["e"] for r in a}
+    vb = {r["doc_id"]: r["e"] for r in b}
+    assert va.keys() == vb.keys()
+    for k in va:
+        assert all(abs(x - y) < 1e-12 for x, y in zip(va[k], vb[k]))

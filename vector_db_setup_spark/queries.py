@@ -1275,3 +1275,291 @@ def lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("bucket_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Inventory completeness round 2: pivot, quantiles, min_by/max_by, regexp,
+# explode, map type, fact-fact join, correlated subquery, array stats,
+# embedding generation (SURVEY.md §2.8, §2.9 V3, §7 step 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_pivot",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def orders_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (status columns per priority). Values enumerated explicitly
+    so Spark skips the extra distinct-values job — the scale-safe form."""
+    o = load_table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("p"),
+    )
+
+
+@register(
+    "price_quantiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS median,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`). At 100 TB use approx_percentile (t-digest) —
+    provided as `approx_price_quantiles` (rows-only, sketch results
+    differ across engines by design)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("q25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("median"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("q75"),
+    )
+
+
+@register("approx_price_quantiles")
+def approx_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles (approx_percentile) + approx distinct
+    (HLL) — the 100 TB forms. Engine-specific sketches → rows-only."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile_approx("l_extendedprice", 0.5, 1000), 4).alias(
+            "median_approx"
+        ),
+        F.approx_count_distinct("l_partkey").alias("parts_approx"),
+    )
+
+
+@register(
+    "extreme_orders",
+    """
+    SELECT o_orderstatus,
+           arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+           arg_max(o_orderkey, o_totalprice) AS priciest_order,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def extreme_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by / max_by (argmin/argmax) aggregates."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@register(
+    "part_regexp",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '[0-9]+', 0) AS first_num,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled
+    FROM part WHERE p_partkey < 50
+    """,
+)
+def part_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar functions (portable RE subset: char classes +
+    quantifiers only, identical in Java regex and RE2)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 50)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", "[0-9]+", 0).alias("first_num"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("devoweled"),
+    )
+
+
+@register(
+    "word_counts",
+    """
+    SELECT w AS word, count(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+    GROUP BY w
+    ORDER BY n DESC, word ASC
+    LIMIT 15
+    """,
+)
+def word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explode/unnest inventory (SURVEY.md §2.8 F11): corpus word
+    frequencies, top 15."""
+    from vector_db_setup_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(15)
+    )
+
+
+@register(
+    "events_props_map",
+    """
+    SELECT event_type,
+           round(avg(CAST(json_extract(props, '$.k') AS INTEGER)), 6) AS avg_k,
+           max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string → MapType handling (SURVEY.md §1.3): parse props into
+    a map and aggregate a key — the schema-flexible twin of
+    events_json_extract's get_json_object path."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.select("event_type", m.getItem("k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@register(
+    "lineitem_order_join",
+    """
+    SELECT o.o_orderpriority AS o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def lineitem_order_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact equi join (lineitem ⋈ orders): at 100 TB both sides are
+    large → sort-merge join on the shuffled key; the status filter pushes
+    into the orders scan first (PushedFilters). Bucketing both tables on
+    orderkey (plans/storage) removes even that shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "above_avg_customers",
+    """
+    SELECT c.c_nationkey AS c_nationkey, count(*) AS n_above
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+    GROUP BY c.c_nationkey
+    """,
+)
+def above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (per-nation average) — expressed as a
+    window average so Catalyst needs no decorrelation and the data is
+    read once."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey")
+    return (
+        c.withColumn("nation_avg", F.avg("c_acctbal").over(w))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+
+
+@register(
+    "vector_stats",
+    """
+    SELECT vec_id,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           round(list_min(embedding::DOUBLE[]), 6) AS vmin,
+           round(list_max(embedding::DOUBLE[]), 6) AS vmax,
+           round(list_sum(embedding::DOUBLE[]), 6) AS vsum
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function inventory over the vector column: size, min, max,
+    elementwise sum."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    arr = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_min(arr), 6).alias("vmin"),
+        F.round(F.array_max(arr), 6).alias("vmax"),
+        F.round(
+            F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("vsum"),
+    )
+
+
+@register(
+    "embed_documents",
+    """
+    SELECT doc_id,
+           list_transform(generate_series(1, 8),
+               i -> round(('0x' || substr(md5((i-1)::VARCHAR || '|' || text), 1, 4))::INT
+                          / 65536.0, 6)) AS embedding
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def embed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding generation (SURVEY.md §2.9 V3): deterministic 8-d hash
+    embedding as a native expression; the pandas_udf twin
+    (functions/embed.hash_embed_udf — the real-model seam) produces
+    identical vectors (tested)."""
+    from vector_db_setup_spark.functions.embed import hash_embed_expr
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    emb = hash_embed_expr("text", dim=8)
+    rounded = F.transform(emb, lambda x: F.round(x, 6))
+    return d.select("doc_id", rounded.alias("embedding"))
+
+
+@register(
+    "orders_date_parts",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def orders_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction (year/quarter) rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
