@@ -1,0 +1,114 @@
+"""Bucketed-join shuffle elimination, salted joins, LLM map stage."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from vector_db_setup_spark.operators.llm import llm_map_stage
+from vector_db_setup_spark.operators.skew import salted_join
+from vector_db_setup_spark.plans.inspect import executed_plan
+from vector_db_setup_spark.plans.storage import (
+    bucketed_join,
+    write_bucketed,
+    write_partitioned,
+)
+from vector_db_setup_spark.sources.registry import load_table
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    # managed tables land in the default warehouse (cwd/spark-warehouse,
+    # gitignored); DROP TABLE below removes the data
+    li = load_table(spark, SF_SMOKE, "lineitem").withColumnRenamed(
+        "l_orderkey", "orderkey"
+    )
+    o = load_table(spark, SF_SMOKE, "orders").withColumnRenamed(
+        "o_orderkey", "orderkey"
+    )
+    write_bucketed(li, "li_b", "orderkey", n_buckets=4)
+    write_bucketed(o, "o_b", "orderkey", n_buckets=4)
+    # broadcast would hide the point — force the merge path
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "li_b", "o_b", "orderkey")
+        plan = executed_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert not re.search(r"Exchange hashpartitioning", plan), (
+            "co-bucketed join must not shuffle"
+        )
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    ev = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "ev_part")
+    write_partitioned(ev, path, ["event_type"])
+    one = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    plan = executed_plan(one)
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    total = spark.read.parquet(path).count()
+    assert total == ev.count()
+
+
+def test_salted_join_matches_plain(spark):
+    c = load_table(spark, SF_SMOKE, "customer")
+    o = load_table(spark, SF_SMOKE, "orders")
+    plain = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .count()
+        .collect()
+    )
+    ok = o.withColumnRenamed("o_custkey", "k")
+    ck = c.withColumnRenamed("c_custkey", "k")
+    salted = (
+        salted_join(ok, ck, "k", n_salts=4)
+        .groupBy("c_nationkey")
+        .count()
+        .collect()
+    )
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_salted_join_hot_keys_only(spark):
+    c = load_table(spark, SF_SMOKE, "customer").withColumnRenamed("c_custkey", "k")
+    o = load_table(spark, SF_SMOKE, "orders").withColumnRenamed("o_custkey", "k")
+    hot = [r["k"] for r in o.groupBy("k").count().orderBy(F.desc("count")).limit(3).collect()]
+    plain_n = o.join(c, "k").count()
+    assert salted_join(o, c, "k", n_salts=4, hot_keys=hot).count() == plain_n
+
+
+def test_llm_map_stage_deterministic(spark):
+    d = load_table(spark, SF_SMOKE, "documents").limit(10)
+    out = llm_map_stage(
+        d,
+        "Claim: {text}\nVerdict?",
+        input_cols=["text"],
+        output_col="verdict",
+    )
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(
+        r["verdict"] in ("SUPPORTS", "REFUTES", "NOT ENOUGH INFO") for r in rows
+    )
+    # deterministic across runs
+    again = {r["doc_id"]: r["verdict"] for r in out.collect()}
+    assert {r["doc_id"]: r["verdict"] for r in rows} == again
+
+
+def test_llm_map_stage_custom_model(spark):
+    d = load_table(spark, SF_SMOKE, "documents").limit(5)
+    out = llm_map_stage(
+        d,
+        "{text}",
+        input_cols=["text"],
+        respond_fn=lambda s: s.str.len().astype(str),
+    )
+    for r in out.collect():
+        assert int(r["completion"]) == len(r["text"])
