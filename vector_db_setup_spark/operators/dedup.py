@@ -32,6 +32,42 @@ def _md5(col: Column) -> Column:
     return F.md5(F.encode(col, "UTF-8"))
 
 
+_PACK = 1 << 20  # 20-bit per-token hash space
+
+
+def shingle_hashes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, s): one 60-bit integer per word shingle, packing the
+    consecutive tokens' 20-bit md5 prefixes (injective per token-hash,
+    so distinct-shingle semantics survive; token-level 20-bit collisions
+    merely merge rare tokens — harmless for candidate generation).
+
+    Why this shape: building shingle *strings* with array higher-order
+    functions is interpreted per element (~4.6 s of a 6.2 s pipeline at
+    sf0.1, profiled). Here every step is whole-stage codegen: posexplode
+    → md5 prefix → window lead to pull the next n-1 token hashes. The
+    window shuffles once on id_col — and downstream per-doc groupBys
+    reuse that partitioning, so it's the pipeline's only shuffle.
+    """
+    tok = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w"))
+    th = tok.select(
+        id_col,
+        "pos",
+        F.conv(F.substring(_md5(F.col("w")), 1, 5), 16, 10)
+        .cast("long")
+        .alias("t"),
+    )
+    w_ = Window.partitionBy(id_col).orderBy("pos")
+    s = F.col("t")
+    for j in range(1, shingle_n):
+        s = s + F.lead("t", j).over(w_) * (_PACK**j)
+    return th.select(F.col(id_col), s.alias("s")).filter(F.col("s").isNotNull())
+
+
 def exact_dedup(
     df: DataFrame, key_cols: list[str], id_col: str
 ) -> DataFrame:
@@ -50,25 +86,32 @@ def minhash_signature_array(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document as one array column: element h is
-    the minimum of md5(h || '|' || shingle) over the doc's shingles.
+    """MinHash signature per document as one array column: element i is
+    the minimum of hash_i(shingle) over the doc's shingles, where
+    hash_i = (md5_lo32 + i·md5_hi32) mod 2^32.
 
     Plan: one explode (narrow), codegen'd md5 per seed as flat columns,
     then a single map-side-combined groupBy(id) with one min per seed —
     the shuffle moves ≤ one row per document. Docs with < shingle_n
     tokens have no shingles and drop out entirely.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("s")
+    sh = shingle_hashes(df, text_col, id_col, shingle_n)
+    # ONE md5 per shingle hash; the num_hashes functions are derived as
+    # (h1 + i·h2) mod 2^32 from the digest's two 32-bit halves
+    # (Kirsch-Mitzenmacher double hashing). Flat codegen expressions —
+    # an array_min(transform(...)) formulation interprets every hash AND
+    # re-evaluates the shingle expression per seed (~7× slower measured
+    # at sf0.1).
+    shs = F.col("s").cast("string")
+    halves = sh.select(
+        id_col,
+        F.conv(F.substring(_md5(shs), 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(_md5(shs), 9, 8), 16, 10).cast("long").alias("h2"),
     )
-    # md5 as a flat (non-higher-order) expression stays in whole-stage
-    # codegen; an array_min(transform(...)) formulation interprets every
-    # hash AND re-evaluates the shingle expression per seed (~7× slower
-    # measured at sf0.1)
-    hashed = sh.select(
+    hashed = halves.select(
         id_col,
         *[
-            _md5(F.concat_ws("|", F.lit(str(i)), F.col("s"))).alias(f"h{i}")
+            ((F.col("h1") + i * F.col("h2")) % (2**32)).alias(f"h{i}")
             for i in range(num_hashes)
         ],
     )
@@ -143,7 +186,11 @@ def minhash_lsh_candidates(
             F.struct(
                 F.lit(b).alias("band"),
                 F.concat_ws(
-                    "", F.array_sort(F.slice("sig", b * rpb + 1, rpb))
+                    ",",
+                    F.transform(
+                        F.array_sort(F.slice("sig", b * rpb + 1, rpb)),
+                        lambda x: x.cast("string"),
+                    ),
                 ).alias("band_key"),
             )
             for b in range(bands)
@@ -174,13 +221,12 @@ def ngram_jaccard_pairs(
     least one shingle are scored. jaccard = |A∩B| / (|A|+|B|-|A∩B|).
 
     The shingle join is the only shuffle that grows with corpus size;
-    hot shingles (stopword runs) are the skew risk — at scale, drop
-    shingles with document frequency above a cap (standard practice)
-    before the join.
+    joining on the packed 60-bit shingle hash (not the string) keeps
+    shuffle keys fixed-width. Hot shingles (stopword runs) are the skew
+    risk — at scale, drop shingles with document frequency above a cap
+    (standard practice) before the join.
     """
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("s")
-    ).distinct()
+    sh = shingle_hashes(df, text_col, id_col, shingle_n).distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "s")
     b = sh.select(F.col(id_col).alias("id_b"), "s")

@@ -452,19 +452,33 @@ _STOP_SQL = "['a','the','of','and','to','in','is']"
 
 
 def _shingle_cte(where: str = "") -> str:
+    """Packed 60-bit shingle hashes: each of 3 consecutive tokens
+    contributes its 20-bit md5 prefix (mirrors
+    operators/dedup.shingle_hashes — Spark builds the same values with a
+    codegen'd posexplode + window-lead pipeline instead of array HOFs).
+    """
     return f"""
     toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
              FROM documents {where}),
     sh AS (SELECT doc_id,
                   unnest(list_transform(
                       generate_series(1, greatest(len(w) - 2, 0)),
-                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+                      i -> ('0x' || substr(md5(w[i]), 1, 5))::BIGINT
+                           + ('0x' || substr(md5(w[i+1]), 1, 5))::BIGINT
+                             * 1048576
+                           + ('0x' || substr(md5(w[i+2]), 1, 5))::BIGINT
+                             * 1099511627776)) AS s
            FROM toks)
     """
 
 
+# Kirsch-Mitzenmacher double hashing off one md5 of the shingle hash
+# (mirrors operators/dedup.minhash_signature_array exactly)
 _MINHASH_CTE = """
-    mh AS (SELECT doc_id, h, min(md5(h::VARCHAR || '|' || s)) AS sig
+    mh AS (SELECT doc_id, h,
+                  min((('0x' || substr(md5(s::VARCHAR), 1, 8))::BIGINT
+                       + h * ('0x' || substr(md5(s::VARCHAR), 9, 8))::BIGINT)
+                      % 4294967296) AS sig
            FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS h) hs
            GROUP BY doc_id, h)
 """
@@ -528,7 +542,7 @@ def minhash_est_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_shingle_cte()}, {_MINHASH_CTE},
     banded AS (
         SELECT doc_id, h // 2 AS band,
-               string_agg(sig, '' ORDER BY sig ASC) AS band_key
+               string_agg(sig::VARCHAR, ',' ORDER BY sig ASC) AS band_key
         FROM mh GROUP BY doc_id, h // 2
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
