@@ -1,0 +1,105 @@
+"""Unit tests for vector/text column functions: edge cases the fixture
+queries don't reach (zero vectors, empty text, mismatched dims)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_setup_spark.functions.text import (
+    char_ngrams,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+    word_shingles,
+)
+from vector_db_setup_spark.functions.vector import (
+    cosine_similarity,
+    dot_product,
+    l2_distance,
+    l2_norm,
+    vector_literal,
+)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).first()["v"]
+
+
+def test_l2_basics(spark):
+    a, b = vector_literal([0.0, 3.0]), vector_literal([4.0, 0.0])
+    assert _one(spark, l2_distance(a, b)) == 5.0
+    assert _one(spark, l2_distance(a, a)) == 0.0
+    assert _one(spark, l2_norm(b)) == 4.0
+
+
+def test_dot_and_cosine(spark):
+    a, b = vector_literal([1.0, 0.0]), vector_literal([0.0, 1.0])
+    assert _one(spark, dot_product(a, b)) == 0.0
+    assert _one(spark, cosine_similarity(a, a)) == pytest.approx(1.0)
+    assert _one(spark, cosine_similarity(a, b)) == pytest.approx(0.0)
+
+
+def test_cosine_zero_vector_is_null(spark):
+    z = vector_literal([0.0, 0.0])
+    a = vector_literal([1.0, 2.0])
+    assert _one(spark, cosine_similarity(z, a)) is None
+
+
+def test_mismatched_dims_zip_semantics(spark):
+    # zip_with pads the shorter array with nulls → arithmetic on null
+    # propagates null; enforce-dim-by-assertion is the documented policy
+    # (SURVEY.md §7 hard parts), this pins the underlying behavior
+    a, b = vector_literal([1.0, 2.0, 3.0]), vector_literal([1.0, 2.0])
+    assert _one(spark, l2_distance(a, b)) is None
+
+
+def test_token_count_and_shingles(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b"), (3, "")], "id long, t string"
+    )
+    out = df.select(
+        token_count("t").alias("n"), F.size(word_shingles("t")).alias("s")
+    ).collect()
+    assert [(r["n"], r["s"]) for r in out] == [(4, 2), (2, 0), (1, 0)]
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta")],
+        "id long, t string",
+    )
+    fps = [r["f"] for r in df.select(doc_fingerprint("t").alias("f")).collect()]
+    assert fps[0] == fps[1] and fps[0] != fps[2]
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog"),
+            (2, "der hund und die katze ist"),
+            (3, "xyzzy plugh"),
+        ],
+        "id long, t string",
+    )
+    got = [r["l"] for r in df.select(lang_id("t").alias("l")).collect()]
+    assert got == ["en", "de", "und"]
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "word " * 60), (2, "a"), (3, "the of and to in is a")],
+        "id long, t string",
+    )
+    scores = [r["q"] for r in df.select(quality_score("t").alias("q")).collect()]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame([(1, "abcde"), (2, "ab")], "id long, t string")
+    out = df.select(char_ngrams("t", 4).alias("g")).collect()
+    assert out[0]["g"] == ["abcd", "bcde"]
+    assert out[1]["g"] == []

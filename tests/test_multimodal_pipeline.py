@@ -96,3 +96,31 @@ def test_catalog_probe(spark):
     register_views(spark, SF_SMOKE)
     assert table_exists(spark, "documents")
     assert not table_exists(spark, "no_such_table")
+
+
+def test_ingest_jsonl_to_partitioned_parquet(spark, tmp_path):
+    import json as _json
+
+    from vector_db_setup_spark.sources.ingest import ingest
+    from vector_db_setup_spark.sources.jsonl import CLAIMS_SCHEMA
+
+    src = tmp_path / "in.jsonl"
+    with open(src, "w") as f:
+        for i in range(20):
+            f.write(
+                _json.dumps(
+                    {"id": i, "claim": f"c{i}", "label": ["SUPPORTS", "REFUTES"][i % 2]}
+                )
+                + "\n"
+            )
+    dest = str(tmp_path / "out")
+    back = ingest(
+        spark, str(src), dest, fmt="json", schema=CLAIMS_SCHEMA,
+        partition_by=["label"], repartition=2,
+    )
+    assert back.count() == 20
+    assert set(back.columns) == {"id", "claim", "label"}
+    # partitioned layout prunes on the partition key
+    import glob
+
+    assert glob.glob(f"{dest}/label=SUPPORTS/*.parquet")

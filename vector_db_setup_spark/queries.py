@@ -1577,3 +1577,57 @@ def orders_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# spark.sql API surface: the same engine through SQL text
+# (SURVEY.md §2.1 — the reference is entirely SQL strings; exposing the
+# registered-view + spark.sql path proves API parity with the DataFrame
+# builders. Catalyst compiles both to the same plans.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_shipping_priority",
+    """
+    SELECT o.o_orderkey AS o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+)
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape through `spark.sql` over registered views —
+    byte-identical SQL text runs on both engines (modulo nothing: the
+    oracle string IS this query)."""
+    from vector_db_setup_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ORACLES["sql_shipping_priority"])
+
+
+@register(
+    "sql_supplier_nations",
+    """
+    SELECT n.n_name AS nation, count(*) AS n_suppliers,
+           round(avg(s.s_acctbal), 6) AS avg_bal,
+           round(max(s.s_acctbal), 2) AS max_bal
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def sql_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier stats per nation via `spark.sql` (same SQL as the
+    oracle)."""
+    from vector_db_setup_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ORACLES["sql_supplier_nations"])

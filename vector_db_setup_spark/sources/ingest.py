@@ -1,0 +1,45 @@
+"""Bulk ingest (SURVEY.md §2.1 S2): the Spark analogue of the
+reference's one-time `pg_restore` load (setup.sh:73-77).
+
+A restore-into-engine becomes read-source → write-parquet(-partitioned):
+distributed, restartable (overwrite per partition), and the written
+layout IS the index (partition pruning + min/max row-group stats).
+`spark.read.jdbc` covers actual-Postgres interop for migrating off the
+reference deployment; not exercised here (no live Postgres in the test
+environment) — the format readers are.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def ingest(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    fmt: str = "json",
+    schema=None,
+    partition_by: list[str] | None = None,
+    repartition: int | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Load `src_path` (json/jsonl, csv, parquet) and land it as parquet.
+
+    `repartition` controls output file count/size — at 100 TB aim for
+    ~128 MB-1 GB files (small-file storms kill scan throughput);
+    `partition_by` should be the dominant pruning key (date for events,
+    cluster_id for IVF-assigned vectors).
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    df = reader.format(fmt).load(src_path)
+    out = df.repartition(repartition) if repartition else df
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(dest_path)
+    return spark.read.parquet(dest_path)
