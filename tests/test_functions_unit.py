@@ -103,3 +103,38 @@ def test_char_ngrams(spark):
     out = df.select(char_ngrams("t", 4).alias("g")).collect()
     assert out[0]["g"] == ["abcd", "bcde"]
     assert out[1]["g"] == []
+
+
+def test_asof_join_basics(spark):
+    from vector_db_setup_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0, "L10"), (1, 20.0, "L20"), (2, 5.0, "L5")],
+        "k long, t double, lv string",
+    ).select("k", F.timestamp_seconds("t").alias("t"), "lv")
+    right = spark.createDataFrame(
+        [(1, 10.0, "R10"), (1, 15.0, "R15"), (1, 25.0, "R25"), (3, 1.0, "R1")],
+        "k long, t double, rv string",
+    ).select("k", F.timestamp_seconds("t").alias("t"), "rv")
+    out = {
+        (r["k"], r["lv"]): r["asof_rv"]
+        for r in asof_join(left, right, "k", "t", "t", ["rv"]).collect()
+    }
+    # equal timestamp matches (inclusive); later rights ignored; no-match → null
+    assert out == {(1, "L10"): "R10", (1, "L20"): "R15", (2, "L5"): None}
+
+
+def test_range_join_window_edges(spark):
+    from vector_db_setup_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame([(1, 100, 1000.0)], "k long, lid long, t double").select(
+        "k", "lid", F.timestamp_seconds("t").alias("t")
+    )
+    right = spark.createDataFrame(
+        [(1, 989.9), (1, 990.0), (1, 999.9), (1, 1000.0), (1, 500.0)],
+        "k long, t double",
+    ).select("k", F.timestamp_seconds("t").alias("rt"))
+    got = range_join(left, right, "k", "t", "rt", 10, "lid").collect()
+    # [t-10, t): 990.0 and 999.9 in; 989.9 below, 1000.0 (== t) excluded
+    vals = sorted(r["rt"].timestamp() for r in got)
+    assert vals == [990.0, 999.9]

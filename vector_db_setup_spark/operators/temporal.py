@@ -1,0 +1,103 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and range join.
+
+Neither exists in the reference (no joins at all there, SURVEY.md §2.3);
+both are core to time-series/feature-store workloads at scale, so they
+are implemented as compositions of existing DataFrame ops with plans
+that survive 100 TB:
+
+- **as-of join** (latest right row at-or-before each left row, per key):
+  the union + window trick — tag sides, union, sort per key by
+  (time, side), carry the last non-null right payload forward with
+  `last(ignorenulls)`, keep left rows. ONE shuffle (the window), no
+  range cross product, no per-key loop. Equivalent to DuckDB's native
+  ASOF JOIN (which is the oracle).
+- **range join** (right rows in [left_t - delta, left_t) per key): time
+  bucketing — both sides keyed by floor(epoch/delta); each left row
+  probes its own and the preceding bucket, so every true match is
+  co-located and the exact predicate filters bucket-edge misses. An
+  equi-join on (key, bucket) instead of an inequality join — cost scales
+  with matches, not |L|·|R| per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every left row + the right payload of the
+    greatest right_time <= left_time for the same key (null when no
+    prior right row exists — LEFT semantics).
+
+    Equal timestamps: the right row wins (sorted before the left row),
+    matching ASOF's inclusive <=.
+    """
+    r_struct = F.struct(
+        F.col(right_time).alias("__rt"), *[F.col(c) for c in right_payload]
+    )
+    r_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
+
+    l2 = left.select(
+        F.col(key),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast(r_type).alias("__r"),
+    )
+    r2 = right.select(
+        F.col(key),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l2.schema["__l"].dataType).alias("__l"),
+        r_struct.alias("__r"),
+    )
+    w = Window.partitionBy(key).orderBy("__t", "__side").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = (
+        l2.unionByName(r2)
+        .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+    out_cols = [F.col(f"__l.{c}").alias(c) for c in left.columns]
+    out_cols.append(F.col("__match.__rt").alias(f"{prefix}{right_time}"))
+    out_cols.extend(
+        F.col(f"__match.{c}").alias(f"{prefix}{c}") for c in right_payload
+    )
+    return carried.select(*out_cols)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    delta_seconds: int,
+    left_id: str,
+) -> DataFrame:
+    """Inner range join: pairs (left, right) with the same key and
+    right_time in [left_time - delta, left_time).
+
+    Bucketing: bucket width == delta, left probes buckets {b-1, b} —
+    covers the full range window with exactly 2 equi-join probes.
+    """
+    b_r = F.floor(F.col(right_time).cast("double") / delta_seconds)
+    r2 = right.withColumn("__b", b_r.cast("long"))
+    b_l = F.floor(F.col(left_time).cast("double") / delta_seconds).cast("long")
+    l2 = left.withColumn(
+        "__b", F.explode(F.array(b_l - 1, b_l))
+    )
+    joined = l2.join(r2, [key, "__b"]).drop("__b")
+    lt = F.col(left_time).cast("double")
+    rt = F.col(right_time).cast("double")
+    return joined.filter((rt >= lt - delta_seconds) & (rt < lt))

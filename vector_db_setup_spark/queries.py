@@ -1631,3 +1631,86 @@ def sql_supplier_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_ORACLES["sql_supplier_nations"])
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins (as-of, range) — custom operators Spark lacks built-in
+# (operators/temporal.py; oracle = DuckDB's native ASOF / inequality join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_purchase_click",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+           p.ts AS purchase_ts, c.ts AS click_ts,
+           round(c.value, 6) AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase + the user's most recent prior (or
+    simultaneous) click. Union+window implementation vs DuckDB's native
+    ASOF JOIN as the oracle."""
+    from vector_db_setup_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(purchases, clicks, "user_id", "ts", "ts", ["value"])
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("asof_ts").alias("click_ts"),
+        F.round("asof_value", 6).alias("click_value"),
+    )
+
+
+@register(
+    "range_click_counts",
+    """
+    SELECT p.event_id AS purchase_id, count(c.event_id) AS n_clicks
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND epoch(c.ts) >= epoch(p.ts) - 3600
+     AND epoch(c.ts) <  epoch(p.ts)
+    GROUP BY p.event_id
+    """,
+)
+def range_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks in the hour before each purchase (same user),
+    counted per purchase. Bucketed equi-join implementation (2 probes
+    per row) vs DuckDB's inequality join as the oracle; zero-match
+    purchases kept (LEFT semantics restored via join-back)."""
+    from vector_db_setup_spark.operators.temporal import range_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    )
+    pairs = range_join(
+        purchases, clicks, "user_id", "ts", "c_ts", 3600, "purchase_id"
+    )
+    counts = pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+    return (
+        purchases.join(counts, "purchase_id", "left")
+        .select(
+            "purchase_id",
+            F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
+        )
+    )
