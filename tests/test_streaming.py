@@ -55,3 +55,32 @@ def test_streaming_dedup_bounds(spark):
     total = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
     # at least one row per live key, never more than the input
     assert distinct_keys <= n <= total
+
+
+def test_stateful_running_totals(spark):
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.streaming.events import running_user_totals
+
+    stream = running_user_totals(stream_events(spark, SF_SMOKE))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last emitted row per user == batch totals
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.table("t_state").collect()
+    }
+    batch = (
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    )
+    want = {r["user_id"]: (r["n"], round(r["t"], 6)) for r in batch}
+    assert got == want

@@ -1714,3 +1714,32 @@ def range_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_clicks"), F.lit(0)).alias("n_clicks"),
         )
     )
+
+
+@register(
+    "events_daily_cascade",
+    """
+    SELECT time_bucket(INTERVAL '1 day', ts) AS bucket, event_type,
+           count(*) AS n,
+           round(sum(value), 6) AS sum_value,
+           round(sum(value) / count(*), 6) AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_daily_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style cascade: daily rollup derived from the HOURLY
+    rollup's partials (operators/rollup_cascade) — the oracle aggregates
+    raw events directly, proving the cascade is lossless. avg derived as
+    sum/count (never avg-of-avgs)."""
+    from vector_db_setup_spark.operators.rollup_cascade import cascade, rollup_level
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = rollup_level(ev, "1 hour")
+    daily = cascade(hourly, "1 day")
+    return daily.select(
+        "bucket",
+        "event_type",
+        "n",
+        F.round("sum_value", 6).alias("sum_value"),
+        F.round(F.col("sum_value") / F.col("n"), 6).alias("avg_value"),
+    )
