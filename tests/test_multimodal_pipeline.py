@@ -124,3 +124,34 @@ def test_ingest_jsonl_to_partitioned_parquet(spark, tmp_path):
     import glob
 
     assert glob.glob(f"{dest}/label=SUPPORTS/*.parquet")
+
+
+def test_results_records_reference_shape(spark, tmp_path):
+    import json as _json
+
+    from vector_db_setup_spark.operators.pipeline import results_records
+    from vector_db_setup_spark.sources.jsonl import write_results_single_file
+
+    out = results_records(spark, SF_SMOKE, n_claims=3, k=5)
+    rows = out.collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert len(r["docs"]) == 5 and len(r["answers"]) == 3
+        assert r["judged"] in ("SUPPORTS", "REFUTES", "NOT ENOUGH INFO")
+    golden = tmp_path / "fever_results.json"
+    write_results_single_file(out, str(golden))
+    data = _json.loads(golden.read_text())
+    # exact reference record shape (fever_results.json keys + claim_id)
+    assert set(data[0]) == {
+        "claim_id", "claim", "docs", "answers", "judged", "final", "label",
+    }
+
+
+def test_assert_dim(spark):
+    from vector_db_setup_spark.functions.vector import assert_dim
+    from vector_db_setup_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assert_dim(emb, "embedding", 64)  # fixtures are 64-d
+    with pytest.raises(ValueError, match="must be 768-dimensional"):
+        assert_dim(emb, "embedding", 768)

@@ -112,3 +112,22 @@ def pandas_l2_udf():
         return pd.Series(np.sqrt(((am - bm) ** 2).sum(axis=1)))
 
     return _l2
+
+
+def assert_dim(df, vec_col: str, dim: int) -> None:
+    """Enforce fixed vector dimensionality by assertion (SURVEY.md §7:
+    Spark has no fixed-size array type — the check constraint lives at
+    ingest/validation time, not in the type system). One aggregate scan;
+    raises ValueError naming the offending cardinalities."""
+    bad = (
+        df.select(F.size(F.col(vec_col)).alias("d"))
+        .filter(F.col("d") != dim)
+        .groupBy("d")
+        .count()
+        .collect()
+    )
+    if bad:
+        detail = ", ".join(f"dim {r['d']}: {r['count']} rows" for r in bad)
+        raise ValueError(
+            f"column {vec_col!r} must be {dim}-dimensional; found {detail}"
+        )

@@ -165,3 +165,35 @@ def fever_pipeline(
     answers = answerers(gathered)
     judged = judge_vote(answers)
     return editor(judged)
+
+
+def results_records(
+    spark: SparkSession, sf_dir: str, n_claims: int = 5, k: int = 3
+) -> DataFrame:
+    """Reference-shaped nested result records (fever_results.json /
+    fever_multi_agent.py:249-255,329): one row per claim with `docs`
+    (ordered retrieved texts), `answers` (3 per-style), `judged`,
+    `final`, `label`. Feed to sources/jsonl.write_results_single_file
+    for the golden-file format."""
+    claims = make_claims(spark, sf_dir, n_claims)
+    retrieved = retrieve(claims, spark, sf_dir, k)
+    docs = retrieved.groupBy("claim_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rn", "text"))),
+            lambda s: s["text"],
+        ).alias("docs")
+    )
+    gathered = gather_docs(retrieved)
+    answers = answerers(gathered)
+    ans_arr = answers.groupBy("claim_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("style", "answer"))),
+            lambda s: s["answer"],
+        ).alias("answers")
+    )
+    judged = editor(judge_vote(answers))
+    return (
+        judged.join(docs, "claim_id")
+        .join(ans_arr, "claim_id")
+        .select("claim_id", "claim", "docs", "answers", "judged", "final", "label")
+    )
