@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis): operator implementations vs
+brute-force references on random inputs. Few examples, seeded — each
+example pays a Spark job; breadth comes from randomness across runs of
+the generator, determinism from the fixed seed."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, seed, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+PROP = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+
+
+@given(
+    a=st.lists(st.floats(-100, 100, allow_nan=False), min_size=1, max_size=16),
+    b=st.lists(st.floats(-100, 100, allow_nan=False), min_size=1, max_size=16),
+)
+@settings(**PROP)
+@seed(42)
+def test_l2_matches_numpy(spark, a, b):
+    from vector_db_setup_spark.functions.vector import l2_distance, vector_literal
+
+    n = min(len(a), len(b))
+    a, b = a[:n], b[:n]
+    got = (
+        spark.range(1)
+        .select(l2_distance(vector_literal(a), vector_literal(b)).alias("d"))
+        .first()["d"]
+    )
+    want = float(np.linalg.norm(np.array(a) - np.array(b)))
+    assert got == pytest.approx(want, rel=1e-9, abs=1e-9)
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000)), min_size=1, max_size=12
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 1000), st.integers(0, 99)),
+        min_size=0,
+        max_size=12,
+    ),
+)
+@settings(**PROP)
+@seed(42)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    from vector_db_setup_spark.operators.temporal import asof_join
+
+    # dedupe (key, t) on the right: equal-timestamp duplicates make the
+    # "latest at-or-before" row ambiguous in ANY asof implementation
+    seen = {}
+    for k, t, v in rights:
+        seen[(k, t)] = v
+    rights = [(k, t, v) for (k, t), v in seen.items()]
+
+    left = spark.createDataFrame(
+        [(k, float(t), i) for i, (k, t) in enumerate(lefts)],
+        "k long, t double, lid long",
+    ).select("k", F.timestamp_seconds("t").alias("t"), "lid")
+    right_rows = [(k, float(t), v) for (k, t, v) in rights]
+    right = spark.createDataFrame(
+        right_rows or [(99, 0.0, 0)], "k long, t double, v long"
+    ).select("k", F.timestamp_seconds("t").alias("t"), "v")
+    if not right_rows:
+        right = right.filter("k < 0")
+
+    out = asof_join(left, right, "k", "t", "t", ["v"])
+    got = {r["lid"]: r["asof_v"] for r in out.collect()}
+
+    want = {}
+    for i, (k, t) in enumerate(lefts):
+        cands = [(rt, v) for (rk, rt, v) in rights if rk == k and rt <= t]
+        want[i] = max(cands)[1] if cands else None
+    assert got == want
+
+
+@given(
+    lefts=st.lists(st.tuples(st.integers(0, 1), st.integers(0, 500)), min_size=1, max_size=8),
+    rights=st.lists(st.tuples(st.integers(0, 1), st.integers(0, 500)), min_size=0, max_size=15),
+    delta=st.integers(1, 60),
+)
+@settings(**PROP)
+@seed(42)
+def test_range_join_matches_bruteforce(spark, lefts, rights, delta):
+    from vector_db_setup_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(k, float(t), i) for i, (k, t) in enumerate(lefts)],
+        "k long, t double, lid long",
+    ).select("k", F.timestamp_seconds("t").alias("t"), "lid")
+    right = spark.createDataFrame(
+        [(k, float(t), j) for j, (k, t) in enumerate(rights)] or [(9, 0.0, 0)],
+        "k long, t double, rid long",
+    ).select("k", F.timestamp_seconds("t").alias("rt"), "rid")
+    if not rights:
+        right = right.filter("k < 0")
+
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in range_join(left, right, "k", "t", "rt", delta, "lid").collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (lk, lt) in enumerate(lefts)
+        for j, (rk, rt) in enumerate(rights)
+        if lk == rk and (lt - delta) <= rt < lt
+    )
+    assert got == want
+
+
+def test_pandas_l2_udf_wide_vectors(spark):
+    """768-d reference-shaped vectors through the Arrow UDF path."""
+    from vector_db_setup_spark.functions.vector import pandas_l2_udf
+
+    rng = np.random.default_rng(42)
+    rows = [(i, rng.standard_normal(768).tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    q = rows[0][1]
+    from vector_db_setup_spark.functions.vector import vector_literal
+
+    udf = pandas_l2_udf()
+    got = {
+        r["id"]: r["d"]
+        for r in df.select("id", udf("v", vector_literal(q)).alias("d")).collect()
+    }
+    for i, v in rows:
+        want = float(np.linalg.norm(np.array(v) - np.array(q)))
+        assert got[i] == pytest.approx(want, rel=1e-9)

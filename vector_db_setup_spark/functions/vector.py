@@ -20,6 +20,8 @@ so it is the default.
 
 from __future__ import annotations
 
+import numpy as np  # module scope: pandas_udf type-hint resolution
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -101,8 +103,6 @@ def pandas_l2_udf():
     UDFs (Arrow batch transfer), but still loses to the native expression
     at 64-d; kept for the 768-d reference-shaped path and beyond.
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
