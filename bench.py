@@ -53,30 +53,38 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: touch the fact table once (JVM/codegen/file-listing warm)
+    # warmup: touch the fact table once (JVM/codegen/file-listing warm);
+    # a missing/broken dir must still produce the JSON report line
     from vector_db_setup_spark.sources.registry import load_table
 
-    load_table(spark, sf_dir, "lineitem").count()
+    try:
+        load_table(spark, sf_dir, "lineitem").count()
+    except Exception:
+        pass
 
     qs = q.queries()
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        _force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        try:
+            _force(qs[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # one broken query must not kill the report
+            timings[name] = -1.0
+            errors[name] = f"{type(e).__name__}: {e}"[:200]
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

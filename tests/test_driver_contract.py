@@ -1,0 +1,34 @@
+"""Driver-contract compatibility: the harness passes its OWN plain
+SparkSession (none of session.py's builder configs). Every contract
+entry must work on such a session — especially the events family, which
+needs the nanos-timestamp conf set at runtime by the registry."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+
+def test_contract_on_plain_session():
+    """Run in a subprocess so the plain session can't inherit the
+    test-suite session's configs."""
+    code = """
+from pyspark.sql import SparkSession
+spark = SparkSession.builder.master('local[2]').appName('plain-contract').getOrCreate()
+spark.sparkContext.setLogLevel('ERROR')
+import __spark_entry__ as ent
+assert len(ent.entry(spark).collect()) > 0
+qs = ent.queries()
+for name in ['events_tumbling', 'events_session_window', 'doc_count']:
+    assert qs[name](spark, '/root/testdata/sf0.001').count() > 0
+assert set(ent.oracle_sql()) <= set(qs)
+print('PLAIN_OK')
+"""
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=300,
+    )
+    assert "PLAIN_OK" in r.stdout, r.stderr[-2000:]

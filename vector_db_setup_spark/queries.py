@@ -1743,3 +1743,22 @@ def events_daily_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_value", 6).alias("sum_value"),
         F.round(F.col("sum_value") / F.col("n"), 6).alias("avg_value"),
     )
+
+
+@register(
+    "grouping_sets_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube): per-status,
+    per-priority, and grand totals in one pass — via spark.sql, the
+    oracle string verbatim."""
+    from vector_db_setup_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ORACLES["grouping_sets_orders"])

@@ -40,6 +40,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     proper TimestampType. Fixture values are whole microseconds, so the
     ns→µs division is lossless and matches DuckDB's µs TIMESTAMP read.
     """
+    if name == "events":
+        # defensively set on the CALLER's session: the driver harness
+        # passes its own SparkSession, which won't have session.py's
+        # builder config (runtime-settable, idempotent)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
