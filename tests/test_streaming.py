@@ -84,3 +84,16 @@ def test_stateful_running_totals(spark):
     )
     want = {r["user_id"]: (r["n"], round(r["t"], 6)) for r in batch}
     assert got == want
+
+
+def test_sliding_stream_equals_batch(spark):
+    from vector_db_setup_spark.streaming.events import sliding_counts_stream
+
+    stream = sliding_counts_stream(stream_events(spark, SF_SMOKE))
+    run_to_memory(stream, "t_slide", mode="complete")
+    got = _sorted_rows(spark.table("t_slide"))
+    want = sorted(
+        (r["window_start"], r["event_type"], r["n"])
+        for r in q.events_sliding(spark, SF_SMOKE).collect()
+    )
+    assert got == want
