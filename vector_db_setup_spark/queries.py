@@ -1785,3 +1785,75 @@ def ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .select("vec_id", "cluster_id", F.round("distance", 6).alias("distance"))
     )
+
+
+@register(
+    "corpus_clean",
+    f"""
+    WITH {_shingle_cte()}, {_MINHASH_CTE},
+    banded AS (
+        SELECT doc_id, h // 2 AS band,
+               string_agg(sig::VARCHAR, ',' ORDER BY sig ASC) AS band_key
+        FROM mh GROUP BY doc_id, h // 2),
+    dupes AS (
+        SELECT DISTINCT b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id),
+    quality AS (
+        SELECT doc_id, lang,
+               (least(len(w) / 50.0, 1.0)
+                + (1.0 - abs(len(list_filter(w, x ->
+                      list_contains({_STOP_SQL}, x))) / len(w) - 0.1) / 0.9)
+                + CASE WHEN list_sum(list_transform(w, x -> length(x)))
+                            / len(w) BETWEEN 3.0 AND 8.0
+                       THEN 1.0 ELSE 0.5 END) / 3.0 AS q
+        FROM toks JOIN documents USING (doc_id))
+    SELECT lang, count(*) AS n_clean
+    FROM quality
+    WHERE q >= 0.5 AND doc_id NOT IN (SELECT id_b FROM dupes)
+    GROUP BY lang
+    """,
+)
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data cleaning (the north-star pipeline in one
+    query): quality-score filter -> MinHash-LSH near-dup removal (keep
+    the lower doc_id of each candidate pair) -> per-language corpus
+    counts. Composes functions/text + operators/dedup; at 100 TB every
+    stage is a map or an equi-join."""
+    d = load_table(spark, sf_dir, "documents")
+    dupes = dd.minhash_lsh_candidates(d).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    return (
+        d.withColumn("q", quality_score("text"))
+        .filter(F.col("q") >= 0.5)
+        .join(dupes, "doc_id", "left_anti")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_clean"))
+    )
+
+
+@register("multimodal_knn")
+def multimodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal -> vector-search chain: binary payload -> Arrow
+    mapInPandas feature extraction (byte histogram as an 8-d vector) ->
+    exact KNN over the feature space. Arrow batch boundary in the
+    middle -> rows-only (the oracle-checkable halves are
+    multimodal_byte_stats and the knn_* family)."""
+    from vector_db_setup_spark.multimodal.columns import (
+        attach_fake_binary,
+        extract_image_features,
+    )
+    from vector_db_setup_spark.operators.knn import knn_topk
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    feats = extract_image_features(attach_fake_binary(d)).withColumn(
+        "fvec", F.col("histogram").cast("array<double>")
+    )
+    q = feats.filter(F.col("doc_id") == 0).select("fvec").first()[0]
+    out = knn_topk(feats, "fvec", q, k=5)
+    return (
+        out.orderBy(F.col("distance").asc(), F.col("doc_id").asc())
+        .select("doc_id", F.round("distance", 6).alias("distance"))
+    )
