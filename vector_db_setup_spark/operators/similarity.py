@@ -89,3 +89,73 @@ def cosine_topk_pairs_blocked(
     return local.orderBy(
         F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
     ).limit(k)
+
+
+def batch_knn_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qvec",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch KNN, two-phase: each corpus partition computes distances to
+    ALL queries in one GEMM (|a-b|^2 = |a|^2+|b|^2-2a.b) and emits only
+    its local top-k per query; a final per-query rank sees just
+    partitions x Q x k candidate rows instead of N x Q scored rows.
+
+    This is the crossJoin+window formulation's scale path: the shuffle
+    shrinks from the full scored product to the candidate set. Queries
+    must be small enough to broadcast (they are, by definition of batch
+    KNN against a huge corpus)."""
+    from pyspark.sql import Window
+
+    spark = corpus.sparkSession
+    qrows = queries.select(query_id_col, query_vec_col).collect()
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    b_qids = spark.sparkContext.broadcast(q_ids)
+    b_qmat = spark.sparkContext.broadcast(q_mat)
+
+    schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField(id_col, LongType()),
+            StructField("dist", DoubleType()),
+        ]
+    )
+
+    def _chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qm = b_qmat.value
+        qi = b_qids.value
+        q_norm2 = (qm**2).sum(axis=1)
+        for pdf in batches:
+            cm = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            ids = pdf[id_col].to_numpy()
+            c_norm2 = (cm**2).sum(axis=1)
+            # m×Q squared distances via GEMM
+            d2 = c_norm2[:, None] + q_norm2[None, :] - 2.0 * (cm @ qm.T)
+            np.maximum(d2, 0.0, out=d2)
+            out_q, out_id, out_d = [], [], []
+            for j in range(len(qi)):
+                col = d2[:, j]
+                top = (
+                    np.argpartition(col, k)[:k] if len(col) > k else np.arange(len(col))
+                )
+                out_q.extend([qi[j]] * len(top))
+                out_id.extend(ids[top])
+                out_d.extend(np.sqrt(col[top]))
+            yield pd.DataFrame(
+                {"query_id": out_q, id_col: out_id, "dist": out_d}
+            )
+
+    local = corpus.select(id_col, vec_col).mapInPandas(_chunk, schema=schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col(id_col).asc()
+    )
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )

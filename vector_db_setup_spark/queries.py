@@ -1857,3 +1857,97 @@ def multimodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.orderBy(F.col("distance").asc(), F.col("doc_id").asc())
         .select("doc_id", F.round("distance", 6).alias("distance"))
     )
+
+
+@register(
+    "batch_knn_blocked",
+    # same semantics as batch_knn — the oracle is identical by design
+    _ORACLES["batch_knn"],
+)
+def batch_knn_blocked_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """batch_knn's scale path: per-partition GEMM top-k (mapInPandas)
+    then a rank over partitions x Q x k candidates — same results as the
+    crossJoin+window form (same oracle), different physical plan."""
+    from vector_db_setup_spark.operators.similarity import batch_knn_blocked
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    qs = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = batch_knn_blocked(qs, embs, k=3)
+    return out.select(
+        "query_id", "vec_id", F.round("dist", 6).alias("distance")
+    )
+
+
+@register(
+    "nation_trade_matrix",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    GROUP BY n1.n_name, n2.n_name
+    """,
+)
+def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: supplier-nation x customer-nation revenue matrix.
+    Five joins: the two facts sort-merge on orderkey, every dim
+    broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "late_shipment_orders",
+    """
+    SELECT o.o_orderpriority AS o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with >=1 lineitem shipped more than 90
+    days after ordering (correlated EXISTS -> semi join with a
+    non-equi residual condition)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cond = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate > F.date_add(o.o_orderdate, 90)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
