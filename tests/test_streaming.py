@@ -97,3 +97,29 @@ def test_sliding_stream_equals_batch(spark):
         for r in q.events_sliding(spark, SF_SMOKE).collect()
     )
     assert got == want
+
+
+def test_checkpointed_file_sink_exactly_once(spark, tmp_path):
+    """Durability story: append a deduped stream to parquet with a
+    checkpoint; re-running the same query over unchanged input must add
+    ZERO new rows (offsets committed, nothing reprocessed)."""
+    dest = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        s = streaming_dedup(stream_events(spark, SF_SMOKE))
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", dest)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n1 = spark.read.parquet(dest).count()
+    run_once()
+    n2 = spark.read.parquet(dest).count()
+    assert n1 > 0 and n2 == n1, f"reprocessed rows: {n2 - n1}"
