@@ -1722,7 +1722,7 @@ def range_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT time_bucket(INTERVAL '1 day', ts) AS bucket, event_type,
            count(*) AS n,
            round(sum(value), 6) AS sum_value,
-           round(sum(value) / count(*), 6) AS avg_value
+           round(round(sum(value), 6) / count(*), 6) AS avg_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -1736,12 +1736,16 @@ def events_daily_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = rollup_level(ev, "1 hour")
     daily = cascade(hourly, "1 day")
+    # avg derived from the ROUNDED sum: 2-decimal data / power-of-two
+    # counts produces exact 6dp rounding ties, where float noise in the
+    # raw sum decides the side differently per engine; rounding first
+    # makes both engines divide the identical double
     return daily.select(
         "bucket",
         "event_type",
         "n",
         F.round("sum_value", 6).alias("sum_value"),
-        F.round(F.col("sum_value") / F.col("n"), 6).alias("avg_value"),
+        F.round(F.round("sum_value", 6) / F.col("n"), 6).alias("avg_value"),
     )
 
 
