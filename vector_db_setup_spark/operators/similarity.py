@@ -71,15 +71,26 @@ def cosine_topk_pairs_blocked(
         all_ids = b_ids.value
         all_mat = b_mat.value
         order = {v: i for i, v in enumerate(all_ids)}
+        # sub-block rows so temporaries stay ~blk×N, never m×N: flat
+        # repeat/tile id arrays at m=10k, N=100k would be GBs per batch
+        blk = max(1, int(4_000_000 // max(len(all_ids), 1)) or 1)
         for pdf in batches:
             idx = pdf[id_col].map(order).to_numpy()
-            chunk = all_mat[idx]                      # m×d
-            sims = chunk @ all_mat.T                  # m×N GEMM
-            rows_i = np.repeat(all_ids[idx], sims.shape[1])
-            cols_j = np.tile(all_ids, sims.shape[0])
-            keep = rows_i < cols_j                    # upper triangle only
-            s = sims.ravel()[keep]
-            ia, jb = rows_i[keep], cols_j[keep]
+            s_acc, ia_acc, jb_acc = [], [], []
+            for lo in range(0, len(idx), blk):
+                sub = idx[lo : lo + blk]
+                sims = all_mat[sub] @ all_mat.T       # blk×N GEMM
+                keep = all_ids[sub][:, None] < all_ids[None, :]
+                s = sims[keep]
+                ii, jj = np.nonzero(keep)
+                ia, jb = all_ids[sub][ii], all_ids[jj]
+                if len(s) > k:
+                    top = np.argpartition(-s, k)[:k]
+                    s, ia, jb = s[top], ia[top], jb[top]
+                s_acc.append(s); ia_acc.append(ia); jb_acc.append(jb)
+            s = np.concatenate(s_acc) if s_acc else np.array([])
+            ia = np.concatenate(ia_acc) if ia_acc else np.array([], dtype=np.int64)
+            jb = np.concatenate(jb_acc) if jb_acc else np.array([], dtype=np.int64)
             if len(s) > k:
                 top = np.argpartition(-s, k)[:k]
                 s, ia, jb = s[top], ia[top], jb[top]
