@@ -1,0 +1,108 @@
+"""Dedup quality on planted near-duplicates: the fixture corpus has no
+true near-dups, so these tests synthesize a corpus with known duplicate
+pairs and measure recall/precision of each dedup family."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_setup_spark.operators import dedup as dd
+
+VOCAB = (
+    "the quick brown fox jumps over lazy dog table scan merge sort hash "
+    "join filter group window vector query batch stream spark row column"
+).split()
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """600 base docs (~40 tokens) + 100 near-dup copies (2 token edits)
+    + 50 exact copies. Returns (df, near_pairs, exact_pairs, family_of):
+    near/exact are the directly-planted (base, copy) pairs; family_of
+    maps every doc to its base so derived pairs (two copies of one base)
+    can be recognized as true duplicates too."""
+    rng = random.Random(42)
+    rows, near, exact = [], set(), set()
+    family_of = {}
+    for i in range(600):
+        rows.append((i, " ".join(rng.choice(VOCAB) for _ in range(40))))
+        family_of[i] = i
+    nid = 1000
+    for i in range(100):
+        base_id = rng.randrange(600)
+        toks = rows[base_id][1].split()
+        for _ in range(2):
+            toks[rng.randrange(len(toks))] = rng.choice(VOCAB)
+        rows.append((nid, " ".join(toks)))
+        near.add((base_id, nid))
+        family_of[nid] = base_id
+        nid += 1
+    for i in range(50):
+        base_id = rng.randrange(600)
+        rows.append((nid, rows[base_id][1]))
+        exact.add((base_id, nid))
+        family_of[nid] = base_id
+        nid += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string").cache()
+    df.count()
+    return df, near, exact, family_of
+
+
+def _pairs(df, cols=("id_a", "id_b")):
+    return {(r[cols[0]], r[cols[1]]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall_on_planted(spark, planted):
+    df, near, exact, _family = planted
+    cands = _pairs(dd.minhash_lsh_candidates(df))
+    # exact copies share every band -> must ALL be candidates
+    assert exact <= cands, f"missed {len(exact - cands)} exact dups"
+    # 2-of-40-token edits => shingle jaccard ~0.85 => band (2 minhashes)
+    # collision prob ~1-(1-j^2)^4 ~ 0.99; allow a small miss rate
+    recall = len(near & cands) / len(near)
+    assert recall >= 0.9, f"near-dup recall {recall}"
+
+
+def test_jaccard_separates_planted_from_random(spark, planted):
+    df, near, exact, family_of = planted
+    scored = dd.ngram_jaccard_pairs(df)
+    j = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in scored.filter(F.col("jaccard") >= 0.5).collect()
+    }
+    hits = set(j)
+    assert exact <= hits
+    recall = len(near & hits) / len(near)
+    assert recall >= 0.95, f"jaccard>=0.5 recall {recall}"
+    # precision: everything above 0.5 must belong to one duplicate
+    # family (directly planted OR two copies of the same base)
+    same_family = {
+        (a, b) for (a, b) in hits if family_of[a] == family_of[b]
+    }
+    precision = len(same_family) / max(len(hits), 1)
+    assert precision >= 0.95, f"precision {precision}"
+
+
+def test_exact_fingerprint_dedup_on_planted(spark, planted):
+    df, near, exact, _family = planted
+    from vector_db_setup_spark.functions.text import doc_fingerprint
+
+    fp = df.select("doc_id", doc_fingerprint("text").alias("f"))
+    groups = dd.exact_dedup(fp, ["f"], "doc_id")
+    n_dup_groups = groups.filter(F.col("group_size") >= 2).count()
+    # every exact-copy pair collapses into a shared fingerprint group
+    # (some planted bases may coincide; bound below by distinct bases)
+    distinct_bases = len({a for a, _ in exact})
+    assert n_dup_groups >= distinct_bases * 0.9
+
+
+def test_simhash_hamming_separates(spark, planted):
+    df, near, exact, _family = planted
+    sim = dd.simhash(df)
+    pairs = dd.simhash_banded_pairs(sim, max_hamming=6)
+    found = _pairs(pairs)
+    # exact copies have identical simhash (hamming 0) -> all found
+    assert exact <= found, f"missed {len(exact - found)} exact dups"
