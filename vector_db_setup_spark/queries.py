@@ -56,20 +56,28 @@ def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
 
 
+_QVEC_CACHE: dict[tuple[str, int], list[float]] = {}
+
+
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     """Fetch one embedding to use as the KNN query vector.
 
     This is the query *parameter* (the reference embeds the claim text
     client-side and ships the vector as a bind parameter,
-    fever_multi_agent.py:64,71) — a 1-row lookup, not a data-path collect.
+    fever_multi_agent.py:64,71) — a 1-row lookup, not a data-path
+    collect. Memoized per (sf_dir, vec_id): fixtures are immutable, and
+    the lookup otherwise costs one Spark job per KNN query.
     """
-    row = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == vec_id)
-        .select("embedding")
-        .first()
-    )
-    return [float(x) for x in row[0]]
+    key = (sf_dir, vec_id)
+    if key not in _QVEC_CACHE:
+        row = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == vec_id)
+            .select("embedding")
+            .first()
+        )
+        _QVEC_CACHE[key] = [float(x) for x in row[0]]
+    return _QVEC_CACHE[key]
 
 
 # SQL fragment: the same query vector, DuckDB-side.
