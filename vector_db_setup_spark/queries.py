@@ -1963,3 +1963,203 @@ def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Vector-DB search patterns: filtered / hybrid / fused / grouped KNN
+# (pgvector deployments pair `<->` with WHERE clauses and lexical
+# signals; these are the standard compositions, all exact + oracled)
+# ---------------------------------------------------------------------------
+
+_KW_TERMS = ("table", "scan", "merge")
+_KW_SQL = "['table','scan','merge']"
+
+
+@register(
+    "knn_filtered",
+    f"""
+    SELECT d.doc_id AS doc_id, d.lang AS lang,
+           round(list_distance(e.embedding::DOUBLE[], {_QVEC_SQL}), 6) AS distance
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE d.lang = 'en' AND d.n_chars >= 100
+    ORDER BY list_distance(e.embedding::DOUBLE[], {_QVEC_SQL}) ASC, d.doc_id ASC
+    LIMIT 5
+    """,
+)
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered (pre-filter) KNN: metadata predicate first, exact top-k
+    within the survivors — the WHERE + ORDER BY `<->` LIMIT composition
+    every pgvector deployment runs. The filter pushes into the parquet
+    scan; top-k stays TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("lang") == "en") & (F.col("n_chars") >= 100)
+    )
+    embs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = _query_vector(spark, sf_dir)
+    joined = docs.join(embs, docs.doc_id == embs.vec_id)
+    out = knn_topk(joined, "embedding", qv, k=5, metric="l2")
+    return out.select(
+        "doc_id", "lang", F.round("distance", 6).alias("distance")
+    )
+
+
+@register(
+    "hybrid_search",
+    f"""
+    SELECT d.doc_id AS doc_id,
+           round(len(list_filter({_KW_SQL},
+                     t -> list_contains(string_split(lower(d.text), ' '), t)))
+                 / 3.0, 6) AS kw_score,
+           round(list_cosine_similarity(e.embedding::DOUBLE[], {_QVEC_SQL}), 6)
+               AS vec_score,
+           round(0.5 * (len(list_filter({_KW_SQL},
+                     t -> list_contains(string_split(lower(d.text), ' '), t)))
+                 / 3.0)
+               + 0.5 * list_cosine_similarity(e.embedding::DOUBLE[], {_QVEC_SQL}),
+               6) AS hybrid
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ORDER BY 0.5 * (len(list_filter({_KW_SQL},
+                 t -> list_contains(string_split(lower(d.text), ' '), t))) / 3.0)
+             + 0.5 * list_cosine_similarity(e.embedding::DOUBLE[], {_QVEC_SQL})
+             DESC, d.doc_id ASC
+    LIMIT 10
+    """,
+)
+def hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical + vector search: keyword-coverage score (fraction
+    of query terms present) fused 50/50 with cosine similarity, top-10.
+    Both signals are single-pass column expressions over the same scan."""
+    from vector_db_setup_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = _query_vector(spark, sf_dir)
+    from vector_db_setup_spark.functions.vector import vector_literal
+
+    toks = tokens("text")
+    kw = (
+        F.size(
+            F.filter(
+                F.array(*[F.lit(t) for t in _KW_TERMS]),
+                lambda t: F.array_contains(toks, t),
+            )
+        )
+        / 3.0
+    )
+    vec = cosine_similarity(F.col("embedding"), vector_literal(qv))
+    joined = docs.join(embs, docs.doc_id == embs.vec_id)
+    scored = joined.select(
+        "doc_id",
+        kw.alias("kw_raw"),
+        vec.alias("vec_raw"),
+    ).withColumn("hybrid_raw", 0.5 * F.col("kw_raw") + 0.5 * F.col("vec_raw"))
+    return (
+        scored.orderBy(F.col("hybrid_raw").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select(
+            "doc_id",
+            F.round("kw_raw", 6).alias("kw_score"),
+            F.round("vec_raw", 6).alias("vec_score"),
+            F.round("hybrid_raw", 6).alias("hybrid"),
+        )
+    )
+
+
+@register(
+    "rrf_fusion",
+    f"""
+    WITH base AS (
+        SELECT d.doc_id,
+               list_distance(e.embedding::DOUBLE[], {_QVEC_SQL}) AS dist,
+               len(list_filter({_KW_SQL},
+                   t -> list_contains(string_split(lower(d.text), ' '), t)))
+                   AS kw
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+    ranked AS (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY dist ASC, doc_id ASC) AS r_vec,
+               row_number() OVER (ORDER BY kw DESC, doc_id ASC) AS r_kw
+        FROM base)
+    SELECT doc_id,
+           CAST(r_vec AS INTEGER) AS r_vec,
+           CAST(r_kw AS INTEGER) AS r_kw,
+           round(1.0 / (60 + r_vec) + 1.0 / (60 + r_kw), 6) AS rrf
+    FROM ranked
+    ORDER BY 1.0 / (60 + r_vec) + 1.0 / (60 + r_kw) DESC, doc_id ASC
+    LIMIT 10
+    """,
+)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the vector ranking and the keyword
+    ranking (k=60): the standard score-free hybrid. Two global ranks ==
+    two single-partition windows — fine for a top-k reranking stage fed
+    by bounded candidate sets, NOT for ranking a whole corpus (at scale,
+    fuse per-query candidate lists from ANN + inverted index)."""
+    from vector_db_setup_spark.functions.text import tokens
+    from vector_db_setup_spark.functions.vector import vector_literal
+
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = _query_vector(spark, sf_dir)
+    toks = tokens("text")
+    kw = F.size(
+        F.filter(
+            F.array(*[F.lit(t) for t in _KW_TERMS]),
+            lambda t: F.array_contains(toks, t),
+        )
+    )
+    base = docs.join(embs, docs.doc_id == embs.vec_id).select(
+        "doc_id",
+        l2_distance(F.col("embedding"), vector_literal(qv)).alias("dist"),
+        kw.alias("kw"),
+    )
+    w_vec = Window.orderBy(F.col("dist").asc(), F.col("doc_id").asc())
+    w_kw = Window.orderBy(F.col("kw").desc(), F.col("doc_id").asc())
+    ranked = base.select(
+        "doc_id",
+        F.row_number().over(w_vec).alias("r_vec"),
+        F.row_number().over(w_kw).alias("r_kw"),
+    ).withColumn(
+        "rrf_raw", 1.0 / (60 + F.col("r_vec")) + 1.0 / (60 + F.col("r_kw"))
+    )
+    return (
+        ranked.orderBy(F.col("rrf_raw").desc(), F.col("doc_id").asc())
+        .limit(10)
+        .select("doc_id", "r_vec", "r_kw", F.round("rrf_raw", 6).alias("rrf"))
+    )
+
+
+@register(
+    "knn_per_lang",
+    f"""
+    SELECT lang, doc_id, round(dist, 6) AS distance
+    FROM (
+        SELECT d.lang, d.doc_id,
+               list_distance(e.embedding::DOUBLE[], {_QVEC_SQL}) AS dist,
+               row_number() OVER (PARTITION BY d.lang
+                                  ORDER BY list_distance(e.embedding::DOUBLE[],
+                                                         {_QVEC_SQL}) ASC,
+                                           d.doc_id ASC) AS rn
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id)
+    WHERE rn <= 3
+    """,
+)
+def knn_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped KNN: top-3 nearest docs within EVERY language — top-k per
+    group via window rank (diversified retrieval / per-facet results)."""
+    from vector_db_setup_spark.functions.vector import vector_literal
+
+    docs = load_table(spark, sf_dir, "documents")
+    embs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = _query_vector(spark, sf_dir)
+    scored = docs.join(embs, docs.doc_id == embs.vec_id).select(
+        "lang",
+        "doc_id",
+        l2_distance(F.col("embedding"), vector_literal(qv)).alias("dist"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("dist").asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "doc_id", F.round("dist", 6).alias("distance"))
+    )
