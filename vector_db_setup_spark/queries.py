@@ -2163,3 +2163,24 @@ def knn_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("lang", "doc_id", F.round("dist", 6).alias("distance"))
     )
+
+
+@register(
+    "customer_priority_sets",
+    """
+    SELECT o_custkey AS o_custkey,
+           array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority ASC)
+               AS priorities,
+           count(DISTINCT o_orderpriority) AS n_distinct
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def customer_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-valued aggregation (collect_set sorted for determinism): the
+    distinct order priorities each customer has used."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
+        F.countDistinct("o_orderpriority").alias("n_distinct"),
+    )
