@@ -2184,3 +2184,50 @@ def customer_priority_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("o_orderpriority")).alias("priorities"),
         F.countDistinct("o_orderpriority").alias("n_distinct"),
     )
+
+
+@register(
+    "lineitem_profile",
+    """
+    SELECT count(*) AS n_rows,
+           count(*) - count(l_orderkey) AS null_orderkey,
+           round(min(l_quantity), 2) AS min_qty,
+           round(max(l_quantity), 2) AS max_qty,
+           round(min(l_extendedprice), 2) AS min_price,
+           round(max(l_extendedprice), 2) AS max_price,
+           min(l_shipdate) AS min_shipdate,
+           max(l_shipdate) AS max_shipdate,
+           count(DISTINCT l_returnflag) AS n_flags
+    FROM lineitem
+    """,
+)
+def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile in one pass: row/null counts, min/max per
+    measure, domain cardinality — the pre-flight check a pipeline runs
+    before training-data jobs (single scan, all aggregates partial)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_orderkey")).alias("null_orderkey"),
+        F.round(F.min("l_quantity"), 2).alias("min_qty"),
+        F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.countDistinct("l_returnflag").alias("n_flags"),
+    )
+
+
+@register("orders_sample_stats")
+def orders_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded Bernoulli sampling (the 100 TB dev-loop tool: iterate on
+    ~1% before running the fleet). Sample membership depends on row
+    order within partitions → rows-only check; the assertion is the
+    statistics' plausibility, not exact values."""
+    o = load_table(spark, sf_dir, "orders")
+    s = o.sample(fraction=0.1, seed=42)
+    return s.agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price_sample"),
+    )
