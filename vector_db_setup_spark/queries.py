@@ -2281,3 +2281,164 @@ def major_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") > 80)
     )
+
+
+# ---------------------------------------------------------------------------
+# Inventory completeness round 3: TPC-H subquery shapes, unpivot, rank suite
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "big_qty_orders",
+    """
+    SELECT o.o_orderkey AS o_orderkey,
+           round(o.o_totalprice, 2) AS price,
+           round(t.sum_qty, 2) AS sum_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(l_quantity) > 210) t
+      ON o.o_orderkey = t.l_orderkey
+    """,
+)
+def big_qty_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume order): IN-subquery with HAVING,
+    re-expressed as aggregate → join. The HAVING-filtered aggregate is
+    tiny relative to `orders`, so it is broadcast — at 100 TB the big
+    side never shuffles for this join (one shuffle total, for the
+    groupBy)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 210)
+    )
+    return o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.round("sum_qty", 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "small_qty_revenue",
+    """
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) — expressed as a window average so the fact table is read
+    once and never self-joined."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("part_avg", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("part_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "idle_rich_customers",
+    """
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_cust,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+    GROUP BY segment
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (rich customers with no large order):
+    uncorrelated scalar subquery + anti join with a filtered build side.
+    The 1-row average is cross-joined (broadcast of one row — Spark's
+    scalar-subquery physical form); the orders anti-join is the only
+    shuffle of the big side, and its build input is pre-filtered so the
+    hash table stays small."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "lineitem_measures_unpivot",
+    """
+    SELECT 'sum_qty' AS measure, round(sum(l_quantity), 2) AS value FROM lineitem
+    UNION ALL
+    SELECT 'sum_price', round(sum(l_extendedprice), 2) FROM lineitem
+    UNION ALL
+    SELECT 'sum_disc', round(sum(l_discount), 2) FROM lineitem
+    """,
+)
+def lineitem_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt): one aggregation pass over the fact
+    table, then `DataFrame.unpivot` — vs the oracle's 3-scan UNION ALL.
+    At 100 TB the single-scan formulation is 3× cheaper."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return wide.unpivot([], ["sum_qty", "sum_price", "sum_disc"], "measure", "value")
+
+
+@register(
+    "order_rank_suite",
+    """
+    SELECT segment, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           round(first_value(o_totalprice) OVER w, 2) AS seg_max_price
+    FROM (SELECT c.c_mktsegment AS segment, o.o_orderkey, o.o_totalprice
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE o.o_totalprice > 400000)
+    WINDOW w AS (PARTITION BY segment
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def order_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function suite: ntile / percent_rank / cume_dist /
+    first_value over one window. The ORDER BY includes the key column so
+    ntile (row-order dependent) is deterministic under price ties."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    c = load_table(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "o_orderkey", "o_totalprice"
+    )
+    w = (
+        Window.partitionBy("segment")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    )
+    return joined.select(
+        "segment",
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(F.first("o_totalprice").over(w), 2).alias("seg_max_price"),
+    )
