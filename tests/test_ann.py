@@ -79,3 +79,28 @@ def test_ivf_partitioned_write_prunes(spark, emb, centroids, tmp_path):
         ).collect()
     )
     assert total == emb.count()
+
+
+def test_brp_join_recall_and_precision(spark, emb):
+    from vector_db_setup_spark.operators.ann import brp_similarity_join
+
+    threshold = 1.15
+    rows = emb.select("vec_id", "embedding").collect()
+    E = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    ids = sorted(E)
+    exact = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if float(np.linalg.norm(E[a] - E[b])) < threshold
+    }
+    assert exact, "fixture has no near pairs below the threshold"
+
+    got_rows = brp_similarity_join(
+        emb, threshold=threshold, bucket_length=4.0, num_hash_tables=5
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in got_rows}
+    # precision is exact by construction (true L2 re-computed per pair)
+    assert got <= exact
+    # OR-amplified buckets must recover nearly all true pairs
+    assert len(got & exact) / len(exact) >= 0.9

@@ -123,3 +123,15 @@ def test_checkpointed_file_sink_exactly_once(spark, tmp_path):
     run_once()
     n2 = spark.read.parquet(dest).count()
     assert n1 > 0 and n2 == n1, f"reprocessed rows: {n2 - n1}"
+
+
+def test_enriched_stream_equals_batch(spark):
+    from vector_db_setup_spark.sources.registry import load_table
+    from vector_db_setup_spark.streaming.events import enriched_counts_stream
+
+    dim = load_table(spark, SF_SMOKE, "customer").select("c_custkey", "c_mktsegment")
+    stream = enriched_counts_stream(stream_events(spark, SF_SMOKE), dim)
+    run_to_memory(stream, "t_enriched", mode="complete")
+    got = _sorted_rows(spark.table("t_enriched"))
+    want = _sorted_rows(q.events_enriched_tumbling(spark, SF_SMOKE))
+    assert got == want

@@ -123,3 +123,47 @@ def lsh_bucket(
     for t in bit_terms[1:]:
         bucket = bucket + t
     return emb.withColumn("bucket_id", bucket)
+
+
+def brp_similarity_join(
+    emb: DataFrame,
+    threshold: float,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """MLlib-native near-neighbor self-join: BucketedRandomProjectionLSH
+    `approxSimilarityJoin` (the SURVEY.md §2.3 J2/J3 scale path).
+
+    Returns (id_a, id_b, l2_dist) with id_a < id_b. Precision is exact
+    (the join re-computes true L2 on every candidate pair); recall < 1 —
+    only pairs sharing a hash bucket in ≥1 table are considered. At
+    100 TB this replaces the O(N²) cross join with a shuffle on bucket
+    keys: cost scales with bucket occupancy, tuned by `bucket_length`
+    (wider → higher recall, bigger buckets) and `num_hash_tables`
+    (OR-amplification).
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    df = emb.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    ).fit(df)
+    pairs = model.approxSimilarityJoin(df, df, threshold, distCol="l2_dist")
+    return (
+        pairs.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("l2_dist", 6).alias("l2_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )

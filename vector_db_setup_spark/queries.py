@@ -2442,3 +2442,46 @@ def order_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cume"),
         F.round(F.first("o_totalprice").over(w), 2).alias("seg_max_price"),
     )
+
+
+@register(
+    "events_enriched_tumbling",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', e.ts) AS window_start,
+           c.c_mktsegment AS segment, count(*) AS n,
+           round(sum(e.value), 6) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def events_enriched_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-enriched tumbling window: events joined to a static
+    customer dim (broadcast — the stream-static join pattern; see
+    streaming/events.enriched_counts_stream for the readStream twin)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        ev.join(F.broadcast(c), ev.user_id == c.c_custkey)
+        .groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "segment", "n", "total_value")
+    )
+
+
+@register("brp_near_pairs")
+def brp_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approximate near-pair self-join
+    (rows-only: LSH recall is probabilistic, so no SQL oracle; recall vs
+    the exact pair set is asserted in tests/test_ann.py)."""
+    from vector_db_setup_spark.operators.ann import brp_similarity_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brp_similarity_join(
+        emb, threshold=1.15, bucket_length=4.0, num_hash_tables=5
+    )

@@ -172,3 +172,28 @@ def running_user_totals(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def enriched_counts_stream(
+    events: DataFrame,
+    dim: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static join + windowed agg: enrich each event with a
+    static dimension (broadcast to every micro-batch — no stream state
+    for the join side), then tumbling counts per (window, segment).
+    Streaming twin of queries.events_enriched_tumbling."""
+    joined = events.join(F.broadcast(dim), events.user_id == dim.c_custkey)
+    return (
+        joined.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", window).alias("w"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "segment", "n", "total_value")
+    )
