@@ -138,3 +138,30 @@ def test_range_join_window_edges(spark):
     # [t-10, t): 990.0 and 999.9 in; 989.9 below, 1000.0 (== t) excluded
     vals = sorted(r["rt"].timestamp() for r in got)
     assert vals == [990.0, 999.9]
+
+
+def test_char_shingles_udtf_edges(spark):
+    from vector_db_setup_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    rows = spark.sql(
+        "SELECT * FROM char_shingles('abcd', 3)"
+    ).collect()
+    assert [(r["pos"], r["shingle"]) for r in rows] == [(1, "abc"), (2, "bcd")]
+    assert spark.sql("SELECT * FROM char_shingles('ab', 3)").count() == 0
+    assert spark.sql("SELECT * FROM char_shingles(NULL, 3)").count() == 0
+    assert spark.sql("SELECT * FROM char_shingles('abc', 0)").count() == 0
+
+
+def test_grouped_mad_matches_numpy(spark):
+    import numpy as np
+
+    from vector_db_setup_spark.operators.grouped import grouped_mad
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 9), ("b", 5)], "k string, v long"
+    )
+    got = {r["k"]: r["mad"] for r in grouped_mad(df, "k", "v").collect()}
+    assert got["b"] == 0.0
+    x = np.array([1, 2, 9], dtype=float)
+    assert got["a"] == round(float(np.median(np.abs(x - np.median(x)))), 2)

@@ -2596,3 +2596,50 @@ def urgent_lineitem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
+
+
+@register(
+    "lang_char_mad",
+    """
+    SELECT lang, round(mad(n_chars), 2) AS mad_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_char_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregate (applyInPandas UDAF surface): exact
+    median absolute deviation of document length per language — not
+    expressible with Spark built-ins (no mad, and exact median doesn't
+    partial-aggregate)."""
+    from vector_db_setup_spark.operators.grouped import grouped_mad
+
+    d = load_table(spark, sf_dir, "documents")
+    return grouped_mad(d, "lang", "n_chars", out_col="mad_chars")
+
+
+@register(
+    "doc_shingles_udtf",
+    """
+    SELECT doc_id, CAST(i AS INT) AS pos,
+           substring(text, CAST(i AS INT), 8) AS shingle
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, length(text) - 7)) AS i
+          FROM documents WHERE doc_id < 20)
+    """,
+)
+def doc_shingles_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via SQL LATERAL (Spark 4 table-function surface):
+    per-document 8-char shingle fan-out. API-completeness path — the
+    bulk shingling hot path is the codegen'd posexplode in
+    operators/dedup.py."""
+    from vector_db_setup_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    ).createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.pos, s.shingle
+        FROM _udtf_docs d, LATERAL char_shingles(d.text, 8) s
+        """
+    )
