@@ -74,6 +74,21 @@ def main() -> None:
             timings[name] = -1.0
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
+    # second pass: steady-state (plan codegen + Python worker pool warm).
+    # At production scale per-plan first-run cost is amortized over hours
+    # of data; the warm number is the scale-representative one. The cold
+    # number stays the headline metric for comparability with BASELINE.
+    warm: dict[str, float] = {}
+    for name in HEADLINE:
+        if timings.get(name, -1.0) < 0:
+            continue
+        t0 = time.perf_counter()
+        try:
+            _force(qs[name](spark, sf_dir))
+            warm[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            pass
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     out = {
         "metric": "headline_queries_total_wall",
@@ -81,6 +96,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "queries_warm": warm,
+        "value_warm": round(sum(warm.values()), 3),
     }
     if errors:
         out["errors"] = errors
