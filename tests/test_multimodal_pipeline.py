@@ -155,3 +155,51 @@ def test_assert_dim(spark):
     assert_dim(emb, "embedding", 64)  # fixtures are 64-d
     with pytest.raises(ValueError, match="must be 768-dimensional"):
         assert_dim(emb, "embedding", 768)
+
+
+def test_resize_images_contract(spark):
+    from vector_db_setup_spark.multimodal.columns import resize_images
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(12)
+    out = resize_images(attach_fake_binary(d), out_h=4, out_w=3).collect()
+    assert len(out) == 12
+    for r in out:
+        assert (r["out_h"], r["out_w"]) == (4, 3)
+        assert 0.0 <= r["mean_px"] <= 255.0
+    # deterministic: same payloads → same means across runs
+    again = resize_images(attach_fake_binary(d), out_h=4, out_w=3).collect()
+    assert sorted((r["doc_id"], r["mean_px"]) for r in out) == sorted(
+        (r["doc_id"], r["mean_px"]) for r in again
+    )
+
+
+def test_resize_matches_local_numpy(spark):
+    from vector_db_setup_spark.multimodal.columns import decode_image, resize_images
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(5)
+    with_bin = attach_fake_binary(d)
+    payloads = {r["doc_id"]: bytes(r["img"]) for r in with_bin.select("doc_id", "img").collect()}
+    got = {r["doc_id"]: r["mean_px"] for r in resize_images(with_bin, 4, 4).collect()}
+    for doc_id, payload in payloads.items():
+        arr = decode_image(payload)
+        h, w = arr.shape[:2]
+        ri = (np.arange(4) * h) // 4
+        ci = (np.arange(4) * w) // 4
+        assert got[doc_id] == pytest.approx(float(arr[ri][:, ci].mean()))
+
+
+def test_audio_features_contract(spark):
+    from vector_db_setup_spark.multimodal.columns import (
+        decode_audio,
+        extract_audio_features,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"xx", real=True)
+    d = load_table(spark, SF_SMOKE, "documents").limit(10)
+    out = extract_audio_features(attach_fake_binary(d)).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["n_samples"] == 16
+        assert 0.0 <= r["rms"] <= 1.0
+        assert 0 <= r["zero_crossings"] < 16

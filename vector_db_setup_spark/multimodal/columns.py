@@ -139,3 +139,101 @@ def binary_byte_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(payload).cast("int").alias("n_bytes"),
         F.round(mean_b, 6).alias("mean_byte"),
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("out_h", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("mean_px", DoubleType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_h: int = 4,
+    out_w: int = 4,
+    payload_col: str = "img",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → summarize, as one Arrow-batched
+    map stage. The resize itself is real numpy (index-gather — no codec
+    needed); only the decode behind it is the deterministic fake. Output
+    carries the resized shape and mean pixel so tests can pin the
+    contract."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, means = [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                arr = decode_image(bytes(payload))
+                h, w = arr.shape[:2]
+                ri = (np.arange(out_h) * h) // out_h
+                ci = (np.arange(out_w) * w) // out_w
+                small = arr[ri][:, ci]
+                ids.append(i)
+                means.append(float(small.mean()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "out_h": [out_h] * len(ids),
+                    "out_w": [out_w] * len(ids),
+                    "mean_px": means,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_resize, schema=RESIZE_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("zero_crossings", IntegerType()),
+    ]
+)
+
+
+def decode_audio(payload: bytes, real: bool = False) -> np.ndarray:
+    """Decode one audio payload to a float32 waveform in [-1, 1].
+
+    real=True is the seam for an actual codec (soundfile/ffmpeg — not in
+    this container); the fake path maps payload bytes deterministically
+    onto a centered waveform with the same dtype/range contract."""
+    if real:
+        raise NotImplementedError(
+            "real audio decode requires soundfile/ffmpeg, not available "
+            "here; deterministic fake decode is the supported path"
+        )
+    b = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
+    return (b - 127.5) / 127.5
+
+
+def extract_audio_features(
+    df: DataFrame, payload_col: str = "img", id_col: str = "doc_id"
+) -> DataFrame:
+    """Waveform features (sample count, RMS, zero-crossing count) via the
+    same Arrow-batched mapInPandas shape as the image path."""
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ns, rms, zc = [], [], [], []
+            for i, payload in zip(pdf[id_col], pdf[payload_col]):
+                wav = decode_audio(bytes(payload))
+                ids.append(i)
+                ns.append(len(wav))
+                rms.append(float(np.sqrt((wav**2).mean())) if len(wav) else 0.0)
+                zc.append(int((np.diff(np.sign(wav)) != 0).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_samples": ns,
+                    "rms": rms,
+                    "zero_crossings": zc,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(_features, schema=AUDIO_SCHEMA)

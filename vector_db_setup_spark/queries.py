@@ -2643,3 +2643,32 @@ def doc_shingles_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs d, LATERAL char_shingles(d.text, 8) s
         """
     )
+
+
+@register("multimodal_resize_audio")
+def multimodal_resize_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal preprocessing chain (rows-only: fake-decode outputs
+    have no SQL oracle; determinism is pinned in
+    tests/test_multimodal_pipeline.py): binary payload → nearest-neighbor
+    resize features joined with audio waveform features, one Arrow batch
+    stage each."""
+    from vector_db_setup_spark.multimodal.columns import (
+        attach_fake_binary,
+        extract_audio_features,
+        resize_images,
+    )
+
+    d = attach_fake_binary(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    )
+    img = resize_images(d, out_h=4, out_w=4)
+    aud = extract_audio_features(d).withColumnRenamed("doc_id", "a_doc_id")
+    return (
+        img.join(aud, img.doc_id == aud.a_doc_id)
+        .select(
+            "doc_id",
+            "mean_px",
+            F.round("rms", 6).alias("rms"),
+            "zero_crossings",
+        )
+    )
