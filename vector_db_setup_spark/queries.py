@@ -2672,3 +2672,31 @@ def multimodal_resize_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "zero_crossings",
         )
     )
+
+
+@register(
+    "events_variant_stats",
+    """
+    SELECT event_type,
+           max(CAST(json_extract(props, '$.k') AS INTEGER)) AS max_k,
+           sum(CASE WHEN CAST(json_extract(props, '$.k') AS INTEGER) > 50
+                    THEN 1 ELSE 0 END) AS n_big_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path via VariantType (Spark 4): parse_json once
+    into a variant column, then typed variant_get extraction. Unlike
+    from_json (events_json_extract), variant needs no up-front schema —
+    the 100 TB-friendly choice for heterogeneous event payloads (binary
+    variant encoding, per-field lazy access, shredding-ready)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_big_k"),
+        )
+    )
