@@ -2700,3 +2700,34 @@ def events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias("n_big_k"),
         )
     )
+
+
+@register(
+    "sql_part_margin_cte",
+    """
+    WITH part_rev AS (
+        SELECT l_partkey,
+               sum(l_extendedprice * (1 - l_discount)) AS revenue,
+               sum(l_quantity) AS qty
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT p.p_brand, r.revenue, r.qty, p.p_retailprice
+        FROM part_rev r JOIN part p ON r.l_partkey = p.p_partkey
+    )
+    SELECT p_brand,
+           round(sum(revenue), 2) AS brand_revenue,
+           round(sum(revenue) / sum(qty), 6) AS rev_per_unit,
+           count(*) AS n_parts
+    FROM ranked
+    GROUP BY p_brand
+    """,
+)
+def sql_part_margin_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-CTE SQL through spark.sql — identical SQL text on both
+    engines. Catalyst inlines the CTEs; the plan is agg → broadcast
+    join → re-agg with partial aggregation on both shuffle sides."""
+    from vector_db_setup_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_ORACLES["sql_part_margin_cte"])
