@@ -106,3 +106,16 @@ def test_simhash_hamming_separates(spark, planted):
     found = _pairs(pairs)
     # exact copies have identical simhash (hamming 0) -> all found
     assert exact <= found, f"missed {len(exact - found)} exact dups"
+
+
+def test_connected_components_planted_chain(spark):
+    from vector_db_setup_spark.operators.graph import connected_components
+
+    # chain 0-1-2-3-4 (diameter 4 → needs >1 iteration), pair 10-11,
+    # isolated 20
+    nodes = spark.createDataFrame([(i,) for i in [0, 1, 2, 3, 4, 10, 11, 20]], "id long")
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 20: 20}

@@ -2731,3 +2731,55 @@ def sql_part_margin_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_ORACLES["sql_part_margin_cte"])
+
+
+@register(
+    "dedup_components",
+    """
+    WITH RECURSIVE
+    edges AS (
+        SELECT src, dst FROM (
+            SELECT doc_id AS src, lead(doc_id) OVER w AS dst,
+                   n_chars, lead(n_chars) OVER w AS dst_n
+            FROM documents WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+        ) WHERE dst IS NOT NULL AND abs(n_chars - dst_n) <= 50
+    ),
+    sym AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+    reach(id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
+    ),
+    cc AS (SELECT id, min(comp) AS component FROM reach GROUP BY id)
+    SELECT component, count(*) AS n_docs
+    FROM cc GROUP BY component HAVING count(*) >= 2
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster closure: candidate edges (similar-length
+    neighbors within a language — a deterministic stand-in for LSH
+    candidate pairs) → connected components via iterative min-label
+    propagation (operators/graph.py) → cluster sizes. The oracle is a
+    recursive CTE computing the same transitive closure, so the whole
+    iterative operator is value-checked, not just row-counted."""
+    from vector_db_setup_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cand = d.select(
+        F.col("doc_id").alias("src"),
+        F.lead("doc_id").over(w).alias("dst"),
+        "n_chars",
+        F.lead("n_chars").over(w).alias("dst_n"),
+    ).filter(
+        F.col("dst").isNotNull()
+        & (F.abs(F.col("n_chars") - F.col("dst_n")) <= 50)
+    )
+    cc = connected_components(
+        d.select("doc_id"), cand, id_col="doc_id", src_col="src", dst_col="dst"
+    )
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
