@@ -2783,3 +2783,37 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@register(
+    "scalar_array_suite",
+    """
+    SELECT p_partkey,
+           levenshtein(p_brand, p_type) AS lev,
+           greatest(p_size, 25) AS size_hi,
+           least(p_size, 25) AS size_lo,
+           xor(p_size, 21) AS size_xor,
+           list_sort(list_distinct([p_size, p_size + 1, p_size])) AS size_arr,
+           array_length(list_intersect([p_size, p_size + 1],
+                                       [p_size + 1, p_size + 2])) AS n_inter
+    FROM part
+    """,
+)
+def scalar_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar/array function inventory (SURVEY.md §2.8 extensions):
+    levenshtein, greatest/least, bitwise xor, array construct +
+    distinct + sort + intersect + size — all JVM-side codegen
+    expressions, no UDFs."""
+    p = load_table(spark, sf_dir, "part")
+    sz = F.col("p_size")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", "p_type").alias("lev"),
+        F.greatest(sz, F.lit(25)).alias("size_hi"),
+        F.least(sz, F.lit(25)).alias("size_lo"),
+        sz.bitwiseXOR(F.lit(21)).alias("size_xor"),
+        F.array_sort(F.array_distinct(F.array(sz, sz + 1, sz))).alias("size_arr"),
+        F.size(F.array_intersect(F.array(sz, sz + 1), F.array(sz + 1, sz + 2))).alias(
+            "n_inter"
+        ),
+    )
