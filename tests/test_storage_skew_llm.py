@@ -112,3 +112,40 @@ def test_llm_map_stage_custom_model(spark):
     )
     for r in out.collect():
         assert int(r["completion"]) == len(r["text"])
+
+
+def test_upsert_partitions_preserves_others(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.sources.ingest import upsert_partitions
+
+    dest = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 30.0), (4, "d3", 40.0)],
+        "id long, day string, v double",
+    )
+    base.write.partitionBy("day").parquet(dest)
+
+    # re-land ONLY d2 with corrected values; d1/d3 must survive untouched
+    fix = spark.createDataFrame([(3, "d2", 99.0)], "id long, day string, v double")
+    upsert_partitions(fix, dest, ["day"])
+
+    got = {
+        (r["id"], r["day"], r["v"])
+        for r in spark.read.parquet(dest).collect()
+    }
+    assert got == {(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 99.0), (4, "d3", 40.0)}
+    # config restored
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+
+
+def test_upsert_partitions_idempotent_replay(spark, tmp_path):
+    from vector_db_setup_spark.sources.ingest import upsert_partitions
+
+    dest = str(tmp_path / "tbl2")
+    day = spark.createDataFrame(
+        [(1, "d1", 1.0), (2, "d1", 2.0)], "id long, day string, v double"
+    )
+    upsert_partitions(day, dest, ["day"])
+    upsert_partitions(day, dest, ["day"])  # replay must not duplicate
+    assert spark.read.parquet(dest).count() == 2

@@ -43,3 +43,29 @@ def ingest(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(dest_path)
     return spark.read.parquet(dest_path)
+
+
+def upsert_partitions(
+    df: DataFrame,
+    dest_path: str,
+    partition_by: list[str],
+    repartition: int | None = None,
+) -> None:
+    """Incremental load: overwrite ONLY the partitions present in `df`
+    (dynamic partition overwrite), leaving all other partitions intact.
+
+    This is the at-scale idempotent ingestion pattern: a daily/hourly
+    batch re-lands just its own date partitions, so replays and
+    backfills are safe without rewriting the table. Static overwrite
+    (the default) would drop every other partition — the config flip is
+    scoped to this write and restored afterwards.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        out = df.repartition(repartition) if repartition else df
+        out.write.mode("overwrite").partitionBy(*partition_by).parquet(dest_path)
+    finally:
+        spark.conf.set(key, prev)
