@@ -2817,3 +2817,72 @@ def scalar_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_inter"
         ),
     )
+
+
+@register(
+    "balanced_lang_sample",
+    """
+    SELECT lang, doc_id
+    FROM (
+        SELECT lang, doc_id,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+)
+def balanced_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced (exact-count) per-class sampling for training sets:
+    md5-ordered row_number per language, first 20 each. Deterministic —
+    unlike rand()-based sampleBy — so resumable pipelines re-select the
+    same rows. One shuffle on the class key; at 100 TB cap per-class
+    partitions via salting if a single class dominates."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+    )
+
+
+@register(
+    "train_test_split_counts",
+    """
+    SELECT CASE WHEN bucket < 8 THEN 'train'
+                WHEN bucket = 8 THEN 'valid'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM (SELECT n_chars,
+                 ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 10 AS bucket
+          FROM documents)
+    GROUP BY split
+    """,
+)
+def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (80/10/10): bucket = md5(id) first 8 hex
+    digits mod 10. Pure map-side expression — membership is a property
+    of the row, not of a sampled state, so any stage of a 100 TB
+    pipeline can recompute the split without coordination."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "valid").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
