@@ -135,3 +135,39 @@ def test_enriched_stream_equals_batch(spark):
     got = _sorted_rows(spark.table("t_enriched"))
     want = _sorted_rows(q.events_enriched_tumbling(spark, SF_SMOKE))
     assert got == want
+
+
+def test_knn_stream_equals_batch(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.operators.knn import batch_knn_join
+    from vector_db_setup_spark.sources.registry import load_table
+    from vector_db_setup_spark.streaming.events import knn_stream_to_parquet
+
+    corpus = load_table(spark, SF_SMOKE, "embeddings")
+
+    def to_queries(df):
+        return df.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+
+    stream_src = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").schema
+        )
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(SF_SMOKE)
+    )
+    out = str(tmp_path / "knn_out")
+    q = knn_stream_to_parquet(to_queries(stream_src), corpus, out, k=5)
+    q.awaitTermination()
+
+    got = sorted(
+        (r["query_id"], r["vec_id"], round(r["distance"], 6))
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], round(r["distance"], 6))
+        for r in batch_knn_join(to_queries(corpus), corpus, k=5).collect()
+    )
+    assert got == want and len(got) == 15

@@ -197,3 +197,33 @@ def enriched_counts_stream(
         )
         .select(F.col("w.start").alias("window_start"), "segment", "n", "total_value")
     )
+
+
+def knn_stream_to_parquet(
+    query_stream: DataFrame,
+    corpus: DataFrame,
+    out_path: str,
+    k: int = 5,
+    metric: str = "l2",
+):
+    """Micro-batch KNN retrieval: a stream of query vectors is answered
+    against a static corpus with the batch KNN join, per trigger, via
+    foreachBatch. The batch operator is reused verbatim, so streaming
+    retrieval inherits its oracle-checked semantics — the pattern for
+    'continuously arriving claims' without an online ANN service
+    (BASELINE.json keeps online serving out of Spark; this is batched
+    micro-serving). Returns the started query; results append to
+    parquet at `out_path`.
+    """
+    from vector_db_setup_spark.operators.knn import batch_knn_join
+
+    def _answer(batch_df: DataFrame, batch_id: int) -> None:
+        res = batch_knn_join(batch_df, corpus, k=k, metric=metric)
+        res.write.mode("append").parquet(out_path)
+
+    # foreachBatch + availableNow processes the backlog then stops
+    return (
+        query_stream.writeStream.foreachBatch(_answer)
+        .trigger(availableNow=True)
+        .start()
+    )
