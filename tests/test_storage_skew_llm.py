@@ -149,3 +149,31 @@ def test_upsert_partitions_idempotent_replay(spark, tmp_path):
     upsert_partitions(day, dest, ["day"])
     upsert_partitions(day, dest, ["day"])  # replay must not duplicate
     assert spark.read.parquet(dest).count() == 2
+
+
+def test_hll_rollup_accuracy_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_ORACLE
+    from vector_db_setup_spark import queries as q
+    from vector_db_setup_spark.sources.registry import load_table
+
+    res = q.hll_user_rollup(spark, SF_ORACLE).collect()
+    ev = load_table(spark, SF_ORACLE, "events")
+    exact_by_day = {
+        str(r["day"]): r["n"]
+        for r in ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    exact_total = ev.select("user_id").distinct().count()
+    for r in res:
+        if r["scope"] == "day":
+            exact = exact_by_day[r["day"]]
+        else:
+            exact = exact_total
+        # HLL standard error ~1.6% at default lgConfigK=12
+        assert abs(r["est_users"] - exact) <= max(2, 0.05 * exact), (
+            r["scope"], r["day"], r["est_users"], exact,
+        )
+    assert sum(1 for r in res if r["scope"] == "total") == 1

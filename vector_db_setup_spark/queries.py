@@ -2886,3 +2886,27 @@ def train_test_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
     )
+
+
+@register("hll_user_rollup")
+def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count sketches (rows-only: sketch binaries are
+    engine-specific; accuracy/merge invariants asserted in
+    tests/test_storage_skew_llm.py): per-day HLL sketches of distinct
+    users, plus a 'total' row whose estimate comes from hll_union_agg
+    over the daily sketches — NOT a rescan. This is how countDistinct
+    rolls up at 100 TB: store sketch bytes with each daily partition,
+    merge sketches for any date range, never re-read the raw data."""
+    ev = load_table(spark, sf_dir, "events")
+    daily_sk = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    per_day = daily_sk.select(
+        F.lit("day").alias("scope"),
+        F.col("day").cast("string").alias("day"),
+        F.hll_sketch_estimate("sk").alias("est_users"),
+    )
+    total = daily_sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    ).select(F.lit("total").alias("scope"), F.lit(None).cast("string").alias("day"), "est_users")
+    return per_day.unionByName(total)
