@@ -1,0 +1,110 @@
+"""Distributed cosine kernels: grid == broadcast == brute force, and the
+driver-side collects are guarded (raise/fallback, never silently OOM)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from vector_db_setup_spark.operators.similarity import (
+    CorpusTooLargeError,
+    batch_knn_blocked,
+    cosine_pairs_bucketed,
+    cosine_topk_pairs_blocked,
+    cosine_topk_pairs_grid,
+)
+from vector_db_setup_spark.sources.registry import load_table
+
+
+def _pairs(df):
+    return [
+        (r["id_a"], r["id_b"], round(r["cosine"], 6))
+        for r in df.collect()
+    ]
+
+
+def test_grid_equals_broadcast_kernel(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings").filter("vec_id < 200")
+    got = _pairs(cosine_topk_pairs_grid(emb, k=15, n_blocks=3))
+    want = _pairs(cosine_topk_pairs_blocked(emb, k=15))
+    assert got == want
+
+
+def test_grid_single_block_degenerate(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings").filter("vec_id < 60")
+    got = _pairs(cosine_topk_pairs_grid(emb, k=5, n_blocks=1))
+    want = _pairs(cosine_topk_pairs_blocked(emb, k=5))
+    assert got == want
+
+
+def test_grid_handles_ties_exactly(spark):
+    # duplicate vectors -> many cosine==1.0 ties; the k-cut must follow
+    # the total order (cosine desc, id_a, id_b), not an arbitrary one
+    base = [[1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    rows = [(i, v) for i, v in enumerate(base)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = _pairs(cosine_topk_pairs_grid(emb, k=3, n_blocks=2))
+    # ties at 1.0: pairs (0,1),(0,2),(0,3),(1,2),... -> first three by id
+    assert got == [(0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0)]
+
+
+def test_blocked_kernel_guard_raises(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    with pytest.raises(CorpusTooLargeError):
+        cosine_topk_pairs_blocked(emb, k=5, max_broadcast_rows=100)
+
+
+def test_bucketed_pairs_subset_of_exact(spark):
+    from vector_db_setup_spark.operators.ann import random_hyperplanes
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").filter("vec_id < 150")
+    planes = random_hyperplanes(dim=64, n_planes=4, seed=42)
+    got = cosine_pairs_bucketed(emb, planes).collect()
+    assert len(got) > 0
+    # every emitted pair's cosine must equal the exact cosine
+    emb_map = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    for r in got:
+        a, b = emb_map[r["id_a"]], emb_map[r["id_b"]]
+        exact = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["cosine"] - exact) < 1e-9
+    # no pair emitted twice (each vector lives in exactly one bucket)
+    keys = [(r["id_a"], r["id_b"]) for r in got]
+    assert len(keys) == len(set(keys))
+
+
+def test_batch_knn_blocked_fallback_on_oversize(spark):
+    emb = load_table(spark, SF_ORACLE, "embeddings").filter("vec_id < 100")
+    qs = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    normal = batch_knn_blocked(qs, emb, k=3)
+    fb = batch_knn_blocked(qs, emb, k=3, max_query_rows=2)
+    canon = lambda df: sorted(
+        (r["query_id"], r["vec_id"], round(r["dist"], 6)) for r in df.collect()
+    )
+    assert canon(fb) == canon(normal)
+    with pytest.raises(CorpusTooLargeError):
+        batch_knn_blocked(qs, emb, k=3, max_query_rows=2, on_oversize="error")
+
+
+def test_no_unguarded_full_corpus_collect():
+    """Regression tripwire: every .collect() in operators/ must sit
+    behind a _count_capped guard (the two remaining ones do)."""
+    import pathlib
+
+    ops = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "vector_db_setup_spark"
+        / "operators"
+    )
+    for f in ops.glob("*.py"):
+        text = f.read_text()
+        if ".collect()" in text:
+            assert "_count_capped" in text, (
+                f"{f}: .collect() without a size guard"
+            )

@@ -1,24 +1,39 @@
-"""Blocked all-pairs cosine similarity — distributed GEMM.
+"""Distributed cosine-similarity kernels (blocked GEMM).
 
-The naive formulation (crossJoin + per-pair zip_with/aggregate) evaluates
-interpreted higher-order functions per array element: O(N²·d) *interpreted*
-ops. This operator instead:
+The naive all-pairs formulation (crossJoin + per-pair zip_with/aggregate)
+evaluates interpreted higher-order functions per array element:
+O(N²·d) *interpreted* ops. Every operator here instead does real matrix
+multiplies (numpy/BLAS) inside Arrow-batched Python stages, and — the
+100 TB constraint — NEVER materializes the corpus on the driver:
 
-1. broadcasts the L2-normalized corpus matrix B (N×d float64) to every
-   executor (vectors are small relative to the pair count: 1M×64d ≈ 512 MB,
-   still broadcastable; beyond that, bucket first — see below);
-2. `mapInPandas` over row chunks: each chunk computes `chunk @ B.T` as one
-   BLAS call and emits only its local top-k pairs (i < j);
-3. a final global top-k over (chunks × k) candidate rows.
-
-Executor work is real matrix multiply (numpy/BLAS); the driver sees only
-k rows per chunk. At 100 TB scale the same kernel runs *per LSH/IVF
-bucket* (operators/ann.py assigns buckets; this verifies within them) —
-all-pairs over the full corpus is never the plan.
+- ``cosine_topk_pairs_grid``: exact all-pairs top-k. The corpus is split
+  into B blocks; each row is routed to the B block-pair groups it
+  participates in; each (i,j) group GEMMs block i against block j and
+  emits only its local top-k. Pure shuffle + applyInPandas — the driver
+  only ever sees B·(B+1)/2 × k candidate rows. Shuffle volume is N·B
+  vectors; executor memory per task is two blocks (N/B vectors each), so
+  B scales as N grows: B ≈ N·d·8 / target_block_bytes.
+- ``cosine_pairs_bucketed``: the LSH-bucketed near-dup path — sign-bit
+  bucket per vector (operators/ann.lsh_bucket, a native map stage), then
+  per-bucket GEMM via groupBy(bucket).applyInPandas. Cost follows bucket
+  occupancy, not N²; recall < 1 by design (near-identical vectors share
+  buckets with high probability). This is what replaces the exact grid
+  when even N·B shuffle is too much.
+- ``cosine_topk_pairs_blocked``: single-broadcast kernel for corpora
+  that provably fit on the driver — now guarded by an explicit row-count
+  assertion (raises instead of OOMing when misused).
+- ``batch_knn_blocked``: queries-side broadcast GEMM against a huge
+  corpus; the query side is by definition small, and the collect is now
+  guarded with an automatic fallback to the pure-DataFrame
+  ``batch_knn_join`` when it isn't.
 
 Result parity: cosine = dot of double-normalized vectors; differs from a
 sequential fold only in summation order (≪ 1e-12), rounded to 6 decimals
 at the query layer like every derived float.
+
+Reference parity: generalizes the reference's only vector workload
+(fever_multi_agent.py:67-75, exact pgvector scan) to corpus-scale
+pairwise similarity, per the dedup mandate.
 """
 
 from __future__ import annotations
@@ -44,26 +59,214 @@ _PAIR_SCHEMA = StructType(
     ]
 )
 
+# chunk GEMMs so the sims temporary stays ~this many doubles (32 MB)
+_GEMM_CELLS = 4_000_000
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def _topk_pairs(
+    ids_a: np.ndarray, ids_b: np.ndarray, sims: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Total-order top-k consistent with ORDER BY cosine DESC, id_a, id_b
+    (argpartition alone breaks ties arbitrarily; the global merge then
+    needs the same total order to be exact)."""
+    if len(sims) > k:
+        kth = -np.partition(-sims, k - 1)[k - 1]  # k-th largest value
+        mask = sims >= kth  # keep ALL boundary ties, not an arbitrary cut
+        ids_a, ids_b, sims = ids_a[mask], ids_b[mask], sims[mask]
+    order = np.lexsort((ids_b, ids_a, -sims))[:k]
+    return ids_a[order], ids_b[order], sims[order]
+
+
+def cosine_topk_pairs_grid(
+    emb: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Global top-k most-similar pairs (id_a < id_b) by cosine — EXACT,
+    fully distributed, zero driver-side data movement.
+
+    Plan: block b = id mod B (map) → explode each row to its B
+    block-pair groups (map) → one shuffle on (g1, g2) →
+    applyInPandas GEMM per group emitting local top-k → global
+    TakeOrdered over ≤ B(B+1)/2 · k rows.
+
+    Sizing: each task holds two blocks ≈ 2·(N/B)·d·8 bytes; pick
+    n_blocks so that fits executor memory (N=100M, d=64 → B=64 gives
+    ~1.6 GB/task; shuffle is N·B rows). For near-dup mining at the
+    largest scales use ``cosine_pairs_bucketed`` instead.
+    """
+    B = int(n_blocks)
+    blocked = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.col(id_col), F.lit(B)).cast("int").alias("blk"),
+    )
+    groups = F.array(
+        *[
+            F.struct(
+                F.least(F.col("blk"), F.lit(j)).alias("g1"),
+                F.greatest(F.col("blk"), F.lit(j)).alias("g2"),
+            )
+            for j in range(B)
+        ]
+    )
+    routed = blocked.select(
+        "id", "vec", "blk", F.explode(groups).alias("g")
+    ).select("id", "vec", "blk", "g.g1", "g.g2")
+
+    def _grid_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g1, g2 = int(key[0]), int(key[1])
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        mat = _normalize(np.stack(pdf["vec"].to_numpy()).astype(np.float64))
+        blk = pdf["blk"].to_numpy()
+        if g1 == g2:
+            a_idx = np.arange(len(ids))
+            b_idx = a_idx
+        else:
+            a_idx = np.nonzero(blk == g1)[0]
+            b_idx = np.nonzero(blk == g2)[0]
+        if len(a_idx) == 0 or len(b_idx) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        bm = mat[b_idx]
+        bids = ids[b_idx]
+        step = max(1, _GEMM_CELLS // max(len(b_idx), 1))
+        acc_a, acc_b, acc_s = [], [], []
+        for lo in range(0, len(a_idx), step):
+            sub = a_idx[lo : lo + step]
+            sims = mat[sub] @ bm.T
+            aids = ids[sub]
+            if g1 == g2:
+                # same set on both sides: i < j picks each pair once
+                keep = aids[:, None] < bids[None, :]
+                ii, jj = np.nonzero(keep)
+                ia, jb, s = aids[ii], bids[jj], sims[keep]
+            else:
+                # disjoint blocks: every cross pair is valid exactly once
+                # in this group; orient as (min, max)
+                ii, jj = np.nonzero(np.ones_like(sims, dtype=bool))
+                xa, xb = aids[ii], bids[jj]
+                ia = np.minimum(xa, xb)
+                jb = np.maximum(xa, xb)
+                s = sims.ravel()
+            ia, jb, s = _topk_pairs(ia, jb, s, k)
+            acc_a.append(ia)
+            acc_b.append(jb)
+            acc_s.append(s)
+        ia = np.concatenate(acc_a)
+        jb = np.concatenate(acc_b)
+        s = np.concatenate(acc_s)
+        ia, jb, s = _topk_pairs(ia, jb, s, k)
+        return pd.DataFrame({"id_a": ia, "id_b": jb, "cosine": s})
+
+    local = routed.groupBy("g1", "g2").applyInPandas(
+        _grid_kernel, schema=_PAIR_SCHEMA
+    )
+    return local.orderBy(
+        F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+    ).limit(k)
+
+
+def cosine_pairs_bucketed(
+    emb: DataFrame,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float | None = None,
+    topk_per_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via sign-bit LSH bucketing + exact
+    per-bucket GEMM — the 100 TB near-dup path.
+
+    The bucket assignment (operators/ann.lsh_bucket) is a native codegen
+    map stage; the only shuffle keys on bucket_id; the pairwise work is
+    confined to each bucket (cost follows occupancy, never N²). Each
+    vector lands in exactly one bucket, so no pair is emitted twice.
+    Recall < 1 by design: only same-bucket pairs are scored.
+    """
+    from vector_db_setup_spark.operators.ann import lsh_bucket
+
+    bucketed = lsh_bucket(emb, planes, vec_col=vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket_id"
+    )
+
+    def _bucket_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        mat = _normalize(np.stack(pdf["vec"].to_numpy()).astype(np.float64))
+        order = np.argsort(ids)
+        ids, mat = ids[order], mat[order]
+        acc_a, acc_b, acc_s = [], [], []
+        step = max(1, _GEMM_CELLS // len(ids))
+        for lo in range(0, len(ids), step):
+            sims = mat[lo : lo + step] @ mat.T
+            aids = ids[lo : lo + step]
+            keep = aids[:, None] < ids[None, :]
+            ii, jj = np.nonzero(keep)
+            ia, jb, s = aids[ii], ids[jj], sims[keep]
+            if min_cosine is not None:
+                m = s >= min_cosine
+                ia, jb, s = ia[m], jb[m], s[m]
+            acc_a.append(ia)
+            acc_b.append(jb)
+            acc_s.append(s)
+        ia = np.concatenate(acc_a)
+        jb = np.concatenate(acc_b)
+        s = np.concatenate(acc_s)
+        if topk_per_bucket is not None:
+            ia, jb, s = _topk_pairs(ia, jb, s, topk_per_bucket)
+        return pd.DataFrame({"id_a": ia, "id_b": jb, "cosine": s})
+
+    return bucketed.groupBy("bucket_id").applyInPandas(
+        _bucket_kernel, schema=_PAIR_SCHEMA
+    )
+
+
+class CorpusTooLargeError(RuntimeError):
+    """A driver-side collect was about to exceed its declared budget."""
+
+
+def _count_capped(df: DataFrame, cap: int) -> int:
+    """Row count, but stop scanning once cap is exceeded (limit pushdown
+    means a huge input costs one partition-ish, not a full scan)."""
+    return df.limit(cap + 1).count()
+
 
 def cosine_topk_pairs_blocked(
     emb: DataFrame,
     k: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_broadcast_rows: int = 500_000,
 ) -> DataFrame:
-    """Global top-k most-similar pairs (id_a < id_b) by cosine.
-
-    The corpus is collected once into a broadcast (ids + normalized
-    matrix); per-partition chunks then do one GEMM each and emit their
-    local top-k, so the global orderBy sees ≤ partitions × k rows.
+    """Global top-k pairs via a single broadcast of the normalized corpus
+    matrix — ONLY for corpora that provably fit on the driver (guarded;
+    raises ``CorpusTooLargeError`` past ``max_broadcast_rows``).
+    Use ``cosine_topk_pairs_grid`` (exact) or ``cosine_pairs_bucketed``
+    (ANN) beyond that.
     """
     spark = emb.sparkSession
+    n = _count_capped(emb, max_broadcast_rows)
+    if n > max_broadcast_rows:
+        raise CorpusTooLargeError(
+            f"corpus exceeds max_broadcast_rows={max_broadcast_rows}; "
+            "use cosine_topk_pairs_grid / cosine_pairs_bucketed"
+        )
     rows = emb.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
-    mat = np.array([r[1] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0.0] = 1.0
-    nmat = mat / norms
+    nmat = _normalize(np.array([r[1] for r in rows], dtype=np.float64))
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(nmat)
 
@@ -71,29 +274,22 @@ def cosine_topk_pairs_blocked(
         all_ids = b_ids.value
         all_mat = b_mat.value
         order = {v: i for i, v in enumerate(all_ids)}
-        # sub-block rows so temporaries stay ~blk×N, never m×N: flat
-        # repeat/tile id arrays at m=10k, N=100k would be GBs per batch
-        blk = max(1, int(4_000_000 // max(len(all_ids), 1)) or 1)
+        blk = max(1, _GEMM_CELLS // max(len(all_ids), 1))
         for pdf in batches:
             idx = pdf[id_col].map(order).to_numpy()
             s_acc, ia_acc, jb_acc = [], [], []
             for lo in range(0, len(idx), blk):
                 sub = idx[lo : lo + blk]
-                sims = all_mat[sub] @ all_mat.T       # blk×N GEMM
+                sims = all_mat[sub] @ all_mat.T  # blk×N GEMM
                 keep = all_ids[sub][:, None] < all_ids[None, :]
-                s = sims[keep]
                 ii, jj = np.nonzero(keep)
-                ia, jb = all_ids[sub][ii], all_ids[jj]
-                if len(s) > k:
-                    top = np.argpartition(-s, k)[:k]
-                    s, ia, jb = s[top], ia[top], jb[top]
+                ia, jb, s = all_ids[sub][ii], all_ids[jj], sims[keep]
+                ia, jb, s = _topk_pairs(ia, jb, s, k)
                 s_acc.append(s); ia_acc.append(ia); jb_acc.append(jb)
             s = np.concatenate(s_acc) if s_acc else np.array([])
             ia = np.concatenate(ia_acc) if ia_acc else np.array([], dtype=np.int64)
             jb = np.concatenate(jb_acc) if jb_acc else np.array([], dtype=np.int64)
-            if len(s) > k:
-                top = np.argpartition(-s, k)[:k]
-                s, ia, jb = s[top], ia[top], jb[top]
+            ia, jb, s = _topk_pairs(ia, jb, s, k)
             yield pd.DataFrame({"id_a": ia, "id_b": jb, "cosine": s})
 
     local = emb.select(id_col).mapInPandas(_chunk_topk, schema=_PAIR_SCHEMA)
@@ -110,6 +306,8 @@ def batch_knn_blocked(
     query_vec_col: str = "qvec",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 100_000,
+    on_oversize: str = "fallback",
 ) -> DataFrame:
     """Batch KNN, two-phase: each corpus partition computes distances to
     ALL queries in one GEMM (|a-b|^2 = |a|^2+|b|^2-2a.b) and emits only
@@ -117,12 +315,33 @@ def batch_knn_blocked(
     partitions x Q x k candidate rows instead of N x Q scored rows.
 
     This is the crossJoin+window formulation's scale path: the shuffle
-    shrinks from the full scored product to the candidate set. Queries
-    must be small enough to broadcast (they are, by definition of batch
-    KNN against a huge corpus)."""
+    shrinks from the full scored product to the candidate set. The query
+    side is collected+broadcast — small by definition of batch KNN — and
+    guarded: past ``max_query_rows`` the operator either falls back to
+    the pure-DataFrame ``batch_knn_join`` (on_oversize="fallback") or
+    raises (on_oversize="error") instead of OOMing the driver."""
     from pyspark.sql import Window
 
     spark = corpus.sparkSession
+    nq = _count_capped(queries, max_query_rows)
+    if nq > max_query_rows:
+        if on_oversize == "fallback":
+            from vector_db_setup_spark.operators.knn import batch_knn_join
+
+            joined = batch_knn_join(
+                queries,
+                corpus,
+                query_vec_col=query_vec_col,
+                corpus_vec_col=vec_col,
+                query_id_col=query_id_col,
+                k=k,
+                metric="l2",
+                dist_col="dist",
+            )
+            return joined.select(query_id_col, id_col, "dist")
+        raise CorpusTooLargeError(
+            f"query side exceeds max_query_rows={max_query_rows}"
+        )
     qrows = queries.select(query_id_col, query_vec_col).collect()
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)

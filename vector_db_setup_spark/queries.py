@@ -663,14 +663,75 @@ def simhash_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_similar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate detection: top-20 most similar
-    pairs, computed as a blocked distributed GEMM (operators/similarity)
-    — each partition multiplies its chunk against the broadcast
-    normalized corpus and emits only a local top-k."""
-    from vector_db_setup_spark.operators.similarity import cosine_topk_pairs_blocked
+    pairs, computed as a grid-blocked distributed GEMM
+    (operators/similarity.cosine_topk_pairs_grid): corpus blocks pair up
+    via one shuffle, each block-pair group GEMMs and emits a local
+    top-k — exact, and the corpus never touches the driver."""
+    from vector_db_setup_spark.operators.similarity import cosine_topk_pairs_grid
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_topk_pairs_blocked(emb, k=20)
+    pairs = cosine_topk_pairs_grid(emb, k=20, n_blocks=4)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _lsh_planes_sql(planes) -> str:
+    """DuckDB bucket-id expression for literal sign-bit hyperplanes
+    (mirrors operators/ann.lsh_bucket bit for bit: both engines compute
+    the dot product as a sequential double fold over identical literals,
+    so the sign — hence the bucket — is bit-identical)."""
+    terms = []
+    for b, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"CASE WHEN list_inner_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN {1 << b} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+from vector_db_setup_spark.operators.ann import random_hyperplanes  # noqa: E402
+
+_NEARDUP_PLANES = random_hyperplanes(dim=64, n_planes=4, seed=42)
+
+
+@register(
+    "embedding_bucketed_pairs",
+    f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {_lsh_planes_sql(_NEARDUP_PLANES)} AS bucket_id
+        FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cosine
+    FROM bucketed a JOIN bucketed b
+      ON a.bucket_id = b.bucket_id AND a.vec_id < b.vec_id
+    ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+                                    b.embedding::DOUBLE[]) DESC,
+             id_a ASC, id_b ASC
+    LIMIT 20
+    """,
+)
+def embedding_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE 100 TB near-dup path: sign-bit LSH bucket per vector (native
+    codegen map stage) → per-bucket exact GEMM via
+    groupBy(bucket).applyInPandas → global top-20. One shuffle keyed on
+    bucket_id; pairwise cost follows bucket occupancy, never N²; the
+    corpus never touches the driver. Oracle embeds the same literal
+    hyperplanes, so bucketing + cosine are value-checked end to end."""
+    from vector_db_setup_spark.operators.similarity import cosine_pairs_bucketed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_bucketed(
+        emb, _NEARDUP_PLANES, topk_per_bucket=20
+    )
+    return (
+        pairs.orderBy(
+            F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+        )
+        .limit(20)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
 
 
 @register(
