@@ -108,6 +108,60 @@ def test_simhash_hamming_separates(spark, planted):
     assert exact <= found, f"missed {len(exact - found)} exact dups"
 
 
+def test_hot_shingle_cap_kills_viral_shingle(spark):
+    """Planted skew: every doc shares one viral 3-gram. Uncapped, the
+    inverted-index join materializes a pair for every doc combination
+    through that single shingle key (the 100 TB skew bomb); with
+    max_df below the viral shingle's document frequency the pairs whose
+    only overlap is the hot shingle disappear, and the surviving
+    Jaccards match a brute force over the capped shingle universe."""
+    rng = random.Random(7)
+    hot = "click here now"
+    rows = []
+    for i in range(40):
+        body = " ".join(rng.choice(VOCAB) for _ in range(12))
+        rows.append((i, f"{hot} {body}"))
+    # two real near-dups sharing most of their text
+    rows.append((100, rows[0][1]))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = dd.ngram_jaccard_pairs(df)
+    capped = dd.ngram_jaccard_pairs(df, max_df=10)
+    n_unc, n_cap = uncapped.count(), capped.count()
+    # uncapped: >= C(41,2) pairs purely via the hot shingle
+    assert n_unc >= 40 * 41 // 2
+    assert n_cap < n_unc
+
+    # brute-force the capped universe in Python and compare exactly
+    def shingles(text):
+        t = text.lower().split()
+        return {tuple(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    from collections import Counter
+
+    df_count = Counter(s for ss in sets.values() for s in ss)
+    sets = {
+        i: {s for s in ss if df_count[s] <= 10} for i, ss in sets.items()
+    }
+    want = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sets[a] & sets[b])
+            if inter:
+                want[(a, b)] = (inter, inter / len(sets[a] | sets[b]))
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_inter"], r["jaccard"])
+        for r in capped.collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-9
+
+
 def test_connected_components_planted_chain(spark):
     from vector_db_setup_spark.operators.graph import connected_components
 

@@ -58,6 +58,24 @@ def test_pricing_summary_partial_agg(spark):
     assert first_agg < first_ex or plan.count("HashAggregate") >= 2
 
 
+def test_simhash_banded_plan_has_no_cartesian(spark):
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    df = q.simhash_banded_pairs_q(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_cosine_plan_has_no_cartesian(spark):
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    df = q.embedding_bucketed_pairs(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_embed_expr_equals_udf(spark):
     from vector_db_setup_spark.functions.embed import hash_embed_expr, hash_embed_udf
 

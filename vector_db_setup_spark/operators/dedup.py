@@ -34,6 +34,14 @@ def _md5(col: Column) -> Column:
 
 _PACK = 1 << 20  # 20-bit per-token hash space
 
+# Multiply-mod mixing constants (murmur/xxhash finalizer primes, < 2^32):
+# h = (lo·C + hi·C') mod 2^32 over the packed shingle hash's 30-bit
+# halves. All products < 2^62 — no 64-bit overflow in Spark or DuckDB.
+_HALF = 1 << 30
+_MOD32 = 1 << 32
+_C1, _C2 = 2246822507, 3266489917  # 0x85EBCA6B, 0xC2B2AE35
+_C3, _C4 = 668265261, 374761393  # 0x27D4EB2F, 0x165667B1
+
 
 def shingle_hashes(
     df: DataFrame,
@@ -96,17 +104,22 @@ def minhash_signature_array(
     tokens have no shingles and drop out entirely.
     """
     sh = shingle_hashes(df, text_col, id_col, shingle_n)
-    # ONE md5 per shingle hash; the num_hashes functions are derived as
-    # (h1 + i·h2) mod 2^32 from the digest's two 32-bit halves
-    # (Kirsch-Mitzenmacher double hashing). Flat codegen expressions —
-    # an array_min(transform(...)) formulation interprets every hash AND
-    # re-evaluates the shingle expression per seed (~7× slower measured
-    # at sf0.1).
-    shs = F.col("s").cast("string")
+    # ZERO md5 at the shingle level: h1/h2 come from multiply-mod mixing
+    # of the packed hash's two 30-bit halves (inputs are already
+    # md5-uniform, so a linear combo mod 2^32 stays uniform), then
+    # Kirsch-Mitzenmacher double hashing (h1 + i·h2) mod 2^32 fans out
+    # the num_hashes functions. Every product stays < 2^62, so 64-bit
+    # arithmetic never overflows in either engine. Flat codegen
+    # expressions — an array_min(transform(...)) formulation interprets
+    # every hash AND re-evaluates the shingle expression per seed
+    # (~7× slower measured at sf0.1); the previous md5(s)-based mixing
+    # cost two digest evaluations per shingle (~40% of pipeline time).
+    lo = F.col("s") % F.lit(_HALF)  # low 30 bits
+    hi = F.shiftright(F.col("s"), 30)  # high 30 bits (s is non-negative)
     halves = sh.select(
         id_col,
-        F.conv(F.substring(_md5(shs), 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(_md5(shs), 9, 8), 16, 10).cast("long").alias("h2"),
+        ((lo * F.lit(_C1) + hi * F.lit(_C2)) % F.lit(_MOD32)).alias("h1"),
+        ((lo * F.lit(_C3) + hi * F.lit(_C4)) % F.lit(_MOD32)).alias("h2"),
     )
     hashed = halves.select(
         id_col,
@@ -216,17 +229,31 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard via inverted index: only pairs sharing at
     least one shingle are scored. jaccard = |A∩B| / (|A|+|B|-|A∩B|).
 
     The shingle join is the only shuffle that grows with corpus size;
     joining on the packed 60-bit shingle hash (not the string) keeps
-    shuffle keys fixed-width. Hot shingles (stopword runs) are the skew
-    risk — at scale, drop shingles with document frequency above a cap
-    (standard practice) before the join.
+    shuffle keys fixed-width.
+
+    ``max_df`` is the hot-shingle guard: shingles appearing in more than
+    max_df documents are dropped from the universe BEFORE the pair join
+    (the standard stopword-run defense — one viral shingle otherwise
+    produces df² join rows in a single task). Doc sizes are computed on
+    the capped universe, so the Jaccard stays internally consistent.
+    None = exact (no cap); at 100 TB always set it.
     """
     sh = shingle_hashes(df, text_col, id_col, shingle_n).distinct()
+    if max_df is not None:
+        keep = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("s")
+        )
+        sh = sh.join(keep, "s", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "s")
     b = sh.select(F.col(id_col).alias("id_b"), "s")
@@ -269,24 +296,27 @@ def simhash(
     hx = toks.withColumn(
         "hv", F.conv(F.substring(_md5(F.col("w")), 1, 8), 16, 10).cast("long")
     )
-    bitpos = hx.select(
-        id_col,
-        "hv",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+    # one flat ±1 vote aggregate per bit — NOT an explode over bit
+    # positions (that multiplies the token stream ×bits; at 100 TB the
+    # 32× intermediate is the difference between one map-side-combined
+    # shuffle of ≤ one row per doc and a 32×-token shuffle). Same values
+    # as the exploded form, bit for bit.
+    votes = hx.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(bits)
+        ]
     )
-    bit = F.expr("shiftright(hv, b)").bitwiseAND(F.lit(1))
-    votes = (
-        bitpos.withColumn("vote", F.when(bit == 1, 1).otherwise(-1))
-        .groupBy(id_col, "b")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(
-                F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+    sig = F.lit(0).cast("long")
+    for b in range(bits):
+        sig = sig + F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_hamming_pairs(

@@ -480,12 +480,16 @@ def _shingle_cte(where: str = "") -> str:
     """
 
 
-# Kirsch-Mitzenmacher double hashing off one md5 of the shingle hash
-# (mirrors operators/dedup.minhash_signature_array exactly)
+# Kirsch-Mitzenmacher double hashing; h1/h2 from multiply-mod mixing of
+# the packed shingle hash's 30-bit halves (mirrors
+# operators/dedup.minhash_signature_array exactly — zero md5 here, all
+# 64-bit-safe integer arithmetic)
 _MINHASH_CTE = """
     mh AS (SELECT doc_id, h,
-                  min((('0x' || substr(md5(s::VARCHAR), 1, 8))::BIGINT
-                       + h * ('0x' || substr(md5(s::VARCHAR), 9, 8))::BIGINT)
+                  min((((s % 1073741824) * 2246822507
+                        + (s >> 30) * 3266489917) % 4294967296
+                       + h * (((s % 1073741824) * 668265261
+                               + (s >> 30) * 374761393) % 4294967296))
                       % 4294967296) AS sig
            FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS h) hs
            GROUP BY doc_id, h)
@@ -596,6 +600,42 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ngram_jaccard_capped",
+    f"""
+    WITH {_shingle_cte()},
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    keep AS (SELECT s FROM shd GROUP BY s HAVING count(*) <= 20),
+    shc AS (SELECT shd.doc_id, shd.s FROM shd JOIN keep USING (s)),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+              FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT id_a, id_b, n_inter,
+           round(n_inter / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    ORDER BY n_inter / (sa.n + sb.n - n_inter) DESC, id_a ASC, id_b ASC
+    LIMIT 30
+    """,
+)
+def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard with the hot-shingle document-frequency cap
+    (max_df=20): shingles in more than 20 docs are dropped before the
+    inverted-index join — the skew defense a 100 TB corpus needs (one
+    viral stopword run otherwise lands df² rows in a single task). The
+    oracle applies the identical cap, so the capped semantics are
+    value-checked, not just smoke-tested."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(d, max_df=20)
+    return (
+        pairs.orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(30)
+        .select("id_a", "id_b", "n_inter", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 _SIMHASH_CTE = """
     toksd AS (SELECT doc_id,
                      unnest(list_distinct(string_split(lower(text), ' '))) AS w
@@ -645,6 +685,39 @@ def simhash_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy(F.col("hamming").asc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(20)
+    )
+
+
+@register(
+    "simhash_banded_pairs",
+    f"""
+    WITH {_SIMHASH_CTE.format(where="")},
+    exploded AS (SELECT doc_id, simhash,
+                        unnest(generate_series(0, 3)) AS band
+                 FROM simh),
+    keyed AS (SELECT doc_id, simhash, band,
+                     (simhash >> (band * 8)) & 255 AS band_key
+              FROM exploded),
+    cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.simhash AS sh_a, b.simhash AS sh_b
+              FROM keyed a JOIN keyed b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
+def simhash_banded_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs the 100 TB way: docs agreeing on ≥1 of 4
+    8-bit sub-keys become candidates (guaranteed recall for hamming < 4),
+    then exact hamming verification — an equi-join on (band, band_key),
+    never a cross product (asserted in tests/test_plans.py). Runs over
+    the FULL documents table, unlike the capped all-pairs form."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.simhash_banded_pairs(dd.simhash(d), max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
 
 
