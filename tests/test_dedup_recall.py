@@ -173,3 +173,54 @@ def test_connected_components_planted_chain(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(nodes, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10, 20: 20}
+
+
+def test_min_label_raises_on_nonconvergence(spark):
+    import pytest
+
+    from vector_db_setup_spark.operators.graph import connected_components
+
+    # path of 12 nodes needs ~11 rounds; cap at 3 -> must raise, not
+    # silently return partial labels
+    nodes = spark.createDataFrame([(i,) for i in range(12)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=3)
+
+
+def test_star_cc_matches_min_label_on_random_graph(spark):
+    from vector_db_setup_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(11)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    a = {r["id"]: r["component"] for r in connected_components(nodes_df, edges_df).collect()}
+    b = {
+        r["id"]: r["component"]
+        for r in connected_components_star(nodes_df, edges_df).collect()
+    }
+    assert a == b
+
+
+def test_star_cc_long_chain_converges_in_log_rounds(spark):
+    """Planted pathological graph: a 10k-node path (diameter 10k). Plain
+    min-label propagation needs ~10k rounds; large-star/small-star must
+    close it within O(log² n) — max_iter=20 would fail otherwise."""
+    from vector_db_setup_spark.operators.graph import connected_components_star
+
+    n = 10_000
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = connected_components_star(nodes, edges, max_iter=20)
+    comps = got.select("component").distinct().collect()
+    assert [r["component"] for r in comps] == [0]
+    assert got.count() == n

@@ -1,0 +1,124 @@
+"""Real-model embedding adapter seam (functions/embed.embed_with_model):
+contract-tested with an injected fake model — sentence-transformers is
+not in this container, so the seam is proven with the same ``encode``
+surface the real model exposes (reference fever_multi_agent.py:49-56).
+
+The fake model/loader are built INSIDE each test (closures): cloudpickle
+ships them by value to executor workers, exactly how a user would inject
+a custom loader from a notebook.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_ORACLE
+from vector_db_setup_spark.functions import embed
+from vector_db_setup_spark.sources.registry import load_table
+
+DIM = 6
+
+
+def _ref_encode(texts):
+    """Driver-side reference of the fake model's deterministic output."""
+    return np.asarray(
+        [
+            [
+                float((len(t) * (i + 1) + sum(map(ord, t[:3]))) % 97)
+                for i in range(DIM)
+            ]
+            for t in texts
+        ],
+        dtype=np.float64,
+    )
+
+
+def _make_loader():
+    """Build a picklable-by-value loader (closure, not module global)."""
+
+    def loader():
+        class FakeSentenceModel:
+            def encode(self, texts):
+                return np.asarray(
+                    [
+                        [
+                            float(
+                                (len(t) * (i + 1) + sum(map(ord, t[:3]))) % 97
+                            )
+                            for i in range(6)
+                        ]
+                        for t in texts
+                    ],
+                    dtype=np.float64,
+                )
+
+        return FakeSentenceModel()
+
+    return loader
+
+
+def test_embed_with_model_contract(spark):
+    d = load_table(spark, SF_ORACLE, "documents").filter("doc_id < 30")
+    out = embed.embed_with_model(d, _make_loader(), text_col="text")
+    rows = out.select("doc_id", "text", "embedding").collect()
+    assert len(rows) == 30
+    for r in rows:
+        want = _ref_encode([r["text"]])[0]
+        assert r["embedding"] == pytest.approx(list(want))
+    # schema: input columns preserved + array<double> appended
+    assert out.schema[-1].simpleString() == "embedding:array<double>"
+    assert [f.name for f in out.schema.fields[:-1]] == [
+        f.name for f in d.schema.fields
+    ]
+
+
+def test_embed_with_model_batching_equivalent(spark):
+    d = load_table(spark, SF_ORACLE, "documents").filter("doc_id < 25")
+    a = {
+        r["doc_id"]: r["embedding"]
+        for r in embed.embed_with_model(d, _make_loader()).collect()
+    }
+    b = {
+        r["doc_id"]: r["embedding"]
+        for r in embed.embed_with_model(
+            d, _make_loader(), batch_rows=4
+        ).collect()
+    }
+    assert a == b
+
+
+def test_model_loads_once_per_process():
+    calls = {"n": 0}
+
+    def loader():
+        calls["n"] += 1
+        return object()
+
+    embed._MODEL_CACHE.pop("k1", None)
+    m1 = embed._get_or_load("k1", loader)
+    m2 = embed._get_or_load("k1", loader)
+    assert m1 is m2
+    assert calls["n"] == 1
+    embed._MODEL_CACHE.pop("k1", None)
+
+
+def test_adapter_feeds_knn_like_hash_embedder(spark):
+    """Swapping embedders must not change the downstream plan contract:
+    the adapter's output drives the same KNN operator."""
+    from vector_db_setup_spark.operators.knn import knn_topk
+
+    d = load_table(spark, SF_ORACLE, "documents").filter("doc_id < 50")
+    emb = embed.embed_with_model(d, _make_loader())
+    qv = _ref_encode(["probe text"])[0]
+    top = knn_topk(
+        emb, "embedding", list(qv), k=3, metric="l2", id_col="doc_id"
+    ).collect()
+    assert len(top) == 3
+    assert top[0]["distance"] <= top[-1]["distance"]
+
+
+def test_sentence_transformer_loader_raises_cleanly():
+    loader = embed.sentence_transformer_loader()
+    with pytest.raises(ImportError, match="sentence-transformers"):
+        loader()

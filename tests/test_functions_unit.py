@@ -165,3 +165,16 @@ def test_grouped_mad_matches_numpy(spark):
     assert got["b"] == 0.0
     x = np.array([1, 2, 9], dtype=float)
     assert got["a"] == round(float(np.median(np.abs(x - np.median(x)))), 2)
+
+
+def test_grouped_mad_nonstring_key(spark):
+    from vector_db_setup_spark.operators.grouped import grouped_mad
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 3.0), (1, 5.0), (2, 10.0), (2, 10.0)],
+        "uid long, v double",
+    )
+    got = {r["uid"]: r["mad"] for r in grouped_mad(df, "uid", "v").collect()}
+    assert got == {1: 2.0, 2: 0.0}
+    # key dtype survives the Arrow boundary
+    assert dict(grouped_mad(df, "uid", "v").dtypes)["uid"] == "bigint"

@@ -203,3 +203,9 @@ def test_audio_features_contract(spark):
         assert r["n_samples"] == 16
         assert 0.0 <= r["rms"] <= 1.0
         assert 0 <= r["zero_crossings"] < 16
+
+
+def test_decode_image_empty_payload():
+    arr = decode_image(b"")
+    assert arr.shape == (1, 1, 3)
+    assert (arr == 0).all()

@@ -177,3 +177,14 @@ def test_hll_rollup_accuracy_and_merge(spark):
             r["scope"], r["day"], r["est_users"], exact,
         )
     assert sum(1 for r in res if r["scope"] == "total") == 1
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    o = spark.createDataFrame([(1, "x")], "k long, v string")
+    c = spark.createDataFrame([(1, "y")], "k long, w string")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(o, c, "k", how="right")
+    with pytest.raises(ValueError, match="inner/left"):
+        salted_join(o, c, "k", how="full")

@@ -64,7 +64,9 @@ class Engine:
         )
         # fixture embeddings are 64-d; pad/trim the query to match
         qvec = (qvec + [0.0] * 64)[:64]
-        rows = knn_topk(joined, "embedding", qvec, k=top_k).collect()
+        rows = knn_topk(
+            joined, "embedding", qvec, k=top_k, id_col="doc_id"
+        ).collect()
         return [r["text"] for r in rows]
 
     # -- fever_multi_agent.py:222-255 (retrieve → answer×3 → judge → edit) --

@@ -41,6 +41,100 @@ def hash_embed_expr(text: Column | str, dim: int = DEFAULT_DIM) -> Column:
     return F.array(*comps)
 
 
+# ---------------------------------------------------------------------------
+# Real-model adapter seam (reference fever_multi_agent.py:49-56 loads a
+# SentenceTransformer once at module import and encodes claim text
+# in-process; the Spark restatement loads the model once PER EXECUTOR
+# PROCESS and batch-encodes per Arrow batch).
+# ---------------------------------------------------------------------------
+
+# per-worker-process model cache: mapInPandas workers are long-lived
+# Python processes, so the loader runs once per executor, not per batch
+_MODEL_CACHE: dict[str, object] = {}
+
+
+def _get_or_load(key: str, loader):
+    """Per-process lazy singleton: the heavyweight model load happens at
+    most once per (executor process, key)."""
+    if key not in _MODEL_CACHE:
+        _MODEL_CACHE[key] = loader()
+    return _MODEL_CACHE[key]
+
+
+def embed_with_model(
+    df,
+    model_loader,
+    text_col: str = "text",
+    out_col: str = "embedding",
+    batch_rows: int | None = None,
+):
+    """Attach ``out_col: array<double>`` by batch-encoding ``text_col``
+    through a user-supplied model.
+
+    ``model_loader`` is a zero-arg picklable callable returning an object
+    with ``encode(list[str]) -> (n, dim) array-like`` (the
+    sentence-transformers surface). It ships to executors by pickle;
+    the heavy load runs lazily, once per executor process (module-level
+    cache keyed by the loader's qualified name) — NOT per batch and NOT
+    on the driver. Arrow moves only strings in / float arrays out.
+
+    This is the production seam behind the deterministic
+    ``hash_embed_expr/udf`` stand-ins: same DataFrame contract, so
+    downstream KNN/dedup plans are unchanged whichever embedder runs.
+    """
+    import numpy as np
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    key = f"{getattr(model_loader, '__module__', '')}." \
+          f"{getattr(model_loader, '__qualname__', repr(model_loader))}"
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, ArrayType(DoubleType()))]
+    )
+
+    def _gen(batches):
+        model = _get_or_load(key, model_loader)
+        for pdf in batches:
+            texts = pdf[text_col].astype(str).tolist()
+            if batch_rows:
+                chunks = [
+                    texts[i : i + batch_rows]
+                    for i in range(0, len(texts), batch_rows)
+                ]
+            else:
+                chunks = [texts] if texts else []
+            vecs = [
+                np.asarray(model.encode(c), dtype=np.float64) for c in chunks
+            ]
+            mat = np.concatenate(vecs) if vecs else np.zeros((0, 0))
+            out = pdf.copy()
+            out[out_col] = [row.tolist() for row in mat]
+            yield out
+
+    return df.mapInPandas(_gen, schema=out_schema)
+
+
+def sentence_transformer_loader(model_name: str = "all-MiniLM-L6-v2"):
+    """Loader factory for the reference's embedder
+    (fever_multi_agent.py:49-56). Returns a zero-arg callable for
+    ``embed_with_model``; raises ImportError at call time if
+    sentence-transformers/torch aren't installed (they are not in this
+    container — inject a fake model with the same ``encode`` surface to
+    exercise the seam, as tests/test_embed_adapter.py does)."""
+
+    def _load():
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "sentence-transformers is not installed in this "
+                "environment; embed_with_model accepts any loader whose "
+                "model exposes encode(list[str]) -> (n, dim) array"
+            ) from e
+        return SentenceTransformer(model_name)
+
+    return _load
+
+
 def hash_embed_udf(dim: int = DEFAULT_DIM):
     """Arrow-batched pandas UDF computing the same embedding.
 

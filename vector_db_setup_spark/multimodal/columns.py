@@ -69,6 +69,11 @@ def decode_image(payload: bytes, real: bool = False) -> np.ndarray:
             "deterministic fake decode is the supported path"
         )
     b = np.frombuffer(payload, dtype=np.uint8)
+    if len(b) == 0:
+        # deterministic fallback for empty payloads (mirrors the
+        # empty-payload handling in extract_image_features): one black
+        # pixel rather than an IndexError that fails the whole stage
+        return np.zeros((1, 1, 3), dtype=np.uint8)
     h, w = max(int(b[0]) % 8, 1) + 1, max(int(b[-1]) % 8, 1) + 1
     rng = np.random.default_rng(int(b.sum()))
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)

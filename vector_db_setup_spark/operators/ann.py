@@ -81,6 +81,7 @@ def ivf_search(
     nprobe: int = 4,
     vec_col: str = "embedding",
     metric: str = "l2",
+    id_col: str | None = "vec_id",
 ) -> DataFrame:
     """Probe the nprobe nearest centroids, exact top-k within them.
 
@@ -91,7 +92,7 @@ def ivf_search(
     d2 = ((centroids - q) ** 2).sum(axis=1)
     probe = [int(i) for i in np.argsort(d2)[:nprobe]]
     cand = assigned.filter(F.col("cluster_id").isin(probe))
-    return knn_topk(cand, vec_col, list(q), k=k, metric=metric)
+    return knn_topk(cand, vec_col, list(q), k=k, metric=metric, id_col=id_col)
 
 
 def random_hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:

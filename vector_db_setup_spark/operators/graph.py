@@ -49,6 +49,7 @@ def connected_components(
     sym = sym.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
 
+    changed = -1
     for _ in range(max_iter):
         # min label among each node's neighbors
         nbr_min = (
@@ -75,4 +76,94 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations ({changed} labels still changing) — the graph "
+            "diameter exceeds max_iter; raise it, or use "
+            "connected_components_star (O(log² n) rounds on long chains)"
+        )
     return labels.select("id", F.col("comp").alias("component"))
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star — the
+    O(log² n)-round formulation for graphs whose diameter makes plain
+    min-label propagation (O(diameter) rounds) infeasible, e.g. long
+    duplicate chains. Same contract as ``connected_components``:
+    (id, component) with component = min reachable node id.
+
+    Each round:
+    - large-star: every node u points its LARGER neighbors at
+      m = min(Γ(u) ∪ {u});
+    - small-star: every node u (as the larger endpoint of its oriented
+      edges) points its smaller neighbors — and itself — at the minimum
+      of them.
+    Both are one groupBy + one join over the edge set (shuffle keyed on
+    node id); the edge set never grows beyond the input size, and at
+    convergence every edge is (node, component-min). Converged when a
+    full round leaves the canonical edge set unchanged (two exceptAll
+    counts on localCheckpoint'd sets). Raises on non-convergence rather
+    than returning partial labels.
+    """
+    e = (
+        edges.select(
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("hi"),
+            F.least(F.col(src_col), F.col(dst_col)).alias("lo"),
+        )
+        .filter(F.col("hi") != F.col("lo"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = e.isEmpty()
+    for _ in range(max_iter):
+        if converged:
+            break
+        # large-star: sym neighborhoods; larger neighbors -> group min
+        sym = e.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+            e.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        )
+        m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # small-star: edges already oriented hi > lo; point all smaller
+        # neighbors (and hi itself) at the per-hi minimum
+        mn = ls.groupBy("hi").agg(F.min("lo").alias("m"))
+        joined = ls.join(mn, "hi")
+        new_e = (
+            joined.select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .union(joined.select(F.col("hi"), F.col("m").alias("lo")))
+            .filter(F.col("hi") != F.col("lo"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty()
+        )
+        e = new_e
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} rounds"
+        )
+    roots = e.groupBy("hi").agg(F.min("lo").alias("component"))
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(roots.withColumnRenamed("hi", "id"), "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("component")
+        )
+    )

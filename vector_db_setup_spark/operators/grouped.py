@@ -30,5 +30,6 @@ def grouped_mad(
         mad = float(np.median(np.abs(x - med)))
         return pd.DataFrame({key_col: [pdf[key_col].iloc[0]], out_col: [round(mad, ndigits)]})
 
-    schema = f"{key_col} string, {out_col} double"
+    key_type = df.schema[key_col].dataType.simpleString()
+    schema = f"{key_col} {key_type}, {out_col} double"
     return df.select(key_col, val_col).groupBy(key_col).applyInPandas(_mad, schema)

@@ -56,6 +56,7 @@ def knn_topk(
     k: int = 5,
     metric: str = "l2",
     dist_col: str = "distance",
+    id_col: str | None = None,
 ) -> DataFrame:
     """Exact top-k nearest rows to a literal query vector.
 
@@ -63,11 +64,18 @@ def knn_topk(
     fever_multi_agent.py:58). Physical plan: TakeOrderedAndProject —
     verify with ``.explain()``; there must be no Exchange before the
     top-k.
+
+    Pass ``id_col`` to total-order the cut: ties at the k-th distance
+    (duplicate vectors) are then broken deterministically on the id, the
+    same order every DuckDB oracle uses, instead of arbitrarily.
     """
     q = vector_literal(query_vec)
+    order = [F.col(dist_col).asc()]
+    if id_col is not None:
+        order.append(F.col(id_col).asc())
     return (
         df.withColumn(dist_col, distance_expr(metric, F.col(vec_col), q))
-        .orderBy(dist_col)
+        .orderBy(*order)
         .limit(k)
     )
 

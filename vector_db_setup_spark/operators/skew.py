@@ -31,7 +31,16 @@ def salted_join(
 
     With hot_keys=None every key is salted (uniform n_salts× dim
     blow-up); with an explicit hot list only those explode.
+
+    Only inner/left joins are supported: with right/full outer, every
+    exploded dim copy that finds no fact match would survive as its own
+    output row, duplicating unmatched dim rows n_salts×.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r} "
+            "(outer-preserved dim rows would duplicate per salt)"
+        )
     if hot_keys is None:
         fact_s = fact.withColumn(
             "__salt", (F.rand(seed=42) * n_salts).cast("int")

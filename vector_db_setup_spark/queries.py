@@ -117,7 +117,7 @@ def knn_l2_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = docs.join(
         embs, docs.doc_id == embs.vec_id, "inner"
     ).filter(F.col("text").isNotNull() & (F.length("text") > 0))
-    knn = knn_topk(joined, "embedding", qv, k=5, metric="l2")
+    knn = knn_topk(joined, "embedding", qv, k=5, metric="l2", id_col="doc_id")
     return (
         knn.orderBy(F.col("distance").asc(), F.col("doc_id").asc())
         .select(
@@ -140,13 +140,23 @@ def knn_l2_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cosine-distance top-10 (pgvector ``<=>`` analogue)."""
+    """Cosine-distance top-10 (pgvector ``<=>`` analogue). Ranks on the
+    ROUNDED distance + vec_id — exactly the expression the oracle's
+    ORDER BY uses, so boundary ties select the same rows."""
+    from vector_db_setup_spark.functions.vector import (
+        cosine_distance,
+        vector_literal,
+    )
+
     embs = load_table(spark, sf_dir, "embeddings")
     qv = _query_vector(spark, sf_dir)
-    knn = knn_topk(embs, "embedding", qv, k=10, metric="cosine")
+    scored = embs.withColumn(
+        "distance",
+        F.round(cosine_distance(F.col("embedding"), vector_literal(qv)), 6),
+    )
     return (
-        knn.withColumn("distance", F.round("distance", 6))
-        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        scored.orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(10)
         .select("vec_id", "distance")
     )
 
@@ -1998,7 +2008,7 @@ def multimodal_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fvec", F.col("histogram").cast("array<double>")
     )
     q = feats.filter(F.col("doc_id") == 0).select("fvec").first()[0]
-    out = knn_topk(feats, "fvec", q, k=5)
+    out = knn_topk(feats, "fvec", q, k=5, id_col="doc_id")
     return (
         out.orderBy(F.col("distance").asc(), F.col("doc_id").asc())
         .select("doc_id", F.round("distance", 6).alias("distance"))
@@ -2131,7 +2141,7 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     embs = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qv = _query_vector(spark, sf_dir)
     joined = docs.join(embs, docs.doc_id == embs.vec_id)
-    out = knn_topk(joined, "embedding", qv, k=5, metric="l2")
+    out = knn_topk(joined, "embedding", qv, k=5, metric="l2", id_col="doc_id")
     return out.select(
         "doc_id", "lang", F.round("distance", 6).alias("distance")
     )
@@ -2910,6 +2920,40 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.abs(F.col("n_chars") - F.col("dst_n")) <= 50)
     )
     cc = connected_components(
+        d.select("doc_id"), cand, id_col="doc_id", src_col="src", dst_col="dst"
+    )
+    return (
+        cc.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "dedup_components_star",
+    # identical semantics to dedup_components — same recursive-CTE oracle
+    _ORACLES["dedup_components"],
+)
+def dedup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(log² n)-round closure: same candidate edges as
+    dedup_components, closed with alternating large-star/small-star
+    (operators/graph.connected_components_star) instead of min-label
+    propagation — the variant that survives long duplicate chains whose
+    diameter would starve the plain loop."""
+    from vector_db_setup_spark.operators.graph import connected_components_star
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    cand = d.select(
+        F.col("doc_id").alias("src"),
+        F.lead("doc_id").over(w).alias("dst"),
+        "n_chars",
+        F.lead("n_chars").over(w).alias("dst_n"),
+    ).filter(
+        F.col("dst").isNotNull()
+        & (F.abs(F.col("n_chars") - F.col("dst_n")) <= 50)
+    )
+    cc = connected_components_star(
         d.select("doc_id"), cand, id_col="doc_id", src_col="src", dst_col="dst"
     )
     return (
