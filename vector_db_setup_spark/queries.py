@@ -118,13 +118,13 @@ def knn_l2_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
         embs, docs.doc_id == embs.vec_id, "inner"
     ).filter(F.col("text").isNotNull() & (F.length("text") > 0))
     knn = knn_topk(joined, "embedding", qv, k=5, metric="l2", id_col="doc_id")
-    return (
-        knn.orderBy(F.col("distance").asc(), F.col("doc_id").asc())
-        .select(
-            "doc_id",
-            F.col("text").alias("content"),
-            F.round("distance", 6).alias("distance"),
-        )
+    # no outer orderBy: knn_topk already total-orders (distance, doc_id)
+    # inside the TakeOrderedAndProject — a re-sort of 5 rows would only
+    # add a redundant Sort node to the plan
+    return knn.select(
+        "doc_id",
+        F.col("text").alias("content"),
+        F.round("distance", 6).alias("distance"),
     )
 
 
@@ -643,6 +643,142 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
         .limit(30)
         .select("id_a", "id_b", "n_inter", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@register(
+    "doc_repetition",
+    """
+    WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+                  FROM documents),
+    sh AS (SELECT doc_id,
+                  unnest(list_transform(
+                      generate_series(1, greatest(len(w) - 1, 0)),
+                      i -> ('0x' || substr(md5(w[i]), 1, 5))::BIGINT
+                           + ('0x' || substr(md5(w[i+1]), 1, 5))::BIGINT
+                             * 1048576)) AS s
+           FROM toks)
+    SELECT doc_id, count(*) AS n_grams,
+           count(DISTINCT s) AS n_distinct,
+           round(1.0 - count(DISTINCT s)::DOUBLE / count(*), 6) AS rep_ratio
+    FROM sh GROUP BY doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicate word
+    bigrams per document (1 - distinct/total). High values mark
+    low-quality boilerplate/repetitive text for corpus filtering. One
+    map-side-combined groupBy over codegen'd packed bigram hashes."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dd.shingle_hashes(d, shingle_n=2)
+    return sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.countDistinct("s").alias("n_distinct"),
+        F.round(
+            1.0 - F.countDistinct("s") / F.count(F.lit(1)), 6
+        ).alias("rep_ratio"),
+    )
+
+
+@register(
+    "benchmark_overlap",
+    f"""
+    WITH {_shingle_cte()},
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    bench AS (SELECT DISTINCT s FROM shd WHERE doc_id < 20),
+    corpus AS (SELECT doc_id, s FROM shd WHERE doc_id >= 20),
+    hits AS (SELECT c.doc_id, count(*) AS n_hit
+             FROM corpus c JOIN bench b USING (s) GROUP BY c.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_total FROM corpus GROUP BY doc_id)
+    SELECT s.doc_id,
+           s.n_total,
+           coalesce(h.n_hit, 0) AS n_hit,
+           round(coalesce(h.n_hit, 0)::DOUBLE / s.n_total, 6) AS containment,
+           coalesce(h.n_hit, 0)::DOUBLE / s.n_total >= 0.5 AS contaminated
+    FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+    """,
+)
+def benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination check (the n-gram containment every
+    training-data pipeline runs before shipping a corpus): docs 0-19
+    play the held-out benchmark; every other doc's 3-gram containment
+    |sh(doc) ∩ sh(bench)| / |sh(doc)| is computed via a BROADCAST
+    semi-aggregate join on packed shingle hashes — the benchmark side is
+    tiny by definition, so the 100 TB corpus never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dd.shingle_hashes(d).distinct()
+    bench = sh.filter(F.col("doc_id") < 20).select("s").distinct()
+    corpus = sh.filter(F.col("doc_id") >= 20)
+    hits = (
+        corpus.join(F.broadcast(bench), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_total",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_total"), 6
+            ).alias("containment"),
+            (
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_total") >= 0.5
+            ).alias("contaminated"),
+        )
+    )
+
+
+@register(
+    "dedup_keepers",
+    f"""
+    WITH RECURSIVE {_shingle_cte()}, {_MINHASH_CTE},
+    banded AS (
+        SELECT doc_id, h // 2 AS band,
+               string_agg(sig::VARCHAR, ',' ORDER BY sig ASC) AS band_key
+        FROM mh GROUP BY doc_id, h // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM cand
+            UNION SELECT id_b, id_a FROM cand),
+    reach(id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
+    ),
+    cc AS (SELECT id AS doc_id, min(comp) AS keeper_id FROM reach GROUP BY id)
+    SELECT doc_id, keeper_id, doc_id != keeper_id AS is_dup FROM cc
+    """,
+)
+def dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END fuzzy dedup, materialized: MinHash-LSH candidate pairs
+    → connected components → canonical keeper (min doc id) per cluster →
+    per-document (keeper_id, is_dup) verdict — the full pipeline a
+    training corpus actually applies before writing cleaned shards. The
+    oracle recomputes the identical closure with a recursive CTE, so
+    LSH + graph closure + keeper choice are value-checked end to end."""
+    from vector_db_setup_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    edges = dd.minhash_lsh_candidates(d)
+    cc = connected_components(
+        d.select("doc_id"),
+        edges,
+        id_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("keeper_id"),
+        (F.col("id") != F.col("component")).alias("is_dup"),
     )
 
 
