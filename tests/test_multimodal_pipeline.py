@@ -209,3 +209,49 @@ def test_decode_image_empty_payload():
     arr = decode_image(b"")
     assert arr.shape == (1, 1, 3)
     assert (arr == 0).all()
+
+
+def test_csv_roundtrip_and_quarantine(spark, tmp_path):
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from vector_db_setup_spark.sources.csv import (
+        CORRUPT_COL,
+        read_csv,
+        write_csv,
+    )
+
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, "alpha", 0.5), (2, "beta", 1.25), (3, "gamma", -2.0)], schema
+    )
+    path = str(tmp_path / "csv_rt")
+    write_csv(df, path)
+    back = read_csv(spark, path, schema)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    # limit pushes into the scan
+    assert read_csv(spark, path, schema, limit=2).count() == 2
+
+    # quarantine: a malformed row lands in _corrupt_record, not an error
+    bad = tmp_path / "bad.csv"
+    bad.write_text("id,name,score\n1,ok,1.0\nnot_a_number,broken,xyz\n")
+    got = read_csv(spark, str(bad), schema, keep_corrupt=True)
+    rows = got.collect()
+    assert len(rows) == 2
+    corrupt = [r for r in rows if r[CORRUPT_COL] is not None]
+    clean = [r for r in rows if r[CORRUPT_COL] is None]
+    assert len(corrupt) == 1 and len(clean) == 1
+    assert clean[0]["id"] == 1

@@ -188,3 +188,67 @@ def test_salted_join_rejects_outer(spark):
         salted_join(o, c, "k", how="right")
     with pytest.raises(ValueError, match="inner/left"):
         salted_join(o, c, "k", how="full")
+
+
+def test_zorder_write_prunes_both_columns(spark, tmp_path):
+    """Z-order clustering must keep parquet footer min/max NARROW on the
+    SECOND key too: a range filter on col_b overlaps fewer files than a
+    plain col_a-sorted layout (where col_b spans everything in every
+    file)."""
+    import pyarrow.parquet as pq
+
+    from vector_db_setup_spark.plans.storage import write_zordered
+
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.col("id").alias("a"),
+        F.pmod(F.col("id") * 7919, F.lit(n)).alias("b"),  # decorrelated
+        (F.col("id") % 97).alias("payload"),
+    )
+    z_path, lin_path = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    write_zordered(df, z_path, "a", "b", n_files=8)
+    (
+        df.repartitionByRange(8, "a")
+        .sortWithinPartitions("a")
+        .write.mode("overwrite")
+        .parquet(lin_path)
+    )
+
+    def overlap_fraction(path, col, lo, hi):
+        import glob
+
+        files = glob.glob(f"{path}/*.parquet")
+        hit = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            j = next(
+                j
+                for j in range(md.num_columns)
+                if md.row_group(0).column(j).path_in_schema == col
+            )
+            mins = [
+                md.row_group(i).column(j).statistics.min
+                for i in range(md.num_row_groups)
+            ]
+            maxs = [
+                md.row_group(i).column(j).statistics.max
+                for i in range(md.num_row_groups)
+            ]
+            if min(mins) <= hi and max(maxs) >= lo:
+                hit += 1
+        return hit / max(len(files), 1)
+
+    lo, hi = 0, n // 16  # narrow range on b
+    z_frac = overlap_fraction(z_path, "b", lo, hi)
+    lin_frac = overlap_fraction(lin_path, "b", lo, hi)
+    # linear layout: b spans everything in every file -> always 1.0;
+    # zorder: only files whose b-range overlaps
+    assert lin_frac == 1.0
+    assert z_frac < lin_frac
+
+    # and correctness: the clustered copy holds the same rows
+    got = sorted(tuple(r) for r in spark.read.parquet(z_path).collect())
+    want = sorted(tuple(r) for r in df.collect())
+    assert got == want

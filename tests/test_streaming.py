@@ -171,3 +171,48 @@ def test_knn_stream_equals_batch(spark, tmp_path):
         for r in batch_knn_join(to_queries(corpus), corpus, k=5).collect()
     )
     assert got == want and len(got) == 15
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """Stream-stream attribution join (purchases x prior clicks within
+    the horizon) must emit exactly the batch interval join's pairs."""
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.streaming.events import (
+        click_purchase_stream_join,
+    )
+
+    ev = stream_events(spark, SF_SMOKE)
+    out = click_purchase_stream_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon_seconds=3600,
+    )
+    run_to_memory(out, "t_ssjoin", mode="append")
+    got = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in spark.table("t_ssjoin").collect()
+    )
+
+    from vector_db_setup_spark.sources.registry import load_table
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    c = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = sorted(
+        (r["purchase_id"], r["click_id"])
+        for r in p.join(c, "user_id")
+        .filter(
+            (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 3600 SECONDS"))
+            & (F.col("click_ts") < F.col("purchase_ts"))
+        )
+        .collect()
+    )
+    assert len(want) > 0
+    assert got == want

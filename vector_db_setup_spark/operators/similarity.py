@@ -83,6 +83,47 @@ def _topk_pairs(
     return ids_a[order], ids_b[order], sims[order]
 
 
+def _matrix_topk(
+    sims: np.ndarray,
+    aids: np.ndarray,
+    bids: np.ndarray,
+    k: int | None,
+    min_s: float | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Select pairs from a dense m×n similarity block WITHOUT
+    materializing per-cell index arrays (the O(cells) id expansion was
+    2-3× the GEMM cost, profiled at 100k vectors): threshold on the
+    k-th-largest value (and/or min_s) first, expand indices only for the
+    tiny surviving set. Cells already invalidated by the caller hold
+    -inf. Orientation (min, max) is applied after selection."""
+    flat = sims.ravel()
+    thresh = -np.inf
+    if k is not None and flat.size > k:
+        thresh = -np.partition(-flat, k - 1)[k - 1]
+    if min_s is not None:
+        thresh = max(thresh, min_s)
+    if thresh > -np.inf:
+        sel = np.nonzero(flat >= thresh)[0]
+    else:
+        sel = np.nonzero(flat > -np.inf)[0]
+    s = flat[sel]
+    ii, jj = np.divmod(sel, sims.shape[1])
+    xa, xb = aids[ii], bids[jj]
+    ia, jb = np.minimum(xa, xb), np.maximum(xa, xb)
+    if k is not None:
+        return _topk_pairs(ia, jb, s, k)
+    return ia, jb, s
+
+
+def _mask_lower_inclusive(sims: np.ndarray, row_offset: int) -> None:
+    """For a same-set block whose rows/cols are BOTH sorted by id and
+    whose row r is global row row_offset+r: invalidate cols j <= global
+    row index (keeps exactly the strict upper triangle = each unordered
+    pair once, id_a < id_b). Contiguous slice writes, no index arrays."""
+    for r in range(sims.shape[0]):
+        sims[r, : row_offset + r + 1] = -np.inf
+
+
 def cosine_topk_pairs_grid(
     emb: DataFrame,
     k: int,
@@ -124,48 +165,40 @@ def cosine_topk_pairs_grid(
 
     def _grid_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         g1, g2 = int(key[0]), int(key[1])
-        ids = pdf["id"].to_numpy(dtype=np.int64)
-        mat = _normalize(np.stack(pdf["vec"].to_numpy()).astype(np.float64))
-        blk = pdf["blk"].to_numpy()
-        if g1 == g2:
-            a_idx = np.arange(len(ids))
-            b_idx = a_idx
+        order = np.argsort(pdf["id"].to_numpy(), kind="stable")
+        ids = pdf["id"].to_numpy(dtype=np.int64)[order]
+        mat = _normalize(
+            np.stack(pdf["vec"].to_numpy())[order].astype(np.float64)
+        )
+        blk = pdf["blk"].to_numpy()[order]
+        same = g1 == g2
+        if same:
+            a_ids, a_mat = ids, mat
+            b_ids, b_mat = ids, mat
         else:
-            a_idx = np.nonzero(blk == g1)[0]
-            b_idx = np.nonzero(blk == g2)[0]
-        if len(a_idx) == 0 or len(b_idx) == 0:
+            am, bm_ = blk == g1, blk == g2
+            a_ids, a_mat = ids[am], mat[am]
+            b_ids, b_mat = ids[bm_], mat[bm_]
+        if len(a_ids) == 0 or len(b_ids) == 0:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
             )
-        bm = mat[b_idx]
-        bids = ids[b_idx]
-        step = max(1, _GEMM_CELLS // max(len(b_idx), 1))
+        step = max(1, _GEMM_CELLS // max(len(b_ids), 1))
         acc_a, acc_b, acc_s = [], [], []
-        for lo in range(0, len(a_idx), step):
-            sub = a_idx[lo : lo + step]
-            sims = mat[sub] @ bm.T
-            aids = ids[sub]
-            if g1 == g2:
-                # same set on both sides: i < j picks each pair once
-                keep = aids[:, None] < bids[None, :]
-                ii, jj = np.nonzero(keep)
-                ia, jb, s = aids[ii], bids[jj], sims[keep]
-            else:
-                # disjoint blocks: every cross pair is valid exactly once
-                # in this group; orient as (min, max)
-                ii, jj = np.nonzero(np.ones_like(sims, dtype=bool))
-                xa, xb = aids[ii], bids[jj]
-                ia = np.minimum(xa, xb)
-                jb = np.maximum(xa, xb)
-                s = sims.ravel()
-            ia, jb, s = _topk_pairs(ia, jb, s, k)
+        for lo in range(0, len(a_ids), step):
+            sims = a_mat[lo : lo + step] @ b_mat.T
+            if same:
+                # ids sorted both axes: strict upper triangle = each
+                # unordered pair exactly once (id_a < id_b)
+                _mask_lower_inclusive(sims, lo)
+            # cross blocks are disjoint: every cell valid exactly once
+            ia, jb, s = _matrix_topk(sims, a_ids[lo : lo + step], b_ids, k)
             acc_a.append(ia)
             acc_b.append(jb)
             acc_s.append(s)
-        ia = np.concatenate(acc_a)
-        jb = np.concatenate(acc_b)
-        s = np.concatenate(acc_s)
-        ia, jb, s = _topk_pairs(ia, jb, s, k)
+        ia, jb, s = _topk_pairs(
+            np.concatenate(acc_a), np.concatenate(acc_b), np.concatenate(acc_s), k
+        )
         return pd.DataFrame({"id_a": ia, "id_b": jb, "cosine": s})
 
     local = routed.groupBy("g1", "g2").applyInPandas(
@@ -212,13 +245,14 @@ def cosine_pairs_bucketed(
         step = max(1, _GEMM_CELLS // len(ids))
         for lo in range(0, len(ids), step):
             sims = mat[lo : lo + step] @ mat.T
-            aids = ids[lo : lo + step]
-            keep = aids[:, None] < ids[None, :]
-            ii, jj = np.nonzero(keep)
-            ia, jb, s = aids[ii], ids[jj], sims[keep]
-            if min_cosine is not None:
-                m = s >= min_cosine
-                ia, jb, s = ia[m], jb[m], s[m]
+            _mask_lower_inclusive(sims, lo)
+            ia, jb, s = _matrix_topk(
+                sims,
+                ids[lo : lo + step],
+                ids,
+                topk_per_bucket,
+                min_s=min_cosine,
+            )
             acc_a.append(ia)
             acc_b.append(jb)
             acc_s.append(s)
@@ -267,6 +301,8 @@ def cosine_topk_pairs_blocked(
     rows = emb.select(id_col, vec_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     nmat = _normalize(np.array([r[1] for r in rows], dtype=np.float64))
+    srt = np.argsort(ids)  # id-sorted so "j > i" = "col index > global row"
+    ids, nmat = ids[srt], nmat[srt]
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(nmat)
 
@@ -281,10 +317,9 @@ def cosine_topk_pairs_blocked(
             for lo in range(0, len(idx), blk):
                 sub = idx[lo : lo + blk]
                 sims = all_mat[sub] @ all_mat.T  # blk×N GEMM
-                keep = all_ids[sub][:, None] < all_ids[None, :]
-                ii, jj = np.nonzero(keep)
-                ia, jb, s = all_ids[sub][ii], all_ids[jj], sims[keep]
-                ia, jb, s = _topk_pairs(ia, jb, s, k)
+                for r, gi in enumerate(sub):
+                    sims[r, : gi + 1] = -np.inf  # keep strictly-larger ids
+                ia, jb, s = _matrix_topk(sims, all_ids[sub], all_ids, k)
                 s_acc.append(s); ia_acc.append(ia); jb_acc.append(jb)
             s = np.concatenate(s_acc) if s_acc else np.array([])
             ia = np.concatenate(ia_acc) if ia_acc else np.array([], dtype=np.int64)

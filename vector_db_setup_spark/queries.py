@@ -3224,3 +3224,166 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
     ).select(F.lit("total").alias("scope"), F.lit(None).cast("string").alias("day"), "est_users")
     return per_day.unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H query shapes round 2: scalar-subquery-on-aggregate, chained
+# EXISTS / NOT EXISTS, correlated argmin (SURVEY.md §2.3/§2.4 join+agg
+# surface — the shapes a warehouse migration exercises first)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "supplier_max_revenue",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1995-01-01'
+          AND l_shipdate <  DATE '1995-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS s_suppkey, s.s_name AS s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def supplier_max_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier, keep whoever hits
+    the GLOBAL max (scalar subquery on an aggregate). Spark form: the
+    1-row max re-joins as a broadcast — the big rev aggregate is computed
+    once and reused for both sides (no re-scan, no driver round-trip)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1995-04-01").cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_rev")
+        )
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    top = rev.join(F.broadcast(mx), rev.total_rev == F.col("mx")).drop("mx")
+    return (
+        s.join(top, s.s_suppkey == top.l_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "waiting_orders_suppliers",
+    """
+    SELECT s.s_name AS s_name, count(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 10
+    """,
+)
+def waiting_orders_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (receipt/commit dates absent in the fixture, so
+    l_returnflag='R' marks the 'failed' lineitem): suppliers who were
+    the ONLY returning supplier on a finished multi-supplier order —
+    a chained left-semi + left-anti on the same fact table, each hashed
+    on the order key (one equi condition + one inequality residual),
+    never a cross product."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    l1 = li.filter(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.filter(F.col("l_returnflag") == "R").alias("l3")
+    cand = (
+        l1.join(
+            o.filter(F.col("o_orderstatus") == "F"),
+            F.col("l1.l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            l2,
+            (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+            & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        cand.join(s, F.col("l1.l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "cheapest_supplier_per_part",
+    """
+    WITH costs AS (
+        SELECT l_partkey, l_suppkey,
+               round(min(l_extendedprice / l_quantity), 6) AS unit_price
+        FROM lineitem WHERE l_quantity > 0
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT c.l_partkey AS partkey, min(c.l_suppkey) AS suppkey,
+           c.unit_price
+    FROM costs c
+    WHERE c.unit_price = (SELECT min(unit_price) FROM costs c2
+                          WHERE c2.l_partkey = c.l_partkey)
+    GROUP BY c.l_partkey, c.unit_price
+    ORDER BY c.l_partkey
+    LIMIT 100
+    """,
+)
+def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table in the fixture, so lineitem
+    plays the supply-cost relation): per part, the supplier offering the
+    minimum unit price — a CORRELATED min subquery. Spark form: the
+    per-part min is its own aggregate joined back on the SAME partkey
+    partitioning (AQE reuses the exchange — no second scan of the
+    grouped data, no driver loop)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    costs = (
+        li.filter(F.col("l_quantity") > 0)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("unit_price")
+        )
+    )
+    mins = costs.groupBy("l_partkey").agg(F.min("unit_price").alias("mn"))
+    return (
+        costs.join(mins, "l_partkey")
+        .filter(F.col("unit_price") == F.col("mn"))
+        .groupBy("l_partkey", "unit_price")
+        .agg(F.min("l_suppkey").alias("suppkey"))
+        .select(
+            F.col("l_partkey").alias("partkey"), "suppkey", "unit_price"
+        )
+        .orderBy("partkey")
+        .limit(100)
+    )

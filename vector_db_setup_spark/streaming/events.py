@@ -227,3 +227,45 @@ def knn_stream_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def click_purchase_stream_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: every purchase paired with the same
+    user's clicks in the preceding `horizon_seconds` — the canonical
+    attribution join (streaming twin of queries.range_click_counts /
+    operators/temporal.range_join).
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both sides, so Spark derives a state-eviction horizon: click rows
+    are dropped from the join state once the watermark passes
+    click_ts + horizon; purchases once matched/expired. State is bounded
+    at ~rate × horizon rows per side — the 100 TB/day requirement.
+    """
+    c = (
+        clicks.select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        ).withWatermark("click_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_seconds} SECONDS"))
+        & (F.col("click_ts") < F.col("purchase_ts"))
+    )
+    return p.join(c, cond, "inner").select(
+        "purchase_id", F.col("p_user_id").alias("user_id"), "click_id",
+        "purchase_ts", "click_ts",
+    )
