@@ -32,3 +32,28 @@ print('PLAIN_OK')
         timeout=300,
     )
     assert "PLAIN_OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_observation_metrics_on_query(spark):
+    """Production observability: df.observe collects per-query metrics
+    (row counts, sums) as a side channel of the SAME job — no second
+    scan. This is how a 100 TB pipeline audits itself without paying
+    for validation queries."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_ORACLE
+    from vector_db_setup_spark.sources.registry import load_table
+
+    obs = Observation("doc_metrics")
+    d = load_table(spark, SF_ORACLE, "documents").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum("n_chars").alias("total_chars"),
+        F.approx_count_distinct("lang").alias("langs"),
+    )
+    d.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["rows"] == 500
+    assert got["langs"] == 5  # approx, exact at this cardinality
+    assert got["total_chars"] > 0

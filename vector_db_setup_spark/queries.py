@@ -3387,3 +3387,55 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("partkey")
         .limit(100)
     )
+
+
+@register(
+    "sql_month_scaffold_rcte",
+    """
+    WITH RECURSIVE months(m) AS (
+        SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders))
+                    AS DATE)
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < CAST(date_trunc('month', (SELECT max(o_orderdate)
+                                            FROM orders)) AS DATE)
+    ),
+    per_month AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mm,
+               count(*) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT m AS month, coalesce(n, 0) AS n_orders
+    FROM months LEFT JOIN per_month ON mm = m
+    """,
+)
+def sql_month_scaffold_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE through Spark SQL (4.x `WITH RECURSIVE`, UNION ALL
+    form): generate the complete month scaffold between the first and
+    last order date, then left-join monthly counts so empty months
+    surface as explicit zeros — the gap-filling shape every reporting
+    pipeline needs and plain GROUP BY can't produce. The DuckDB oracle
+    runs the equivalent recursion; only the interval-arithmetic dialect
+    differs (add_months vs + INTERVAL)."""
+    from vector_db_setup_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT CAST(date_trunc('MONTH',
+                        (SELECT min(o_orderdate) FROM orders)) AS DATE)
+            UNION ALL
+            SELECT add_months(m, 1) FROM months
+            WHERE m < CAST(date_trunc('MONTH',
+                           (SELECT max(o_orderdate) FROM orders)) AS DATE)
+        ),
+        per_month AS (
+            SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mm,
+                   count(*) AS n
+            FROM orders GROUP BY 1
+        )
+        SELECT m AS month, coalesce(n, 0) AS n_orders
+        FROM months LEFT JOIN per_month ON mm = m
+        """
+    )
