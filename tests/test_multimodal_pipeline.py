@@ -255,3 +255,23 @@ def test_csv_roundtrip_and_quarantine(spark, tmp_path):
     clean = [r for r in rows if r[CORRUPT_COL] is None]
     assert len(corrupt) == 1 and len(clean) == 1
     assert clean[0]["id"] == 1
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.sources.ingest import compact_parquet
+
+    path = str(tmp_path / "frag")
+    spark.range(10_000).select(
+        "id", F.md5(F.col("id").cast("string")).alias("payload")
+    ).repartition(37).write.parquet(path)
+    assert len(glob.glob(f"{path}/*.parquet")) == 37
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    n = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert n == 1
+    assert len(glob.glob(f"{path}/*.parquet")) == 1
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before

@@ -69,3 +69,38 @@ def upsert_partitions(
         out.write.mode("overwrite").partitionBy(*partition_by).parquet(dest_path)
     finally:
         spark.conf.set(key, prev)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_file_bytes) files (floored at min_files).
+
+    Streaming sinks and incremental upserts accumulate small files; at
+    100 TB the file count — not the byte count — kills scan planning
+    (driver-side listing + one task per tiny file). Compaction is the
+    standard maintenance pass: size from the actual footprint, one
+    coalesce-write, atomic swap via overwrite. Returns the file count
+    written."""
+    import glob
+    import os
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(min_files, (total + target_file_bytes - 1) // target_file_bytes)
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
+    # atomic-ish swap (same filesystem): the reader sees old or new, not
+    # a partial mix
+    import shutil
+
+    back = path.rstrip("/") + "__compact_old"
+    shutil.move(path, back)
+    shutil.move(tmp, path)
+    shutil.rmtree(back)
+    return int(n_out)
