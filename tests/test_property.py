@@ -136,3 +136,51 @@ def test_pandas_l2_udf_wide_vectors(spark):
     for i, v in rows:
         want = float(np.linalg.norm(np.array(v) - np.array(q)))
         assert got[i] == pytest.approx(want, rel=1e-9)
+
+
+@given(
+    n=st.integers(3, 40),
+    m=st.integers(1, 12),
+    k=st.integers(1, 15),
+    dup_every=st.integers(2, 5),
+)
+@settings(**PROP)
+@seed(42)
+def test_matrix_topk_matches_bruteforce(n, m, k, dup_every):
+    """Kernel-level (no Spark): _matrix_topk + the triangular mask must
+    select EXACTLY the pairs brute force selects under the total order
+    (cosine desc, id_a, id_b), including duplicate-similarity ties."""
+    from vector_db_setup_spark.operators.similarity import (
+        _mask_lower_inclusive,
+        _matrix_topk,
+        _topk_pairs,
+    )
+
+    rng = np.random.default_rng(n * 1000 + m * 10 + k)
+    mat = rng.standard_normal((n, 4))
+    mat[::dup_every] = mat[0]  # planted duplicate vectors -> tied sims
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = np.arange(n, dtype=np.int64) * 3 + 1  # non-contiguous ids
+    sims_full = mat @ mat.T
+
+    # brute force: all i<j pairs, total order, top-k
+    pairs = [
+        (ids[i], ids[j], sims_full[i, j])
+        for i in range(n)
+        for j in range(i + 1, n)
+    ]
+    pairs.sort(key=lambda t: (-t[2], t[0], t[1]))
+    want = [(a, b, round(s, 9)) for a, b, s in pairs[:k]]
+
+    # kernel path: row-chunked like the grid/bucket kernels
+    acc = ([], [], [])
+    for lo in range(0, n, m):
+        sims = mat[lo : lo + m] @ mat.T
+        _mask_lower_inclusive(sims, lo)
+        ia, jb, s = _matrix_topk(sims, ids[lo : lo + m], ids, k)
+        acc[0].append(ia), acc[1].append(jb), acc[2].append(s)
+    ia, jb, s = _topk_pairs(
+        np.concatenate(acc[0]), np.concatenate(acc[1]), np.concatenate(acc[2]), k
+    )
+    got = [(int(a), int(b), round(float(x), 9)) for a, b, x in zip(ia, jb, s)]
+    assert got == want

@@ -216,3 +216,41 @@ def test_stream_stream_interval_join_equals_batch(spark):
     )
     assert len(want) > 0
     assert got == want
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming corpus ingestion must admit exactly the documents the
+    batch band-key anti-join admits: docs colliding with the static
+    corpus index (including every corpus doc itself) are rejected."""
+    from vector_db_setup_spark.operators.dedup import minhash_band_keys
+    from vector_db_setup_spark.sources.registry import load_table
+    from vector_db_setup_spark.streaming.events import (
+        incremental_dedup_stream,
+        stream_documents,
+    )
+
+    corpus = load_table(spark, SF_SMOKE, "documents").filter("doc_id < 300")
+    out = str(tmp_path / "fresh_docs")
+    q = incremental_dedup_stream(
+        stream_documents(spark, SF_SMOKE), corpus, out
+    )
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+
+    all_docs = load_table(spark, SF_SMOKE, "documents")
+    keys = minhash_band_keys(all_docs)
+    corpus_keys = minhash_band_keys(corpus).select("band", "band_key").distinct()
+    from pyspark.sql import functions as F
+
+    dup_ids = (
+        keys.join(corpus_keys, ["band", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    want = {
+        r["doc_id"]
+        for r in all_docs.join(dup_ids, "doc_id", "left_anti").collect()
+    }
+    assert got == want
+    # corpus docs always collide with their own index entries
+    assert all(d >= 300 for d in got)

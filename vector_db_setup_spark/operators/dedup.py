@@ -176,7 +176,7 @@ def minhash_match_pairs(
     )
 
 
-def minhash_lsh_candidates(
+def minhash_band_keys(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -184,14 +184,13 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """LSH banding: per band, concat that band's (sorted) signature
-    slice into a band key, then equi-join docs sharing a band key. THE
-    scale path: cost is driven by actual collisions, not N². Output:
-    distinct candidate (id_a, id_b).
+    """(id, band, band_key) LSH banding view of the minhash signature —
+    the joinable inverted-index form shared by the batch self-join
+    (`minhash_lsh_candidates`) and the streaming incremental dedup
+    (stream docs join these keys against a static corpus index).
 
     Band keys come straight off the signature array (slice + array_sort +
-    concat_ws) — the only shuffle in the whole pipeline is the band-key
-    self-join."""
+    concat_ws); shingle-less docs drop out."""
     rpb = num_hashes // bands
     arr = minhash_signature_array(df, text_col, id_col, num_hashes, shingle_n)
     band_structs = F.array(
@@ -209,10 +208,28 @@ def minhash_lsh_candidates(
             for b in range(bands)
         ]
     )
-    banded = (
+    return (
         arr.select(F.col(id_col), F.explode(band_structs).alias("bk"))
         .select(id_col, "bk.band", "bk.band_key")
         .filter(F.col("band_key") != "")  # shingle-less docs excluded
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH banding: per band, concat that band's (sorted) signature
+    slice into a band key, then equi-join docs sharing a band key. THE
+    scale path: cost is driven by actual collisions, not N². Output:
+    distinct candidate (id_a, id_b). The only shuffle in the whole
+    pipeline is the band-key self-join."""
+    banded = minhash_band_keys(
+        df, text_col, id_col, bands, num_hashes, shingle_n
     )
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")

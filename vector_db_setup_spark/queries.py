@@ -3439,3 +3439,159 @@ def sql_month_scaffold_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM months LEFT JOIN per_month ON mm = m
         """
     )
+
+
+@register(
+    "corpus_curation_verdict",
+    f"""
+    WITH RECURSIVE {_shingle_cte()}, {_MINHASH_CTE},
+    banded AS (
+        SELECT doc_id, h // 2 AS band,
+               string_agg(sig::VARCHAR, ',' ORDER BY sig ASC) AS band_key
+        FROM mh GROUP BY doc_id, h // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM cand
+            UNION SELECT id_b, id_a FROM cand),
+    reach(id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
+    ),
+    cc AS (SELECT id AS doc_id, min(comp) AS keeper_id FROM reach GROUP BY id),
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    bench AS (SELECT DISTINCT s FROM shd WHERE doc_id < 20),
+    sizes AS (SELECT doc_id, count(*) AS n_total FROM shd GROUP BY doc_id),
+    hits AS (SELECT c.doc_id, count(*) AS n_hit
+             FROM shd c JOIN bench b USING (s)
+             WHERE c.doc_id >= 20 GROUP BY c.doc_id),
+    sh2 AS (SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(w) - 1, 0)),
+                       i -> ('0x' || substr(md5(w[i]), 1, 5))::BIGINT
+                            + ('0x' || substr(md5(w[i+1]), 1, 5))::BIGINT
+                              * 1048576)) AS s
+            FROM toks),
+    rep AS (SELECT doc_id,
+                   round(1.0 - count(DISTINCT s)::DOUBLE / count(*), 6)
+                       AS rep_ratio
+            FROM sh2 GROUP BY doc_id),
+    qual AS (SELECT doc_id,
+                    round((least(len(w) / 50.0, 1.0)
+                           + (1.0 - abs(len(list_filter(w, x ->
+                                 list_contains({_STOP_SQL}, x))) / len(w)
+                                 - 0.1) / 0.9)
+                           + CASE WHEN list_sum(list_transform(w, x ->
+                                       length(x))) / len(w)
+                                       BETWEEN 3.0 AND 8.0
+                                  THEN 1.0 ELSE 0.5 END) / 3.0, 6)
+                        AS quality
+             FROM toks)
+    SELECT d.doc_id,
+           q.quality,
+           coalesce(r.rep_ratio, 0.0) AS rep_ratio,
+           round(coalesce(h.n_hit, 0)::DOUBLE / sz.n_total, 6)
+               AS containment,
+           cc.keeper_id != d.doc_id AS is_dup,
+           q.quality >= 0.5
+               AND coalesce(r.rep_ratio, 0.0) <= 0.6
+               AND coalesce(h.n_hit, 0)::DOUBLE / sz.n_total < 0.5
+               AND cc.keeper_id = d.doc_id AS keep,
+           concat_ws(',',
+               CASE WHEN q.quality < 0.5 THEN 'low_quality' END,
+               CASE WHEN coalesce(r.rep_ratio, 0.0) > 0.6
+                    THEN 'repetitive' END,
+               CASE WHEN coalesce(h.n_hit, 0)::DOUBLE / sz.n_total >= 0.5
+                    THEN 'contaminated' END,
+               CASE WHEN cc.keeper_id != d.doc_id THEN 'near_duplicate' END
+           ) AS reasons
+    FROM documents d
+    JOIN qual q ON q.doc_id = d.doc_id
+    JOIN cc ON cc.doc_id = d.doc_id
+    JOIN sizes sz ON sz.doc_id = d.doc_id
+    LEFT JOIN rep r ON r.doc_id = d.doc_id
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id >= 20
+    """,
+)
+def corpus_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE capstone training-data pipeline: one decision row per
+    document combining every curation signal this engine computes —
+    quality score (C4/Gopher-style), bigram repetition ratio, test-set
+    contamination (3-gram containment vs the doc<20 benchmark), and
+    MinHash-LSH→connected-components near-dup keeper status — into a
+    keep/drop verdict with machine-readable reasons. Every signal is a
+    shared scan/shuffle of the same token stream; the oracle recomputes
+    the identical pipeline (including the recursive closure), so the
+    whole curation decision is value-checked."""
+    from vector_db_setup_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    # near-dup keeper via LSH + CC
+    cc = connected_components(
+        d.select("doc_id"),
+        dd.minhash_lsh_candidates(d),
+        id_col="doc_id",
+        src_col="id_a",
+        dst_col="id_b",
+    ).select(F.col("id").alias("doc_id"), F.col("component").alias("keeper_id"))
+    # contamination vs doc<20 benchmark
+    sh = dd.shingle_hashes(d).distinct()
+    bench = sh.filter(F.col("doc_id") < 20).select("s").distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    hits = (
+        sh.filter(F.col("doc_id") >= 20)
+        .join(F.broadcast(bench), "s", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    # bigram repetition
+    sh2 = dd.shingle_hashes(d, shingle_n=2)
+    rep = sh2.groupBy("doc_id").agg(
+        F.round(1.0 - F.countDistinct("s") / F.count(F.lit(1)), 6).alias(
+            "rep_ratio"
+        )
+    )
+    qual = d.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+
+    base = (
+        d.filter(F.col("doc_id") >= 20)
+        .select("doc_id")
+        .join(qual, "doc_id")
+        .join(cc, "doc_id")
+        .join(sizes, "doc_id")
+        .join(rep, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+    )
+    containment = F.round(
+        F.coalesce("n_hit", F.lit(0)) / F.col("n_total"), 6
+    )
+    raw_containment = F.coalesce("n_hit", F.lit(0)) / F.col("n_total")
+    is_dup = F.col("keeper_id") != F.col("doc_id")
+    rep_r = F.coalesce("rep_ratio", F.lit(0.0))
+    keep = (
+        (F.col("quality") >= 0.5)
+        & (rep_r <= 0.6)
+        & (raw_containment < 0.5)
+        & ~is_dup
+    )
+    return base.select(
+        "doc_id",
+        "quality",
+        rep_r.alias("rep_ratio"),
+        containment.alias("containment"),
+        is_dup.alias("is_dup"),
+        keep.alias("keep"),
+        F.concat_ws(
+            ",",
+            F.when(F.col("quality") < 0.5, "low_quality"),
+            F.when(rep_r > 0.6, "repetitive"),
+            F.when(raw_containment >= 0.5, "contaminated"),
+            F.when(is_dup, "near_duplicate"),
+        ).alias("reasons"),
+    )

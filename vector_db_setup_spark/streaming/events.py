@@ -269,3 +269,61 @@ def click_purchase_stream_join(
         "purchase_id", F.col("p_user_id").alias("user_id"), "click_id",
         "purchase_ts", "click_ts",
     )
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet fixture (same pattern as
+    stream_events: explicit schema + glob filter on the single file)."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def incremental_dedup_stream(
+    new_docs: DataFrame,
+    corpus,
+    out_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming corpus ingestion with incremental near-dup rejection:
+    each micro-batch of arriving documents computes MinHash-LSH band
+    keys (the batch operator reused verbatim inside foreachBatch — the
+    shingle window can't run directly on a stream) and left-anti joins
+    against the STATIC corpus index's band keys; only documents that
+    collide with no existing band key are appended to `out_path`.
+
+    This is the shape of continuous training-corpus ingestion at scale:
+    the corpus index is a precomputed (band, band_key) inverted index
+    (here cached; in production a bucketed table refreshed by the batch
+    dedup job), each trigger costs one broadcast-or-shuffle equi-join on
+    fixed-width keys, and no N² comparison ever happens.
+    """
+    from vector_db_setup_spark.operators.dedup import minhash_band_keys
+
+    corpus_keys = (
+        minhash_band_keys(corpus, text_col=text_col, id_col=id_col)
+        .select("band", "band_key")
+        .distinct()
+        .cache()
+    )
+    corpus_keys.count()  # materialize once, not per trigger
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        keys = minhash_band_keys(batch_df, text_col=text_col, id_col=id_col)
+        dup_ids = (
+            keys.join(corpus_keys, ["band", "band_key"], "left_semi")
+            .select(id_col)
+            .distinct()
+        )
+        fresh = batch_df.join(dup_ids, id_col, "left_anti")
+        fresh.write.mode("append").parquet(out_path)
+
+    return (
+        new_docs.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
