@@ -87,3 +87,29 @@ def test_embed_expr_equals_udf(spark):
     assert va.keys() == vb.keys()
     for k in va:
         assert all(abs(x - y) < 1e-12 for x, y in zip(va[k], vb[k]))
+
+
+def test_join_hints_are_honored(spark):
+    """Physical-strategy control: explicit hints must reach the planner
+    (at 100 TB you sometimes know better than the statistics — e.g.
+    force SHUFFLE_HASH to avoid sorting a huge-but-uniform side)."""
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    o = load_table(spark, SF_ORACLE, "orders")
+    hashed = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert "ShuffledHashJoin" in executed_plan(hashed)
+    merged = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert "SortMergeJoin" in executed_plan(merged)
+
+
+def test_cached_plan_reuses_inmemory_scan(spark):
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    d = load_table(spark, SF_ORACLE, "documents").filter("doc_id < 50").cache()
+    try:
+        d.count()
+        plan = executed_plan(d.groupBy("lang").count())
+        assert "InMemoryTableScan" in plan
+    finally:
+        d.unpersist()

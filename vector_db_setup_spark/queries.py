@@ -3392,13 +3392,14 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sql_month_scaffold_rcte",
     """
-    WITH RECURSIVE months(m) AS (
-        SELECT CAST(date_trunc('month', (SELECT min(o_orderdate) FROM orders))
-                    AS DATE)
+    WITH RECURSIVE months(m, hi) AS (
+        SELECT CAST(date_trunc('month', max(o_orderdate))
+                    - INTERVAL 11 MONTH AS DATE),
+               CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+        FROM orders
         UNION ALL
-        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
-        WHERE m < CAST(date_trunc('month', (SELECT max(o_orderdate)
-                                            FROM orders)) AS DATE)
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi FROM months
+        WHERE m < hi
     ),
     per_month AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mm,
@@ -3411,9 +3412,10 @@ def cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sql_month_scaffold_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RECURSIVE CTE through Spark SQL (4.x `WITH RECURSIVE`, UNION ALL
-    form): generate the complete month scaffold between the first and
-    last order date, then left-join monthly counts so empty months
-    surface as explicit zeros — the gap-filling shape every reporting
+    form): generate the trailing-12-month scaffold ending at the last
+    order date (recursion depth IS the wall-clock cost in Spark's
+    level-per-iteration execution, so bound it), then left-join monthly
+    counts so empty months surface as explicit zeros — the gap-filling shape every reporting
     pipeline needs and plain GROUP BY can't produce. The DuckDB oracle
     runs the equivalent recursion; only the interval-arithmetic dialect
     differs (add_months vs + INTERVAL)."""
@@ -3422,13 +3424,17 @@ def sql_month_scaffold_rcte(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         """
-        WITH RECURSIVE months(m) AS (
-            SELECT CAST(date_trunc('MONTH',
-                        (SELECT min(o_orderdate) FROM orders)) AS DATE)
+        WITH RECURSIVE months(m, hi) AS (
+            -- the recursion bound rides along as a column: each level
+            -- is pure in the previous level, so orders is scanned ONCE
+            -- by the anchor instead of once per recursion step
+            SELECT add_months(CAST(date_trunc('MONTH', max(o_orderdate))
+                                   AS DATE), -11),
+                   CAST(date_trunc('MONTH', max(o_orderdate)) AS DATE)
+            FROM orders
             UNION ALL
-            SELECT add_months(m, 1) FROM months
-            WHERE m < CAST(date_trunc('MONTH',
-                           (SELECT max(o_orderdate) FROM orders)) AS DATE)
+            SELECT add_months(m, 1), hi FROM months
+            WHERE m < hi
         ),
         per_month AS (
             SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mm,
