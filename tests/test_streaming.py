@@ -254,3 +254,45 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     assert got == want
     # corpus docs always collide with their own index entries
     assert all(d >= 300 for d in got)
+
+
+def test_incremental_dedup_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch replays a micro-batch after failure; the per-batch
+    dynamic partition overwrite must make the replay a no-op instead of
+    appending duplicates."""
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.operators.dedup import minhash_band_keys
+    from vector_db_setup_spark.sources.registry import load_table
+
+    corpus = load_table(spark, SF_SMOKE, "documents").filter("doc_id < 100")
+    batch = load_table(spark, SF_SMOKE, "documents").filter(
+        "doc_id >= 100 and doc_id < 200"
+    )
+    out = str(tmp_path / "idem")
+    corpus_keys = (
+        minhash_band_keys(corpus).select("band", "band_key").distinct()
+    )
+
+    def ingest(batch_df, batch_id):
+        keys = minhash_band_keys(batch_df)
+        dup_ids = (
+            keys.join(corpus_keys, ["band", "band_key"], "left_semi")
+            .select("doc_id")
+            .distinct()
+        )
+        fresh = batch_df.join(dup_ids, "doc_id", "left_anti")
+        (
+            fresh.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(out)
+        )
+
+    ingest(batch, 7)
+    once = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    ingest(batch, 7)  # replay of the SAME batch id
+    twice = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert len(once) > 0
+    assert twice == once

@@ -301,6 +301,13 @@ def incremental_dedup_stream(
     (here cached; in production a bucketed table refreshed by the batch
     dedup job), each trigger costs one broadcast-or-shuffle equi-join on
     fixed-width keys, and no N² comparison ever happens.
+
+    Exactly-once output: foreachBatch re-runs a micro-batch after
+    failure, so a blind append would duplicate rows. Each batch writes
+    its own `_batch=<id>` partition with DYNAMIC partition overwrite —
+    a replayed batch overwrites its partition instead of appending a
+    second copy (same idempotence pattern as sources/ingest.
+    upsert_partitions).
     """
     from vector_db_setup_spark.operators.dedup import minhash_band_keys
 
@@ -320,7 +327,13 @@ def incremental_dedup_stream(
             .distinct()
         )
         fresh = batch_df.join(dup_ids, id_col, "left_anti")
-        fresh.write.mode("append").parquet(out_path)
+        (
+            fresh.withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(out_path)
+        )
 
     return (
         new_docs.writeStream.foreachBatch(_ingest)
