@@ -108,3 +108,23 @@ def test_no_unguarded_full_corpus_collect():
             assert "_count_capped" in text, (
                 f"{f}: .collect() without a size guard"
             )
+
+
+def test_ivf_pairs_exact_within_clusters(spark):
+    from vector_db_setup_spark.operators.ann import kmeans_centroids
+    from vector_db_setup_spark.operators.similarity import cosine_pairs_ivf
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").filter("vec_id < 200")
+    cents = kmeans_centroids(emb, k=4, seed=42)
+    got = cosine_pairs_ivf(emb, cents).collect()
+    assert len(got) > 0
+    emb_map = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    for r in got[:200]:
+        a, b = emb_map[r["id_a"]], emb_map[r["id_b"]]
+        exact = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["cosine"] - exact) < 1e-9
+    keys = [(r["id_a"], r["id_b"]) for r in got]
+    assert len(keys) == len(set(keys))

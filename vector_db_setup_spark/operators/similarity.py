@@ -228,8 +228,56 @@ def cosine_pairs_bucketed(
     """
     from vector_db_setup_spark.operators.ann import lsh_bucket
 
-    bucketed = lsh_bucket(emb, planes, vec_col=vec_col).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket_id"
+    return cosine_pairs_by_column(
+        lsh_bucket(emb, planes, vec_col=vec_col),
+        bucket_col="bucket_id",
+        vec_col=vec_col,
+        id_col=id_col,
+        min_cosine=min_cosine,
+        topk_per_bucket=topk_per_bucket,
+    )
+
+
+def cosine_pairs_ivf(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float | None = None,
+    topk_per_bucket: int | None = None,
+) -> DataFrame:
+    """IVF composition of the same per-bucket GEMM: nearest-centroid
+    assignment (operators/ann.ivf_assign, native argmin map stage) →
+    pairwise cosine within each cluster. Versus sign-bit LSH buckets,
+    IVF clusters follow the DATA distribution (KMeans), so dense regions
+    split into balanced cells instead of overflowing one hash bucket —
+    the better choice when the corpus is clustered; LSH needs no
+    training pass. Both compose with the identical kernel."""
+    from vector_db_setup_spark.operators.ann import ivf_assign
+
+    return cosine_pairs_by_column(
+        ivf_assign(emb, centroids, vec_col=vec_col),
+        bucket_col="cluster_id",
+        vec_col=vec_col,
+        id_col=id_col,
+        min_cosine=min_cosine,
+        topk_per_bucket=topk_per_bucket,
+    )
+
+
+def cosine_pairs_by_column(
+    emb: DataFrame,
+    bucket_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    min_cosine: float | None = None,
+    topk_per_bucket: int | None = None,
+) -> DataFrame:
+    """Shared engine for bucketed pairwise cosine: groupBy(bucket_col)
+    → applyInPandas GEMM within each group. Any single-assignment
+    bucketing column works (LSH bits, IVF cluster, category key)."""
+    bucketed = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bucket_col
     )
 
     def _bucket_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -263,7 +311,7 @@ def cosine_pairs_bucketed(
             ia, jb, s = _topk_pairs(ia, jb, s, topk_per_bucket)
         return pd.DataFrame({"id_a": ia, "id_b": jb, "cosine": s})
 
-    return bucketed.groupBy("bucket_id").applyInPandas(
+    return bucketed.groupBy(bucket_col).applyInPandas(
         _bucket_kernel, schema=_PAIR_SCHEMA
     )
 

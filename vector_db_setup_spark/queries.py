@@ -824,7 +824,11 @@ def simhash_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def simhash_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Closest document pairs by SimHash hamming distance."""
+    """Closest document pairs by SimHash hamming distance — the BOUNDED
+    all-pairs verification form (doc_id < 80 cap makes the cross product
+    a constant ~3k pairs; it exists to oracle-check raw hamming without
+    a banding recall bound). The scale path over the full corpus is
+    `simhash_banded_pairs` (equi-join, no cartesian, plan-asserted)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
     pairs = dd.simhash_hamming_pairs(dd.simhash(d))
     return (
@@ -937,7 +941,13 @@ def embedding_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(bucket).applyInPandas → global top-20. One shuffle keyed on
     bucket_id; pairwise cost follows bucket occupancy, never N²; the
     corpus never touches the driver. Oracle embeds the same literal
-    hyperplanes, so bucketing + cosine are value-checked end to end."""
+    hyperplanes, so bucketing + cosine are value-checked end to end.
+
+    Plane count sets bucket granularity: 4 planes → 16 buckets fits the
+    500-row fixture; at scale pick n_planes ≈ log2(N / target_bucket
+    rows) (e.g. 100M rows, 10k-row buckets → ~14 planes), optionally
+    OR-ing several plane sets for recall like MLlib's num_hash_tables
+    (operators/ann.brp_similarity_join)."""
     from vector_db_setup_spark.operators.similarity import cosine_pairs_bucketed
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3600,4 +3610,27 @@ def corpus_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(raw_containment >= 0.5, "contaminated"),
             F.when(is_dup, "near_duplicate"),
         ).alias("reasons"),
+    )
+
+
+@register("embedding_ivf_pairs")
+def embedding_ivf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed near-dup pairs: seeded KMeans centroids → native
+    argmin cluster assignment → per-cluster exact GEMM → global top-20.
+    Rows-only (KMeans is iterative; its exact centroids aren't
+    SQL-expressible) — the kernel itself is oracle-checked through
+    `embedding_bucketed_pairs`, and tests assert every emitted cosine
+    equals the exact value and the pair set is unique."""
+    from vector_db_setup_spark.operators.ann import kmeans_centroids
+    from vector_db_setup_spark.operators.similarity import cosine_pairs_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=8, seed=42)
+    pairs = cosine_pairs_ivf(emb, cents, topk_per_bucket=20)
+    return (
+        pairs.orderBy(
+            F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+        )
+        .limit(20)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
