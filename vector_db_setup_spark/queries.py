@@ -3634,3 +3634,62 @@ def embedding_ivf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+@register(
+    "nation_revenue_share",
+    """
+    WITH rev AS (
+        SELECT n.n_name,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        FROM lineitem l
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT n_name,
+           round(revenue, 2) AS revenue,
+           round(revenue / sum(revenue) OVER (), 6) AS share,
+           round(sum(revenue) OVER (ORDER BY revenue DESC, n_name ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / sum(revenue) OVER (), 6) AS cum_share
+    FROM rev
+    """,
+)
+def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total analytics (ratio-to-report): each nation's
+    revenue share of the global total plus the cumulative share in
+    revenue order — two window shapes plain GROUP BY can't produce: an
+    UNBOUNDED empty-frame total (one partition-wide aggregate, no sort
+    requirement) and an ordered running frame over it. The grand total
+    is a window over the 25-row aggregate, NOT a rescan of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy(
+        F.col("revenue").desc(), F.col("n_name").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return rev.select(
+        "n_name",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w_all), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all), 6
+        ).alias("cum_share"),
+    )
