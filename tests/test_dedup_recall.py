@@ -190,6 +190,37 @@ def test_min_label_raises_on_nonconvergence(spark):
         connected_components(nodes, edges, max_iter=3)
 
 
+def test_cc_edge_free_graph_converged_even_with_zero_iter(spark):
+    """max_iter=0 on an edge-free (or self-loop-only) graph is already
+    converged — identity labels, no spurious timeout raise (ADVICE r2)."""
+    from vector_db_setup_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in [3, 7, 9]], "id long")
+    no_edges = spark.createDataFrame([], "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, no_edges, max_iter=0).collect()
+    }
+    assert got == {3: 3, 7: 7, 9: 9}
+    self_loops = spark.createDataFrame([(3, 3), (9, 9)], "src long, dst long")
+    got2 = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes, self_loops, max_iter=0).collect()
+    }
+    assert got2 == got
+
+
+def test_cc_zero_iter_with_real_edges_raises(spark):
+    import pytest
+
+    from vector_db_setup_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(0,), (1,)], "id long")
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(RuntimeError, match="no iteration ran"):
+        connected_components(nodes, edges, max_iter=0)
+
+
 def test_star_cc_matches_min_label_on_random_graph(spark):
     from vector_db_setup_spark.operators.graph import (
         connected_components,

@@ -122,3 +122,34 @@ def test_sentence_transformer_loader_raises_cleanly():
     loader = embed.sentence_transformer_loader()
     with pytest.raises(ImportError, match="sentence-transformers"):
         loader()
+
+
+def test_two_model_names_do_not_alias(spark):
+    """Two loaders from one factory share a __qualname__ — the cache must
+    key on something per-model (ADVICE r2, embed.py:68). Embed the same
+    rows with two different fake 'models' in one session; the outputs
+    must differ (the second call must NOT reuse the first model)."""
+    d = load_table(spark, SF_ORACLE, "documents").filter("doc_id < 10")
+
+    def factory(scale):
+        def loader():
+            class M:
+                def encode(self, texts):
+                    return np.asarray(
+                        [[scale * (i + 1.0) for i in range(3)] for _ in texts]
+                    )
+
+            return M()
+
+        return loader
+
+    a = embed.embed_with_model(d, factory(1.0)).select("embedding").first()[0]
+    b = embed.embed_with_model(d, factory(2.0)).select("embedding").first()[0]
+    assert a == [1.0, 2.0, 3.0]
+    assert b == [2.0, 4.0, 6.0]
+
+
+def test_sentence_transformer_loader_cache_keys_distinct():
+    la = embed.sentence_transformer_loader("model-a")
+    lb = embed.sentence_transformer_loader("model-b")
+    assert la.cache_key != lb.cache_key

@@ -275,3 +275,42 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert len(glob.glob(f"{path}/*.parquet")) == 1
     after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
     assert after == before
+
+
+def test_compact_parquet_preserves_partitions_and_backup(spark, tmp_path):
+    """ADVICE r2: a hive-partitioned layout must keep its partition
+    columns through compaction (partition_by), and keep_backup must leave
+    the pre-compaction copy on disk for verification."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.sources.ingest import compact_parquet
+
+    path = str(tmp_path / "part")
+    spark.range(1_000).select(
+        "id",
+        (F.col("id") % 3).alias("bucket"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    ).repartition(11).write.partitionBy("bucket").parquet(path)
+    assert len(glob.glob(f"{path}/bucket=*/*.parquet")) > 3
+    before = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    compact_parquet(
+        spark,
+        path,
+        target_file_bytes=10**9,
+        partition_by=["bucket"],
+        keep_backup=True,
+    )
+    # partition directories survive the rewrite
+    assert sorted(
+        d for d in os.listdir(path) if d.startswith("bucket=")
+    ) == ["bucket=0", "bucket=1", "bucket=2"]
+    assert len(glob.glob(f"{path}/bucket=*/*.parquet")) == 3
+    after = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert after == before
+    back = path + "__compact_old"
+    assert os.path.isdir(back)
+    backup = sorted(tuple(r) for r in spark.read.parquet(back).collect())
+    assert backup == before

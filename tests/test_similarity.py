@@ -92,6 +92,22 @@ def test_batch_knn_blocked_fallback_on_oversize(spark):
         batch_knn_blocked(qs, emb, k=3, max_query_rows=2, on_oversize="error")
 
 
+def test_batch_knn_blocked_fallback_schema_with_custom_query_id_col(spark):
+    """ADVICE r2: with query_id_col != 'query_id' the fallback must still
+    emit the primary path's ('query_id', id, dist) schema, same rows."""
+    emb = load_table(spark, SF_ORACLE, "embeddings").filter("vec_id < 100")
+    qs = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("probe"), F.col("embedding").alias("qvec")
+    )
+    normal = batch_knn_blocked(qs, emb, k=3, query_id_col="probe")
+    fb = batch_knn_blocked(qs, emb, k=3, query_id_col="probe", max_query_rows=2)
+    assert fb.columns == normal.columns == ["query_id", "vec_id", "dist"]
+    canon = lambda df: sorted(
+        (r["query_id"], r["vec_id"], round(r["dist"], 6)) for r in df.collect()
+    )
+    assert canon(fb) == canon(normal)
+
+
 def test_no_unguarded_full_corpus_collect():
     """Regression tripwire: every .collect() in operators/ must sit
     behind a _count_capped guard (the two remaining ones do)."""

@@ -220,8 +220,10 @@ def test_stream_stream_interval_join_equals_batch(spark):
 
 def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     """Streaming corpus ingestion must admit exactly the documents the
-    batch band-key anti-join admits: docs colliding with the static
-    corpus index (including every corpus doc itself) are rejected."""
+    batch band-key logic admits: docs colliding with the static corpus
+    index (including every corpus doc itself) are rejected, and within
+    the arriving batch only the min-id member of each band-key group
+    survives (intra-stream twins admit exactly one)."""
     from vector_db_setup_spark.operators.dedup import minhash_band_keys
     from vector_db_setup_spark.sources.registry import load_table
     from vector_db_setup_spark.streaming.events import (
@@ -242,18 +244,75 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
     corpus_keys = minhash_band_keys(corpus).select("band", "band_key").distinct()
     from pyspark.sql import functions as F
 
-    dup_ids = (
+    dup_prior = (
         keys.join(corpus_keys, ["band", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    key_min = keys.groupBy("band", "band_key").agg(
+        F.min("doc_id").alias("__min_id")
+    )
+    dup_intra = (
+        keys.join(key_min, ["band", "band_key"])
+        .filter(F.col("doc_id") > F.col("__min_id"))
         .select("doc_id")
         .distinct()
     )
     want = {
         r["doc_id"]
-        for r in all_docs.join(dup_ids, "doc_id", "left_anti").collect()
+        for r in all_docs.join(
+            dup_prior.union(dup_intra).distinct(), "doc_id", "left_anti"
+        ).collect()
     }
     assert got == want
     # corpus docs always collide with their own index entries
     assert all(d >= 300 for d in got)
+
+
+def test_incremental_dedup_rejects_cross_batch_twins(spark, tmp_path):
+    """A near-duplicate arriving in a LATER trigger than its twin must be
+    rejected via the admitted-keys side table: stream the originals as
+    batch 0 and exact-text twins as batch 1 (maxFilesPerTrigger=1); no
+    twin pair may survive with both members."""
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.sources.registry import load_table
+    from vector_db_setup_spark.streaming.events import incremental_dedup_stream
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    corpus = docs.filter("doc_id < 0")  # empty static corpus
+    base = docs.filter("doc_id >= 300 and doc_id < 320").select("doc_id", "text")
+    twins = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.col("text")
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(base.toPandas()), str(src / "f1.parquet")
+    )
+    pq.write_table(
+        pa.Table.from_pandas(twins.toPandas()), str(src / "f2.parquet")
+    )
+    stream = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "out")
+    q = incremental_dedup_stream(stream, corpus, out)
+    q.awaitTermination()
+    # maxFilesPerTrigger=1 → the twins arrived in a separate, later batch
+    assert len(q.recentProgress) >= 2, "expected two micro-batches"
+    got = spark.read.parquet(out)
+    ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    assert any(i < 100000 for i in ids)  # some originals admitted
+    for i in ids:
+        if i >= 100000:
+            assert i - 100000 not in ids, f"both twins {i-100000},{i} admitted"
 
 
 def test_incremental_dedup_replayed_batch_is_idempotent(spark, tmp_path):

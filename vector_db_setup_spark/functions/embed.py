@@ -67,6 +67,7 @@ def embed_with_model(
     text_col: str = "text",
     out_col: str = "embedding",
     batch_rows: int | None = None,
+    cache_key: str | None = None,
 ):
     """Attach ``out_col: array<double>`` by batch-encoding ``text_col``
     through a user-supplied model.
@@ -75,8 +76,15 @@ def embed_with_model(
     with ``encode(list[str]) -> (n, dim) array-like`` (the
     sentence-transformers surface). It ships to executors by pickle;
     the heavy load runs lazily, once per executor process (module-level
-    cache keyed by the loader's qualified name) — NOT per batch and NOT
-    on the driver. Arrow moves only strings in / float arrays out.
+    cache) — NOT per batch and NOT on the driver. Arrow moves only
+    strings in / float arrays out.
+
+    The cache key, in priority order: explicit ``cache_key`` argument, a
+    ``cache_key`` attribute on the loader (``sentence_transformer_loader``
+    sets one per model name), else the pickled loader bytes. The loader's
+    qualified name is deliberately NOT used — distinct closures from one
+    factory share a qualname, which would silently alias different models
+    loaded in the same executor process.
 
     This is the production seam behind the deterministic
     ``hash_embed_expr/udf`` stand-ins: same DataFrame contract, so
@@ -85,8 +93,14 @@ def embed_with_model(
     import numpy as np
     from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
 
-    key = f"{getattr(model_loader, '__module__', '')}." \
-          f"{getattr(model_loader, '__qualname__', repr(model_loader))}"
+    key = cache_key or getattr(model_loader, "cache_key", None)
+    if key is None:
+        try:  # closures need cloudpickle (what Spark ships UDFs with)
+            from pyspark import cloudpickle
+
+            key = "pickle:" + cloudpickle.dumps(model_loader).hex()
+        except Exception:
+            key = f"id:{id(model_loader)}"
     out_schema = StructType(
         df.schema.fields + [StructField(out_col, ArrayType(DoubleType()))]
     )
@@ -132,6 +146,10 @@ def sentence_transformer_loader(model_name: str = "all-MiniLM-L6-v2"):
             ) from e
         return SentenceTransformer(model_name)
 
+    # distinct per model name: without this, every closure from this
+    # factory shares the same __qualname__ and two models loaded in one
+    # executor process would alias each other in _MODEL_CACHE
+    _load.cache_key = f"sentence-transformer:{model_name}"
     return _load
 
 

@@ -43,11 +43,17 @@ def connected_components(
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .filter(F.col("a") != F.col("b"))
         .distinct()
     )
     labels = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp"))
     sym = sym.localCheckpoint(eager=True)
     labels = labels.localCheckpoint(eager=True)
+
+    # edge-free graph: identity labels ARE the components — return before
+    # the loop so max_iter=0 on a trivial graph doesn't read as timeout
+    if sym.isEmpty():
+        return labels.select("id", F.col("comp").alias("component"))
 
     changed = -1
     for _ in range(max_iter):
@@ -77,9 +83,14 @@ def connected_components(
         if changed == 0:
             break
     if changed != 0:
+        detail = (
+            f"{changed} labels still changing"
+            if changed >= 0
+            else "no iteration ran (max_iter <= 0) on a non-empty edge set"
+        )
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} "
-            f"iterations ({changed} labels still changing) — the graph "
+            f"iterations ({detail}) — the graph "
             "diameter exceeds max_iter; raise it, or use "
             "connected_components_star (O(log² n) rounds on long chains)"
         )

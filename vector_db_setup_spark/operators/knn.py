@@ -89,6 +89,7 @@ def batch_knn_join(
     k: int = 5,
     metric: str = "l2",
     dist_col: str = "distance",
+    corpus_id_col: str | None = None,
 ) -> DataFrame:
     """Top-k corpus neighbors for EVERY query row (SURVEY.md §2.3 J2).
 
@@ -96,6 +97,10 @@ def batch_knn_join(
     the corpus never moves. Ranking shuffles only Q×N candidate rows
     keyed by query_id — at real scale, feed a pruned candidate set (ANN
     pre-bucketing) instead of the full cross product.
+
+    Pass ``corpus_id_col`` to break distance ties deterministically on
+    the corpus id — required for result-equivalence with the GEMM path
+    (``similarity.batch_knn_blocked``), which always tie-breaks on id.
     """
     q = queries.select(
         F.col(query_id_col),
@@ -105,7 +110,10 @@ def batch_knn_join(
     scored = pairs.withColumn(
         dist_col, distance_expr(metric, F.col(corpus_vec_col), F.col("__qvec"))
     ).drop("__qvec")
-    w = Window.partitionBy(query_id_col).orderBy(F.col(dist_col).asc())
+    order = [F.col(dist_col).asc()]
+    if corpus_id_col is not None:
+        order.append(F.col(corpus_id_col).asc())
+    w = Window.partitionBy(query_id_col).orderBy(*order)
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)

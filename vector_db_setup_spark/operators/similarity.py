@@ -420,8 +420,12 @@ def batch_knn_blocked(
                 k=k,
                 metric="l2",
                 dist_col="dist",
+                corpus_id_col=id_col,  # same (dist, id) tie-break as the
+                # GEMM path below, so both paths are result-equivalent
             )
-            return joined.select(query_id_col, id_col, "dist")
+            return joined.select(
+                F.col(query_id_col).alias("query_id"), id_col, "dist"
+            )
         raise CorpusTooLargeError(
             f"query side exceeds max_query_rows={max_query_rows}"
         )

@@ -76,6 +76,8 @@ def compact_parquet(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 1,
+    partition_by: list[str] | None = None,
+    keep_backup: bool = False,
 ) -> int:
     """Small-file compaction: rewrite a parquet directory into
     ceil(total_bytes / target_file_bytes) files (floored at min_files).
@@ -84,23 +86,45 @@ def compact_parquet(
     100 TB the file count — not the byte count — kills scan planning
     (driver-side listing + one task per tiny file). Compaction is the
     standard maintenance pass: size from the actual footprint, one
-    coalesce-write, atomic swap via overwrite. Returns the file count
-    written."""
-    import glob
+    coalesce-write, swap. Returns the file count written.
+
+    LOCAL-FILESYSTEM ONLY: sizing walks the directory with ``os`` and the
+    swap uses ``shutil`` renames — on an object store or HDFS use the
+    table format's own compaction (Iceberg rewrite_data_files / Delta
+    OPTIMIZE) or rewrite to a fresh prefix and flip the reader path.
+    Hive-partitioned layouts: pass ``partition_by`` so the rewrite
+    preserves the partition columns (sizing already walks recursively);
+    without it a partitioned input is flattened.
+
+    The swap is NOT atomic — there is a brief window between the two
+    renames where ``path`` is absent; concurrent readers must be fenced
+    externally. The pre-compaction data is kept at ``<path>__compact_old``
+    when ``keep_backup=True`` (verify, then delete); by default it is
+    removed only after the new directory is verified readable.
+    """
     import os
 
-    files = glob.glob(os.path.join(path, "*.parquet"))
-    total = sum(os.path.getsize(f) for f in files)
+    total = 0
+    for root, _dirs, fnames in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in fnames
+            if f.endswith(".parquet")
+        )
     n_out = max(min_files, (total + target_file_bytes - 1) // target_file_bytes)
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
-    df.coalesce(int(n_out)).write.mode("overwrite").parquet(tmp)
-    # atomic-ish swap (same filesystem): the reader sees old or new, not
-    # a partial mix
+    writer = df.coalesce(int(n_out)).write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
     import shutil
 
     back = path.rstrip("/") + "__compact_old"
     shutil.move(path, back)
     shutil.move(tmp, path)
-    shutil.rmtree(back)
+    # verify the swapped-in data before dropping the only remaining copy
+    spark.read.parquet(path).schema
+    if not keep_backup:
+        shutil.rmtree(back)
     return int(n_out)

@@ -293,24 +293,34 @@ def incremental_dedup_stream(
     each micro-batch of arriving documents computes MinHash-LSH band
     keys (the batch operator reused verbatim inside foreachBatch — the
     shingle window can't run directly on a stream) and left-anti joins
-    against the STATIC corpus index's band keys; only documents that
-    collide with no existing band key are appended to `out_path`.
+    against three key sets:
+
+    1. the STATIC corpus index's band keys (cached once at start);
+    2. keys of documents ADMITTED BY EARLIER BATCHES (a growing
+       `<out_path>__bandkeys` side table this sink maintains), so a
+       near-dup arriving two triggers after its twin is still rejected;
+    3. keys of smaller-id documents in the SAME batch (a band-key
+       self-group), so intra-batch twins admit exactly one member.
 
     This is the shape of continuous training-corpus ingestion at scale:
-    the corpus index is a precomputed (band, band_key) inverted index
-    (here cached; in production a bucketed table refreshed by the batch
-    dedup job), each trigger costs one broadcast-or-shuffle equi-join on
-    fixed-width keys, and no N² comparison ever happens.
+    the corpus index is a precomputed (band, band_key) inverted index,
+    each trigger costs equi-joins on fixed-width keys, and no N²
+    comparison ever happens. In production the side table is the batch
+    dedup job's bucketed index, refreshed on its own cadence.
 
     Exactly-once output: foreachBatch re-runs a micro-batch after
     failure, so a blind append would duplicate rows. Each batch writes
-    its own `_batch=<id>` partition with DYNAMIC partition overwrite —
-    a replayed batch overwrites its partition instead of appending a
-    second copy (same idempotence pattern as sources/ingest.
-    upsert_partitions).
+    its own `_batch=<id>` partition (docs AND band keys) with DYNAMIC
+    partition overwrite — a replayed batch overwrites its partitions
+    instead of appending a second copy, and its own keys partition is
+    excluded from the "previously admitted" set during the replay so it
+    cannot reject its own documents.
     """
+    from pyspark.errors import AnalysisException
+
     from vector_db_setup_spark.operators.dedup import minhash_band_keys
 
+    keys_path = out_path.rstrip("/") + "__bandkeys"
     corpus_keys = (
         minhash_band_keys(corpus, text_col=text_col, id_col=id_col)
         .select("band", "band_key")
@@ -318,21 +328,57 @@ def incremental_dedup_stream(
         .cache()
     )
     corpus_keys.count()  # materialize once, not per trigger
+    spark = corpus.sparkSession
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         keys = minhash_band_keys(batch_df, text_col=text_col, id_col=id_col)
-        dup_ids = (
-            keys.join(corpus_keys, ["band", "band_key"], "left_semi")
+        # admitted-by-earlier-batches keys (exclude THIS batch id so a
+        # replayed batch doesn't reject its own docs)
+        try:
+            admitted = (
+                spark.read.parquet(keys_path)
+                .filter(F.col("_batch") != batch_id)
+                .select("band", "band_key")
+            )
+        except AnalysisException:  # first batch: side table absent
+            admitted = None
+        prior = (
+            corpus_keys if admitted is None else corpus_keys.union(admitted)
+        )
+        dup_prior = (
+            keys.join(prior, ["band", "band_key"], "left_semi")
             .select(id_col)
             .distinct()
         )
-        fresh = batch_df.join(dup_ids, id_col, "left_anti")
+        # intra-batch: within each band key only the min id survives
+        key_min = keys.groupBy("band", "band_key").agg(
+            F.min(id_col).alias("__min_id")
+        )
+        dup_intra = (
+            keys.join(key_min, ["band", "band_key"])
+            .filter(F.col(id_col) > F.col("__min_id"))
+            .select(id_col)
+            .distinct()
+        )
+        fresh = batch_df.join(
+            dup_prior.union(dup_intra).distinct(), id_col, "left_anti"
+        )
         (
             fresh.withColumn("_batch", F.lit(batch_id))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("_batch")
             .parquet(out_path)
+        )
+        (
+            minhash_band_keys(fresh, text_col=text_col, id_col=id_col)
+            .select("band", "band_key")
+            .distinct()
+            .withColumn("_batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(keys_path)
         )
 
     return (
