@@ -162,6 +162,92 @@ def test_hot_shingle_cap_kills_viral_shingle(spark):
         assert abs(got[k][1] - want[k][1]) < 1e-9
 
 
+def test_hot_band_planted_10k_identical_docs(spark):
+    """VERDICT r2 #1: a 10k-copy boilerplate cluster (identical
+    signatures → identical band keys in every band) must NOT produce
+    ~10⁸ candidate rows. Exact-dedup-first edge generation
+    (lsh_dedup_edges) admits one representative into the band join and
+    attaches the other 9,999 copies by member edges — linear, not
+    quadratic — while the closure still collapses every copy onto
+    keeper 0."""
+    from vector_db_setup_spark.operators.graph import connected_components_star
+
+    rng = random.Random(3)
+    boiler = " ".join(rng.choice(VOCAB) for _ in range(30))
+    rows = [(i, boiler) for i in range(10_000)]
+    for i in range(100):
+        rows.append((20_000 + i, " ".join(rng.choice(VOCAB) for _ in range(30))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = dd.lsh_dedup_edges(df)
+    n = edges.count()
+    assert n <= 9_999 + 600, f"edge blowup: {n} rows"
+    cc = connected_components_star(
+        df.select(F.col("doc_id").alias("id")),
+        edges,
+        id_col="id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    comp = {r["id"]: r["component"] for r in cc.collect()}
+    assert all(comp[i] == 0 for i in range(10_000))
+
+
+def test_max_band_df_cap_drops_hot_band(spark):
+    """The band-key document-frequency cap (max_band_df) must drop every
+    pair whose only route is a hot band key, and leave all other pairs
+    untouched."""
+    rng = random.Random(5)
+    boiler = " ".join(rng.choice(VOCAB) for _ in range(30))
+    rows = [(i, boiler) for i in range(50)]
+    rows += [
+        (100 + i, " ".join(rng.choice(VOCAB) for _ in range(30)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = _pairs(dd.minhash_lsh_candidates(df))
+    capped = _pairs(dd.minhash_lsh_candidates(df, max_band_df=10))
+    hot = {(a, b) for a in range(50) for b in range(a + 1, 50)}
+    assert hot <= uncapped  # the planted cluster IS the m² blowup
+    assert not (capped & hot)  # cap removes it entirely
+    assert capped == uncapped - hot  # and nothing else
+
+
+def test_lsh_dedup_edges_components_match_uncapped(spark, planted):
+    """Representative routing is component-preserving: CC over
+    lsh_dedup_edges equals CC over the plain uncapped candidate pairs —
+    the invariant that keeps dedup_keepers oracle-green."""
+    from vector_db_setup_spark.operators.graph import connected_components
+
+    df, _near, _exact, _family = planted
+    nodes = df.select(F.col("doc_id").alias("id"))
+
+    def comps(edges):
+        cc = connected_components(
+            nodes, edges, id_col="id", src_col="id_a", dst_col="id_b"
+        )
+        return {r["id"]: r["component"] for r in cc.collect()}
+
+    assert comps(dd.minhash_lsh_candidates(df)) == comps(
+        dd.lsh_dedup_edges(df)
+    )
+
+
+def test_lsh_dedup_edges_shingleless_exact_dups_stay_isolated(spark):
+    """Docs with < shingle_n tokens never enter banding; identical
+    shingle-less docs must stay isolated (plain LSH semantics), not get
+    joined by the exact-text member edges."""
+    rows = [
+        (1, "hi there"),
+        (2, "hi there"),
+        (3, " ".join(VOCAB[:10])),
+        (4, " ".join(VOCAB[:10])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = _pairs(dd.lsh_dedup_edges(df))
+    assert (1, 2) not in edges  # shingle-less: isolated
+    assert (3, 4) in edges  # normal exact dups: joined via member edge
+
+
 def test_connected_components_planted_chain(spark):
     from vector_db_setup_spark.operators.graph import connected_components
 

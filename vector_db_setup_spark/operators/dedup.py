@@ -215,22 +215,27 @@ def minhash_band_keys(
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    bands: int = 4,
-    num_hashes: int = 8,
-    shingle_n: int = 3,
+def _pairs_from_banded(
+    banded: DataFrame, id_col: str, max_band_df: int | None
 ) -> DataFrame:
-    """LSH banding: per band, concat that band's (sorted) signature
-    slice into a band key, then equi-join docs sharing a band key. THE
-    scale path: cost is driven by actual collisions, not N². Output:
-    distinct candidate (id_a, id_b). The only shuffle in the whole
-    pipeline is the band-key self-join."""
-    banded = minhash_band_keys(
-        df, text_col, id_col, bands, num_hashes, shingle_n
-    )
+    """Distinct candidate (id_a, id_b) from a (id, band, band_key) view.
+
+    ``max_band_df`` is the hot-band guard (the band-key analogue of the
+    shingle ``max_df`` in ngram_jaccard_pairs): band keys shared by more
+    than max_band_df documents are dropped BEFORE the self-join — a key
+    held by m docs otherwise lands m² pairs in one task, and identical
+    boilerplate (signatures equal → every band key equal) is exactly the
+    common case at 100 TB. Pairs lost to the cap are near-exact
+    duplicates; route those through ``exact_dedup`` /
+    ``lsh_dedup_edges`` instead of the pair join."""
+    if max_band_df is not None:
+        keep = (
+            banded.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("bdf"))
+            .filter(F.col("bdf") <= max_band_df)
+            .select("band", "band_key")
+        )
+        banded = banded.join(keep, ["band", "band_key"], "left_semi")
     a = banded.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = banded.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -239,6 +244,95 @@ def minhash_lsh_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """LSH banding: per band, concat that band's (sorted) signature
+    slice into a band key, then equi-join docs sharing a band key. THE
+    scale path: cost is driven by actual collisions, not N². Output:
+    distinct candidate (id_a, id_b). The only shuffle in the whole
+    pipeline is the band-key self-join.
+
+    ``max_band_df`` caps band-key document frequency (see
+    ``_pairs_from_banded``); None = exact. At 100 TB either set it or —
+    better — feed this operator exact-duplicate representatives via
+    ``lsh_dedup_edges``, which removes the identical-signature blowup
+    at the source."""
+    banded = minhash_band_keys(
+        df, text_col, id_col, bands, num_hashes, shingle_n
+    )
+    return _pairs_from_banded(banded, id_col, max_band_df)
+
+
+def lsh_dedup_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """Exact-dedup-first LSH edge generation — the 100 TB-safe input to
+    connected components (used by the dedup_keepers / corpus curation
+    pipelines).
+
+    Identical texts share every band key, so a cluster of m exact copies
+    puts m rows on the SAME band key in EVERY band: the plain self-join
+    yields m² candidate rows in one task (one viral boilerplate page ×
+    10⁶ copies = 10¹² pairs on one key). Here only one REPRESENTATIVE
+    per exact text (min id; grouped on md5(text) so the shuffle key is
+    16 bytes, not the document) enters LSH; the other members attach by
+    a member→representative edge. Connected components over
+    (rep pairs ∪ member edges) equal those over the uncapped pair set —
+    members have identical signatures to their representative, so every
+    pair they would have contributed routes through it transitively.
+
+    Member edges are emitted only for texts that PRODUCE band keys:
+    shingle-less docs (< shingle_n tokens) never enter banding, so two
+    identical shingle-less docs stay isolated — exactly the plain
+    ``minhash_lsh_candidates``+CC semantics, value-checked by the
+    dedup_keepers oracle.
+
+    Output: (id_a, id_b) edges, id_a < id_b.
+    """
+    key = _md5(F.col(text_col)).alias("__tkey")
+    rep = (
+        df.select(key, F.col(id_col))
+        .groupBy("__tkey")
+        .agg(F.min(id_col).alias("__rep"))
+    )
+    rep_map = (
+        df.select(key, F.col(id_col))
+        .join(rep, "__tkey")
+        .select(F.col(id_col), F.col("__rep"))
+    )
+    rep_docs = df.join(
+        rep_map.filter(F.col(id_col) == F.col("__rep")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    banded = minhash_band_keys(
+        rep_docs, text_col, id_col, bands, num_hashes, shingle_n
+    )
+    rep_pairs = _pairs_from_banded(banded, id_col, max_band_df)
+    keyed_reps = banded.select(F.col(id_col).alias("__rep")).distinct()
+    member_edges = (
+        rep_map.filter(F.col(id_col) != F.col("__rep"))
+        .join(keyed_reps, "__rep", "left_semi")
+        .select(
+            F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+        )
+    )
+    return rep_pairs.union(member_edges)
 
 
 def ngram_jaccard_pairs(

@@ -97,6 +97,33 @@ def connected_components(
     return labels.select("id", F.col("comp").alias("component"))
 
 
+def connected_components_auto(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+    star_max_iter: int = 50,
+) -> DataFrame:
+    """Min-label propagation with AUTOMATIC retry via
+    large-star/small-star on non-convergence — the guard rail the dedup
+    pipelines (dedup_keepers, corpus curation) use so a pathological
+    long-chain duplicate graph degrades to the O(log² n) algorithm
+    instead of failing. Near-dup graphs are near-cliques (a handful of
+    min-label rounds); the retry only fires when the diameter exceeds
+    ``max_iter``, costing one wasted propagation phase before the star
+    rounds."""
+    try:
+        return connected_components(
+            nodes, edges, id_col, src_col, dst_col, max_iter
+        )
+    except RuntimeError:
+        return connected_components_star(
+            nodes, edges, id_col, src_col, dst_col, star_max_iter
+        )
+
+
 def connected_components_star(
     nodes: DataFrame,
     edges: DataFrame,

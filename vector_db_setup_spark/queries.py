@@ -464,6 +464,20 @@ from vector_db_setup_spark.functions.text import (  # noqa: E402
     token_count,
 )
 from vector_db_setup_spark.operators import dedup as dd  # noqa: E402
+from vector_db_setup_spark.operators.graph import (  # noqa: E402
+    connected_components_auto,
+)
+
+
+def _cc_with_star_fallback(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Connected components over (id_a, id_b) dedup edges with the
+    automatic large-star/small-star retry on min-label non-convergence
+    (operators/graph.connected_components_auto) — pathological long
+    duplicate chains degrade to O(log² n) rounds instead of erroring."""
+    return connected_components_auto(
+        nodes, edges, id_col="doc_id", src_col="id_a", dst_col="id_b"
+    )
+
 
 # shared DuckDB CTE fragments (mirror functions/text.py exactly)
 _STOP_SQL = "['a','the','of','and','to','in','is']"
@@ -578,6 +592,36 @@ def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     on band keys — THE 100 TB dedup path (no pairwise comparison)."""
     d = load_table(spark, sf_dir, "documents")
     return dd.minhash_lsh_candidates(d)
+
+
+@register(
+    "minhash_lsh_capped",
+    f"""
+    WITH {_shingle_cte()}, {_MINHASH_CTE},
+    banded AS (
+        SELECT doc_id, h // 2 AS band,
+               string_agg(sig::VARCHAR, ',' ORDER BY sig ASC) AS band_key
+        FROM mh GROUP BY doc_id, h // 2
+    ),
+    keep AS (SELECT band, band_key FROM banded
+             GROUP BY band, band_key HAVING count(*) <= 3),
+    bc AS (SELECT banded.doc_id, banded.band, banded.band_key
+           FROM banded JOIN keep USING (band, band_key))
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bc a
+    JOIN bc b ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates with the hot-band document-frequency cap
+    (max_band_df=3): band keys shared by more than 3 docs are dropped
+    before the self-join — the m²-per-key skew defense (one boilerplate
+    page × 10⁶ copies otherwise lands 10¹² pairs on a single band key).
+    The oracle applies the identical cap, so the capped semantics are
+    value-checked against DuckDB, mirroring ngram_jaccard_capped."""
+    d = load_table(spark, sf_dir, "documents")
+    return dd.minhash_lsh_candidates(d, max_band_df=3)
 
 
 @register(
@@ -758,23 +802,19 @@ def benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END fuzzy dedup, materialized: MinHash-LSH candidate pairs
-    → connected components → canonical keeper (min doc id) per cluster →
-    per-document (keeper_id, is_dup) verdict — the full pipeline a
-    training corpus actually applies before writing cleaned shards. The
-    oracle recomputes the identical closure with a recursive CTE, so
-    LSH + graph closure + keeper choice are value-checked end to end."""
-    from vector_db_setup_spark.operators.graph import connected_components
-
+    """END-TO-END fuzzy dedup, materialized: exact-dedup-first MinHash-LSH
+    edges (only one representative per exact text enters the band-key
+    self-join — the m²-per-hot-band defense, operators/dedup.py
+    lsh_dedup_edges) → connected components → canonical keeper (min doc
+    id) per cluster → per-document (keeper_id, is_dup) verdict — the
+    full pipeline a training corpus actually applies before writing
+    cleaned shards. The oracle recomputes the closure over the UNCAPPED
+    band-key pair set with a recursive CTE — the representative routing
+    is component-preserving, so the capped plan is value-checked against
+    the uncapped semantics end to end."""
     d = load_table(spark, sf_dir, "documents")
-    edges = dd.minhash_lsh_candidates(d)
-    cc = connected_components(
-        d.select("doc_id"),
-        edges,
-        id_col="doc_id",
-        src_col="id_a",
-        dst_col="id_b",
-    )
+    edges = dd.lsh_dedup_edges(d)
+    cc = _cc_with_star_fallback(d.select("doc_id"), edges)
     return cc.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("keeper_id"),
