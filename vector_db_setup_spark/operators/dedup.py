@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from vector_db_setup_spark.functions.text import tokens, word_shingles
+from vector_db_setup_spark.functions.text import (
+    STOPWORDS,
+    tokens,
+    word_shingles,
+)
 from vector_db_setup_spark.functions.vector import cosine_similarity
 
 
@@ -74,6 +78,52 @@ def shingle_hashes(
     for j in range(1, shingle_n):
         s = s + F.lead("t", j).over(w_) * (_PACK**j)
     return th.select(F.col(id_col), s.alias("s")).filter(F.col("s").isNotNull())
+
+
+def token_stream(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, pos, wl, stop, t): THE single tokenize+explode scan every
+    curation signal can derive from — t is the 20-bit md5 token prefix
+    (same as `shingle_hashes`), wl the token char length, stop a 0/1
+    stopword flag. Quality stats (token count, stopword ratio, mean word
+    length) are one groupBy over this; shingles come from
+    `shingle_stream`. Materialize (persist) this once per pipeline
+    instead of re-tokenizing the corpus per signal."""
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w")
+    )
+    return tok.select(
+        id_col,
+        "pos",
+        F.length("w").alias("wl"),
+        F.col("w").isin(*STOPWORDS).cast("int").alias("stop"),
+        F.conv(F.substring(_md5(F.col("w")), 1, 5), 16, 10)
+        .cast("long")
+        .alias("t"),
+    )
+
+
+def shingle_stream(
+    th: DataFrame, id_col: str = "doc_id", ns: tuple[int, ...] = (2, 3)
+) -> DataFrame:
+    """Adds packed shingle-hash columns s{n} for every n in ``ns`` to a
+    `token_stream`, in ONE window pass (the lead(t, j) expressions share
+    the same window spec, so Spark evaluates the window once). s{n} is
+    null on the last n-1 tokens of each doc — filter `s{n} IS NOT NULL`
+    to get exactly `shingle_hashes(df, shingle_n=n)`.
+
+    This is how a curation pipeline computes 2-gram repetition, 3-gram
+    contamination, and MinHash banding from one scan + one shuffle of
+    the token stream instead of one lineage per signal."""
+    w_ = Window.partitionBy(id_col).orderBy("pos")
+    sels = []
+    for n in ns:
+        s = F.col("t")
+        for j in range(1, n):
+            s = s + F.lead("t", j).over(w_) * (_PACK**j)
+        sels.append(s.alias(f"s{n}"))
+    return th.select(*th.columns, *sels)
 
 
 def exact_dedup(
