@@ -154,6 +154,21 @@ def minhash_signature_array(
     tokens have no shingles and drop out entirely.
     """
     sh = shingle_hashes(df, text_col, id_col, shingle_n)
+    return minhash_sigs_from_shingles(sh, id_col, num_hashes)
+
+
+def minhash_sigs_from_shingles(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    s_col: str = "s",
+) -> DataFrame:
+    """MinHash signature array from a PRECOMPUTED (id, s) packed-shingle
+    stream — the entry point a shared-scan curation pipeline uses so the
+    tokenize+shingle lineage is materialized ONCE (via `token_stream` +
+    `shingle_stream` + persist) and every signal, including MinHash,
+    derives from it. Same mixing/semantics as `minhash_signature_array`.
+    """
     # ZERO md5 at the shingle level: h1/h2 come from multiply-mod mixing
     # of the packed hash's two 30-bit halves (inputs are already
     # md5-uniform, so a linear combo mod 2^32 stays uniform), then
@@ -164,8 +179,8 @@ def minhash_signature_array(
     # every hash AND re-evaluates the shingle expression per seed
     # (~7× slower measured at sf0.1); the previous md5(s)-based mixing
     # cost two digest evaluations per shingle (~40% of pipeline time).
-    lo = F.col("s") % F.lit(_HALF)  # low 30 bits
-    hi = F.shiftright(F.col("s"), 30)  # high 30 bits (s is non-negative)
+    lo = F.col(s_col) % F.lit(_HALF)  # low 30 bits
+    hi = F.shiftright(F.col(s_col), 30)  # high 30 bits (s is non-negative)
     halves = sh.select(
         id_col,
         ((lo * F.lit(_C1) + hi * F.lit(_C2)) % F.lit(_MOD32)).alias("h1"),
@@ -241,8 +256,20 @@ def minhash_band_keys(
 
     Band keys come straight off the signature array (slice + array_sort +
     concat_ws); shingle-less docs drop out."""
-    rpb = num_hashes // bands
     arr = minhash_signature_array(df, text_col, id_col, num_hashes, shingle_n)
+    return band_keys_from_sigs(arr, id_col, bands, num_hashes)
+
+
+def band_keys_from_sigs(
+    arr: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """(id, band, band_key) from a PRECOMPUTED (id, sig) signature array
+    (see `minhash_sigs_from_shingles`) — lets a shared-scan pipeline band
+    without re-deriving signatures from text."""
+    rpb = num_hashes // bands
     band_structs = F.array(
         *[
             F.struct(
@@ -381,6 +408,50 @@ def lsh_dedup_edges(
         .select(
             F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
         )
+    )
+    return rep_pairs.union(member_edges)
+
+
+def lsh_edges_from_sigs(
+    arr: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    num_hashes: int = 8,
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """Representative-routed LSH edges from a PRECOMPUTED (id, sig)
+    signature array — the shared-scan pipeline's analogue of
+    `lsh_dedup_edges`.
+
+    Instead of grouping on md5(text) (which would force a second corpus
+    scan), duplicates are collapsed on the SIGNATURE itself: docs with
+    identical signatures share every band key, so they are exactly the
+    m²-per-band blowup class. One representative (min id) per distinct
+    signature enters banding; members attach by rep→member edges.
+    Component-preserving vs the uncapped band-key pair set: sig-equal
+    docs always collide with their representative in every band, so any
+    pair they would contribute routes through it transitively.
+
+    Output: (id_a, id_b) edges, id_a < id_b not guaranteed for member
+    edges (rep has min id, so rep < member holds — id_a < id_b overall).
+    """
+    keyed = arr.select(
+        F.col(id_col),
+        F.concat_ws(
+            ",", F.transform("sig", lambda x: x.cast("string"))
+        ).alias("__skey"),
+    )
+    rep = keyed.groupBy("__skey").agg(F.min(id_col).alias("__rep"))
+    rep_map = keyed.join(rep, "__skey").select(F.col(id_col), "__rep")
+    rep_sigs = arr.join(
+        rep_map.filter(F.col(id_col) == F.col("__rep")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    banded = band_keys_from_sigs(rep_sigs, id_col, bands, num_hashes)
+    rep_pairs = _pairs_from_banded(banded, id_col, max_band_df)
+    member_edges = rep_map.filter(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
     )
     return rep_pairs.union(member_edges)
 

@@ -3581,23 +3581,38 @@ def corpus_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality score (C4/Gopher-style), bigram repetition ratio, test-set
     contamination (3-gram containment vs the doc<20 benchmark), and
     MinHash-LSH→connected-components near-dup keeper status — into a
-    keep/drop verdict with machine-readable reasons. Every signal is a
-    shared scan/shuffle of the same token stream; the oracle recomputes
-    the identical pipeline (including the recursive closure), so the
-    whole curation decision is value-checked."""
-    from vector_db_setup_spark.operators.graph import connected_components
+    keep/drop verdict with machine-readable reasons.
 
+    Executed plan (the shared-scan shape the docstring previously
+    promised): the corpus text is tokenized ONCE (`token_stream`), the
+    2- and 3-gram packed shingle hashes are added in ONE window pass
+    (`shingle_stream`) and the result is persist()ed; quality stats
+    (token count / stopword ratio / mean word length), bigram
+    repetition, 3-gram contamination AND the MinHash signatures all
+    derive from that one cached stream. The window's hash-partitioning
+    on doc_id is inherited by every per-doc groupBy (no re-shuffle);
+    the only data-sized shuffles left are the LSH band-key self-join
+    (representative-routed via `lsh_edges_from_sigs`, so identical-
+    signature clusters can't blow up a band key) and the CC rounds.
+    The oracle recomputes the identical pipeline (including the
+    recursive closure), so the whole curation decision is
+    value-checked."""
     d = load_table(spark, sf_dir, "documents")
-    # near-dup keeper via LSH + CC
-    cc = connected_components(
-        d.select("doc_id"),
-        dd.minhash_lsh_candidates(d),
-        id_col="doc_id",
-        src_col="id_a",
-        dst_col="id_b",
-    ).select(F.col("id").alias("doc_id"), F.col("component").alias("keeper_id"))
-    # contamination vs doc<20 benchmark
-    sh = dd.shingle_hashes(d).distinct()
+    # ONE tokenize scan + ONE window pass → cached (doc_id, pos, wl,
+    # stop, t, s2, s3) stream every signal below derives from.
+    ss = dd.shingle_stream(dd.token_stream(d), ns=(2, 3)).persist()
+    s3 = ss.filter(F.col("s3").isNotNull()).select(
+        "doc_id", F.col("s3").alias("s")
+    )
+    # near-dup keeper via shared-scan MinHash → rep-routed LSH → CC
+    sigs = dd.minhash_sigs_from_shingles(s3)
+    cc = _cc_with_star_fallback(
+        d.select("doc_id"), dd.lsh_edges_from_sigs(sigs)
+    ).select(
+        F.col("id").alias("doc_id"), F.col("component").alias("keeper_id")
+    )
+    # contamination vs doc<20 benchmark (distinct 3-gram containment)
+    sh = s3.distinct()
     bench = sh.filter(F.col("doc_id") < 20).select("s").distinct()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
     hits = (
@@ -3606,14 +3621,39 @@ def corpus_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
-    # bigram repetition
-    sh2 = dd.shingle_hashes(d, shingle_n=2)
-    rep = sh2.groupBy("doc_id").agg(
-        F.round(1.0 - F.countDistinct("s") / F.count(F.lit(1)), 6).alias(
-            "rep_ratio"
+    # bigram repetition from the same cached stream
+    rep = (
+        ss.filter(F.col("s2").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.round(1.0 - F.countDistinct("s2") / F.count(F.lit(1)), 6).alias(
+                "rep_ratio"
+            )
         )
     )
-    qual = d.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+    # quality from the same stream: one per-doc groupBy reproduces
+    # functions/text.quality_score bit-for-bit (int-sum/int-count double
+    # divisions in the same order)
+    qstats = ss.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum("stop").alias("n_stop"),
+        F.sum("wl").alias("sum_wl"),
+    )
+    len_score = F.least(
+        F.col("n_tok").cast("double") / F.lit(50.0), F.lit(1.0)
+    )
+    stop_score = (
+        F.lit(1.0)
+        - F.abs(F.col("n_stop") / F.col("n_tok") - F.lit(0.1)) / F.lit(0.9)
+    )
+    wl_mean = F.col("sum_wl") / F.col("n_tok")
+    wl_score = F.when((wl_mean >= 3.0) & (wl_mean <= 8.0), 1.0).otherwise(0.5)
+    qual = qstats.select(
+        "doc_id",
+        F.round((len_score + stop_score + wl_score) / F.lit(3.0), 6).alias(
+            "quality"
+        ),
+    )
 
     base = (
         d.filter(F.col("doc_id") >= 20)
