@@ -35,10 +35,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Pure `spark.read.parquet` — projection and
     predicates applied downstream reach the scan via Catalyst pushdown.
 
-    ``events.ts`` is stored as TIMESTAMP(NANOS), which Spark reads as a
-    nanosecond long (see session.py nanosAsLong); converted here to a
-    proper TimestampType. Fixture values are whole microseconds, so the
-    ns→µs division is lossless and matches DuckDB's µs TIMESTAMP read.
+    ``events.ts`` has shipped in two fixture generations: TIMESTAMP(NANOS)
+    (Spark reads a nanosecond long under session.py's nanosAsLong) and
+    plain TIMESTAMP(MICROS) without UTC adjustment (Spark reads
+    TIMESTAMP_NTZ). Both are normalized here to session-zone
+    TimestampType (session tz is UTC — parity with DuckDB's naive µs
+    TIMESTAMP), so every downstream query sees one ts type regardless of
+    fixture vintage.
     """
     if name == "events":
         # defensively set on the CALLER's session: the driver harness
@@ -46,12 +49,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # builder config (runtime-settable, idempotent)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        # integer `div`, not `/`: epoch-ns values (~1.7e18) exceed double
-        # precision, so float division would be off by ±1 µs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer `div`, not `/`: epoch-ns values (~1.7e18) exceed
+            # double precision, so float division would be off by ±1 µs
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # NTZ → LTZ is wall-clock-preserving under the UTC session tz
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

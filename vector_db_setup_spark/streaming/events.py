@@ -39,8 +39,11 @@ def stream_events(
     # FileStreamSource needs a directory basePath; select the single
     # fixture file out of it with a glob filter
     raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    if dict(raw.dtypes).get("ts") == "bigint":
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     # keep schema identical to the batch view
     return raw.select(*batch.columns)
 
