@@ -341,3 +341,68 @@ def test_star_cc_long_chain_converges_in_log_rounds(spark):
     comps = got.select("component").distinct().collect()
     assert [r["component"] for r in comps] == [0]
     assert got.count() == n
+
+
+def test_cc_auto_unionfind_matches_distributed(spark):
+    """connected_components_auto's size-guarded driver union-find kernel
+    must label exactly like the distributed min-label loop — including
+    isolated nodes (own id) and nodes only on the edge list's right
+    side."""
+    from vector_db_setup_spark.operators.graph import (
+        connected_components,
+        connected_components_auto,
+    )
+
+    rng = random.Random(17)
+    n = 300
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    want = {
+        r["id"]: r["component"]
+        for r in connected_components(nodes_df, edges_df).collect()
+    }
+    got_uf = {
+        r["id"]: r["component"]
+        for r in connected_components_auto(nodes_df, edges_df).collect()
+    }
+    assert got_uf == want
+    # guard at 0 forces the distributed path — same labels
+    got_dist = {
+        r["id"]: r["component"]
+        for r in connected_components_auto(
+            nodes_df, edges_df, max_driver_edges=0
+        ).collect()
+    }
+    assert got_dist == want
+
+
+def test_cc_auto_long_chain_star_fallback_through_pipeline(spark):
+    """Above the driver guard, a long chain must still resolve via the
+    automatic large-star/small-star retry (min-label alone would hit
+    max_iter)."""
+    from vector_db_setup_spark.operators.graph import connected_components_auto
+
+    n = 2_000
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = connected_components_auto(
+        nodes, edges, max_iter=5, max_driver_edges=0
+    )
+    comps = got.select("component").distinct().collect()
+    assert [r["component"] for r in comps] == [0]
+    assert got.count() == n
+
+
+def test_cc_auto_empty_edges(spark):
+    from vector_db_setup_spark.operators.graph import connected_components_auto
+
+    nodes = spark.createDataFrame([(i,) for i in [2, 5]], "id long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_auto(nodes, edges).collect()
+    }
+    assert got == {2: 2, 5: 5}

@@ -105,22 +105,76 @@ def connected_components_auto(
     dst_col: str = "dst",
     max_iter: int = 25,
     star_max_iter: int = 50,
+    max_driver_edges: int | None = 1_000_000,
 ) -> DataFrame:
-    """Min-label propagation with AUTOMATIC retry via
-    large-star/small-star on non-convergence — the guard rail the dedup
-    pipelines (dedup_keepers, corpus curation) use so a pathological
-    long-chain duplicate graph degrades to the O(log² n) algorithm
-    instead of failing. Near-dup graphs are near-cliques (a handful of
-    min-label rounds); the retry only fires when the diameter exceeds
-    ``max_iter``, costing one wasted propagation phase before the star
-    rounds."""
-    try:
-        return connected_components(
-            nodes, edges, id_col, src_col, dst_col, max_iter
+    """Connected components with automatic strategy selection — the
+    entry point the dedup pipelines (dedup_keepers, corpus curation)
+    use.
+
+    1. The edge set is localCheckpoint'd once and counted. Dedup edge
+       sets are typically FAR smaller than the corpus (duplicate pairs
+       only — e.g. 645 edges for 5 000 documents at sf0.1), so when
+       |E| ≤ ``max_driver_edges`` the components of the edge-touched
+       subgraph are solved with a path-compressed union-find on the
+       driver (milliseconds, zero iterative jobs) and broadcast-joined
+       back; the NODE set never leaves the cluster — isolated nodes
+       keep their own id via coalesce, exactly like the distributed
+       path. This is the same size-guarded driver-kernel pattern as the
+       similarity GEMM kernels.
+    2. Above the guard: distributed min-label propagation, with
+       AUTOMATIC retry via large-star/small-star on non-convergence so
+       a pathological long-chain graph degrades to the O(log² n)
+       algorithm instead of failing.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .localCheckpoint(eager=True)
+    )
+    if max_driver_edges is not None and e.count() <= max_driver_edges:
+        pairs = e.collect()
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in pairs:
+            a, b = row["a"], row["b"]
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        labels = [(x, find(x)) for x in parent]
+        if not labels:
+            return nodes.select(
+                F.col(id_col).alias("id"), F.col(id_col).alias("component")
+            )
+        spark = nodes.sparkSession
+        id_type = dict(nodes.select(F.col(id_col).alias("id")).dtypes)["id"]
+        lmap = spark.createDataFrame(
+            labels, schema=f"id {id_type}, __comp {id_type}"
         )
+        return (
+            nodes.select(F.col(id_col).alias("id"))
+            .join(F.broadcast(lmap), "id", "left")
+            .select(
+                "id", F.coalesce("__comp", F.col("id")).alias("component")
+            )
+        )
+    src2, dst2 = "a", "b"
+    try:
+        return connected_components(nodes, e, id_col, src2, dst2, max_iter)
     except RuntimeError:
         return connected_components_star(
-            nodes, edges, id_col, src_col, dst_col, star_max_iter
+            nodes, e, id_col, src2, dst2, star_max_iter
         )
 
 
