@@ -91,20 +91,24 @@ def main() -> None:
             timings[name] = -1.0
             errors[name] = f"{type(e).__name__}: {e}"[:200]
 
-    # second pass: steady-state (plan codegen + Python worker pool warm).
-    # At production scale per-plan first-run cost is amortized over hours
-    # of data; the warm number is the scale-representative one. The cold
-    # number stays the headline metric for comparability with BASELINE.
+    # second phase: steady-state (plan codegen + Python worker pool
+    # warm). At production scale per-plan first-run cost is amortized
+    # over hours of data; the warm number is the scale-representative
+    # one. The cold number stays the headline metric for comparability
+    # with BASELINE. Warm = min of two passes — the host is shared, and
+    # min-of-N is the standard noise-robust point estimate.
     warm: dict[str, float] = {}
-    for name in HEADLINE + EXTENDED:
-        if timings.get(name, -1.0) < 0:
-            continue
-        t0 = time.perf_counter()
-        try:
-            _force(qs[name](spark, sf_dir))
-            warm[name] = round(time.perf_counter() - t0, 3)
-        except Exception:
-            pass
+    for _pass in range(2):
+        for name in HEADLINE + EXTENDED:
+            if timings.get(name, -1.0) < 0:
+                continue
+            t0 = time.perf_counter()
+            try:
+                _force(qs[name](spark, sf_dir))
+                dt = round(time.perf_counter() - t0, 3)
+                warm[name] = min(warm.get(name, dt), dt)
+            except Exception:
+                pass
 
     total = round(
         sum(t for n, t in timings.items() if n in HEADLINE and t >= 0), 3
@@ -123,6 +127,7 @@ def main() -> None:
         "value_extended": round(
             sum(t for n, t in timings.items() if n in EXTENDED and t >= 0), 3
         ),
+        "load_avg_1m": round(os.getloadavg()[0], 2),
     }
     if errors:
         out["errors"] = errors
