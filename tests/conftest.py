@@ -36,3 +36,47 @@ def duck():
         )
     yield con
     con.close()
+
+
+# ---------------------------------------------------------------------------
+# CORRECTNESS_local.json: machine-readable artifact of the full local
+# oracle-parity sweep (VERDICT r2 #3). The driver's own CORRECTNESS_r{N}
+# snapshot caps at 50 rows; every oracled query beyond the 50-slot
+# window gets its auditable green/red row HERE, refreshed whenever the
+# parity tests run. Results MERGE into the existing file so partial runs
+# (-k selections) never erase rows.
+_ORACLE_RESULTS: dict[str, str] = {}
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_makereport(item, call):
+    outcome = yield
+    rep = outcome.get_result()
+    if rep.when == "call" and "test_query_matches_oracle[" in item.nodeid:
+        name = item.nodeid.split("[", 1)[1].rstrip("]")
+        _ORACLE_RESULTS[name] = rep.outcome
+
+
+def pytest_sessionfinish(session, exitstatus):
+    if not _ORACLE_RESULTS:
+        return
+    import json
+    import time
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "CORRECTNESS_local.json",
+    )
+    try:
+        with open(path) as f:
+            data = json.load(f)
+    except Exception:
+        data = {"sf_dir": SF_ORACLE, "results": {}}
+    data["results"].update(sorted(_ORACLE_RESULTS.items()))
+    data["generated_utc"] = time.strftime(
+        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+    )
+    data["n_pass"] = sum(1 for v in data["results"].values() if v == "passed")
+    data["n_total"] = len(data["results"])
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1, sort_keys=False)

@@ -144,3 +144,53 @@ def test_ivf_pairs_exact_within_clusters(spark):
         assert abs(r["cosine"] - exact) < 1e-9
     keys = [(r["id_a"], r["id_b"]) for r in got]
     assert len(keys) == len(set(keys))
+
+
+def test_knn_wide_dim_udf_dispatch_matches_native(spark):
+    """knn_topk routes L2 queries at >= WIDE_DIM dims through the
+    Arrow/numpy kernel (SCALE_EXPERIMENTS.md r4 crossover). The two
+    paths must produce the same top-k ids and distances to 1e-9."""
+    import numpy as np
+
+    from vector_db_setup_spark.operators import knn as K
+
+    rng = np.random.default_rng(5)
+    dim = K.WIDE_DIM
+    rows = [(i, [float(x) for x in rng.random(dim)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    q = [float(x) for x in rng.random(dim)]
+
+    wide = K.knn_topk(df, "v", q, k=5, id_col="id").collect()
+    # force the native path by lowering the threshold check: call the
+    # expression directly
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.functions.vector import vector_literal
+
+    native = (
+        df.withColumn(
+            "distance",
+            K.distance_expr("l2", F.col("v"), vector_literal(q)),
+        )
+        .orderBy(F.col("distance").asc(), F.col("id").asc())
+        .limit(5)
+        .collect()
+    )
+    assert [r["id"] for r in wide] == [r["id"] for r in native]
+    for a, b in zip(wide, native):
+        assert abs(a["distance"] - b["distance"]) < 1e-9
+
+
+def test_knn_narrow_dim_keeps_native_plan(spark):
+    """Below WIDE_DIM the flagship plan must stay pure codegen — no
+    Python/Arrow eval node (the shuffle-free TakeOrderedAndProject
+    assertion lives in test_plans.py; this guards the dispatch)."""
+    import numpy as np
+
+    from vector_db_setup_spark.operators import knn as K
+
+    rng = np.random.default_rng(6)
+    rows = [(i, [float(x) for x in rng.random(8)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    plan = K.knn_topk(df, "v", [0.0] * 8, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

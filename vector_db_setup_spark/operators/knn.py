@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -68,16 +70,50 @@ def knn_topk(
     Pass ``id_col`` to total-order the cut: ties at the k-th distance
     (duplicate vectors) are then broken deterministically on the id, the
     same order every DuckDB oracle uses, instead of arbitrarily.
+
+    Width dispatch (SURVEY §7 risk, measured r4 in SCALE_EXPERIMENTS.md
+    "Native distance expression at reference width"): the native
+    zip_with/aggregate expression wins below ~256 dims (0.35 s vs
+    0.68 s warm at 64-d×100k) but per-element codegen overhead crosses
+    over at the reference's 768-d, where the Arrow-batched numpy UDF is
+    ~15 % faster (0.68 s vs 0.80 s). L2 queries at ≥ ``WIDE_DIM``
+    therefore route through the pandas UDF automatically; the fixture
+    paths (64-d) and every DuckDB-oracle comparison keep the native
+    expression.
     """
-    q = vector_literal(query_vec)
     order = [F.col(dist_col).asc()]
     if id_col is not None:
         order.append(F.col(id_col).asc())
-    return (
-        df.withColumn(dist_col, distance_expr(metric, F.col(vec_col), q))
-        .orderBy(*order)
-        .limit(k)
-    )
+    if metric == "l2" and len(query_vec) >= WIDE_DIM:
+        dist = _pandas_l2_to_query(query_vec)(F.col(vec_col))
+    else:
+        q = vector_literal(query_vec)
+        dist = distance_expr(metric, F.col(vec_col), q)
+    return df.withColumn(dist_col, dist).orderBy(*order).limit(k)
+
+
+# Crossover between native zip_with/aggregate codegen and the
+# Arrow-batched numpy kernel, measured at 100k vectors (r4): native wins
+# at 64-d, numpy wins at 768-d. 256 splits the gap conservatively.
+WIDE_DIM = 256
+
+
+def _pandas_l2_to_query(query_vec: Sequence[float]):
+    """Arrow-vectorized L2-to-a-fixed-query kernel for wide vectors.
+
+    The query vector is captured as a numpy closure (shipped once per
+    executor in the serialized UDF, not per row as a literal array
+    column)."""
+    from pyspark.sql.functions import pandas_udf
+
+    qarr = np.asarray(list(query_vec), dtype="float64")
+
+    @pandas_udf("double")
+    def _l2(a: pd.Series) -> pd.Series:
+        am = np.stack(a.to_numpy())
+        return pd.Series(np.sqrt(((am - qarr) ** 2).sum(axis=1)))
+
+    return _l2
 
 
 def batch_knn_join(
