@@ -1,0 +1,178 @@
+"""Value-level invariants for the rows-only queries (VERDICT r2 #8).
+
+These queries have no DuckDB oracle (RNG / iterative / sketch / Arrow
+batch in the lineage), so each gets at least one VALUE assertion — the
+returned numbers recomputed independently in numpy/hashlib, or bounded
+by exact quantities — instead of a count-level smoke check.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+from tests.conftest import SF_ORACLE
+from vector_db_setup_spark import queries as q
+from vector_db_setup_spark.sources.registry import load_table
+
+
+def _emb_matrix(spark):
+    rows = (
+        load_table(spark, SF_ORACLE, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    return {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+
+
+def test_ivf_knn_distances_are_exact_and_recall(spark):
+    """IVF approximates the CANDIDATE SET, never the values. Three
+    value-level invariants: (1) every returned distance equals the true
+    L2 recomputed in numpy; (2) the result is EXACTLY the top-5 of the
+    probed-cluster candidate set (pruned search loses nothing within its
+    probes); (3) global recall vs the unpruned exact top-5 >= 3/5 at
+    nprobe=4 of k=8."""
+    from vector_db_setup_spark.operators.ann import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    E = _emb_matrix(spark)
+    qv = E[0]  # _query_vector default: vec_id 0
+    got = q.queries()["ivf_knn"](spark, SF_ORACLE).collect()
+    assert len(got) == 5
+    for r in got:
+        exact_d = float(np.linalg.norm(E[r["vec_id"]] - qv))
+        assert abs(r["distance"] - round(exact_d, 6)) < 1e-9, r
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    cents = np.asarray(kmeans_centroids(emb, k=8), dtype=np.float64)
+    probed = set(
+        np.argsort([float(np.linalg.norm(c - qv)) for c in cents])[:4].tolist()
+    )
+    assign = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ivf_assign(emb, cents).collect()
+    }
+    want = sorted(
+        (
+            (float(np.linalg.norm(E[i] - qv)), i)
+            for i in E
+            if assign[i] in probed
+        ),
+    )[:5]
+    assert [(r["vec_id"], r["distance"]) for r in got] == [
+        (i, round(d, 6)) for d, i in want
+    ]
+    exact_top5 = set(
+        sorted(E, key=lambda i: (float(np.linalg.norm(E[i] - qv)), i))[:5]
+    )
+    assert len({r["vec_id"] for r in got} & exact_top5) >= 3
+
+
+def _fake_features(text: str) -> np.ndarray:
+    payload = hashlib.md5(text.encode("utf-8")).digest()
+    b = np.frombuffer(payload, dtype=np.uint8)
+    return np.bincount(b >> 5, minlength=8).astype(np.float64)
+
+
+def test_multimodal_knn_values_match_host_recompute(spark):
+    """The whole fake-codec chain (md5 payload -> byte histogram -> L2
+    top-5) is deterministic: recompute it host-side from documents.text
+    and require the exact same (doc_id, distance) rows in the same
+    order."""
+    docs = (
+        load_table(spark, SF_ORACLE, "documents")
+        .filter("doc_id < 200")
+        .select("doc_id", "text")
+        .collect()
+    )
+    H = {r["doc_id"]: _fake_features(r["text"]) for r in docs}
+    qv = H[0]
+    want = sorted(
+        ((float(np.linalg.norm(h - qv)), i) for i, h in H.items()),
+    )[:5]
+    got = q.queries()["multimodal_knn"](spark, SF_ORACLE).collect()
+    assert [(r["doc_id"], r["distance"]) for r in got] == [
+        (i, round(d, 6)) for d, i in want
+    ]
+
+
+def test_lsh_bucket_counts_match_host_recompute(spark):
+    """The hyperplanes are host-seeded (same numpy call here), so the
+    full per-bucket cardinality table is recomputable exactly."""
+    from vector_db_setup_spark.operators.ann import random_hyperplanes
+
+    E = _emb_matrix(spark)
+    dim = len(next(iter(E.values())))
+    planes = random_hyperplanes(dim, n_planes=8)
+    want: dict[int, int] = {}
+    for v in E.values():
+        bucket = sum(
+            (1 << b) for b, p in enumerate(planes) if float(v @ p) > 0
+        )
+        want[bucket] = want.get(bucket, 0) + 1
+    got = {
+        r["bucket_id"]: r["n_vectors"]
+        for r in q.queries()["lsh_bucket_counts"](spark, SF_ORACLE).collect()
+    }
+    assert got == want
+
+
+def test_knn_random_vector_deterministic_and_valid(spark):
+    """Seeded F.rand: two runs must return byte-identical rows, and the
+    distances must be sorted ascending with the id tie-break."""
+    run1 = [tuple(r) for r in q.queries()["knn_random_vector"](spark, SF_ORACLE).collect()]
+    run2 = [tuple(r) for r in q.queries()["knn_random_vector"](spark, SF_ORACLE).collect()]
+    assert run1 == run2
+    assert len(run1) == 5
+    assert run1 == sorted(run1, key=lambda t: (t[1], t[0]))
+    assert all(d >= 0 for _, d in run1)
+
+
+def test_approx_price_quantiles_within_exact_bounds(spark):
+    """approx_percentile(accuracy=1000) has rank error <= n/1000; at
+    ~15k rows/group that is well inside the exact p45..p55 envelope.
+    approx_count_distinct (HLL++) is within 5% of exact."""
+    import duckdb
+
+    con = duckdb.connect()
+    exact = {
+        r[0]: r[1:]
+        for r in con.execute(
+            f"""
+            SELECT l_returnflag,
+                   quantile_cont(l_extendedprice, 0.45),
+                   quantile_cont(l_extendedprice, 0.55),
+                   count(DISTINCT l_partkey)
+            FROM '{SF_ORACLE}/lineitem.parquet' GROUP BY 1
+            """
+        ).fetchall()
+    }
+    got = q.queries()["approx_price_quantiles"](spark, SF_ORACLE).collect()
+    assert {r["l_returnflag"] for r in got} == set(exact)
+    for r in got:
+        lo, hi, nd = exact[r["l_returnflag"]]
+        assert lo <= r["median_approx"] <= hi, r
+        assert abs(r["parts_approx"] - nd) / nd < 0.05, r
+
+
+def test_orders_sample_stats_statistically_sound_and_deterministic(spark):
+    """Seeded Bernoulli sample: byte-identical across runs, sample size
+    within 5 sigma of fraction*N, sample mean within 5 sigma of the
+    population mean (CLT bound from the population variance)."""
+    import duckdb
+
+    con = duckdb.connect()
+    n, mu, sd = con.execute(
+        f"SELECT count(*), avg(o_totalprice), stddev_pop(o_totalprice) "
+        f"FROM '{SF_ORACLE}/orders.parquet'"
+    ).fetchall()[0]
+    r1 = q.queries()["orders_sample_stats"](spark, SF_ORACLE).collect()[0]
+    r2 = q.queries()["orders_sample_stats"](spark, SF_ORACLE).collect()[0]
+    assert tuple(r1) == tuple(r2)
+    k = r1["n_sampled"]
+    sigma_k = (n * 0.1 * 0.9) ** 0.5
+    assert abs(k - 0.1 * n) <= 5 * sigma_k
+    assert abs(r1["avg_price_sample"] - mu) <= 5 * sd / (k**0.5)
