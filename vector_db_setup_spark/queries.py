@@ -498,6 +498,7 @@ from vector_db_setup_spark.functions.text import (  # noqa: E402
     quality_score,
     stopword_ratio,
     token_count,
+    tokens,
 )
 from vector_db_setup_spark.operators import dedup as dd  # noqa: E402
 from vector_db_setup_spark.operators.graph import (  # noqa: E402
@@ -3808,4 +3809,261 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum("revenue").over(w_cum) / F.sum("revenue").over(w_all), 6
         ).alias("cum_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round 4: training-data pipeline widening — chunking, context packing,
+# BM25 retrieval scoring, semantic (embedding) dedup keepers.
+
+
+@register(
+    "doc_chunking",
+    """
+    WITH t AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w
+        FROM documents WHERE doc_id < 200
+    ),
+    c AS (
+        SELECT doc_id, w,
+               unnest(generate_series(0,
+                   CASE WHEN len(w) <= 64 THEN 0
+                        ELSE CAST(ceil((len(w) - 64) / 48.0) AS INT)
+                   END)) AS chunk_id
+        FROM t
+    )
+    SELECT doc_id, chunk_id,
+           md5(array_to_string(list_slice(w, chunk_id * 48 + 1,
+               least(chunk_id * 48 + 64, len(w))), ' ')) AS chunk_md5,
+           least(len(w) - chunk_id * 48, 64) AS n_tokens
+    FROM c
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size 64, stride 48) — how a
+    training pipeline splits long documents into model-context pieces
+    with overlap so no boundary context is lost. Pure codegen: the token
+    array is computed once per doc, chunk starts come from `sequence`,
+    each chunk is a `slice` + `array_join`; one narrow explode, zero
+    shuffles. The chunk text is md5'd in the output so the oracle
+    comparison stays compact while still value-checking every chunk's
+    exact content."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    size, stride = 64, 48
+    toks = tokens("text")
+    n = F.size(toks)
+    n_chunks = F.when(n <= size, F.lit(1).cast("long")).otherwise(
+        F.ceil((n - size) / F.lit(float(stride))) + 1
+    )
+    chunk = F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+        "chunk_id"
+    )
+    e = d.select("doc_id", F.col("text"), chunk)
+    toks_e = tokens("text")
+    start = F.col("chunk_id") * stride
+    return e.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.slice(toks_e, (start + 1).cast("int"), size), " "
+                ),
+                "UTF-8",
+            )
+        ).alias("chunk_md5"),
+        F.least(F.size(toks_e) - start, F.lit(size).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+
+
+@register(
+    "context_packing",
+    """
+    WITH nt AS (
+        SELECT doc_id, source, len(string_split(lower(text), ' ')) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tok,
+               CAST(floor(coalesce(sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / 2048.0) AS BIGINT) AS bin_id
+        FROM nt
+    )
+    SELECT source, bin_id, count(*) AS n_docs, sum(n_tok) AS total_tokens
+    FROM packed GROUP BY source, bin_id
+    """,
+)
+def context_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget context packing: assign documents (in deterministic
+    doc_id order, per source shard) to 2048-token bins by exclusive
+    running token count — the offset-packing approximation every
+    at-scale sequence-packing pipeline uses (a doc may straddle its bin
+    boundary; bins never reorder docs). The window partitions by
+    `source`, so at 100 TB the sort is per-shard, not global — no
+    single-partition bottleneck. One window shuffle + one (reusing)
+    groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = d.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = nt.select(
+        "source",
+        "n_tok",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+            / F.lit(2048.0)
+        ).alias("bin_id"),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+    )
+
+
+_BM25_TERMS = ("data", "model", "system", "query", "search")
+_BM25_TERMS_SQL = "['data','model','system','query','search']"
+
+
+@register(
+    "bm25_scores",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS doclen FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(doclen) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+           WHERE list_contains({_BM25_TERMS_SQL}, w) GROUP BY doc_id, w),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * 2.2
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doclen / s.avgdl)))
+                   AS score
+        FROM tf JOIN df USING (w) JOIN dl USING (doc_id) CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) retrieval scoring for a fixed query-term
+    set — the lexical half of hybrid search, as a pure DataFrame
+    pipeline. The query terms are FIXED AND FEW, so the whole term
+    statistics table flattens into one map-side-combined groupBy over a
+    single token explode: per doc, count(*) is the doclen and one
+    sum((w = term_i)) slot per term is the tf — ONE corpus scan, ONE
+    data-sized shuffle (vs the textbook tok⋈df⋈dl 3-join shape: 4 scans,
+    10 exchanges — measured before this rewrite). Corpus stats and
+    per-term document frequencies reduce from the per-doc aggregate
+    (already tiny) and come back as one broadcast row."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("doclen"),
+        *[
+            F.sum((F.col("w") == t).cast("long")).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    ).persist()  # read twice (stats + scores); ~1 row/doc, never re-scan
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doclen").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    k1, b = 1.2, 0.75
+    joined = per_doc.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf = F.col(f"tf{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df{i}") + 0.5)
+            / (F.col(f"df{i}") + 0.5)
+        )
+        denom = tf + k1 * (1 - b + b * F.col("doclen") / F.col("avgdl"))
+        term = F.when(tf > 0, idf * tf * (k1 + 1) / denom).otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    scored = joined.filter(
+        sum(F.col(f"tf{i}") for i in range(len(_BM25_TERMS))) > 0
+    ).select("doc_id", score.alias("score"))
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )
+
+
+@register(
+    "semantic_dedup_keepers",
+    f"""
+    WITH RECURSIVE bucketed AS (
+        SELECT vec_id, embedding,
+               {_lsh_planes_sql(_NEARDUP_PLANES)} AS bucket_id
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket_id = b.bucket_id AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.88
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM cand
+            UNION SELECT id_b, id_a FROM cand),
+    reach(id, comp) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
+    )
+    SELECT id AS vec_id, min(comp) AS keeper_id,
+           min(comp) != id AS is_dup
+    FROM reach GROUP BY id
+    """,
+)
+def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC dedup end-to-end: sign-bit LSH bucket per embedding
+    (native map stage) → exact per-bucket cosine GEMM, thresholded at
+    0.88 → connected components (size-guarded union-find kernel with
+    distributed fallback) → canonical keeper per meaning-cluster. The
+    embedding analogue of dedup_keepers: text near-dup catches edits,
+    this catches paraphrases sharing an embedding neighborhood. The
+    oracle embeds the same literal hyperplanes and recomputes the
+    closure with a recursive CTE, so bucketing, cosine threshold and
+    keeper assignment are all value-checked."""
+    from vector_db_setup_spark.operators.graph import connected_components_auto
+    from vector_db_setup_spark.operators.similarity import cosine_pairs_bucketed
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = cosine_pairs_bucketed(
+        emb, _NEARDUP_PLANES, min_cosine=0.88
+    ).select("id_a", "id_b")
+    cc = connected_components_auto(
+        emb.select("vec_id"),
+        edges,
+        id_col="vec_id",
+        src_col="id_a",
+        dst_col="id_b",
+    )
+    return cc.select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("keeper_id"),
+        (F.col("component") != F.col("id")).alias("is_dup"),
     )
