@@ -63,19 +63,26 @@ _DRIVER_PRIORITY = [
     "pricing_summary", "top_customers", "regional_revenue",
     "orders_by_month", "doc_count", "doc_sample", "majority_vote",
     "substring_accuracy", "dedup_exact_groups", "minhash_signatures",
-    "minhash_est_pairs", "minhash_lsh_candidates", "minhash_lsh_capped",
+    "minhash_lsh_candidates", "minhash_lsh_capped",
     "ngram_jaccard_topk", "ngram_jaccard_capped", "doc_repetition",
     "benchmark_overlap", "dedup_keepers", "corpus_curation_verdict",
+    "semantic_dedup_keepers", "doc_chunking", "context_packing",
+    "bm25_scores",
     "simhash_values", "simhash_hamming_topk", "simhash_banded_pairs",
     "embedding_similar_topk", "embedding_bucketed_pairs",
-    "doc_fingerprints", "text_profile", "lang_id_detect", "lang_stats",
+    "text_profile", "lang_id_detect", "lang_stats",
     "rollup_orders", "cube_lineitem", "count_distinct_custs",
     "customers_without_orders", "big_spender_segments", "nation_set_ops",
     "customer_order_windows", "events_tumbling", "events_sessionize",
     "events_json_extract", "events_dedup_first", "string_funcs_part",
-    "fever_pipeline", "fever_accuracy", "events_session_window",
-    "events_sliding", "multimodal_byte_stats", "orders_pivot",
+    "fever_pipeline", "fever_accuracy", "multimodal_byte_stats",
+    "orders_pivot",
 ]
+# r4 rotation (documented, not silent): IN semantic_dedup_keepers,
+# doc_chunking, context_packing, bm25_scores (new capstone-grade
+# pipeline queries) — OUT minhash_est_pairs, doc_fingerprints,
+# events_session_window, events_sliding (each family keeps ≥3 driver
+# rows; the rotated-out queries remain green in CORRECTNESS_local.json).
 
 
 def _ordered(d: dict) -> dict:
