@@ -4074,3 +4074,132 @@ def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("keeper_id"),
         (F.col("component") != F.col("id")).alias("is_dup"),
     )
+
+
+@register(
+    "event_funnel",
+    """
+    WITH w1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS mv
+        FROM events
+    ),
+    w2 AS (
+        SELECT user_id, ts, event_type, mv,
+               min(CASE WHEN event_type = 'click' AND ts >= mv THEN ts END)
+                   OVER (PARTITION BY user_id) AS mc
+        FROM w1
+    ),
+    w3 AS (
+        SELECT user_id, mv, mc,
+               min(CASE WHEN event_type = 'purchase' AND ts >= mc THEN ts END)
+                   OVER (PARTITION BY user_id) AS mp
+        FROM w2
+    ),
+    per_user AS (
+        SELECT user_id, any_value(mv) AS mv, any_value(mc) AS mc,
+               any_value(mp) AS mp
+        FROM w3 GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(mv) AS n_viewed,
+           count(mc) AS n_clicked,
+           count(mp) AS n_purchased,
+           round(count(mc)::DOUBLE / count(mv), 6) AS view_to_click,
+           round(count(mp)::DOUBLE / count(mc), 6) AS click_to_purchase
+    FROM per_user
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-ordering conversion funnel (view → click after first view
+    → purchase after first qualifying click) — the product-analytics
+    query every event warehouse runs. Three chained conditional-min
+    windows share ONE hash partitioning on user_id (no re-shuffle
+    between stages: same partition spec), then a per-user collapse and a
+    global count. mv/mc/mp are per-user constants, so any_value is
+    deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    s1 = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w).alias(
+            "mv"
+        ),
+    )
+    s2 = s1.select(
+        "*",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") >= F.col("mv")),
+                F.col("ts"),
+            )
+        )
+        .over(w)
+        .alias("mc"),
+    )
+    s3 = s2.select(
+        "user_id",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("mc")),
+                F.col("ts"),
+            )
+        )
+        .over(w)
+        .alias("mp"),
+        "mv",
+        "mc",
+    )
+    per_user = s3.groupBy("user_id").agg(
+        F.first("mv").alias("mv"),
+        F.first("mc").alias("mc"),
+        F.first("mp").alias("mp"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("mv").alias("n_viewed"),
+        F.count("mc").alias("n_clicked"),
+        F.count("mp").alias("n_purchased"),
+        F.round(F.count("mc") / F.count("mv"), 6).alias("view_to_click"),
+        F.round(F.count("mp") / F.count("mc"), 6).alias("click_to_purchase"),
+    )
+
+
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_DIGITS = "[0-9]{6,}"
+
+
+@register(
+    "doc_pii_scrub",
+    f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PII_DIGITS}')) AS n_digit_runs,
+           md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}',
+               '<EMAIL>', 'g'), '{_PII_DIGITS}', '<NUM>', 'g')) AS scrubbed_md5
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (training-data hygiene): count and redact
+    email addresses and long digit runs per document — pure codegen
+    regexp (patterns chosen to parse identically under Java regex and
+    RE2), zero shuffles, one scan. The scrubbed text is md5'd so the
+    oracle value-checks the exact redacted output without shipping
+    full text through the comparison."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"),
+        _PII_DIGITS,
+        "<NUM>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("text", F.lit(_PII_DIGITS)).alias("n_digit_runs"),
+        F.md5(F.encode(scrubbed, "UTF-8")).alias("scrubbed_md5"),
+    )
