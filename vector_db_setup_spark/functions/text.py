@@ -130,3 +130,22 @@ def char_ngrams(text: Column | str, n: int = 4) -> Column:
         F.array().cast("array<int>")
     )
     return F.transform(idx, lambda i: c.substr(i, F.lit(n)))
+
+
+# GPT-2-style pre-tokenizer approximation, restricted to constructs that
+# behave IDENTICALLY under Java regex (Spark, leftmost-first) and RE2
+# (DuckDB, leftmost-longest): the three alternatives start on disjoint
+# character classes (letter / digit / other, each with an optional
+# leading space), so both matching disciplines produce the same token
+# stream. Runs of unmatched whitespace are skipped — they are not
+# tokens.
+BPE_TOKEN_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """Sub-word-ish token count via the BPE pre-tokenizer regex — the
+    'how many tokens will the model actually see' estimate a training
+    pipeline budgets with (whitespace undercounts punctuation-heavy and
+    number-heavy text). Pure codegen regexp_count; no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_TOKEN_RE))

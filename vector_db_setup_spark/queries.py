@@ -4203,3 +4203,40 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(_PII_DIGITS)).alias("n_digit_runs"),
         F.md5(F.encode(scrubbed, "UTF-8")).alias("scrubbed_md5"),
     )
+
+
+@register(
+    "token_budgets",
+    """
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(string_split(lower(text), ' '))) AS ws_tokens,
+           sum(len(regexp_extract_all(text,
+               ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))) AS bpe_tokens,
+           round(sum(len(regexp_extract_all(text,
+               ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')))::DOUBLE
+               / sum(len(string_split(lower(text), ' '))), 6) AS bpe_per_ws
+    FROM documents GROUP BY source
+    """,
+)
+def token_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget accounting: whitespace tokens vs the
+    BPE-ish pre-tokenizer count (functions/text.bpe_token_count) — the
+    two numbers a training pipeline plans data mixes with, and their
+    ratio (how much the model tokenizer inflates each source). One scan,
+    one map-side-combined groupBy; both counts are pure codegen regexp/
+    split expressions."""
+    from vector_db_setup_spark.functions.text import bpe_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        token_count("text").alias("ws"),
+        bpe_token_count("text").alias("bpe"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bpe").alias("bpe_tokens"),
+        F.round(F.sum("bpe") / F.sum("ws"), 6).alias("bpe_per_ws"),
+    )
