@@ -27,6 +27,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _count_capped(df: DataFrame, cap: int) -> int:
+    """Row count that stops once cap is exceeded (limit pushdown) — the
+    size guard every driver-side collect in operators/ must sit behind
+    (tripwire: tests/test_similarity.py
+    test_no_unguarded_full_corpus_collect)."""
+    return df.limit(cap + 1).count()
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -131,7 +139,10 @@ def connected_components_auto(
         .filter(F.col("a") != F.col("b"))
         .localCheckpoint(eager=True)
     )
-    if max_driver_edges is not None and e.count() <= max_driver_edges:
+    if (
+        max_driver_edges is not None
+        and _count_capped(e, max_driver_edges) <= max_driver_edges
+    ):
         pairs = e.collect()
         parent: dict = {}
 
