@@ -4240,3 +4240,52 @@ def token_budgets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bpe").alias("bpe_tokens"),
         F.round(F.sum("bpe") / F.sum("ws"), 6).alias("bpe_per_ws"),
     )
+
+
+@register(
+    "corpus_mixture_plan",
+    """
+    WITH per AS (
+        SELECT source,
+               sum(len(regexp_extract_all(text,
+                   ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))) AS toks
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT count(*) AS n_sources FROM per)
+    SELECT source,
+           toks AS available_tokens,
+           round(least(1.0, (100000.0 / n_sources) / toks), 6)
+               AS sample_rate,
+           CAST(floor(least(1.0, (100000.0 / n_sources) / toks) * toks)
+                AS BIGINT) AS planned_tokens
+    FROM per CROSS JOIN tot
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix planning: given a global budget of 100k BPE-ish
+    tokens spread uniformly across sources, compute each source's
+    sampling rate (capped at 1.0 — a small source can't be upsampled by
+    Bernoulli sampling) and the tokens it will actually contribute.
+    This is the arithmetic every data-mixture pipeline runs between
+    `token_budgets` and the sampling pass (`orders_sample_stats` shows
+    the seeded sampler itself). One scan + one tiny broadcast of the
+    source count."""
+    from vector_db_setup_spark.functions.text import bpe_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(bpe_token_count("text")).alias("available_tokens")
+    )
+    tot = per.agg(F.count(F.lit(1)).alias("n_sources"))
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(100000.0) / F.col("n_sources")) / F.col("available_tokens"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "available_tokens",
+        F.round(rate, 6).alias("sample_rate"),
+        F.floor(rate * F.col("available_tokens"))
+        .cast("long")
+        .alias("planned_tokens"),
+    )
