@@ -406,3 +406,34 @@ def test_cc_auto_empty_edges(spark):
         for r in connected_components_auto(nodes, edges).collect()
     }
     assert got == {2: 2, 5: 5}
+
+
+def test_simhash_hot_band_cap_drops_only_hot_pairs(spark):
+    """SimHash band cap: a planted cluster of identical docs floods its
+    band keys; max_band_df must drop exactly the pairs whose only route
+    is a hot key and keep everything else (the minhash cap's law,
+    mirrored on the simhash side)."""
+    rng = random.Random(7)
+    boiler = " ".join(rng.choice(VOCAB) for _ in range(30))
+    rows = [(i, boiler) for i in range(60)]
+    rows += [
+        (100 + i, " ".join(rng.choice(VOCAB) for _ in range(30)))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sim = dd.simhash(df)
+    uncapped = _pairs(dd.simhash_banded_pairs(sim, max_hamming=3))
+    capped = _pairs(
+        dd.simhash_banded_pairs(sim, max_hamming=3, max_band_df=30)
+    )
+    hot = {(a, b) for a in range(60) for b in range(a + 1, 60)}
+    assert hot <= uncapped  # identical docs: hamming 0, every band shared
+    assert not (capped & hot)  # the m² cluster is gone
+    assert capped <= uncapped  # the cap only ever removes pairs
+    # pairs that share at least one NON-hot band key survive: in this
+    # planting, that is every random↔random pair (their keys are held by
+    # ≤ 25+60 docs only when they coincide with the boiler key — which
+    # also makes them hot-only pairs, dropped by design)
+    rand_rand = {p for p in uncapped if p[0] >= 100 and p[1] >= 100}
+    kept_rand = {p for p in capped if p[0] >= 100 and p[1] >= 100}
+    assert kept_rand == rand_rand

@@ -579,10 +579,20 @@ def simhash_banded_pairs(
     bands: int = 4,
     bits: int = 32,
     max_hamming: int = 3,
+    max_band_df: int | None = None,
 ) -> DataFrame:
     """Scale path: docs agreeing on ≥1 of `bands` 8-bit sub-keys become
     candidates (guaranteed recall for hamming < bands), then exact
-    hamming verification. Equi-join on (band, key) — no cross product."""
+    hamming verification. Equi-join on (band, key) — no cross product.
+
+    ``max_band_df`` is the hot-band guard, same class as the MinHash
+    band cap (`_pairs_from_banded`): a band key held by m docs emits
+    m²/2 candidate rows in one task, and near-identical boilerplate
+    concentrates on FEW keys (measured at sf0.1: one 8-bit key held
+    3 058 of 5 000 docs = half of all 9.5M candidates). Keys above the
+    cap are dropped before the self-join; pairs lost that way are
+    near-exact duplicates — route those through `exact_dedup` /
+    rep-based edges instead of the pair join. None = exact."""
     width = bits // bands
     mask = (1 << width) - 1
     exploded = sim.select(
@@ -593,24 +603,34 @@ def simhash_banded_pairs(
         "band_key",
         F.expr(f"shiftright(simhash, band * {width})").bitwiseAND(F.lit(mask)),
     )
+    if max_band_df is not None:
+        keep = (
+            exploded.groupBy("band", "band_key")
+            .agg(F.count(F.lit(1)).alias("bdf"))
+            .filter(F.col("bdf") <= max_band_df)
+            .select("band", "band_key")
+        )
+        exploded = exploded.join(keep, ["band", "band_key"], "left_semi")
     a = exploded.select(
         F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_key"
     )
     b = exploded.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "band_key"
     )
-    cands = (
+    # hamming BEFORE the dedup: the verification filter is cheap codegen
+    # and kills most candidate rows, so the distinct() shuffles only the
+    # surviving (id_a, id_b, hamming) triples — not every band collision
+    # with two 64-bit signatures in tow (a pair colliding in all 4 bands
+    # would otherwise cross the wire 4× at double the row width).
+    return (
         a.join(b, ["band", "band_key"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-    )
-    return (
-        cands.withColumn(
+        .withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

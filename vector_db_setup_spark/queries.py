@@ -956,6 +956,46 @@ def simhash_banded_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simhash_banded_capped",
+    f"""
+    WITH {_SIMHASH_CTE.format(where="")},
+    exploded AS (SELECT doc_id, simhash,
+                        unnest(generate_series(0, 3)) AS band
+                 FROM simh),
+    keyed AS (SELECT doc_id, simhash, band,
+                     (simhash >> (band * 8)) & 255 AS band_key
+              FROM exploded),
+    kept AS (SELECT band, band_key FROM keyed
+             GROUP BY band, band_key HAVING count(*) <= 50),
+    capped AS (SELECT k.* FROM keyed k JOIN kept USING (band, band_key)),
+    cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                     a.simhash AS sh_a, b.simhash AS sh_b
+              FROM capped a JOIN capped b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cands WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
+def simhash_banded_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-band-capped twin of `simhash_banded_pairs` (max_band_df=50):
+    band keys held by more than 50 docs are dropped before the
+    self-join — the m²-per-key defense the MinHash path already has,
+    now symmetric on the SimHash side. At sf0.1 a single 8-bit key held
+    3 058/5 000 docs (half of all candidate rows); pairs lost to the cap
+    are near-exact duplicates, which belong in exact-dedup/rep-edge
+    routing, not the pair join. Identical cap applied in the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = dd.simhash_banded_pairs(
+        dd.simhash(d), max_hamming=3, max_band_df=50
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@register(
     "embedding_similar_topk",
     """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
