@@ -355,3 +355,75 @@ def test_incremental_dedup_replayed_batch_is_idempotent(spark, tmp_path):
     twice = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert len(once) > 0
     assert twice == once
+
+
+def test_funnel_stream_equals_batch(spark):
+    """funnel_state_stream (single-batch delivery) must reproduce the
+    batch event_funnel per-user firsts exactly."""
+    from pyspark.sql import Window, functions as F
+
+    from vector_db_setup_spark.streaming.events import funnel_state_stream
+
+    stream = funnel_state_stream(stream_events(spark, SF_SMOKE))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_funnel")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["user_id"]: (r["view_us"], r["click_us"], r["purchase_us"])
+        for r in spark.table("t_funnel").collect()
+    }
+
+    from vector_db_setup_spark.sources.registry import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id")
+    us = (F.unix_micros(F.col("ts"))).alias("us")
+    s1 = ev.select(
+        "user_id",
+        us,
+        "event_type",
+        F.unix_micros(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+        ).alias("mv"),
+    )
+    s2 = s1.select(
+        "*",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("us") >= F.col("mv")),
+                F.col("us"),
+            )
+        )
+        .over(w)
+        .alias("mc"),
+    )
+    s3 = s2.select(
+        "user_id",
+        "mv",
+        "mc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("us") >= F.col("mc")),
+                F.col("us"),
+            )
+        )
+        .over(w)
+        .alias("mp"),
+    )
+    want = {
+        r["user_id"]: (r["mv"], r["mc"], r["mp"])
+        for r in s3.groupBy("user_id")
+        .agg(
+            F.first("mv").alias("mv"),
+            F.first("mc").alias("mc"),
+            F.first("mp").alias("mp"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -389,3 +389,72 @@ def incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def funnel_state_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of queries.event_funnel: per-user strict-ordering
+    funnel state (first view, first click ≥ first view, first purchase ≥
+    that click) maintained across micro-batches with
+    applyInPandasWithState. Events are processed in event-time order
+    WITHIN each batch; a view arriving in a later batch cannot
+    retroactively qualify a click already processed (the standard
+    streaming-funnel caveat — with in-order or single-batch delivery the
+    result equals the batch query exactly, asserted in
+    tests/test_streaming.py). State is three epoch-microsecond slots per
+    user; emits the user's current funnel row each batch (update mode).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("view_us", LongType()),
+            StructField("click_us", LongType()),
+            StructField("purchase_us", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("mv", LongType()),
+            StructField("mc", LongType()),
+            StructField("mp", LongType()),
+        ]
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        mv, mc, mp = state.get if state.exists else (None, None, None)
+        frames = [pdf[["ts", "event_type"]] for pdf in pdfs]
+        if frames:
+            allp = pd.concat(frames).sort_values("ts")
+            for ts, et in zip(allp["ts"], allp["event_type"]):
+                us = int(ts.value // 1000)  # pandas ns → µs
+                if et == "view" and mv is None:
+                    mv = us
+                elif et == "click" and mc is None and mv is not None and us >= mv:
+                    mc = us
+                elif (
+                    et == "purchase"
+                    and mp is None
+                    and mc is not None
+                    and us >= mc
+                ):
+                    mp = us
+        state.update((mv, mc, mp))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "view_us": [mv],
+                "click_us": [mc],
+                "purchase_us": [mp],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
