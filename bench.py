@@ -44,8 +44,10 @@ HEADLINE = [
 # stays comparable to BASELINE.md's 12-query baseline run.
 EXTENDED = [
     "simhash_banded_pairs",
+    "simhash_banded_capped",
     "dedup_keepers",
     "corpus_curation_verdict",
+    "semantic_dedup_keepers",
 ]
 
 
