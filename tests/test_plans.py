@@ -113,3 +113,50 @@ def test_cached_plan_reuses_inmemory_scan(spark):
         assert "InMemoryTableScan" in plan
     finally:
         d.unpersist()
+
+
+def test_doc_chunking_is_shuffle_free(spark):
+    """Chunking is a per-row explode of sequence+slice — any Exchange in
+    this plan is a regression."""
+    df = q.doc_chunking(spark, SF_ORACLE)
+    assert n_exchanges(df) == 0
+
+
+def test_pii_scrub_is_shuffle_free(spark):
+    df = q.doc_pii_scrub(spark, SF_ORACLE)
+    assert n_exchanges(df) == 0
+
+
+def test_context_packing_single_hash_exchange(spark):
+    """The per-source window's hashpartitioning must be REUSED by the
+    bin aggregation: exactly one hash exchange in the whole plan."""
+    import re
+
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    df = q.context_packing(spark, SF_ORACLE)
+    assert (
+        len(re.findall(r"Exchange hashpartitioning", executed_plan(df))) == 1
+    )
+
+
+def test_event_funnel_single_user_partitioning(spark):
+    """Three chained conditional-min windows must share ONE user_id hash
+    partitioning (plus the final single-row aggregate's exchange)."""
+    import re
+
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(q.event_funnel(spark, SF_ORACLE))
+    hashes = re.findall(r"Exchange hashpartitioning\(([^,]+)", plan)
+    assert len([h for h in hashes if "user_id" in h]) == 1, hashes
+
+
+def test_bm25_no_python_eval_and_bounded_exchanges(spark):
+    """BM25 must stay JVM-side (no Arrow/Python eval node) and keep the
+    flattened shape (single data-sized groupBy + tiny stats agg)."""
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(q.bm25_scores(spark, SF_ORACLE))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert n_exchanges(q.bm25_scores(spark, SF_ORACLE)) <= 5
