@@ -19,7 +19,9 @@ spark.sparkContext.setLogLevel('ERROR')
 import __spark_entry__ as ent
 assert len(ent.entry(spark).collect()) > 0
 qs = ent.queries()
-for name in ['events_tumbling', 'events_session_window', 'doc_count']:
+for name in ['events_tumbling', 'events_session_window', 'doc_count',
+             'events_sessionize', 'semantic_dedup_keepers',
+             'corpus_curation_verdict', 'doc_chunking', 'bm25_scores']:
     assert qs[name](spark, '/root/testdata/sf0.001').count() > 0
 assert set(ent.oracle_sql()) <= set(qs)
 print('PLAIN_OK')
