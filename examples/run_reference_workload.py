@@ -82,6 +82,29 @@ def main() -> None:
 
     clean = ent.queries()["corpus_clean"](spark, sf_dir).collect()
     print("   clean corpus per lang:", {r["lang"]: r["n_clean"] for r in clean})
+
+    print("== 5. training-data prep: verdict → chunk → pack → mix (r4) ==")
+    qs = ent.queries()
+    verdict = qs["corpus_curation_verdict"](spark, sf_dir)
+    kept = verdict.filter("keep").count()
+    dropped = verdict.filter("NOT keep").count()
+    print(f"   curation verdict: keep {kept} / drop {dropped}")
+    chunks = qs["doc_chunking"](spark, sf_dir)
+    print(
+        "   chunking (size 64 / stride 48):",
+        f"{chunks.count()} chunks from {chunks.select('doc_id').distinct().count()} docs",
+    )
+    bins = qs["context_packing"](spark, sf_dir)
+    print(
+        "   packing: ",
+        f"{bins.count()} bins of ≤2048 tokens across "
+        f"{bins.select('source').distinct().count()} sources",
+    )
+    mix = qs["corpus_mixture_plan"](spark, sf_dir).orderBy("source").limit(3).collect()
+    print(
+        "   mixture plan (first 3 sources):",
+        {r["source"]: (r["sample_rate"], r["planned_tokens"]) for r in mix},
+    )
     print("done.")
 
 
