@@ -73,6 +73,15 @@ def pytest_sessionfinish(session, exitstatus):
     except Exception:
         data = {"sf_dir": SF_ORACLE, "results": {}}
     data["results"].update(sorted(_ORACLE_RESULTS.items()))
+    # prune rows for queries that no longer exist — a renamed/removed
+    # query must not keep reporting a stale green in the artifact the
+    # driver-window rotation relies on
+    from vector_db_setup_spark import queries as _q
+
+    current = set(_q.oracle_sql())
+    data["results"] = {
+        k: v for k, v in data["results"].items() if k in current
+    }
     data["generated_utc"] = time.strftime(
         "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
     )

@@ -194,3 +194,21 @@ def test_knn_narrow_dim_keeps_native_plan(spark):
     df = spark.createDataFrame(rows, "id long, v array<double>")
     plan = K.knn_topk(df, "v", [0.0] * 8, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_knn_wide_dim_udf_null_safe(spark):
+    """A NULL or wrong-width vector must yield a null distance (native
+    expression semantics), not crash the Arrow batch."""
+    import numpy as np
+
+    from vector_db_setup_spark.operators import knn as K
+
+    dim = K.WIDE_DIM
+    rng = np.random.default_rng(9)
+    rows = [(1, [float(x) for x in rng.random(dim)]), (2, None),
+            (3, [1.0, 2.0])]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = {r["id"]: r["distance"]
+           for r in K.knn_topk(df, "v", [0.0] * dim, k=3, id_col="id").collect()}
+    assert got[1] is not None and got[1] > 0
+    assert got[2] is None and got[3] is None

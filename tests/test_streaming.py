@@ -427,3 +427,41 @@ def test_funnel_stream_equals_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_funnel_stream_tie_break_same_instant(spark, tmp_path):
+    """A click at the SAME timestamp as the first view (and a purchase
+    at the same timestamp as that click) must qualify — the batch
+    query's ts >= mv predicate is order-independent, so the stream's
+    in-batch processing order must put view before click before
+    purchase at equal ts."""
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.streaming.events import funnel_state_stream
+
+    t0 = "2024-01-01 00:00:00"
+    rows = [
+        (1, t0, 7, "click", 1.0, "{}"),
+        (2, t0, 7, "view", 1.0, "{}"),
+        (3, t0, 7, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "ev")
+    df.write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    q = (
+        funnel_state_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_funnel_tie")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    row = spark.table("t_funnel_tie").collect()[-1]
+    assert row["view_us"] is not None
+    assert row["click_us"] == row["view_us"]
+    assert row["purchase_us"] == row["click_us"]

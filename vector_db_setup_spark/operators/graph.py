@@ -119,6 +119,12 @@ def connected_components_auto(
     entry point the dedup pipelines (dedup_keepers, corpus curation)
     use.
 
+    Precondition (same as ``connected_components``): ``nodes`` must
+    contain every vertex referenced by ``edges``. An edge endpoint
+    absent from ``nodes`` is a no-op for the distributed loop but would
+    bridge components in the union-find, so the two strategies only
+    agree under the stated contract.
+
     1. The edge set is localCheckpoint'd once and counted. Dedup edge
        sets are typically FAR smaller than the corpus (duplicate pairs
        only — e.g. 645 edges for 5 000 documents at sf0.1), so when

@@ -110,8 +110,18 @@ def _pandas_l2_to_query(query_vec: Sequence[float]):
 
     @pandas_udf("double")
     def _l2(a: pd.Series) -> pd.Series:
-        am = np.stack(a.to_numpy())
-        return pd.Series(np.sqrt(((am - qarr) ** 2).sum(axis=1)))
+        # null-safe like the native zip_with/aggregate expression it
+        # replaces: a NULL or wrong-width vector yields a null distance,
+        # not a failed Arrow batch
+        vals = a.to_numpy()
+        ok = np.array(
+            [v is not None and len(v) == qarr.shape[0] for v in vals]
+        )
+        out = np.full(len(vals), np.nan)
+        if ok.any():
+            am = np.stack(vals[ok])
+            out[ok] = np.sqrt(((am - qarr) ** 2).sum(axis=1))
+        return pd.Series(out).where(pd.Series(ok), None)
 
     return _l2
 

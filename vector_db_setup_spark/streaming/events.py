@@ -427,7 +427,16 @@ def funnel_state_stream(events: DataFrame) -> DataFrame:
         mv, mc, mp = state.get if state.exists else (None, None, None)
         frames = [pdf[["ts", "event_type"]] for pdf in pdfs]
         if frames:
-            allp = pd.concat(frames).sort_values("ts")
+            allp = pd.concat(frames)
+            # tie-break equal timestamps by funnel stage (view before
+            # click before purchase) with a STABLE sort — the batch
+            # query's `ts >= mv` predicates are order-independent at
+            # equal ts, so the stream must qualify a click by a
+            # same-instant view (and a purchase by a same-instant click)
+            allp["__prio"] = allp["event_type"].map(
+                {"view": 0, "click": 1, "purchase": 2}
+            ).fillna(3)
+            allp = allp.sort_values(["ts", "__prio"], kind="mergesort")
             for ts, et in zip(allp["ts"], allp["event_type"]):
                 us = int(ts.value // 1000)  # pandas ns → µs
                 if et == "view" and mv is None:
