@@ -264,3 +264,30 @@ def test_bm25_monotone_in_tf(spark):
     scores = [r["bm25"] for r in got]
     assert scores == sorted(scores, reverse=True)
     assert all(s > 0 for s in scores)
+
+
+def test_hot_tokens_cms_bounds(spark):
+    """Count-min law: exact <= estimate <= exact + eps*N (eps=0.001, 99%
+    confidence — deterministic here via the fixed seed). Exact counts
+    recomputed with a plain groupBy."""
+    got = {
+        r["token"]: r["est_count"]
+        for r in q.queries()["hot_tokens_cms"](spark, SF_ORACLE).collect()
+    }
+    from vector_db_setup_spark.functions.text import tokens
+
+    tok = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select(F.explode(tokens("text")).alias("w"))
+    )
+    n_stream = tok.count()
+    exact = {
+        r["w"]: r["n"]
+        for r in tok.filter(F.col("w").isin(*got))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for t, est in got.items():
+        ex = exact.get(t, 0)
+        assert ex <= est <= ex + 0.001 * n_stream + 1, (t, ex, est)

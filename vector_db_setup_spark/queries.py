@@ -4363,3 +4363,34 @@ def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("planned_tokens"),
     )
+
+
+@register("hot_tokens_cms")
+def hot_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter token counts via count-min sketch — the 100 TB form
+    of "which tokens dominate the corpus" (exact per-token groupBy at
+    trillions of tokens shuffles the full vocabulary; the CMS is one
+    map-side-mergeable fixed-size binary per partition). The sketch is
+    built in ONE aggregate over the exploded token stream, then the
+    candidate terms are probed driver-side from the merged sketch.
+    Rows-only: the sketch binary is engine-specific — the invariant test
+    (tests/test_rows_only_invariants.py) pins the CMS law
+    exact ≤ estimate ≤ exact + ε·N instead."""
+    from pyspark.sql.functions import count_min_sketch
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("w"))
+    # eps=0.001 (width ~2719), confidence 0.99 (depth 5): ≤ 0.1% of the
+    # token stream as overcount at 99% probability, in ~a few KB
+    sk_row = tok.agg(
+        count_min_sketch(F.col("w"), F.lit(0.001), F.lit(0.99), F.lit(42)).alias(
+            "sk"
+        )
+    ).collect()[0]
+    # probe the merged sketch via the JVM CountMinSketch reader
+    jvm = spark._jvm
+    bis = jvm.java.io.ByteArrayInputStream(bytes(sk_row["sk"]))
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    terms = sorted(_BM25_TERMS)
+    rows = [(t, int(cms.estimateCount(t))) for t in terms]
+    return spark.createDataFrame(rows, "token string, est_count long")
