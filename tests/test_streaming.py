@@ -465,3 +465,72 @@ def test_funnel_stream_tie_break_same_instant(spark, tmp_path):
     assert row["view_us"] is not None
     assert row["click_us"] == row["view_us"]
     assert row["purchase_us"] == row["click_us"]
+
+
+def test_continuous_rollup_equals_batch_and_replay_idempotent(spark, tmp_path):
+    """Hypertable-style continuous aggregate: (1) streaming the events
+    fixture into the rollup and merging on read must equal the batch
+    groupBy; (2) re-delivering a batch (same batch_id) must not change
+    the rollup; (3) compaction preserves the merged view exactly."""
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.sources.registry import load_table
+    from vector_db_setup_spark.streaming.events import (
+        compact_rollup,
+        continuous_rollup_stream,
+        read_rollup,
+        rollup_merge_batch,
+    )
+
+    path = str(tmp_path / "rollup")
+    q = continuous_rollup_stream(stream_events(spark, SF_SMOKE), path)
+    q.awaitTermination()
+
+    def merged():
+        return sorted(
+            (
+                str(r["bucket_start"]),
+                r["event_type"],
+                r["n"],
+                round(r["total_value"], 6),
+            )
+            for r in read_rollup(spark, path).collect()
+        )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = sorted(
+        (
+            str(r["bucket_start"]),
+            r["event_type"],
+            r["n"],
+            round(r["total_value"], 6),
+        )
+        for r in ev.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("bucket_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .collect()
+    )
+    first = merged()
+    assert first == want
+
+    # replay: re-deliver HALF the events as batch 0 again — the rollup
+    # must overwrite, not double-count, and re-merging the FULL fixture
+    # as batch 0 must restore the exact original state
+    rollup_merge_batch(ev.limit(100), 0, path)
+    assert read_rollup(spark, path).count() <= len(first)
+    rollup_merge_batch(ev, 0, path)
+    assert merged() == want
+
+    compact_rollup(spark, path)
+    assert merged() == want
+    batches = (
+        spark.read.parquet(path).select("_batch").distinct().collect()
+    )
+    assert [r["_batch"] for r in batches] == [-1]
