@@ -435,6 +435,12 @@ def lsh_edges_from_sigs(
     Output: (id_a, id_b) edges, id_a < id_b not guaranteed for member
     edges (rep has min id, so rep < member holds — id_a < id_b overall).
     """
+    # the signature array is referenced by THREE lineages below (rep
+    # grouping, rep_map join, rep-only banding); without a persist the
+    # whole shingle→min aggregation re-runs per lineage (measured ~1 s
+    # each at sf0.1). One row per doc — safe to cache at any scale the
+    # rest of this pipeline handles.
+    arr = arr.persist()
     keyed = arr.select(
         F.col(id_col),
         F.concat_ws(
