@@ -118,6 +118,23 @@ def _memo_persist(spark: SparkSession, sf_dir: str, tag: str, build):
     return df
 
 
+def clear_persist_cache(spark: SparkSession | None = None) -> int:
+    """Release the memoized persisted intermediates (all sessions, or
+    one). Long-lived driver sessions call this between workloads; the
+    cache is otherwise bounded by #tags × #sf_dirs and evictable
+    (MEMORY_AND_DISK), so calling it is hygiene, not a requirement.
+    Returns the number of entries released."""
+    keys = [
+        k for k in _PERSIST_CACHE if spark is None or k[0] is spark
+    ]
+    for k in keys:
+        try:
+            _PERSIST_CACHE.pop(k).unpersist()
+        except Exception:
+            pass
+    return len(keys)
+
+
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     """Fetch one embedding to use as the KNN query vector.
 
