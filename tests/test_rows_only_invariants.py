@@ -291,3 +291,53 @@ def test_hot_tokens_cms_bounds(spark):
     for t, est in got.items():
         ex = exact.get(t, 0)
         assert ex <= est <= ex + 0.001 * n_stream + 1, (t, ex, est)
+
+
+def test_corpus_topics_structure_and_values(spark):
+    """Topic table invariants: every cluster id appears with ranks
+    1..3, ctfidf is non-increasing within a cluster, every top token
+    actually occurs in that cluster's documents, and the ctfidf value
+    recomputes exactly from (tf, cluster-df) pulled via a plain
+    groupBy."""
+    import math
+
+    from vector_db_setup_spark.functions.text import STOPWORDS, tokens
+    from vector_db_setup_spark.operators.ann import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    got = q.queries()["corpus_topics"](spark, SF_ORACLE).collect()
+    by_cluster: dict[int, list] = {}
+    for r in got:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, rows in by_cluster.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        vals = [r["ctfidf"] for r in rows]
+        assert vals == sorted(vals, reverse=True)
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    d = load_table(spark, SF_ORACLE, "documents")
+    assigned = ivf_assign(emb, kmeans_centroids(emb, k=8, seed=42)).select(
+        F.col("vec_id").alias("doc_id"), "cluster_id"
+    )
+    tok = (
+        d.join(assigned, "doc_id")
+        .select("cluster_id", F.explode(tokens("text")).alias("w"))
+        .filter(~F.col("w").isin(*STOPWORDS))
+    )
+    ctf = {
+        (r["cluster_id"], r["w"]): r["n"]
+        for r in tok.groupBy("cluster_id", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    cdf: dict[str, set] = {}
+    for (cid, w), _ in ctf.items():
+        cdf.setdefault(w, set()).add(cid)
+    for r in got:
+        key = (r["cluster_id"], r["token"])
+        assert key in ctf, f"top token not present in cluster: {r}"
+        want = ctf[key] * math.log(1.0 + 8.0 / len(cdf[r["token"]]))
+        assert abs(r["ctfidf"] - round(want, 6)) < 1e-9, (r, want)

@@ -532,6 +532,7 @@ def substring_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from vector_db_setup_spark.functions.text import (  # noqa: E402
+    STOPWORDS,
     avg_token_len,
     doc_fingerprint,
     lang_id,
@@ -4411,3 +4412,111 @@ def hot_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = sorted(_BM25_TERMS)
     rows = [(t, int(cms.estimateCount(t))) for t in terms]
     return spark.createDataFrame(rows, "token string, est_count long")
+
+
+@register(
+    "source_lang_mix",
+    """
+    WITH det AS (
+        SELECT doc_id, source,
+               CASE WHEN s_de = best AND best > 0 THEN 'de'
+                    WHEN s_en = best AND best > 0 THEN 'en'
+                    WHEN s_es = best AND best > 0 THEN 'es'
+                    WHEN s_fr = best AND best > 0 THEN 'fr'
+                    WHEN s_zh = best AND best > 0 THEN 'zh'
+                    ELSE 'und' END AS detected
+        FROM (
+            SELECT doc_id, source,
+                   len(list_filter(w, x -> list_contains(
+                       ['der','die','und','das','ist'], x))) AS s_de,
+                   len(list_filter(w, x -> list_contains(
+                       ['the','and','of','to','a'], x))) AS s_en,
+                   len(list_filter(w, x -> list_contains(
+                       ['el','la','los','que','de'], x))) AS s_es,
+                   len(list_filter(w, x -> list_contains(
+                       ['le','la','les','et','est'], x))) AS s_fr,
+                   len(list_filter(w, x -> list_contains(
+                       ['de5','shi4','le5','zai4','he2'], x))) AS s_zh,
+                   greatest(s_de, s_en, s_es, s_fr, s_zh) AS best
+            FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+                  FROM documents)
+        )
+    )
+    SELECT source, detected AS lang, count(*) AS n_docs,
+           round(count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY source),
+                 6) AS share
+    FROM det GROUP BY source, detected
+    """,
+)
+def source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual corpus composition: per-source DETECTED-language
+    document counts and shares (the per-shard mix a multilingual
+    training pipeline monitors). Detection is the same function-word
+    heuristic as lang_id_detect; the share is a ratio-to-report window
+    over the aggregate, so the corpus is scanned once."""
+    d = load_table(spark, sf_dir, "documents")
+    det = d.select("source", lang_id("text").alias("lang"))
+    agg = det.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("source")
+    return agg.select(
+        "source",
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w), 6).alias("share"),
+    )
+
+
+@register("corpus_topics")
+def corpus_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic discovery over the embedding space (BERTopic-shaped, all
+    Spark-native): seeded KMeans clusters the embeddings, each document
+    joins its cluster via native argmin assignment, and the top-3
+    DISTINCTIVE tokens per cluster are ranked by c-TF-IDF (cluster term
+    frequency × log(1 + n_clusters / cluster-df of the term) — the
+    BERTopic smoothing, so corpus-wide terms still rank by tf instead
+    of zeroing out). The per-
+    (cluster, token) aggregate is one map-side-combined groupBy over a
+    single token explode; cluster-df reduces from that aggregate, never
+    from the corpus. Rows-only (KMeans is iterative); the invariant
+    test pins cluster coverage, token membership and rank ordering."""
+    from vector_db_setup_spark.operators.ann import (
+        ivf_assign,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    assigned = ivf_assign(emb, kmeans_centroids(emb, k=8, seed=42)).select(
+        F.col("vec_id").alias("doc_id"), "cluster_id"
+    )
+    tok = (
+        d.join(assigned, "doc_id")
+        .select("cluster_id", F.explode(tokens("text")).alias("w"))
+        .filter(~F.col("w").isin(*STOPWORDS))
+    )
+    ctf = tok.groupBy("cluster_id", "w").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    cdf = ctf.groupBy("w").agg(F.countDistinct("cluster_id").alias("cdf"))
+    n_clusters = 8
+    scored = ctf.join(F.broadcast(cdf), "w").select(
+        "cluster_id",
+        "w",
+        (
+            F.col("tf")
+            * F.log(F.lit(1.0) + F.lit(float(n_clusters)) / F.col("cdf"))
+        ).alias("ctfidf"),
+    )
+    w_rank = Window.partitionBy("cluster_id").orderBy(
+        F.col("ctfidf").desc(), F.col("w").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "cluster_id",
+            "rank",
+            F.col("w").alias("token"),
+            F.round("ctfidf", 6).alias("ctfidf"),
+        )
+    )
