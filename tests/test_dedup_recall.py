@@ -437,3 +437,43 @@ def test_simhash_hot_band_cap_drops_only_hot_pairs(spark):
     rand_rand = {p for p in uncapped if p[0] >= 100 and p[1] >= 100}
     kept_rand = {p for p in capped if p[0] >= 100 and p[1] >= 100}
     assert kept_rand == rand_rand
+
+
+def test_winnowing_guarantee_shared_substring(spark):
+    """Winnowing law: two docs sharing a substring of >= shingle_n +
+    window - 1 = 6 tokens must share at least one fingerprint; docs
+    with no 3-gram in common share none."""
+    rng = random.Random(23)
+    shared = " ".join(rng.choice(VOCAB) for _ in range(8))
+    a = " ".join(rng.choice(VOCAB) for _ in range(20)) + " " + shared
+    b = shared + " " + " ".join(rng.choice(VOCAB) for _ in range(20))
+    c = " ".join(rng.choice(VOCAB) for _ in range(25))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id long, text string"
+    )
+    fps = dd.winnowing_fingerprints(df)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "shared 8-token substring: no shared fp"
+    # doc 3 is random 25 tokens — sharing a full 3-gram with a|b is
+    # possible but vanishingly unlikely at |VOCAB| size; assert weaker:
+    # its fingerprints are not a subset of a's
+    assert not by_doc[3] <= by_doc[1]
+
+
+def test_winnowing_single_shuffle_plan(spark):
+    """The token window, rolling min, validity rank and distinct must
+    all reuse ONE doc_id hash partitioning."""
+    import re
+
+    df = spark.createDataFrame(
+        [(1, " ".join(VOCAB[:30]))], "doc_id long, text string"
+    )
+    plan = (
+        dd.winnowing_fingerprints(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan

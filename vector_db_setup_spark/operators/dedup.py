@@ -661,3 +661,48 @@ def embedding_similar_pairs(
     if min_cosine is not None:
         out = out.filter(F.col("cosine") >= min_cosine)
     return out
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (MOSS-style) document fingerprints: over the rolling
+    k-gram hash stream (the packed 60-bit shingle hashes), slide a
+    window of ``window`` consecutive hashes and keep each window's
+    MINIMUM; the distinct minima are the fingerprint set. Guarantees:
+    any shared substring of length ≥ shingle_n + window - 1 tokens
+    yields at least one shared fingerprint, while storing only
+    ~2/(window+1) of the hashes.
+
+    Plan: the shingle stream's single doc-partitioned window shuffle is
+    reused by the min-over-following frame (same partitioning/ordering)
+    and the distinct reuses it again — one shuffle total.
+
+    Output: (id, fp) distinct fingerprint rows.
+    """
+    th = token_stream(df, text_col, id_col)
+    ss = shingle_stream(th, id_col, ns=(shingle_n,)).filter(
+        F.col(f"s{shingle_n}").isNotNull()
+    )
+    w_count = Window.partitionBy(id_col)
+    w_roll = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    w_rank = Window.partitionBy(id_col).orderBy("pos")
+    rolled = ss.select(
+        id_col,
+        F.min(f"s{shingle_n}").over(w_roll).alias("fp"),
+        F.row_number().over(w_rank).alias("__rn"),
+        F.count(F.lit(1)).over(w_count).alias("__m"),
+    )
+    return (
+        rolled.filter(F.col("__rn") <= F.col("__m") - (window - 1))
+        .select(id_col, "fp")
+        .distinct()
+    )

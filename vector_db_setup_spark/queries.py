@@ -4520,3 +4520,49 @@ def corpus_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("ctfidf", 6).alias("ctfidf"),
         )
     )
+
+
+@register(
+    "doc_winnow_fingerprints",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w
+        FROM documents WHERE doc_id < 100
+    ),
+    shp AS (
+        SELECT doc_id,
+               unnest(generate_series(1, greatest(len(w) - 2, 0))) AS pos,
+               w
+        FROM toks
+    ),
+    sh AS (
+        SELECT doc_id, pos,
+               ('0x' || substr(md5(w[pos]), 1, 5))::BIGINT
+               + ('0x' || substr(md5(w[pos + 1]), 1, 5))::BIGINT * 1048576
+               + ('0x' || substr(md5(w[pos + 2]), 1, 5))::BIGINT
+                 * 1099511627776 AS s
+        FROM shp
+    ),
+    ordered AS (
+        SELECT doc_id, s,
+               row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+               count(*) OVER (PARTITION BY doc_id) AS m,
+               min(s) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        FROM sh
+    )
+    SELECT DISTINCT doc_id, fp
+    FROM ordered WHERE rn <= m - 3
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLING-HASH document fingerprints via winnowing (MOSS): minimum
+    of each 4-window over the packed 3-gram rolling hash stream,
+    deduplicated — the plagiarism/near-dup fingerprint that guarantees
+    a shared ≥6-token substring produces a shared fingerprint while
+    keeping ~a third of the hashes. Complements doc_fingerprints (md5
+    of the token SET: order-insensitive exact matching) with
+    order-SENSITIVE locality. One doc-partitioned window shuffle,
+    reused by the rolling min, the validity rank and the distinct."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return dd.winnowing_fingerprints(d)
