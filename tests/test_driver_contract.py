@@ -59,3 +59,20 @@ def test_observation_metrics_on_query(spark):
     assert got["rows"] == 500
     assert got["langs"] == 5  # approx, exact at this cardinality
     assert got["total_chars"] > 0
+
+
+def test_driver_priority_window_invariants():
+    """The 50-slot driver window must stay deliberate: every priority
+    name registered, no duplicates, and all of the first 50 queries()
+    entries oracle-backed (no rows-only entry silently occupying a
+    driver snapshot slot)."""
+    from vector_db_setup_spark import queries as q
+
+    prio = q._DRIVER_PRIORITY
+    assert len(prio) == len(set(prio)), "duplicate priority names"
+    qs, osq = q.queries(), q.oracle_sql()
+    missing = [n for n in prio if n not in qs]
+    assert not missing, f"priority names not registered: {missing}"
+    first50 = list(qs)[:50]
+    unoracled = [n for n in first50 if n not in osq]
+    assert not unoracled, f"rows-only in driver window: {unoracled}"
