@@ -558,8 +558,11 @@ def compact_rollup(spark, out_path: str) -> None:
     """Fold all partial partitions into a single `_batch=-1` partition
     (maintenance path; read_rollup output is identical before/after).
     Writes the compacted partials to a side path first, then replaces
-    the rollup directory — the window without data is the swap itself,
-    as in sources/ingest.compact_parquet."""
+    the rollup directory — the window without data is the swap itself.
+    LOCAL-FILESYSTEM ONLY (shutil moves), same caveat as
+    sources/ingest.compact_parquet: on an object store, run the rewrite
+    with the Hadoop FS API or a table format's rewrite action instead,
+    and pause the stream across the swap."""
     import shutil
 
     compacted = (
