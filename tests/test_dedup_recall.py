@@ -477,3 +477,17 @@ def test_winnowing_single_shuffle_plan(spark):
         .toString()
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_winnowing_short_docs_still_fingerprinted(spark):
+    """Docs with shingles but fewer than `window` of them must emit the
+    min of the available hashes (one fingerprint), so exact duplicates
+    of short docs are still detectable."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "one two")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in dd.winnowing_fingerprints(df).collect()}
+    assert fps.get(1) is not None and fps[1] == fps[2]
+    assert 3 not in fps  # < shingle_n tokens: no shingles at all

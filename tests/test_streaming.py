@@ -528,6 +528,14 @@ def test_continuous_rollup_equals_batch_and_replay_idempotent(spark, tmp_path):
     rollup_merge_batch(ev, 0, path)
     assert merged() == want
 
+    # live-stream fencing: folding with keep_batches_from leaves the
+    # still-replayable batch's partition intact, so a redelivery after
+    # compaction is STILL idempotent
+    compact_rollup(spark, path, keep_batches_from=0)
+    assert merged() == want
+    rollup_merge_batch(ev, 0, path)
+    assert merged() == want
+
     compact_rollup(spark, path)
     assert merged() == want
     batches = (

@@ -436,11 +436,15 @@ def lsh_edges_from_sigs(
     edges (rep has min id, so rep < member holds — id_a < id_b overall).
     """
     # the signature array is referenced by THREE lineages below (rep
-    # grouping, rep_map join, rep-only banding); without a persist the
-    # whole shingle→min aggregation re-runs per lineage (measured ~1 s
-    # each at sf0.1). One row per doc — safe to cache at any scale the
-    # rest of this pipeline handles.
-    arr = arr.persist()
+    # grouping, rep_map join, rep-only banding); without materialization
+    # the whole shingle→min aggregation re-runs per lineage (measured
+    # ~1 s each at sf0.1). localCheckpoint, NOT persist: checkpoint
+    # blocks are freed by the ContextCleaner once the DataFrame is
+    # garbage-collected, whereas a persist'd plan sits in the
+    # CacheManager until an explicit unpersist this operator has no
+    # hook to issue. One row per doc — safe at any scale the rest of
+    # this pipeline handles.
+    arr = arr.localCheckpoint(eager=True)
     keyed = arr.select(
         F.col(id_col),
         F.concat_ws(
@@ -701,8 +705,17 @@ def winnowing_fingerprints(
         F.row_number().over(w_rank).alias("__rn"),
         F.count(F.lit(1)).over(w_count).alias("__m"),
     )
+    # docs with fewer than `window` shingles still emit ONE fingerprint
+    # (the min of all available hashes — standard winnowing behavior):
+    # greatest(m - (window-1), 1) keeps row 1, whose truncated frame
+    # covers the whole short stream. Without this, short docs (3..5
+    # tokens at defaults) would silently drop out entirely and exact
+    # duplicates of short docs would be undetectable.
     return (
-        rolled.filter(F.col("__rn") <= F.col("__m") - (window - 1))
+        rolled.filter(
+            F.col("__rn")
+            <= F.greatest(F.col("__m") - (window - 1), F.lit(1))
+        )
         .select(id_col, "fp")
         .distinct()
     )

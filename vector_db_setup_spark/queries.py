@@ -4552,7 +4552,7 @@ def corpus_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sh
     )
     SELECT DISTINCT doc_id, fp
-    FROM ordered WHERE rn <= m - 3
+    FROM ordered WHERE rn <= greatest(m - 3, 1)
     """,
 )
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

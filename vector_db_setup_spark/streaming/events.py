@@ -498,16 +498,15 @@ def rollup_merge_batch(
             F.lit(batch_id).alias("_batch"),
         )
     )
-    spark = batch_df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        part.write.mode("overwrite").partitionBy("_batch").parquet(out_path)
-    finally:
-        if prev is not None:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
-            )
+    # per-WRITE dynamic overwrite (same idiom as dedup_stream_ingest):
+    # no session-conf mutation, so concurrent/later static overwrites in
+    # the same session keep their full-replace semantics
+    (
+        part.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(out_path)
+    )
 
 
 def continuous_rollup_stream(
@@ -554,29 +553,67 @@ def read_rollup(spark, out_path: str) -> DataFrame:
     )
 
 
-def compact_rollup(spark, out_path: str) -> None:
-    """Fold all partial partitions into a single `_batch=-1` partition
+def compact_rollup(
+    spark, out_path: str, keep_batches_from: int | None = None
+) -> None:
+    """Fold partial partitions into a single `_batch=-1` partition
     (maintenance path; read_rollup output is identical before/after).
-    Writes the compacted partials to a side path first, then replaces
-    the rollup directory — the window without data is the swap itself.
-    LOCAL-FILESYSTEM ONLY (shutil moves), same caveat as
-    sources/ingest.compact_parquet: on an object store, run the rewrite
-    with the Hadoop FS API or a table format's rewrite action instead,
-    and pause the stream across the swap."""
+
+    REPLAY FENCING: folding a batch's partials into `-1` destroys the
+    per-batch overwrite key that makes redelivery idempotent, so either
+    (a) run with the stream STOPPED and its checkpoint fully committed
+    (``keep_batches_from=None``), or (b) on a live stream pass
+    ``keep_batches_from`` = the smallest batch id that could still be
+    replayed (e.g. the last committed id from the checkpoint): batches
+    ≥ that id keep their own partitions and stay replay-safe; only
+    older, committed batches are folded.
+
+    Swap safety (LOCAL FILESYSTEM ONLY — shutil; on an object store use
+    the Hadoop FS API / a table format's rewrite): the compacted output
+    is WRITTEN AND VERIFIED READABLE before the old directory is
+    touched; a stale backup from a previous crash is cleared first; the
+    old data is removed only after the swapped-in directory verifies.
+    A crash between the two moves leaves the full history in
+    `<out>__old` for manual restore rather than silently losing it."""
     import shutil
 
+    src = spark.read.parquet(out_path)
+    fold = src if keep_batches_from is None else src.filter(
+        F.col("_batch") < keep_batches_from
+    )
     compacted = (
-        spark.read.parquet(out_path)
-        .groupBy("bucket_start", "event_type")
+        fold.groupBy("bucket_start", "event_type")
         .agg(
             F.sum("n").alias("n"),
             F.sum("total_value").alias("total_value"),
         )
         .withColumn("_batch", F.lit(-1))
     )
+    if keep_batches_from is not None:
+        kept = src.filter(F.col("_batch") >= keep_batches_from).select(
+            "bucket_start", "event_type", "n", "total_value", "_batch"
+        )
+        compacted = compacted.select(*kept.columns).union(kept)
+    want = src.agg(F.sum("n")).collect()[0][0]
     tmp = out_path.rstrip("/") + "__compacting"
     compacted.write.mode("overwrite").partitionBy("_batch").parquet(tmp)
+    # verify the new directory is complete BEFORE touching the old one
+    got = spark.read.parquet(tmp).agg(F.sum("n")).collect()[0][0]
+    if got != want:
+        raise RuntimeError(
+            f"compact_rollup verification failed: n {got} != {want}; "
+            f"original untouched, compacted attempt left at {tmp}"
+        )
     back = out_path.rstrip("/") + "__old"
+    if __import__("os").path.exists(back):
+        shutil.rmtree(back)  # stale backup from a previous crash
     shutil.move(out_path, back)
     shutil.move(tmp, out_path)
+    try:
+        spark.read.parquet(out_path).agg(F.sum("n")).collect()
+    except Exception:
+        # restore the original rather than leaving a broken rollup
+        shutil.move(out_path, tmp)
+        shutil.move(back, out_path)
+        raise
     shutil.rmtree(back)
