@@ -46,6 +46,24 @@ def test_query_matches_oracle(spark, duck, name):
     duck_cols = [d[0].lower() for d in res.description]
     duck_rows = res.fetchall()
 
+    # Driver-fetch-path guard (r4 context_packing post-mortem): the
+    # external driver fetches DuckDB results via pandas/Arrow, where an
+    # uncast sum(BIGINT) surfaces as HUGEINT -> decimal128/float64 and
+    # hash-diverges from Spark's int64 even when fetchall() values (the
+    # comparison below) are identical Python ints. Assert no oracle
+    # leaks HUGEINT/DECIMAL into its final projection.
+    arrow_schema = duck.execute(q.oracle_sql()[name]).arrow().schema
+    leaky = [
+        f.name
+        for f in arrow_schema
+        if str(f.type).startswith("decimal")
+    ]
+    assert not leaky, (
+        f"{name}: oracle columns {leaky} are DuckDB HUGEINT/DECIMAL — "
+        "cast to BIGINT/DOUBLE in the oracle SQL or the driver's "
+        "pandas fetch will hash-diverge from Spark"
+    )
+
     s_cols, s_canon = _canon(spark_rows, spark_cols)
     d_cols, d_canon = _canon(duck_rows, duck_cols)
 
