@@ -178,3 +178,47 @@ def test_grouped_mad_nonstring_key(spark):
     assert got == {1: 2.0, 2: 0.0}
     # key dtype survives the Arrow boundary
     assert dict(grouped_mad(df, "uid", "v").dtypes)["uid"] == "bigint"
+
+
+def test_cms_python_reader_matches_jvm(spark):
+    """functions/sketch.py re-implements the CountMinSketch V1 wire
+    format and Spark's string-item bucket hashing so hot_tokens_cms can
+    probe lazily on executors (no spark._jvm — Spark Connect-safe).
+    Pin probe-for-probe equivalence against the JVM reader on a sketch
+    with aligned/tail-byte/multibyte/empty items, present and absent."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import count_min_sketch
+
+    from vector_db_setup_spark.functions.sketch import (
+        read_count_min_sketch,
+    )
+
+    words = "data model xyzzy é中 ábç a x longer-token-here データ".split()
+    rows = [(w,) for w in words * 7] + [("data",)] * 13
+    df = spark.createDataFrame(rows, "w string")
+    raw = bytes(
+        df.agg(
+            count_min_sketch(
+                F.col("w"), F.lit(0.001), F.lit(0.99), F.lit(42)
+            ).alias("sk")
+        ).collect()[0]["sk"]
+    )
+    cms = read_count_min_sketch(raw)
+    try:
+        jvm = spark._jvm
+        jcms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(raw)
+        )
+    except Exception:
+        import pytest
+
+        pytest.skip("no JVM gateway (Spark Connect) — nothing to cross-check")
+    probes = words + ["absent", "", "zz", "qq123"]
+    mism = [
+        (t, cms.estimate_string(t), jcms.estimateCount(t))
+        for t in probes
+        if cms.estimate_string(t) != jcms.estimateCount(t)
+    ]
+    assert not mism, f"python/JVM CMS probe divergence: {mism}"
+    assert cms.total_count == jcms.totalCount()
+    assert cms.estimate_string("data") >= 20  # exact count, CMS law

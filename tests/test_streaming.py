@@ -542,3 +542,78 @@ def test_continuous_rollup_equals_batch_and_replay_idempotent(spark, tmp_path):
         spark.read.parquet(path).select("_batch").distinct().collect()
     )
     assert [r["_batch"] for r in batches] == [-1]
+
+
+def test_compact_rollup_rescues_batch_committed_mid_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """The ADVICE r4 race: a live stream commits a new batch AFTER
+    compact_rollup snapshots the partition list but BEFORE the
+    directory swap. The old code deleted that batch with the backup
+    directory (silent loss — the stream checkpoint already marked it
+    committed). The fix pins every read to the snapshot and moves
+    late-arriving partitions out of the backup before deleting it.
+
+    The race is made deterministic by wrapping shutil.move: the first
+    move (live dir -> backup) first commits batch 2, exactly the
+    worst-case interleaving."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.sources.registry import load_table
+    from vector_db_setup_spark.streaming.events import (
+        compact_rollup,
+        read_rollup,
+        rollup_merge_batch,
+    )
+
+    path = str(tmp_path / "rollup")
+    ev = load_table(spark, SF_SMOKE, "events")
+    b0, b1 = ev.filter(F.col("event_id") % 3 == 0), ev.filter(
+        F.col("event_id") % 3 == 1
+    )
+    b2 = ev.filter(F.col("event_id") % 3 == 2)
+    rollup_merge_batch(b0, 0, path)
+    rollup_merge_batch(b1, 1, path)
+
+    real_move = shutil.move
+    fired = {}
+
+    def racing_move(srcp, dstp, *a, **kw):
+        if not fired and str(srcp).rstrip("/") == path:
+            fired["yes"] = True
+            rollup_merge_batch(b2, 2, path)  # live stream commits NOW
+        return real_move(srcp, dstp, *a, **kw)
+
+    monkeypatch.setattr(shutil, "move", racing_move)
+    compact_rollup(spark, path)
+    monkeypatch.undo()
+    assert fired, "race injection never fired — test is vacuous"
+
+    def merged(p):
+        return sorted(
+            (
+                str(r["bucket_start"]),
+                r["event_type"],
+                r["n"],
+                round(r["total_value"], 6),
+            )
+            for r in read_rollup(spark, p).collect()
+        )
+
+    # ground truth: all three batches, no compaction involved
+    plain = str(tmp_path / "rollup_plain")
+    for i, b in enumerate((b0, b1, b2)):
+        rollup_merge_batch(b, i, plain)
+    assert merged(path) == merged(plain)  # no loss, no double count
+
+    # the rescued batch kept its OWN partition key, so redelivery is
+    # still idempotent after the compaction that raced with it
+    rollup_merge_batch(b2, 2, path)
+    assert merged(path) == merged(plain)
+    got = {
+        r["_batch"]
+        for r in spark.read.parquet(path).select("_batch").distinct().collect()
+    }
+    assert got == {-1, 2}

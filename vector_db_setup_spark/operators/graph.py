@@ -113,7 +113,7 @@ def connected_components_auto(
     dst_col: str = "dst",
     max_iter: int = 25,
     star_max_iter: int = 50,
-    max_driver_edges: int | None = 1_000_000,
+    max_driver_edges: int | None = 100_000,
 ) -> DataFrame:
     """Connected components with automatic strategy selection — the
     entry point the dedup pipelines (dedup_keepers, corpus curation)
@@ -134,7 +134,13 @@ def connected_components_auto(
        back; the NODE set never leaves the cluster — isolated nodes
        keep their own id via coalesce, exactly like the distributed
        path. This is the same size-guarded driver-kernel pattern as the
-       similarity GEMM kernels.
+       similarity GEMM kernels. DRIVER MEMORY: the default cap of
+       100k edges bounds the pull at two Arrow columns of ≤100k values
+       (a few MB even for string ids — the edges move as a columnar
+       Arrow batch, not per-row Row objects); callers on the dedup
+       paths (dedup_keepers, corpus curation, semantic dedup) inherit
+       this default and can pass ``max_driver_edges=None`` to force
+       the always-distributed path.
     2. Above the guard: distributed min-label propagation, with
        AUTOMATIC retry via large-star/small-star on non-convergence so
        a pathological long-chain graph degrades to the O(log² n)
@@ -149,7 +155,10 @@ def connected_components_auto(
         max_driver_edges is not None
         and _count_capped(e, max_driver_edges) <= max_driver_edges
     ):
-        pairs = e.collect()
+        # narrow columnar pull: two Arrow columns -> native Python
+        # lists, ~10x lighter on driver memory than collect()'s Rows
+        pdf = e.toPandas()
+        pairs = zip(pdf["a"].tolist(), pdf["b"].tolist())
         parent: dict = {}
 
         def find(x):
@@ -160,8 +169,7 @@ def connected_components_auto(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in pairs:
-            a, b = row["a"], row["b"]
+        for a, b in pairs:
             if a not in parent:
                 parent[a] = a
             if b not in parent:

@@ -59,6 +59,7 @@ def knn_topk(
     metric: str = "l2",
     dist_col: str = "distance",
     id_col: str | None = None,
+    use_arrow_kernel: bool | None = None,
 ) -> DataFrame:
     """Exact top-k nearest rows to a literal query vector.
 
@@ -79,12 +80,29 @@ def knn_topk(
     ~15 % faster (0.68 s vs 0.80 s). L2 queries at ≥ ``WIDE_DIM``
     therefore route through the pandas UDF automatically; the fixture
     paths (64-d) and every DuckDB-oracle comparison keep the native
-    expression.
+    expression. Override with ``use_arrow_kernel`` (True forces the
+    numpy kernel, False forces the native expression, None = the
+    width-based auto dispatch).
+
+    PARITY CAVEAT (ADVICE r4): the numpy kernel sums squared diffs in a
+    different order than the native left-fold ``aggregate`` expression,
+    so the two paths can differ in the LAST ULP of the distance. That
+    never changes values after the queries' 6-dp rounding, but at an
+    EXACTLY tied k-th boundary it could in principle swap which of two
+    near-equal rows makes the cut when no ``id_col`` total-orders the
+    tie. If strict cross-path/oracle parity at wide dims matters, pass
+    ``use_arrow_kernel=False`` or round the distance before the k-cut
+    (and always pass ``id_col``).
     """
     order = [F.col(dist_col).asc()]
     if id_col is not None:
         order.append(F.col(id_col).asc())
-    if metric == "l2" and len(query_vec) >= WIDE_DIM:
+    wide = (
+        use_arrow_kernel
+        if use_arrow_kernel is not None
+        else len(query_vec) >= WIDE_DIM
+    )
+    if metric == "l2" and wide:
         dist = _pandas_l2_to_query(query_vec)(F.col(vec_col))
     else:
         q = vector_literal(query_vec)

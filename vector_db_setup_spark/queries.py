@@ -4405,20 +4405,40 @@ def hot_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(F.explode(tokens("text")).alias("w"))
-    # eps=0.001 (width ~2719), confidence 0.99 (depth 5): ≤ 0.1% of the
+    # eps=0.001 (width 2000), confidence 0.99 (depth 7): ≤ 0.1% of the
     # token stream as overcount at 99% probability, in ~a few KB
-    sk_row = tok.agg(
+    sk = tok.agg(
         count_min_sketch(F.col("w"), F.lit(0.001), F.lit(0.99), F.lit(42)).alias(
             "sk"
         )
-    ).collect()[0]
-    # probe the merged sketch via the JVM CountMinSketch reader
-    jvm = spark._jvm
-    bis = jvm.java.io.ByteArrayInputStream(bytes(sk_row["sk"]))
-    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    )
     terms = sorted(_BM25_TERMS)
-    rows = [(t, int(cms.estimateCount(t))) for t in terms]
-    return spark.createDataFrame(rows, "token string, est_count long")
+
+    # LAZY probe: the merged one-row sketch flows into a mapInPandas
+    # stage that deserializes the KB-sized binary with the pure-Python
+    # V1 reader (functions/sketch.py, JVM-probe-equivalence tested) —
+    # no spark._jvm gateway (Spark Connect-safe), no eager execution at
+    # query-construction time, normal cold/warm bench semantics.
+    def probe(batches):
+        import pandas as pd
+
+        from vector_db_setup_spark.functions.sketch import (
+            read_count_min_sketch,
+        )
+
+        for pdf in batches:
+            for raw in pdf["sk"]:
+                cms = read_count_min_sketch(bytes(raw))
+                yield pd.DataFrame(
+                    {
+                        "token": terms,
+                        "est_count": [
+                            cms.estimate_string(t) for t in terms
+                        ],
+                    }
+                )
+
+    return sk.mapInPandas(probe, "token string, est_count long")
 
 
 @register(

@@ -574,10 +574,37 @@ def compact_rollup(
     touched; a stale backup from a previous crash is cleared first; the
     old data is removed only after the swapped-in directory verifies.
     A crash between the two moves leaves the full history in
-    `<out>__old` for manual restore rather than silently losing it."""
+    `<out>__old` for manual restore rather than silently losing it.
+
+    Live-stream safety: the `_batch=` partition list is SNAPSHOTTED
+    ONCE up front and every read in this function is pinned to those
+    concrete paths — Spark otherwise re-lists the directory per action,
+    so a batch the live stream commits mid-compaction would be counted
+    by one action and not another. After the swap, any partition that
+    appeared in the old directory AFTER the snapshot (committed by the
+    stream between snapshot and swap, so absent from the compacted
+    output) is moved into the new directory before the backup is
+    deleted — a committed batch is never silently dropped. A write
+    IN FLIGHT at the instant of the directory move can still fail at
+    the filesystem level; schedule compaction off the trigger cadence
+    or pass the checkpoint's last committed id as keep_batches_from."""
+    import os
     import shutil
 
-    src = spark.read.parquet(out_path)
+    base = out_path.rstrip("/")
+
+    def _list_batches(path: str) -> set[str]:
+        if not os.path.isdir(path):
+            return set()
+        return {d for d in os.listdir(path) if d.startswith("_batch=")}
+
+    snapshot = _list_batches(base)  # listed ONCE; all reads pin to it
+    if snapshot:
+        src = spark.read.option("basePath", base).parquet(
+            *(os.path.join(base, d) for d in sorted(snapshot))
+        )
+    else:
+        src = spark.read.parquet(base)
     fold = src if keep_batches_from is None else src.filter(
         F.col("_batch") < keep_batches_from
     )
@@ -604,16 +631,25 @@ def compact_rollup(
             f"compact_rollup verification failed: n {got} != {want}; "
             f"original untouched, compacted attempt left at {tmp}"
         )
-    back = out_path.rstrip("/") + "__old"
-    if __import__("os").path.exists(back):
+    back = base + "__old"
+    if os.path.exists(back):
         shutil.rmtree(back)  # stale backup from a previous crash
-    shutil.move(out_path, back)
-    shutil.move(tmp, out_path)
+    shutil.move(base, back)
+    shutil.move(tmp, base)
     try:
-        spark.read.parquet(out_path).agg(F.sum("n")).collect()
+        spark.read.parquet(base).agg(F.sum("n")).collect()
     except Exception:
         # restore the original rather than leaving a broken rollup
-        shutil.move(out_path, tmp)
-        shutil.move(back, out_path)
+        shutil.move(base, tmp)
+        shutil.move(back, base)
         raise
+    # rescue batches the live stream committed AFTER the snapshot: they
+    # are in the old dir but not in the compacted output, and deleting
+    # the backup would lose them while the stream checkpoint already
+    # marks them committed (silent data loss). Their ids are new, so a
+    # plain partition-dir move into the new layout is sufficient.
+    for late in sorted(_list_batches(back) - snapshot):
+        dst = os.path.join(base, late)
+        if not os.path.exists(dst):
+            shutil.move(os.path.join(back, late), dst)
     shutil.rmtree(back)
