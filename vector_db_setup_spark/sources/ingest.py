@@ -4,9 +4,10 @@ reference's one-time `pg_restore` load (setup.sh:73-77).
 A restore-into-engine becomes read-source → write-parquet(-partitioned):
 distributed, restartable (overwrite per partition), and the written
 layout IS the index (partition pruning + min/max row-group stats).
-`spark.read.jdbc` covers actual-Postgres interop for migrating off the
-reference deployment; not exercised here (no live Postgres in the test
-environment) — the format readers are.
+Actual-database interop for migrating off the reference's live
+Postgres lives in `sources/jdbc.py` (partitioned `spark.read.jdbc`
+pulls + one-shot parquet landing), exercised end-to-end against
+embedded Derby in tests/test_jdbc.py.
 """
 
 from __future__ import annotations
