@@ -72,12 +72,16 @@ def main() -> None:
         load_table(spark, sf_dir, "lineitem").count()
         # pre-fork the Python worker pool (Arrow stages in the headline
         # set otherwise pay daemon startup inside their cold timing; at
-        # production scale workers are long-lived)
-        import pandas as pd  # noqa: F401
+        # production scale workers are long-lived). Set
+        # SPARK_GRAFT_NO_PREWARM=1 to skip — used to MEASURE what the
+        # pre-warm is worth (see SCALE_EXPERIMENTS.md "Cold-start tax"),
+        # never for reported numbers.
+        if not os.environ.get("SPARK_GRAFT_NO_PREWARM"):
+            import pandas as pd  # noqa: F401
 
-        spark.range(4, numPartitions=4).mapInPandas(
-            lambda it: it, schema="id long"
-        ).count()
+            spark.range(4, numPartitions=4).mapInPandas(
+                lambda it: it, schema="id long"
+            ).count()
     except Exception:
         pass
 
