@@ -111,9 +111,16 @@ def knn_topk(
 
 
 # Crossover between native zip_with/aggregate codegen and the
-# Arrow-batched numpy kernel, measured at 100k vectors (r4): native wins
-# at 64-d, numpy wins at 768-d. 256 splits the gap conservatively.
-WIDE_DIM = 256
+# Arrow-batched numpy kernel. r5 sweep (100k vectors, min of 5 warm
+# runs, SCALE_EXPERIMENTS.md "Kernel crossover by dimension"):
+#   dim    128   192   256   384   768
+#   native 0.30  0.31  0.52  0.55  0.86 s
+#   arrow  0.41  0.35  0.68  0.53  0.71 s
+# Native wins through 256, ties at 384, loses only at 768 — and the
+# Arrow path's first-run cost (Python-worker + Arrow channel warm-up)
+# is 5-20x its warm time, so the tie goes to native. Threshold 512:
+# above it the ~20% warm win at 768-d is real and repeatable.
+WIDE_DIM = 512
 
 
 def _pandas_l2_to_query(query_vec: Sequence[float]):
