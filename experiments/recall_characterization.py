@@ -112,6 +112,9 @@ def bucket_recall(truth_pdf, cand_keys, buckets, sim_col):
 
 
 def main():
+    import sys
+
+    only_semantic = "--only-semantic" in sys.argv
     spark = get_spark(app_name="recall-characterization")
     corpus, planted = build_corpus()
     docs = spark.createDataFrame(corpus).repartition(32).persist()
@@ -126,7 +129,7 @@ def main():
     report = []
 
     # ---- MinHash LSH --------------------------------------------------
-    for num_hashes, bands in ((8, 4), (16, 8), (16, 4)):
+    for num_hashes, bands in () if only_semantic else ((8, 4), (16, 8), (16, 4)):
         r = num_hashes // bands
         t0 = time.time()
         cand = (
@@ -149,7 +152,7 @@ def main():
     # ---- SimHash banded ----------------------------------------------
     sim = dd.simhash(docs).persist()
     sim.count()
-    for max_h in (2, 3, 6):
+    for max_h in () if only_semantic else (2, 3, 6):
         t0 = time.time()
         cand = dd.simhash_banded_pairs(sim, max_hamming=max_h).toPandas()
         dt = time.time() - t0
@@ -216,6 +219,30 @@ def main():
         rec = bucket_recall(ctruth, keys, COS_BUCKETS, "cos")
         report.append(
             (f"semantic 8-plane buckets cos>={min_cos}", rec, prec, len(keys), dt)
+        )
+
+    # ---- Semantic multiband (OR-amplification across plane sets) -----
+    from vector_db_setup_spark.operators.similarity import (
+        cosine_pairs_multiband,
+    )
+
+    band_sets = [
+        np.random.default_rng(100 + i).standard_normal((8, 64))
+        for i in range(4)
+    ]
+    for nb in (2, 4):
+        t0 = time.time()
+        cand = cosine_pairs_multiband(
+            emb, band_sets[:nb], min_cosine=0.88
+        ).toPandas()
+        dt = time.time() - t0
+        keys = set(
+            (min(a, b), max(a, b)) for a, b in zip(cand.id_a, cand.id_b)
+        )
+        prec = float((cand.cosine >= 0.8).mean()) if len(cand) else float("nan")
+        rec = bucket_recall(ctruth, keys, COS_BUCKETS, "cos")
+        report.append(
+            (f"semantic {nb}x8-plane bands cos>=0.88", rec, prec, len(keys), dt)
         )
 
     # ---- report ------------------------------------------------------

@@ -491,3 +491,59 @@ def test_winnowing_short_docs_still_fingerprinted(spark):
     fps = {r["doc_id"]: r["fp"] for r in dd.winnowing_fingerprints(df).collect()}
     assert fps.get(1) is not None and fps[1] == fps[2]
     assert 3 not in fps  # < shingle_n tokens: no shingles at all
+
+
+def test_multiband_cosine_is_superset_and_lifts_recall(spark):
+    """cosine_pairs_multiband OR-amplifies single-probe bucketing: its
+    candidate set must contain every single-band pair (band 0 is one of
+    its bands), and on a planted near-dup fixture whose pairs straddle
+    band-0 bucket boundaries the extra bands must recover pairs band 0
+    alone misses."""
+    import numpy as np
+
+    from vector_db_setup_spark.operators.ann import random_hyperplanes
+    from vector_db_setup_spark.operators.similarity import (
+        cosine_pairs_bucketed,
+        cosine_pairs_multiband,
+    )
+
+    rng = np.random.default_rng(3)
+    dim = 16
+    base = rng.standard_normal((60, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # planted near-dups: tiny perturbations -> cosine ~0.99
+    dup = base + 0.08 * rng.standard_normal((60, dim))
+    dup /= np.linalg.norm(dup, axis=1, keepdims=True)
+    rows = [(i, base[i].tolist()) for i in range(60)] + [
+        (100 + i, dup[i].tolist()) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planted = {(i, 100 + i) for i in range(60)}
+
+    bands = [random_hyperplanes(dim, 5, seed=s) for s in (21, 22, 23, 24)]
+    single = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_bucketed(
+            emb, bands[0], min_cosine=0.9
+        ).collect()
+    }
+    multi = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_multiband(
+            emb, bands, min_cosine=0.9
+        ).collect()
+    }
+    assert single <= multi  # OR over bands can only add candidates
+    rec1 = len(single & planted) / len(planted)
+    rec4 = len(multi & planted) / len(planted)
+    assert rec4 > rec1, (rec1, rec4)  # 5-plane single band must miss some
+    assert rec4 >= 0.9, rec4  # 1-(1-p)^4 at cos~0.99 is near-total
+    # dedup: each pair exactly once despite multi-band re-finds
+    from collections import Counter
+
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_multiband(emb, bands, min_cosine=0.9).collect()
+    ]
+    dupes = [p for p, c in Counter(pairs).items() if c > 1]
+    assert not dupes, dupes

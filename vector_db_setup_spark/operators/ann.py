@@ -101,16 +101,11 @@ def random_hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarra
     return rng.standard_normal((n_planes, dim))
 
 
-def lsh_bucket(
-    emb: DataFrame,
-    planes: np.ndarray,
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Random-projection LSH bucket id: bit b = sign(v · plane_b).
-
-    Native dot products against literal planes — pure map stage. Vectors
-    with equal `bucket_id` are near-duplicate/near-neighbor candidates.
-    """
+def lsh_bucket_expr(planes: np.ndarray, vec_col: str = "embedding"):
+    """Sign-bit LSH bucket id as a Column: bit b = sign(v · plane_b).
+    Native dot products against literal planes — pure codegen, no
+    shuffle, usable several times in one projection (the multi-band
+    OR-amplification path computes every band's id in a single scan)."""
     from vector_db_setup_spark.functions.vector import dot_product
 
     bit_terms = [
@@ -123,7 +118,17 @@ def lsh_bucket(
     bucket = bit_terms[0]
     for t in bit_terms[1:]:
         bucket = bucket + t
-    return emb.withColumn("bucket_id", bucket)
+    return bucket
+
+
+def lsh_bucket(
+    emb: DataFrame,
+    planes: np.ndarray,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-projection LSH bucket id column: vectors with equal
+    `bucket_id` are near-duplicate/near-neighbor candidates."""
+    return emb.withColumn("bucket_id", lsh_bucket_expr(planes, vec_col))
 
 
 def brp_similarity_join(

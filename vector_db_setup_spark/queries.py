@@ -1125,6 +1125,72 @@ def embedding_bucketed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEARDUP_PLANES_B2 = random_hyperplanes(dim=64, n_planes=4, seed=1337)
+
+
+@register(
+    "embedding_multiband_pairs",
+    f"""
+    WITH b0 AS (
+        SELECT vec_id, embedding,
+               {{band0}} AS bucket
+        FROM embeddings
+    ),
+    b1 AS (
+        SELECT vec_id, embedding,
+               {{band1}} AS bucket
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               a.embedding AS ea, b.embedding AS eb
+        FROM b0 a JOIN b0 b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        UNION
+        SELECT a.vec_id, b.vec_id, a.embedding, b.embedding
+        FROM b1 a JOIN b1 b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]), 6)
+               AS cosine
+    FROM cand
+    ORDER BY list_cosine_similarity(ea::DOUBLE[], eb::DOUBLE[]) DESC,
+             id_a ASC, id_b ASC
+    LIMIT 20
+    """.format(
+        band0=_lsh_planes_sql(_NEARDUP_PLANES),
+        band1=_lsh_planes_sql(_NEARDUP_PLANES_B2),
+    ),
+)
+def embedding_multiband_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified near-dup candidates: 2 independent 4-plane sign-LSH
+    bucketings, pair = candidate if it collides in EITHER band — the
+    recall amplification the r5 measurement showed single-probe
+    bucketing needs (one 8-plane band catches only ~65% of cos≥0.95
+    pairs at 50k docs; bands lift recall 1−(1−p)^b). All band ids come
+    from ONE scan (codegen projection + explode), one shuffle keyed on
+    (band, bucket), per-bucket exact GEMM, pair-key dedup. Oracle
+    embeds both literal plane sets and UNIONs the two bucket
+    self-joins — bucketing, dedup, and cosine are value-checked end to
+    end."""
+    from vector_db_setup_spark.operators.similarity import (
+        cosine_pairs_multiband,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_multiband(
+        emb, [_NEARDUP_PLANES, _NEARDUP_PLANES_B2], topk_per_bucket=20
+    )
+    return (
+        pairs.orderBy(
+            F.col("cosine").desc(), F.col("id_a").asc(), F.col("id_b").asc()
+        )
+        .limit(20)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 @register(
     "doc_fingerprints",
     """
