@@ -48,6 +48,7 @@ EXTENDED = [
     "dedup_keepers",
     "corpus_curation_verdict",
     "semantic_dedup_keepers",
+    "embedding_multiband_pairs",
 ]
 
 

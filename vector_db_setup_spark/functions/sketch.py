@@ -112,6 +112,31 @@ class CountMinSketch:
         return int(est)
 
 
+def merge_count_min_sketches(sketches) -> CountMinSketch:
+    """Merge partial sketches by summing their tables — exact, the
+    property that makes CMS a distributive aggregate (the JVM's
+    ``mergeInPlace``). REQUIRES the partials were built with the same
+    eps/confidence/seed (same depth x width table and, for numeric
+    items, the same hashA); string-item probing depends only on
+    (depth, width), which is what we can and do check."""
+    sketches = list(sketches)
+    if not sketches:
+        raise ValueError("nothing to merge")
+    d, w = sketches[0].depth, sketches[0].width
+    for s in sketches[1:]:
+        if (s.depth, s.width) != (d, w):
+            raise ValueError(
+                f"incompatible sketches: {d}x{w} vs {s.depth}x{s.width}"
+            )
+    table = tuple(
+        tuple(sum(s.table[i][j] for s in sketches) for j in range(w))
+        for i in range(d)
+    )
+    return CountMinSketch(
+        sum(s.total_count for s in sketches), d, w, table
+    )
+
+
 def read_count_min_sketch(binary: bytes) -> CountMinSketch:
     """Parse the V1 serialized form produced by Spark's
     ``count_min_sketch`` aggregate / ``CountMinSketch.writeTo``."""

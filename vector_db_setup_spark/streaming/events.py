@@ -653,3 +653,99 @@ def compact_rollup(
         if not os.path.exists(dst):
             shutil.move(os.path.join(back, late), dst)
     shutil.rmtree(back)
+
+
+# ---------------------------------------------------------------------------
+# Continuous heavy hitters: streaming twin of queries.hot_tokens_cms.
+# Same partial-partition idiom as the continuous rollup — each batch
+# appends its own KB-sized count-min sketch as a `_batch` partition;
+# merge-on-read sums the tables (exact: CMS is a distributive
+# aggregate), so stream == batch is exactly testable.
+# ---------------------------------------------------------------------------
+
+
+def cms_merge_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    eps: float = 0.001,
+    confidence: float = 0.99,
+    seed: int = 42,
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of the continuous heavy-hitter sketch: aggregate
+    this batch's token stream into ONE count-min sketch row and write it
+    as the batch's own `_batch=<id>` partition (dynamic overwrite →
+    replayed batches rewrite their partial instead of double-counting,
+    exactly the rollup_merge_batch contract). All partials MUST share
+    eps/confidence/seed or the merge refuses."""
+    from pyspark.sql.functions import count_min_sketch
+
+    from vector_db_setup_spark.functions.text import tokens
+
+    sk = batch_df.select(F.explode(tokens(text_col)).alias("w")).agg(
+        count_min_sketch(
+            F.col("w"), F.lit(eps), F.lit(confidence), F.lit(seed)
+        ).alias("sk")
+    )
+    part = sk.select("sk", F.lit(batch_id).alias("_batch"))
+    (
+        part.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(out_path)
+    )
+
+
+def hot_tokens_stream(
+    docs: DataFrame, out_path: str, **cms_kwargs
+):
+    """Continuous heavy-hitter maintenance over a document stream: at
+    100 TB/day the raw token stream is never re-scanned — each trigger
+    folds its batch into a KB-sized partial, and the query side reads
+    #batches KBs regardless of corpus size. Compaction is free here:
+    the whole table is #batches rows."""
+    return (
+        docs.writeStream.foreachBatch(
+            lambda df, bid: cms_merge_batch(df, bid, out_path, **cms_kwargs)
+        )
+        .option("checkpointLocation", out_path.rstrip("/") + "__ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_hot_tokens(spark, out_path: str, terms) -> DataFrame:
+    """Merge-on-read probe of the per-batch CMS partials: one task
+    deserializes every KB-sized partial with the pure-Python V1 reader,
+    sums the tables (exact distributive merge), and probes the fixed
+    term list. Lazy DataFrame, no JVM gateway, no driver bytes beyond
+    the final (token, est_count) rows."""
+    terms = sorted(terms)
+
+    def _probe(batches):
+        import pandas as pd
+
+        from vector_db_setup_spark.functions.sketch import (
+            merge_count_min_sketches,
+            read_count_min_sketch,
+        )
+
+        parts = []
+        for pdf in batches:
+            parts.extend(read_count_min_sketch(bytes(b)) for b in pdf["sk"])
+        if parts:
+            cms = merge_count_min_sketches(parts)
+            yield pd.DataFrame(
+                {
+                    "token": terms,
+                    "est_count": [cms.estimate_string(t) for t in terms],
+                }
+            )
+
+    return (
+        spark.read.parquet(out_path)
+        .select("sk")
+        .coalesce(1)
+        .mapInPandas(_probe, "token string, est_count long")
+    )
