@@ -160,3 +160,26 @@ def test_bm25_no_python_eval_and_bounded_exchanges(spark):
     plan = executed_plan(q.bm25_scores(spark, SF_ORACLE))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert n_exchanges(q.bm25_scores(spark, SF_ORACLE)) <= 5
+
+
+def test_multiband_cosine_plan_has_no_cartesian(spark):
+    """The OR-amplified multiband path must stay an explode + keyed
+    groupBy — never a cross product across bands or buckets."""
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    df = q.embedding_multiband_pairs(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mixture_sample_broadcasts_rates(spark):
+    """corpus_mixture_sample: the sources-sized rate table must join by
+    broadcast (the gate is a map-side filter — no data-sized shuffle
+    before the final rollup)."""
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    df = q.corpus_mixture_sample(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -4369,6 +4369,82 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_mixture_sample",
+    """
+    WITH per AS (
+        SELECT source,
+               sum(len(regexp_extract_all(text,
+                   ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+'))) AS toks
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT count(*) AS n_sources FROM per),
+    rates AS (
+        SELECT source,
+               least(1.0, (100000.0 / n_sources) / toks) AS rate
+        FROM per CROSS JOIN tot
+    ),
+    gated AS (
+        SELECT d.doc_id, d.source, r.rate,
+               len(regexp_extract_all(d.text,
+                   ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+')) AS toks,
+               ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 AS u
+        FROM documents d JOIN rates r USING (source)
+    )
+    SELECT source,
+           count(*) AS n_sampled,
+           CAST(sum(toks) AS BIGINT) AS sampled_tokens,
+           round(any_value(rate), 6) AS rate
+    FROM gated WHERE u < rate
+    GROUP BY source
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE the training-mix plan (`corpus_mixture_plan` computes the
+    rates; this query applies them): deterministic hash-gate Bernoulli
+    sampling — a document is admitted iff u(doc_id) < its source's
+    rate, with u = the first 32 bits of md5(doc_id) as a uniform in
+    [0,1). Deterministic sampling is what a production pipeline wants
+    anyway (reproducible mixes, stable across retries/replays, no RNG
+    state per task), and it is exactly oracle-able — both engines
+    compute the identical md5 gate, so the SAMPLE ITSELF is
+    value-checked, not just its size.
+
+    Scale shape: the rate table is sources-sized (broadcast); the gate
+    is a codegen filter on the scan — one shuffle total (the final
+    per-source rollup). At 100 TB the sampled write would replace the
+    rollup; the gate cost is unchanged."""
+    from vector_db_setup_spark.functions.text import bpe_token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(bpe_token_count("text")).alias("toks")
+    )
+    n_sources = per.agg(F.count(F.lit(1)).alias("n_sources"))
+    rates = per.crossJoin(F.broadcast(n_sources)).select(
+        "source",
+        F.least(
+            F.lit(1.0), (F.lit(100000.0) / F.col("n_sources")) / F.col("toks")
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    gated = (
+        d.join(F.broadcast(rates), "source")
+        .withColumn("u", u)
+        .filter(F.col("u") < F.col("rate"))
+    )
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum(bpe_token_count("text")).cast("bigint").alias("sampled_tokens"),
+        F.round(F.any_value("rate"), 6).alias("rate"),
+    )
+
+
+@register(
     "token_budgets",
     """
     SELECT source,
