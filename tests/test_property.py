@@ -184,3 +184,26 @@ def test_matrix_topk_matches_bruteforce(n, m, k, dup_every):
     )
     got = [(int(a), int(b), round(float(x), 9)) for a, b, x in zip(ia, jb, s)]
     assert got == want
+
+
+@given(
+    s=st.text(max_size=64),
+    seed_int=st.integers(-(2**31), 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@seed(7)
+def test_murmur3_spark_matches_jvm(spark, s, seed_int):
+    """functions/sketch.murmur3_32_spark must equal the JVM
+    Murmur3_x86_32.hashUnsafeBytes for ARBITRARY unicode strings and
+    seeds — the hash the CMS string probe stands on. (Cheap per
+    example: one py4j call, no Spark job.)"""
+    from vector_db_setup_spark.functions.sketch import murmur3_32_spark
+
+    b = s.encode("utf-8")
+    jvm = spark._jvm
+    off = jvm.org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    want = jvm.org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        bytearray(b) if b else bytearray(b"\x00")[:0], off, len(b), seed_int
+    )
+    assert murmur3_32_spark(b, seed_int) == want

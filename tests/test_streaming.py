@@ -683,3 +683,65 @@ def test_hot_tokens_stream_merges_exactly_to_batch(spark, tmp_path):
         for r in read_hot_tokens(spark, path, terms).collect()
     }
     assert got2 == got
+
+
+def test_ivf_append_stream_equals_batch_index_and_prunes(spark, tmp_path):
+    """Streaming IVF maintenance: (1) the streamed index holds exactly
+    the batch assignment (same (vec_id, cluster_id) set — frozen
+    centroids make assignment deterministic); (2) ivf_search over the
+    streamed index returns the same rows as over the batch assignment;
+    (3) probes still prune on the cluster_id partition level despite
+    the extra _batch sub-partition; (4) a replayed batch rewrites its
+    own sub-partitions, not duplicates."""
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.operators.ann import (
+        ivf_assign,
+        ivf_search,
+        kmeans_centroids,
+    )
+    from vector_db_setup_spark.sources.registry import load_table
+    from vector_db_setup_spark.streaming.events import (
+        ivf_append_batch,
+        ivf_append_stream,
+        stream_embeddings,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = kmeans_centroids(emb, k=8)
+    path = str(tmp_path / "ivf_stream")
+
+    q = ivf_append_stream(stream_embeddings(spark, SF_SMOKE), cents, path)
+    q.awaitTermination()
+
+    idx = spark.read.parquet(path)
+    got = {(r["vec_id"], r["cluster_id"]) for r in idx.collect()}
+    want = {
+        (r["vec_id"], r["cluster_id"])
+        for r in ivf_assign(emb, cents).collect()
+    }
+    assert got == want
+
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    res_stream = [
+        (r["vec_id"], round(r["distance"], 6))
+        for r in ivf_search(idx, cents, qv, k=5, id_col="vec_id").collect()
+    ]
+    res_batch = [
+        (r["vec_id"], round(r["distance"], 6))
+        for r in ivf_search(
+            ivf_assign(emb, cents), cents, qv, k=5, id_col="vec_id"
+        ).collect()
+    ]
+    assert res_stream == res_batch
+
+    one = idx.filter("cluster_id = 0")
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(cluster_id" in plan
+
+    # replay batch 0: exactly-once (dynamic overwrite of its own
+    # sub-partitions), no duplicate vec_ids
+    ivf_append_batch(emb, 0, cents, path)
+    idx2 = spark.read.parquet(path)
+    assert idx2.count() == len(want)
+    assert idx2.select("vec_id").distinct().count() == len(want)

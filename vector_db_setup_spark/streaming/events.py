@@ -749,3 +749,69 @@ def read_hot_tokens(spark, out_path: str, terms) -> DataFrame:
         .coalesce(1)
         .mapInPandas(_probe, "token string, est_count long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN index maintenance: continuously-ingested vectors are
+# assigned to FROZEN IVF centroids (pure map stage — no retraining in
+# the hot path) and appended to the partitioned index layout. The
+# 100 TB shape: new embeddings become searchable per trigger at the
+# cost of one codegen argmin + one partitioned append; centroid
+# retraining happens offline on its own cadence and swaps in as a new
+# index root.
+# ---------------------------------------------------------------------------
+
+
+def stream_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the embeddings parquet fixture (same pattern as
+    stream_documents)."""
+    schema = spark.read.parquet(f"{sf_dir}/embeddings.parquet").schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def ivf_append_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    centroids,
+    out_path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """One micro-batch of IVF maintenance: nearest-centroid assignment
+    (operators/ann.ivf_assign — literal centroids, codegen argmin, zero
+    shuffles) and a dynamic-overwrite append under
+    (cluster_id, _batch) partitions. A replayed batch rewrites exactly
+    its own sub-partitions — the same exactly-once idiom as
+    rollup_merge_batch — while probes still prune on the leading
+    cluster_id directory level."""
+    from vector_db_setup_spark.operators.ann import ivf_assign
+
+    assigned = ivf_assign(batch_df, centroids, vec_col).withColumn(
+        "_batch", F.lit(batch_id)
+    )
+    (
+        assigned.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster_id", "_batch")
+        .parquet(out_path)
+    )
+
+
+def ivf_append_stream(
+    vectors: DataFrame, centroids, out_path: str, vec_col: str = "embedding"
+):
+    """Streaming IVF index maintenance over a vector stream (see
+    ivf_append_batch for the per-trigger contract)."""
+    return (
+        vectors.writeStream.foreachBatch(
+            lambda df, bid: ivf_append_batch(
+                df, bid, centroids, out_path, vec_col
+            )
+        )
+        .option("checkpointLocation", out_path.rstrip("/") + "__ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
