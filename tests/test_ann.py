@@ -104,3 +104,57 @@ def test_brp_join_recall_and_precision(spark, emb):
     assert got <= exact
     # OR-amplified buckets must recover nearly all true pairs
     assert len(got & exact) / len(exact) >= 0.9
+
+
+def test_ivf_search_batch_exact_when_probing_all(spark, emb, centroids):
+    """With nprobe = #clusters the batch IVF search IS exact: it must
+    reproduce batch_knn_join's (query, neighbor, distance) rows."""
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.operators.ann import ivf_search_batch
+    from vector_db_setup_spark.operators.knn import batch_knn_join
+
+    queries = (
+        emb.filter("vec_id < 5")
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    assigned = ivf_assign(emb, centroids)
+    got = {
+        (r["query_id"], r["vec_id"], round(r["distance"], 6))
+        for r in ivf_search_batch(
+            queries, assigned, centroids, k=3, nprobe=len(centroids)
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["vec_id"], round(r["distance"], 6))
+        for r in batch_knn_join(queries, emb, k=3).collect()
+    }
+    assert got == want
+
+
+def test_ivf_search_batch_recall_at_nprobe(spark, emb, centroids):
+    """Partial probing trades recall for |Q|*nprobe*cluster work; at
+    nprobe=4 of 8 clusters, batch recall@10 must stay high (same bar
+    as the single-query ivf_search test)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.operators.ann import ivf_search_batch
+    from vector_db_setup_spark.operators.knn import batch_knn_join
+
+    queries = (
+        emb.filter("vec_id < 20")
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    assigned = ivf_assign(emb, centroids)
+    exact = {}
+    for r in batch_knn_join(queries, emb, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in ivf_search_batch(
+        queries, assigned, centroids, k=10, nprobe=4
+    ).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.6, sum(recalls) / len(recalls)

@@ -95,6 +95,66 @@ def ivf_search(
     return knn_topk(cand, vec_col, list(q), k=k, metric=metric, id_col=id_col)
 
 
+def ivf_search_batch(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    qvec_col: str = "embedding",
+    qid_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch ANN search: every query probes its ``nprobe`` nearest
+    clusters — the scale form of ``batch_knn_join`` (exact Q×N) when N
+    is IVF-indexed.
+
+    Shape: each query row explodes to ``nprobe`` (query, cluster_id)
+    probe rows via a codegen argsort over the literal centroid array
+    (no Python, no driver round-trip per query — unlike single-query
+    ``ivf_search``, which sorts centroids in numpy). The probe table
+    equi-joins the index on cluster_id — over an ``ivf_write`` layout
+    the join's cluster set prunes partitions — then exact per-pair L2 +
+    one window top-k per query. Cost: |Q|·nprobe·avg_cluster_size
+    pairs instead of |Q|·N; recall is governed by nprobe (measured in
+    tests vs the exact join).
+    """
+    from pyspark.sql import Window
+
+    cents = F.array(*[vector_literal(c) for c in centroids])
+    # per-query nprobe nearest centroid ids: sort (dist, idx) structs
+    scored = F.transform(
+        cents,
+        lambda c, i: F.struct(
+            l2_distance_sq(F.col(qvec_col), c).alias("d"),
+            i.alias("cid"),
+        ),
+    )
+    probes = F.slice(F.array_sort(scored), 1, nprobe)
+    q = queries.select(
+        F.col(qid_col),
+        F.col(qvec_col).alias("__qvec"),
+        F.explode(probes).alias("p"),
+    ).select(qid_col, "__qvec", F.col("p.cid").alias("cluster_id"))
+    joined = q.join(assigned, "cluster_id")
+    from vector_db_setup_spark.functions.vector import l2_distance
+
+    scored_pairs = joined.select(
+        qid_col,
+        id_col,
+        l2_distance(F.col("__qvec"), F.col(vec_col)).alias("distance"),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored_pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> np.ndarray:
     """Seeded Gaussian hyperplanes for sign-bit LSH."""
     rng = np.random.default_rng(seed)

@@ -304,6 +304,57 @@ def batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ivf_batch_search",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+        FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+        FROM embeddings e CROSS JOIN q
+    )
+    SELECT query_id, vec_id, round(dist, 6) AS distance
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dist ASC, vec_id ASC) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def ivf_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN search through the IVF routing path
+    (operators/ann.ivf_search_batch) in its EXACT configuration
+    (nprobe = #clusters), which must reproduce the brute-force oracle
+    row-for-row — so the probe routing (codegen per-query centroid
+    argsort + explode), the cluster equi-join, and the per-query
+    window top-k are all value-checked; the approximate configurations
+    differ only in the nprobe slice and are recall-tested
+    (tests/test_ann.py). Centroid training is seeded KMeans at query
+    construction (deterministic for a fixed fixture + seed). At scale:
+    |Q|·nprobe·cluster pairs instead of |Q|·N, partition pruning over
+    an ivf_write layout."""
+    from vector_db_setup_spark.operators.ann import (
+        ivf_assign,
+        ivf_search_batch,
+        kmeans_centroids,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(embs, k=8)
+    queries_df = embs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_search_batch(
+        queries_df, ivf_assign(embs, cents), cents, k=3, nprobe=len(cents)
+    )
+    return out.select(
+        "query_id", "vec_id", F.round("distance", 6).alias("distance")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational inventory over the star schema (SURVEY.md §2.3 J4, §2.4)
 # ---------------------------------------------------------------------------
