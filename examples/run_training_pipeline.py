@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Runnable end-to-end TRAINING-DATA pipeline: the at-scale curation
+flow this engine adds beyond the reference surface, composed from the
+library operators (each one individually oracle- or invariant-checked;
+this script shows they compose).
+
+    python3 examples/run_training_pipeline.py [sf_dir]
+
+profile -> dedup (exact + MinHash-LSH + connected components) ->
+semantic near-dup (real numpy encoder + multiband cosine LSH) ->
+PII scrub -> mixture plan + deterministic sample -> chunk/pack ->
+heavy-hitter sketch. Every stage is DataFrame-lazy until its action;
+nothing corpus-sized touches the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from vector_db_setup_spark import queries as q
+from vector_db_setup_spark.session import get_spark
+from vector_db_setup_spark.sources.registry import load_table
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="training-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = q.queries()
+    docs = load_table(spark, sf_dir, "documents")
+
+    print("== 1. corpus profile ==")
+    prof = qs["lang_stats"](spark, sf_dir).collect()
+    print("   language mix:", {r[0]: r[1] for r in prof})
+
+    print("== 2. lexical dedup (exact + MinHash-LSH + CC keepers) ==")
+    keepers = qs["dedup_keepers"](spark, sf_dir)
+    n_keep = keepers.count()
+    print(f"   {docs.count()} docs -> {n_keep} keepers")
+
+    print("== 3. semantic near-dup (real encoder + multiband LSH) ==")
+    from vector_db_setup_spark.functions.embed import embed_with_model
+    from vector_db_setup_spark.functions.np_encoder import (
+        fit_encoder,
+        numpy_encoder_loader,
+    )
+    from vector_db_setup_spark.operators.ann import random_hyperplanes
+    from vector_db_setup_spark.operators.similarity import (
+        cosine_pairs_multiband,
+    )
+
+    enc = fit_encoder(docs, vocab_size=1024, dim=32, seed=7)
+    art = os.path.join(tempfile.mkdtemp(prefix="enc_"), "encoder.npz")
+    enc.save(art)
+    emb = embed_with_model(
+        docs.select("doc_id", "text"), numpy_encoder_loader(art)
+    ).select(F.col("doc_id").alias("vec_id"), "embedding")
+    bands = [random_hyperplanes(32, 6, seed=s) for s in (1, 2)]
+    sem_pairs = cosine_pairs_multiband(emb, bands, min_cosine=0.9)
+    print(f"   semantic near-dup pairs (cos>=0.9, 2 bands): {sem_pairs.count()}")
+
+    print("== 4. PII scrub ==")
+    pii = qs["doc_pii_scrub"](spark, sf_dir)
+    hits = pii.filter("n_emails + n_digit_runs > 0").count()
+    print(f"   docs with redactions: {hits}")
+
+    print("== 5. mixture plan -> deterministic sample ==")
+    plan = qs["corpus_mixture_plan"](spark, sf_dir).collect()
+    sample = qs["corpus_mixture_sample"](spark, sf_dir).collect()
+    planned = sum(r["planned_tokens"] for r in plan)
+    realized = sum(r["sampled_tokens"] for r in sample)
+    print(f"   planned {planned} tokens, hash-gate realized {realized}")
+
+    print("== 6. chunk + pack ==")
+    packed = qs["context_packing"](spark, sf_dir)
+    bins = packed.count()
+    print(f"   {bins} (source, bin) groups at 2048-token budget")
+
+    print("== 7. heavy-hitter sketch (CMS) ==")
+    hh = qs["hot_tokens_cms"](spark, sf_dir).collect()
+    print("   estimates:", {r["token"]: r["est_count"] for r in hh})
+
+    print("PIPELINE OK")
+
+
+if __name__ == "__main__":
+    main()
