@@ -212,3 +212,56 @@ def test_knn_wide_dim_udf_null_safe(spark):
            for r in K.knn_topk(df, "v", [0.0] * dim, k=3, id_col="id").collect()}
     assert got[1] is not None and got[1] > 0
     assert got[2] is None and got[3] is None
+
+
+def test_cosine_bucket_occupancy_cap_drops_only_hot_bucket(spark):
+    """max_bucket_rows (the cosine-family hot-bucket guard, same class
+    as the MinHash/SimHash max_band_df caps): a planted bucket of m
+    identical vectors is dropped wholesale, while pairs from
+    normally-occupied buckets survive untouched."""
+    import numpy as np
+
+    from vector_db_setup_spark.operators.ann import random_hyperplanes
+    from vector_db_setup_spark.operators.similarity import (
+        cosine_pairs_bucketed,
+    )
+
+    rng = np.random.default_rng(9)
+    dim = 8
+    hot = np.ones(dim) / np.sqrt(dim)  # 40 identical vectors, one bucket
+    rows = [(i, hot.tolist()) for i in range(40)]
+    normal = rng.standard_normal((20, dim))
+    normal /= np.linalg.norm(normal, axis=1, keepdims=True)
+    rows += [(100 + i, normal[i].tolist()) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = random_hyperplanes(dim, 4, seed=2)
+
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_bucketed(emb, planes).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_bucketed(
+            emb, planes, max_bucket_rows=25
+        ).collect()
+    }
+    hot_pairs = {p for p in uncapped if p[0] < 40 and p[1] < 40}
+    assert len(hot_pairs) == 40 * 39 // 2  # the m^2 blowup being guarded
+    assert capped.isdisjoint(hot_pairs)
+    # ground truth from the actual bucket assignment: the cap must drop
+    # EXACTLY the pairs whose bucket holds > 25 vectors (whole-bucket
+    # semantics — includes normal vectors co-located with the hot
+    # crowd), and nothing from under-cap buckets
+    from vector_db_setup_spark.operators.ann import lsh_bucket
+
+    assign = {
+        r["vec_id"]: r["bucket_id"] for r in lsh_bucket(emb, planes).collect()
+    }
+    from collections import Counter
+
+    occ = Counter(assign.values())
+    expected_capped = {
+        p for p in uncapped if occ[assign[p[0]]] <= 25
+    }  # pair's bucket = both members' bucket (same-bucket pairs only)
+    assert capped == expected_capped

@@ -42,7 +42,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -216,6 +216,7 @@ def cosine_pairs_bucketed(
     id_col: str = "vec_id",
     min_cosine: float | None = None,
     topk_per_bucket: int | None = None,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via sign-bit LSH bucketing + exact
     per-bucket GEMM — the 100 TB near-dup path.
@@ -235,6 +236,7 @@ def cosine_pairs_bucketed(
         id_col=id_col,
         min_cosine=min_cosine,
         topk_per_bucket=topk_per_bucket,
+        max_bucket_rows=max_bucket_rows,
     )
 
 
@@ -245,6 +247,7 @@ def cosine_pairs_multiband(
     id_col: str = "vec_id",
     min_cosine: float | None = None,
     topk_per_bucket: int | None = None,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """OR-amplified sign-LSH near-dup pairs: ``len(plane_sets)``
     INDEPENDENT bucketings, a pair is a candidate if it collides in ANY
@@ -289,6 +292,7 @@ def cosine_pairs_multiband(
         id_col=id_col,
         min_cosine=min_cosine,
         topk_per_bucket=topk_per_bucket,
+        max_bucket_rows=max_bucket_rows,
     )
     # a pair colliding in several bands is re-found with an identical
     # cosine (same float ops on the same vectors); max() is the robust
@@ -303,6 +307,7 @@ def cosine_pairs_ivf(
     id_col: str = "vec_id",
     min_cosine: float | None = None,
     topk_per_bucket: int | None = None,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """IVF composition of the same per-bucket GEMM: nearest-centroid
     assignment (operators/ann.ivf_assign, native argmin map stage) →
@@ -320,6 +325,7 @@ def cosine_pairs_ivf(
         id_col=id_col,
         min_cosine=min_cosine,
         topk_per_bucket=topk_per_bucket,
+        max_bucket_rows=max_bucket_rows,
     )
 
 
@@ -330,13 +336,30 @@ def cosine_pairs_by_column(
     id_col: str = "vec_id",
     min_cosine: float | None = None,
     topk_per_bucket: int | None = None,
+    max_bucket_rows: int | None = None,
 ) -> DataFrame:
     """Shared engine for bucketed pairwise cosine: groupBy(bucket_col)
     → applyInPandas GEMM within each group. Any single-assignment
-    bucketing column works (LSH bits, IVF cluster, category key)."""
+    bucketing column works (LSH bits, IVF cluster, category key).
+
+    ``max_bucket_rows`` is the hot-bucket guard, same class as the
+    MinHash/SimHash ``max_band_df`` caps: a bucket holding m vectors
+    costs an m² GEMM inside ONE task (memory is bounded by block
+    sizing, wall-clock is not), so at scale either set the cap or
+    feed exact-duplicate representatives. Buckets over the cap emit
+    no pairs — their occupants are near-exact-duplicate
+    concentrations whose route is the exact-dedup/rep-edge path, not
+    the pairwise join. None = exact (every bucket scored)."""
     bucketed = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), bucket_col
     )
+    if max_bucket_rows is not None:
+        w_cnt = F.count(F.lit(1)).over(Window.partitionBy(bucket_col))
+        bucketed = (
+            bucketed.withColumn("__occ", w_cnt)
+            .filter(F.col("__occ") <= max_bucket_rows)
+            .drop("__occ")
+        )
 
     def _bucket_kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["id"].to_numpy(dtype=np.int64)
