@@ -597,6 +597,10 @@ from vector_db_setup_spark.functions.text import (  # noqa: E402
     tokens,
 )
 from vector_db_setup_spark.operators import dedup as dd  # noqa: E402
+from vector_db_setup_spark.operators.bloom import (  # noqa: E402
+    bloom_build,
+    bloom_probe,
+)
 from vector_db_setup_spark.operators.graph import (  # noqa: E402
     connected_components_auto,
 )
@@ -5184,4 +5188,65 @@ def excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select("s_name", F.col("n_name").alias("nation"))
         .orderBy("s_name")
+    )
+
+
+@register(
+    "benchmark_overlap_bloom",
+    f"""
+    WITH {_shingle_cte()},
+    shd AS (SELECT DISTINCT doc_id, s FROM sh),
+    bench AS (SELECT DISTINCT s FROM shd WHERE doc_id < 20),
+    corpus AS (SELECT doc_id, s FROM shd WHERE doc_id >= 20),
+    hits AS (SELECT c.doc_id, count(*) AS n_hit
+             FROM corpus c JOIN bench b USING (s) GROUP BY c.doc_id),
+    sizes AS (SELECT doc_id, count(*) AS n_total FROM corpus GROUP BY doc_id)
+    SELECT s.doc_id,
+           s.n_total,
+           coalesce(h.n_hit, 0) AS n_hit,
+           coalesce(h.n_hit, 0)::DOUBLE / s.n_total >= 0.5 AS contaminated
+    FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+    """,
+)
+def benchmark_overlap_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination check through the SCALE path: the benchmark
+    shingle set goes through `operators/bloom.bloom_build` (a pure
+    DataFrame bit_or aggregation — the filter is rows of nonzero
+    bitmap words, never a driver object) and the corpus probes it with
+    `bloom_probe` (k codegen'd bit tests + one broadcast join). Same
+    output contract as `benchmark_overlap`, which broadcasts the EXACT
+    shingle set and stops being possible when the held-out suite has
+    billions of shingles; the Bloom filter's word table stays m/64
+    rows no matter how many shingles it absorbed (pass
+    broadcast=False past ~2^27 bits and the probe becomes a keyed
+    join).
+
+    The oracle is the exact-overlap SQL: at m=2^22/k=5 the fixture's
+    probe set has a measured false-positive count of ZERO and the
+    whole construction (xxhash64 double hashing) is deterministic, so
+    bloom == exact holds as an equality here — while the rows-only
+    invariant tests in tests/test_bloom.py pin the general semantics
+    (superset of exact, FP rate within bound) where FPs are forced."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = dd.shingle_hashes(d).distinct()
+    bench = sh.filter(F.col("doc_id") < 20).select("s").distinct()
+    corpus = sh.filter(F.col("doc_id") >= 20)
+    words = bloom_build(bench, "s", num_bits=1 << 22, k=5)
+    probed = bloom_probe(corpus, "s", words, num_bits=1 << 22, k=5)
+    hits = (
+        probed.filter(F.col("maybe_member"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_total",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)) / F.col("n_total") >= 0.5
+            ).alias("contaminated"),
+        )
     )
