@@ -5250,3 +5250,208 @@ def benchmark_overlap_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation-pipeline operations round (r5 cont.): threshold calibration,
+# snapshot diffing, and deterministic shard assignment — the three
+# pipeline-bookkeeping ops every at-scale corpus build runs between the
+# dedup/quality passes already in the inventory.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_threshold_calibration",
+    f"""
+    WITH q AS (
+        SELECT doc_id, source,
+               round((least(len(w) / 50.0, 1.0)
+                      + (1.0 - abs(len(list_filter(w, x ->
+                            list_contains({_STOP_SQL}, x))) / len(w) - 0.1)
+                            / 0.9)
+                      + CASE WHEN list_sum(list_transform(w, x -> length(x)))
+                                  / len(w) BETWEEN 3.0 AND 8.0
+                             THEN 1.0 ELSE 0.5 END) / 3.0, 6) AS quality
+        FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+              FROM documents)
+    ),
+    r AS (
+        SELECT source, quality,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id ASC) AS rk,
+               count(*) OVER (PARTITION BY source) AS n
+        FROM q
+    )
+    SELECT source,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN rk <= ceil(0.7 * n) THEN 1 END) AS BIGINT)
+               AS n_kept,
+           round(min(CASE WHEN rk <= ceil(0.7 * n) THEN quality END), 6)
+               AS q_threshold
+    FROM r GROUP BY source
+    """,
+)
+def quality_threshold_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-driven quality-cutoff calibration: instead of hand-picking
+    a quality threshold, fix the KEEP RATE (top 70% per source) and
+    read the threshold off the per-source quality rank — the way
+    production corpus builds equalize retention across heterogeneous
+    sources. Exact rank, not approx quantile: the rank window and the
+    final per-source aggregate share ONE source-keyed shuffle, and the
+    cut is on (rounded quality, doc_id) so membership is
+    engine-deterministic. At 100 TB the sort is per-source-shard; an
+    approx-percentile first pass can pre-prune if a source's tail is
+    huge, without changing this contract."""
+    from vector_db_setup_spark.functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", "source", F.round(quality_score("text"), 6).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    r = q.select(
+        "source",
+        "quality",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .alias("n"),
+    )
+    kept = F.when(F.col("rk") <= F.ceil(0.7 * F.col("n")), F.lit(1))
+    kept_q = F.when(F.col("rk") <= F.ceil(0.7 * F.col("n")), F.col("quality"))
+    return r.groupBy("source").agg(
+        F.max("n").cast("long").alias("n_docs"),
+        F.count(kept).cast("long").alias("n_kept"),
+        F.round(F.min(kept_q), 6).alias("q_threshold"),
+    )
+
+
+@register(
+    "corpus_snapshot_diff",
+    """
+    WITH old AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 400
+    ),
+    new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+                   AS h
+        FROM documents WHERE doc_id >= 100
+    )
+    SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(coalesce(o.doc_id, n.doc_id)) AS BIGINT) AS min_doc,
+           CAST(max(coalesce(o.doc_id, n.doc_id)) AS BIGINT) AS max_doc
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    GROUP BY 1
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus version diff — the added/removed/changed/unchanged audit
+    between two curation snapshots, by content hash. The fixture plays
+    both roles (old = doc_id<400, new = doc_id>=100 with every 7th doc
+    textually bumped so 'changed' is non-empty). FULL OUTER join on
+    the doc key, md5-of-text comparison for rows present on both
+    sides. At scale both snapshots are parquet partitioned on the same
+    key, so the join co-locates; the hash is computed in the scan
+    projection — no second pass over text."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").alias("o_id"),
+        F.md5(F.encode(F.col("text"), "UTF-8")).alias("o_h"),
+    )
+    new = d.filter(F.col("doc_id") >= 100).select(
+        F.col("doc_id").alias("n_id"),
+        F.md5(
+            F.encode(
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("text"), F.lit(" v2")),
+                ).otherwise(F.col("text")),
+                "UTF-8",
+            )
+        ).alias("n_h"),
+    )
+    joined = old.join(new, old.o_id == new.n_id, "full_outer")
+    status = (
+        F.when(F.col("o_id").isNull(), "added")
+        .when(F.col("n_id").isNull(), "removed")
+        .when(F.col("o_h") != F.col("n_h"), "changed")
+        .otherwise("unchanged")
+    )
+    key = F.coalesce("o_id", "n_id")
+    return (
+        joined.select(status.alias("status"), key.alias("k"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("k").alias("min_doc"),
+            F.max("k").alias("max_doc"),
+        )
+    )
+
+
+@register(
+    "corpus_shard_assignment",
+    """
+    WITH sharded AS (
+        SELECT doc_id, n_chars,
+               ('0x' || substr(md5(doc_id::VARCHAR || '-shuffle'), 1, 4))
+                   ::BIGINT % 16 AS shard,
+               md5(doc_id::VARCHAR || '-shuffle') AS skey
+        FROM documents
+    ),
+    r AS (
+        SELECT shard, doc_id, n_chars,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY skey ASC, doc_id ASC) AS rk
+        FROM sharded
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(min(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+               AS first_doc
+    FROM r GROUP BY shard
+    """,
+)
+def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into training shards: every doc
+    hashes to one of 16 shards, and WITHIN a shard the write order is
+    the md5 shuffle key — the standard seed-stable corpus shuffle that
+    decorrelates adjacent documents without a true random source.
+    first_doc exposes the order head so the oracle checks the
+    ordering, not just the partition counts. One shard-keyed window
+    shuffle reused by the aggregate; at 100 TB this is exactly a
+    repartition(shards) + sortWithinPartitions before the sharded
+    write (`plans/storage` has the writer)."""
+    d = load_table(spark, sf_dir, "documents")
+    skey = F.md5(
+        F.encode(F.concat(F.col("doc_id").cast("string"), F.lit("-shuffle")), "UTF-8")
+    )
+    sharded = d.select(
+        "doc_id",
+        "n_chars",
+        skey.alias("skey"),
+        F.pmod(
+            F.conv(F.substring(skey, 1, 4), 16, 10).cast("long"), F.lit(16)
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.col("skey").asc(), F.col("doc_id").asc()
+    )
+    r = sharded.select(
+        "shard", "doc_id", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    return r.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min(F.when(F.col("rk") == 1, F.col("doc_id")))
+        .cast("long")
+        .alias("first_doc"),
+    )
