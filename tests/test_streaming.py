@@ -745,3 +745,59 @@ def test_ivf_append_stream_equals_batch_index_and_prunes(spark, tmp_path):
     idx2 = spark.read.parquet(path)
     assert idx2.count() == len(want)
     assert idx2.select("vec_id").distinct().count() == len(want)
+
+
+def test_benchmark_filter_stream_equals_batch_build(spark, tmp_path):
+    """Continuous Bloom maintenance: (1) streamed per-batch partials
+    merged on read equal ONE bloom_build over all the items word-for-
+    word (bitwise-OR lattice — exact, not approximate); (2) the merged
+    view is directly probe-able with no false negatives; (3) a
+    replayed batch overwrites its own partial (bitmap unchanged)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.operators.bloom import bloom_build, bloom_probe
+    from vector_db_setup_spark.operators.dedup import shingle_hashes
+    from vector_db_setup_spark.sources.registry import load_table
+    from vector_db_setup_spark.streaming.events import (
+        benchmark_filter_stream,
+        bloom_merge_batch,
+        read_benchmark_filter,
+        stream_documents,
+    )
+
+    path = str(tmp_path / "bloom")
+    m, k = 1 << 18, 5
+
+    # stream the fixture (single file -> one batch), then two more
+    # manual partials over disjoint halves of a second doc slice
+    bench = stream_documents(spark, SF_SMOKE).filter(F.col("doc_id") < 10)
+    q = benchmark_filter_stream(bench, path, num_bits=m, k=k)
+    q.awaitTermination()
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    extra = docs.filter((F.col("doc_id") >= 10) & (F.col("doc_id") < 20))
+    bloom_merge_batch(extra.filter(F.col("doc_id") % 2 == 0), 1, path,
+                      num_bits=m, k=k)
+    bloom_merge_batch(extra.filter(F.col("doc_id") % 2 == 1), 2, path,
+                      num_bits=m, k=k)
+
+    merged = read_benchmark_filter(spark, path)
+    all_items = (
+        shingle_hashes(docs.filter(F.col("doc_id") < 20))
+        .select("s")
+        .distinct()
+    )
+    direct = bloom_build(all_items, "s", num_bits=m, k=k)
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+    # probe-ability: every inserted shingle must hit
+    probed = bloom_probe(all_items, "s", merged, num_bits=m, k=k)
+    assert probed.filter(~F.col("maybe_member")).count() == 0
+
+    # replay batch 1 -> partial rewritten, merged bitmap unchanged
+    bloom_merge_batch(extra.filter(F.col("doc_id") % 2 == 0), 1, path,
+                      num_bits=m, k=k)
+    merged2 = read_benchmark_filter(spark, path)
+    assert merged2.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged2).count() == 0

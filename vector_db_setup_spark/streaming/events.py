@@ -752,6 +752,74 @@ def read_hot_tokens(spark, out_path: str, terms) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Continuous benchmark-filter maintenance: streaming twin of
+# queries.benchmark_overlap_bloom's build side. A held-out suite grows
+# over time (new eval sets land weekly); each micro-batch folds its
+# docs' shingles into that batch's OWN Bloom partial (`_batch`
+# partition, dynamic overwrite → replay-idempotent), and merge-on-read
+# re-bit_ors the words. Bloom union is EXACT (bitwise OR lattice), so
+# stream == one build over everything, testably — same contract as the
+# CMS partials above, but the merged artifact is also directly
+# probe-able by operators/bloom.bloom_probe.
+# ---------------------------------------------------------------------------
+
+
+def bloom_merge_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    num_bits: int = 1 << 22,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the continuous benchmark filter: shingle this
+    batch's docs, build the Bloom words for them, and write them as the
+    batch's own `_batch=<id>` partition. All partials MUST share
+    (num_bits, k) or the merged bitmap is garbage — same
+    same-parameters contract as the CMS partials."""
+    from vector_db_setup_spark.operators.bloom import bloom_build
+    from vector_db_setup_spark.operators.dedup import shingle_hashes
+
+    sh = shingle_hashes(batch_df, text_col=text_col, id_col=id_col)
+    words = bloom_build(sh.select("s").distinct(), "s", num_bits=num_bits, k=k)
+    part = words.select("idx", "word", F.lit(batch_id).alias("_batch"))
+    (
+        part.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(out_path)
+    )
+
+
+def benchmark_filter_stream(docs: DataFrame, out_path: str, **bloom_kwargs):
+    """Maintain the contamination Bloom filter continuously over a
+    document stream. Each trigger costs one shingle scan of the BATCH
+    (never the history) plus a ≤ m/64-row partial write; the filter
+    over the whole history is the merge-on-read below."""
+    return (
+        docs.writeStream.foreachBatch(
+            lambda df, bid: bloom_merge_batch(df, bid, out_path, **bloom_kwargs)
+        )
+        .option("checkpointLocation", out_path.rstrip("/") + "__ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_benchmark_filter(spark: SparkSession, out_path: str) -> DataFrame:
+    """Merge-on-read: bit_or across the batch partials == the filter
+    built over the union of every batch's items (exact — Bloom union
+    is bitwise OR). The result is the same (idx, word) shape
+    operators/bloom.bloom_probe consumes."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental ANN index maintenance: continuously-ingested vectors are
 # assigned to FROZEN IVF centroids (pure map stage — no retraining in
 # the hot path) and appended to the partitioned index layout. The
