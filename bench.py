@@ -49,6 +49,8 @@ EXTENDED = [
     "corpus_curation_verdict",
     "semantic_dedup_keepers",
     "embedding_multiband_pairs",
+    "market_share",
+    "benchmark_overlap_bloom",
 ]
 
 

@@ -183,3 +183,50 @@ def test_mixture_sample_broadcasts_rates(spark):
     plan = executed_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_market_share_one_smj_rest_broadcast(spark):
+    """Q8 shape: the ONLY non-broadcast join edge is lineitem ⋈ orders
+    (both fact-sized); part/supplier/customer/nation/region must all
+    arrive by broadcast. A second sort-merge join means a dim lost its
+    broadcast and a 100 TB run would shuffle it."""
+    import re
+
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(q.market_share(spark, SF_ORACLE))
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)) <= 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_supplier_part_counts_anti_before_distinct(spark):
+    """Q16 shape: the NOT-IN exclusion must plan as a broadcast anti
+    join (excluded rows never enter the count-distinct shuffle)."""
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(q.supplier_part_counts(spark, SF_ORACLE))
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_important_parts_reuses_aggregate_for_total(spark):
+    """Q11 shape: the grand total must come back onto the per-part
+    aggregate by BROADCAST (a 1-row side), never a cross shuffle."""
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(q.important_parts(spark, SF_ORACLE))
+    assert (
+        "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    ), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_returned_item_customers_prunes_both_facts(spark):
+    """Q10 shape: both fact scans must push their predicates into the
+    parquet reader (quarter on orders, returnflag on lineitem)."""
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(q.returned_item_customers(spark, SF_ORACLE))
+    assert "PushedFilters" in plan
+    assert "l_returnflag" in plan and "o_orderdate" in plan
