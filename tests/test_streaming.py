@@ -801,3 +801,53 @@ def test_benchmark_filter_stream_equals_batch_build(spark, tmp_path):
     merged2 = read_benchmark_filter(spark, path)
     assert merged2.exceptAll(direct).count() == 0
     assert direct.exceptAll(merged2).count() == 0
+
+
+def test_decontamination_gate_stream_matches_batch_verdicts(spark, tmp_path):
+    """Streaming contamination gate: the per-doc clean/contaminated
+    split of the streamed corpus must equal the batch
+    benchmark_overlap_bloom verdicts doc-for-doc, and a replayed batch
+    must rewrite its own partitions (no duplicate docs)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark import queries as q
+    from vector_db_setup_spark.operators.bloom import bloom_build
+    from vector_db_setup_spark.operators.dedup import shingle_hashes
+    from vector_db_setup_spark.sources.registry import load_table
+    from vector_db_setup_spark.streaming.events import (
+        decontamination_gate_batch,
+        decontamination_gate_stream,
+        stream_documents,
+    )
+
+    m, k = 1 << 22, 5
+    path = str(tmp_path / "gate")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    bench_sh = (
+        shingle_hashes(docs.filter(F.col("doc_id") < 20)).select("s").distinct()
+    )
+    words = bloom_build(bench_sh, "s", num_bits=m, k=k).persist()
+    words.count()
+
+    corpus = stream_documents(spark, SF_SMOKE).filter(F.col("doc_id") >= 20)
+    qr = decontamination_gate_stream(corpus, words, path, num_bits=m, k=k)
+    qr.awaitTermination()
+
+    # _clean is a partition column -> read back as its directory-name
+    # string; normalize to bool for the comparison
+    got = {
+        r["doc_id"]: str(r["_clean"]).lower() == "true"
+        for r in spark.read.parquet(path).select("doc_id", "_clean").collect()
+    }
+    want = {
+        r["doc_id"]: not r["contaminated"]
+        for r in q.benchmark_overlap_bloom(spark, SF_SMOKE).collect()
+    }
+    assert got == want
+
+    # replay: re-deliver the whole corpus as batch 0 — same rows, once
+    decontamination_gate_batch(
+        docs.filter(F.col("doc_id") >= 20), 0, words, path, num_bits=m, k=k
+    )
+    assert spark.read.parquet(path).count() == len(want)
+    words.unpersist()

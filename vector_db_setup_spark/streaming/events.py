@@ -819,6 +819,77 @@ def read_benchmark_filter(spark: SparkSession, out_path: str) -> DataFrame:
     )
 
 
+def decontamination_gate_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    words: DataFrame,
+    out_path: str,
+    num_bits: int = 1 << 22,
+    k: int = 5,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of the streaming contamination gate: shingle the
+    batch, Bloom-probe every distinct (doc, shingle), compute per-doc
+    containment, and write the docs under (_clean, _batch) partitions —
+    clean docs flow to training, flagged docs land in quarantine for
+    the exact recheck. Same dynamic-overwrite idiom as every sink in
+    this module: a replayed batch rewrites its own partitions.
+
+    Bloom direction of error: false POSITIVES only, so a clean=false
+    verdict can be spurious (bounded by the FP rate) but clean=true is
+    definitive — quarantine errs on the safe side, which is the
+    direction a decontamination gate must err."""
+    from vector_db_setup_spark.operators.bloom import bloom_probe
+    from vector_db_setup_spark.operators.dedup import shingle_hashes
+
+    sh = shingle_hashes(batch_df, text_col=text_col, id_col=id_col).distinct()
+    probed = bloom_probe(sh, "s", words, num_bits=num_bits, k=k)
+    verdict = probed.groupBy(id_col).agg(
+        (
+            F.sum(F.col("maybe_member").cast("long"))
+            / F.count(F.lit(1))
+            >= threshold
+        ).alias("_contaminated")
+    )
+    out = (
+        batch_df.join(verdict, id_col, "left")
+        .withColumn(
+            "_clean", ~F.coalesce(F.col("_contaminated"), F.lit(False))
+        )
+        .drop("_contaminated")
+        .withColumn("_batch", F.lit(batch_id))
+    )
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_clean", "_batch")
+        .parquet(out_path)
+    )
+
+
+def decontamination_gate_stream(
+    docs: DataFrame, words: DataFrame, out_path: str, **gate_kwargs
+):
+    """Gate a document stream against the (continuously maintained)
+    benchmark Bloom filter. `words` is the merged filter —
+    read_benchmark_filter(...) output, persisted by the caller so each
+    trigger probes memory instead of re-reducing the partials. Cost
+    per trigger: one shingle scan of the batch + k bit tests per
+    shingle; the benchmark itself is never re-read."""
+    return (
+        docs.writeStream.foreachBatch(
+            lambda df, bid: decontamination_gate_batch(
+                df, bid, words, out_path, **gate_kwargs
+            )
+        )
+        .option("checkpointLocation", out_path.rstrip("/") + "__ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental ANN index maintenance: continuously-ingested vectors are
 # assigned to FROZEN IVF centroids (pure map stage — no retraining in
