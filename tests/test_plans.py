@@ -210,15 +210,17 @@ def test_supplier_part_counts_anti_before_distinct(spark):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_important_parts_reuses_aggregate_for_total(spark):
-    """Q11 shape: the grand total must come back onto the per-part
-    aggregate by BROADCAST (a 1-row side), never a cross shuffle."""
+def test_important_parts_single_aggregate_subtree(spark):
+    """Q11 shape: the grand total is an empty-frame window over the
+    per-part aggregate, so the join+agg subtree must execute ONCE —
+    exactly 3 parquet scans (lineitem, supplier, nation), one Window,
+    no join-back and no cartesian. The naive agg-then-rejoin form ran
+    6 scans."""
     from vector_db_setup_spark.plans.inspect import executed_plan
 
     plan = executed_plan(q.important_parts(spark, SF_ORACLE))
-    assert (
-        "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    ), plan
+    assert plan.count("Scan parquet") == 3, plan
+    assert "Window" in plan, plan
     assert "CartesianProduct" not in plan
 
 

@@ -5010,14 +5010,18 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: grouped totals kept only when they exceed a
     fraction of the grand total — the scalar-subquery-over-the-same-
-    aggregate shape. The per-part aggregate is computed ONCE and
-    reused for both the grand total (1-row broadcast back onto its own
-    source) and the filter. The threshold compares sums of integral
-    quantities (exact in doubles), so membership at the cut is
-    engine-deterministic; the money value is projected but not
-    filtered on. No partsupp in the fixture → availability is keyed on
-    shipped lineitem quantity per part, suppliers restricted to three
-    nations as in the spec."""
+    aggregate shape. The grand total comes from an empty-frame window
+    OVER the per-part aggregate (the ratio-to-report idiom used by
+    `nation_revenue_share`), so the expensive join+agg subtree executes
+    ONCE — the naive agg-then-rejoin form re-ran all three scans and
+    both joins a second time (verified in the executed plan: 6 scans,
+    no ReusedExchange). The window's single-partition exchange only
+    carries #parts aggregate rows, a non-issue even at TPC-H sf100k.
+    The threshold compares sums of integral quantities (exact in
+    doubles), so membership at the cut is engine-deterministic; the
+    money value is projected but not filtered on. No partsupp in the
+    fixture → availability is keyed on shipped lineitem quantity per
+    part, suppliers restricted to three nations as in the spec."""
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(
@@ -5032,9 +5036,9 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("value"),
         )
     )
-    total = pv.agg(F.sum("qty").alias("total_qty"))
+    total = F.sum("qty").over(Window.partitionBy())
     return (
-        pv.crossJoin(F.broadcast(total))
+        pv.withColumn("total_qty", total)
         .filter(F.col("qty") > 0.0012 * F.col("total_qty"))
         .select(
             "p_partkey",
