@@ -5237,22 +5237,17 @@ def benchmark_overlap_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = sh.filter(F.col("doc_id") >= 20)
     words = bloom_build(bench, "s", num_bits=1 << 22, k=5)
     probed = bloom_probe(corpus, "s", words, num_bits=1 << 22, k=5)
-    hits = (
-        probed.filter(F.col("maybe_member"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    sizes = corpus.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
-    return (
-        sizes.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_total",
-            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-            (
-                F.coalesce("n_hit", F.lit(0)) / F.col("n_total") >= 0.5
-            ).alias("contaminated"),
-        )
+    # n_total and n_hit reduce from the SAME probe rows (one per
+    # distinct (doc_id, s)) — one aggregation, no second corpus scan
+    # and no hits-to-sizes join (the exact twin needs the join because
+    # its semi-join drops the misses; the probe keeps them as False).
+    return probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("maybe_member").cast("long")).alias("n_hit"),
+        (
+            F.sum(F.col("maybe_member").cast("long")) / F.count(F.lit(1))
+            >= 0.5
+        ).alias("contaminated"),
     )
 
 
