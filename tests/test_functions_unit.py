@@ -222,3 +222,78 @@ def test_cms_python_reader_matches_jvm(spark):
     assert not mism, f"python/JVM CMS probe divergence: {mism}"
     assert cms.total_count == jcms.totalCount()
     assert cms.estimate_string("data") >= 20  # exact count, CMS law
+
+
+def test_sql_vector_functions_equal_column_expressions(spark):
+    """pgvector-parity SQL UDFs (functions/sqlfuncs.py) must agree
+    per-row with the functions/vector.py Column expressions on real
+    fixture embeddings — same math, two surfaces. Also pins the
+    pgvector sign/offset conventions (negative_inner_product = -dot,
+    cosine_distance = 1 - similarity)."""
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_ORACLE
+    from vector_db_setup_spark.functions.sqlfuncs import (
+        register_sql_vector_functions,
+    )
+    from vector_db_setup_spark.functions.vector import (
+        cosine_similarity,
+        dot_product,
+        l2_distance,
+    )
+    from vector_db_setup_spark.sources.registry import load_table
+
+    register_sql_vector_functions(spark)
+    e = load_table(spark, SF_ORACLE, "embeddings").limit(100)
+    pairs = (
+        e.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+        .join(
+            e.select(
+                F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")
+            ),
+            F.col("ia") == F.col("ib") - 1,
+        )
+    )
+    pairs.createOrReplaceTempView("vec_pairs")
+    expr_rows = pairs.select(
+        "ia",
+        F.round(l2_distance("va", "vb"), 9).alias("l2"),
+        F.round(dot_product("va", "vb"), 9).alias("dot"),
+        F.round(1 - cosine_similarity("va", "vb"), 9).alias("cosd"),
+    ).collect()
+    sql_rows = spark.sql(
+        """
+        SELECT ia,
+               round(l2_distance(CAST(va AS ARRAY<DOUBLE>),
+                                 CAST(vb AS ARRAY<DOUBLE>)), 9) AS l2,
+               round(inner_product(CAST(va AS ARRAY<DOUBLE>),
+                                   CAST(vb AS ARRAY<DOUBLE>)), 9) AS dot,
+               round(cosine_distance(CAST(va AS ARRAY<DOUBLE>),
+                                     CAST(vb AS ARRAY<DOUBLE>)), 9) AS cosd
+        FROM vec_pairs
+        """
+    ).collect()
+    got = {r["ia"]: (r["l2"], r["dot"], r["cosd"]) for r in sql_rows}
+    want = {r["ia"]: (r["l2"], r["dot"], r["cosd"]) for r in expr_rows}
+    assert got == want
+    # sign/offset conventions + metadata helpers
+    one = spark.sql(
+        "SELECT negative_inner_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS nip, "
+        "vector_dims(array(1.0D, 2.0D, 3.0D)) AS nd, "
+        "vector_norm(array(3.0D, 4.0D)) AS nrm"
+    ).collect()[0]
+    assert one["nip"] == -11.0 and one["nd"] == 3 and one["nrm"] == 5.0
+
+
+def test_sql_vector_knn_plan_is_codegen_topk(spark):
+    """The SQL-UDF body must INLINE: the SQL-text KNN plans to the same
+    TakeOrderedAndProject + broadcast join shape as the DataFrame
+    flagship, with no Python/Arrow eval node."""
+    from tests.conftest import SF_ORACLE
+    from vector_db_setup_spark import queries as q
+
+    df = q.queries()["sql_vector_knn"](spark, SF_ORACLE)
+    df.write.format("noop").mode("overwrite").save()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

@@ -5454,3 +5454,44 @@ def corpus_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("first_doc"),
     )
+
+
+@register(
+    "sql_vector_knn",
+    f"""
+    SELECT d.doc_id,
+           round(list_distance(e.embedding::DOUBLE[], {_QVEC_SQL}), 6)
+               AS distance
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    ORDER BY distance ASC, d.doc_id ASC
+    LIMIT 5
+    """,
+)
+def sql_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's retrieval EXACTLY as its users write it — SQL
+    text with a vector distance in the ORDER BY
+    (fever_multi_agent.py:64-76: ORDER BY embedding <-> %s LIMIT k) —
+    through the pgvector-parity SQL functions
+    (functions/sqlfuncs.py). l2_distance here is a Spark 4 SQL scalar
+    UDF whose body INLINES into the plan: same TakeOrderedAndProject /
+    zero-shuffle physical shape as the DataFrame flagship, no Python
+    anywhere. The SQL-UDF ≡ Column-expression equivalence is pinned
+    per-row in tests/test_functions_unit.py."""
+    from vector_db_setup_spark.functions.sqlfuncs import (
+        register_sql_vector_functions,
+    )
+    from vector_db_setup_spark.sources.registry import register_views
+
+    register_views(spark, sf_dir)
+    register_sql_vector_functions(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               round(l2_distance(CAST(e.embedding AS ARRAY<DOUBLE>),
+                     (SELECT CAST(embedding AS ARRAY<DOUBLE>)
+                      FROM embeddings WHERE vec_id = 0)), 6) AS distance
+        FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        ORDER BY distance ASC, d.doc_id ASC
+        LIMIT 5
+        """
+    )
