@@ -1,0 +1,109 @@
+#!/usr/bin/env python3
+"""Runnable end-to-end STREAMING curation flow: the continuous
+counterpart of run_training_pipeline.py, composed from the streaming
+operators (each individually stream==batch-tested; this script shows
+they chain with exactly-once semantics end to end).
+
+    python3 examples/run_streaming_curation.py [sf_dir]
+
+Flow (every stage is a foreachBatch sink with per-batch dynamic
+partition overwrite — a replayed trigger rewrites its own output):
+
+  benchmark docs ──> continuous Bloom filter (per-batch partials,
+                     exact bit_or merge-on-read)
+  corpus stream ───> decontamination gate (probe against the filter;
+                     clean / quarantine partition split)
+  clean docs ──────> incremental near-dup dedup (LSH band keys vs
+                     static index + earlier admits + intra-batch)
+  events stream ───> continuous rollup (re-mergeable partials)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from vector_db_setup_spark.session import get_spark
+from vector_db_setup_spark.sources.registry import load_table
+from vector_db_setup_spark.streaming.events import (
+    benchmark_filter_stream,
+    continuous_rollup_stream,
+    decontamination_gate_stream,
+    incremental_dedup_stream,
+    read_benchmark_filter,
+    read_rollup,
+    stream_documents,
+    stream_events,
+)
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="streaming-curation")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix="stream_curation_")
+    m, k = 1 << 22, 5
+
+    print("== 1. continuous benchmark Bloom filter ==")
+    bloom_path = os.path.join(work, "bloom")
+    bench = stream_documents(spark, sf_dir).filter(F.col("doc_id") < 20)
+    benchmark_filter_stream(bench, bloom_path, num_bits=m, k=k).awaitTermination()
+    words = read_benchmark_filter(spark, bloom_path).persist()
+    print(f"   filter words: {words.count()}")
+
+    print("== 2. decontamination gate over the corpus stream ==")
+    gate_path = os.path.join(work, "gate")
+    corpus = stream_documents(spark, sf_dir).filter(F.col("doc_id") >= 20)
+    decontamination_gate_stream(
+        corpus, words, gate_path, num_bits=m, k=k
+    ).awaitTermination()
+    gated = spark.read.parquet(gate_path)
+    n_clean = gated.filter("_clean = 'true' or _clean = true").count()
+    print(f"   {gated.count()} docs gated -> {n_clean} clean")
+
+    print("== 3. incremental near-dup dedup of the clean stream ==")
+    clean_dir = os.path.join(work, "clean_docs")
+    (
+        gated.filter("_clean = 'true' or _clean = true")
+        .select("doc_id", "text", "source")
+        .write.mode("overwrite")
+        .parquet(clean_dir)
+    )
+    clean_schema = spark.read.parquet(clean_dir).schema
+    clean_stream = spark.readStream.schema(clean_schema).parquet(clean_dir)
+    admitted_path = os.path.join(work, "admitted")
+    # static index: the benchmark docs play the already-curated corpus
+    static_corpus = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 20
+    )
+    incremental_dedup_stream(
+        clean_stream, static_corpus, admitted_path
+    ).awaitTermination()
+    print(
+        f"   {n_clean} clean -> "
+        f"{spark.read.parquet(admitted_path).count()} admitted"
+    )
+
+    print("== 4. continuous rollup over the events stream ==")
+    rollup_path = os.path.join(work, "rollup")
+    continuous_rollup_stream(
+        stream_events(spark, sf_dir), rollup_path
+    ).awaitTermination()
+    top = (
+        read_rollup(spark, rollup_path)
+        .orderBy(F.col("n").desc())
+        .limit(3)
+        .collect()
+    )
+    print("   top rollup rows:", [tuple(r) for r in top])
+    words.unpersist()
+    print("OK — all four streaming stages, exactly-once, composed.")
+
+
+if __name__ == "__main__":
+    main()
