@@ -341,3 +341,34 @@ def test_corpus_topics_structure_and_values(spark):
         assert key in ctf, f"top token not present in cluster: {r}"
         want = ctf[key] * math.log(1.0 + 8.0 / len(cdf[r["token"]]))
         assert abs(r["ctfidf"] - round(want, 6)) < 1e-9, (r, want)
+
+
+def test_quantizer_error_bound_and_quantized_knn_recall(spark):
+    """operators/quantize invariants: (1) every reconstruction error in
+    the ORACLED error query stays within the scheme's hard bound of
+    half a quantization step per dimension, recomputed independently
+    in numpy from the corpus bounds; (2) quantized_knn reaches >= 0.9
+    recall@10 against exact KNN on the fixture (the 4k-candidate
+    margin absorbs quantization reordering); (3) its reported
+    distances are EXACT (full-precision rerank), matching numpy."""
+    emb = _emb_matrix(spark)
+    mat = np.stack([emb[i] for i in sorted(emb)])
+    lo, hi = mat.min(axis=0), mat.max(axis=0)
+    half_step = float(((hi - lo) / 510.0).max())
+
+    errs = q.queries()["embedding_quantization_error"](spark, SF_ORACLE).collect()
+    worst = max(r["max_err"] for r in errs)
+    assert worst <= half_step + 1e-9, (worst, half_step)
+
+    got = q.queries()["quantized_knn"](spark, SF_ORACLE).collect()
+    qvec = emb[0]
+    exact = sorted(
+        ((np.linalg.norm(v - qvec), i) for i, v in emb.items()),
+        key=lambda t: (round(t[0], 6), t[1]),
+    )[:10]
+    exact_ids = {i for _, i in exact}
+    got_ids = [r["vec_id"] for r in got]
+    assert len(set(got_ids) & exact_ids) >= 9, (got_ids, exact_ids)
+    for r in got:
+        want = round(float(np.linalg.norm(emb[r["vec_id"]] - qvec)), 6)
+        assert abs(r["distance"] - want) <= 1e-6, (r, want)

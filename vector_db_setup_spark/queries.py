@@ -5505,3 +5505,114 @@ def sql_vector_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 5
         """
     )
+
+
+@register(
+    "embedding_quantization_error",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    idx AS (SELECT vec_id, v, unnest(generate_series(1, len(v))) AS i
+            FROM e),
+    bounds AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+               FROM idx GROUP BY i),
+    codes AS (
+        SELECT x.vec_id, x.v[x.i] AS x, b.lo, b.hi,
+               CASE WHEN b.hi = b.lo THEN 0
+                    ELSE least(255, greatest(0,
+                         CAST(round(255.0 * (x.v[x.i] - b.lo)
+                                    / (b.hi - b.lo)) AS INT))) END AS c
+        FROM idx x JOIN bounds b USING (i)
+    )
+    SELECT vec_id,
+           round(max(abs(x - (lo + c * (hi - lo) / 255.0))), 6) AS max_err,
+           round(sum(abs(x - (lo + c * (hi - lo) / 255.0)))
+                 / count(*), 6) AS mean_err
+    FROM codes GROUP BY vec_id
+    """,
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization round-trip audit (operators/quantize):
+    fit per-dimension corpus bounds (d min/max slots, ONE scan, no
+    explode), encode + decode every vector, report per-vector max and
+    mean absolute reconstruction error. This is the audit a pipeline
+    runs before swapping its stored embeddings to codes — at 100 TB
+    the swap is a 4x scan-IO cut, and this query certifies the error
+    it buys. The oracle replays the identical arithmetic in DuckDB:
+    quantization is deterministic IEEE double math, so the codes — and
+    therefore the errors — match exactly across engines."""
+    from vector_db_setup_spark.operators.quantize import (
+        attach_quantizer,
+        dequantize_expr,
+        fit_scalar_quantizer,
+        quantize,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qz = fit_scalar_quantizer(e, dim=64)
+    enc = quantize(attach_quantizer(e, qz))
+    dec = enc.withColumn("deq", dequantize_expr())
+    err = F.expr(
+        "zip_with(CAST(embedding AS ARRAY<DOUBLE>), deq, (x, y) -> abs(x - y))"
+    )
+    return dec.select(
+        "vec_id",
+        F.round(F.array_max(err), 6).alias("max_err"),
+        F.round(
+            F.expr(
+                "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), deq, "
+                "(x, y) -> abs(x - y)), 0.0D, (acc, v) -> acc + v)"
+            )
+            / F.size("deq"),
+            6,
+        ).alias("mean_err"),
+    )
+
+
+@register("quantized_knn")  # rows-only: approximate-by-design (recall tested)
+def quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN over int8-quantized embeddings with exact rerank — the
+    compressed-scan shape: rank ALL vectors by decoded-code L2 (the
+    4x-smaller representation is what a 100 TB scan would read), keep
+    a 4k candidate margin, rerank those exactly at full precision.
+    Approximate by design (a true neighbor can fall outside the
+    margin when quantization reorders the boundary) — recall against
+    exact KNN is pinned in tests/test_ann.py, and the reconstruction
+    error that drives it is the oracled `embedding_quantization_error`."""
+    from vector_db_setup_spark.functions.vector import l2_distance
+    from vector_db_setup_spark.operators.quantize import (
+        attach_quantizer,
+        dequantize_expr,
+        fit_scalar_quantizer,
+        quantize,
+    )
+
+    k = 10
+    e = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vector(spark, sf_dir, 0)
+    qz = fit_scalar_quantizer(e, dim=64)
+    enc = quantize(attach_quantizer(e, qz)).withColumn(
+        "deq", dequantize_expr()
+    )
+    from vector_db_setup_spark.functions.vector import vector_literal
+
+    approx = enc.withColumn(
+        "approx_dist", l2_distance(F.col("deq"), vector_literal(qvec))
+    )
+    cands = approx.orderBy(
+        F.col("approx_dist").asc(), F.col("vec_id").asc()
+    ).limit(4 * k)
+    return (
+        cands.withColumn(
+            "distance",
+            F.round(
+                l2_distance(
+                    F.expr("CAST(embedding AS ARRAY<DOUBLE>)"),
+                    vector_literal(qvec),
+                ),
+                6,
+            ),
+        )
+        .select("vec_id", "distance")
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )
