@@ -851,3 +851,44 @@ def test_decontamination_gate_stream_matches_batch_verdicts(spark, tmp_path):
     )
     assert spark.read.parquet(path).count() == len(want)
     words.unpersist()
+
+
+def test_compact_benchmark_filter_preserves_merged_bitmap(spark, tmp_path):
+    """Bloom partial compaction: the merged filter must be word-for-word
+    identical before and after folding (bitwise-OR is exact under
+    folding), keep_batches_from partitions survive intact, and the
+    partials table shrinks to the folded layout."""
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.sources.registry import load_table
+    from vector_db_setup_spark.streaming.events import (
+        bloom_merge_batch,
+        compact_benchmark_filter,
+        read_benchmark_filter,
+    )
+
+    m, k = 1 << 16, 4
+    path = str(tmp_path / "bloomc")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for bid in range(3):
+        bloom_merge_batch(
+            docs.filter(F.col("doc_id") % 3 == bid), bid, path,
+            num_bits=m, k=k,
+        )
+    before = read_benchmark_filter(spark, path).collect()
+
+    compact_benchmark_filter(spark, path, keep_batches_from=2)
+    import os
+
+    parts = {
+        d for d in os.listdir(path) if d.startswith("_batch=")
+    }
+    assert parts == {"_batch=-1", "_batch=2"}, parts
+    mid = read_benchmark_filter(spark, path).collect()
+    assert sorted(map(tuple, mid)) == sorted(map(tuple, before))
+
+    compact_benchmark_filter(spark, path)  # full fold
+    parts = {d for d in os.listdir(path) if d.startswith("_batch=")}
+    assert parts == {"_batch=-1"}, parts
+    after = read_benchmark_filter(spark, path).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))

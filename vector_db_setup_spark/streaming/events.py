@@ -588,6 +588,36 @@ def compact_rollup(
     IN FLIGHT at the instant of the directory move can still fail at
     the filesystem level; schedule compaction off the trigger cadence
     or pass the checkpoint's last committed id as keep_batches_from."""
+    _compact_partials(
+        spark,
+        out_path,
+        key_cols=["bucket_start", "event_type"],
+        agg_exprs=[
+            F.sum("n").alias("n"),
+            F.sum("total_value").alias("total_value"),
+        ],
+        verify=lambda df: df.agg(F.sum("n")).collect()[0][0],
+        keep_batches_from=keep_batches_from,
+        what="compact_rollup",
+    )
+
+
+def _compact_partials(
+    spark,
+    out_path: str,
+    key_cols: list[str],
+    agg_exprs: list,
+    verify,
+    keep_batches_from: int | None,
+    what: str,
+) -> None:
+    """Shared compaction engine for every `_batch`-partitioned partial
+    sink (rollup, Bloom words, CMS sketches): fold with the sink's own
+    distributive aggregate, verify the folded output with the sink's
+    own invariant metric BEFORE touching the original, then do the
+    snapshot-pinned swap + mid-compaction-commit rescue documented on
+    compact_rollup. `verify` must be invariant under folding (a sum /
+    popcount of the MERGED view), so want == got certifies the fold."""
     import os
     import shutil
 
@@ -608,27 +638,23 @@ def compact_rollup(
     fold = src if keep_batches_from is None else src.filter(
         F.col("_batch") < keep_batches_from
     )
+    data_cols = [c for c in src.columns if c != "_batch"]
     compacted = (
-        fold.groupBy("bucket_start", "event_type")
-        .agg(
-            F.sum("n").alias("n"),
-            F.sum("total_value").alias("total_value"),
-        )
-        .withColumn("_batch", F.lit(-1))
+        fold.groupBy(*key_cols).agg(*agg_exprs).withColumn("_batch", F.lit(-1))
     )
     if keep_batches_from is not None:
         kept = src.filter(F.col("_batch") >= keep_batches_from).select(
-            "bucket_start", "event_type", "n", "total_value", "_batch"
+            *data_cols, "_batch"
         )
         compacted = compacted.select(*kept.columns).union(kept)
-    want = src.agg(F.sum("n")).collect()[0][0]
-    tmp = out_path.rstrip("/") + "__compacting"
+    want = verify(src)
+    tmp = base + "__compacting"
     compacted.write.mode("overwrite").partitionBy("_batch").parquet(tmp)
     # verify the new directory is complete BEFORE touching the old one
-    got = spark.read.parquet(tmp).agg(F.sum("n")).collect()[0][0]
+    got = verify(spark.read.parquet(tmp))
     if got != want:
         raise RuntimeError(
-            f"compact_rollup verification failed: n {got} != {want}; "
+            f"{what} verification failed: {got} != {want}; "
             f"original untouched, compacted attempt left at {tmp}"
         )
     back = base + "__old"
@@ -637,9 +663,9 @@ def compact_rollup(
     shutil.move(base, back)
     shutil.move(tmp, base)
     try:
-        spark.read.parquet(base).agg(F.sum("n")).collect()
+        verify(spark.read.parquet(base))
     except Exception:
-        # restore the original rather than leaving a broken rollup
+        # restore the original rather than leaving a broken sink
         shutil.move(base, tmp)
         shutil.move(back, base)
         raise
@@ -653,6 +679,31 @@ def compact_rollup(
         if not os.path.exists(dst):
             shutil.move(os.path.join(back, late), dst)
     shutil.rmtree(back)
+
+
+def compact_benchmark_filter(
+    spark, out_path: str, keep_batches_from: int | None = None
+) -> None:
+    """Fold the continuous Bloom filter's per-batch word partials into
+    one `_batch=-1` partition (read_benchmark_filter output identical
+    before/after — Bloom union is bitwise OR, so folding is exact).
+    Same replay-fencing and swap-safety contract as compact_rollup;
+    the verification invariant is the POPCOUNT of the fully merged
+    bitmap, which folding cannot change."""
+    _compact_partials(
+        spark,
+        out_path,
+        key_cols=["idx"],
+        agg_exprs=[F.bit_or("word").alias("word")],
+        verify=lambda df: (
+            df.groupBy("idx")
+            .agg(F.bit_or("word").alias("w"))
+            .agg(F.sum(F.bit_count("w")))
+            .collect()[0][0]
+        ),
+        keep_batches_from=keep_batches_from,
+        what="compact_benchmark_filter",
+    )
 
 
 # ---------------------------------------------------------------------------
