@@ -207,3 +207,50 @@ def test_murmur3_spark_matches_jvm(spark, s, seed_int):
         bytearray(b) if b else bytearray(b"\x00")[:0], off, len(b), seed_int
     )
     assert murmur3_32_spark(b, seed_int) == want
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+)
+@settings(**PROP)
+@seed(77)
+def test_quantize_roundtrip_error_bound_property(spark, vecs):
+    """operators/quantize on adversarial inputs (huge/tiny ranges,
+    constant dimensions, negatives): every reconstruction error must
+    stay within half a quantization step of that dimension's corpus
+    range, and degenerate dims (hi == lo) must decode exactly."""
+    from vector_db_setup_spark.operators.quantize import (
+        attach_quantizer,
+        dequantize_expr,
+        fit_scalar_quantizer,
+        quantize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "id long, embedding array<double>",
+    )
+    qz = fit_scalar_quantizer(df, dim=4)
+    dec = quantize(attach_quantizer(df, qz)).withColumn(
+        "deq", dequantize_expr()
+    )
+    rows = dec.select("id", "embedding", "deq", "lo", "hi").collect()
+    mat = np.array(vecs, dtype=np.float64)
+    lo, hi = mat.min(axis=0), mat.max(axis=0)
+    for r in rows:
+        for d in range(4):
+            err = abs(r["embedding"][d] - r["deq"][d])
+            if hi[d] == lo[d]:
+                assert err == 0.0, (d, r)
+            else:
+                # half a step + float slack proportional to the range
+                bound = (hi[d] - lo[d]) / 510.0 + 1e-9 * (hi[d] - lo[d])
+                assert err <= bound, (d, err, bound)
