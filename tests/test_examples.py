@@ -1,0 +1,31 @@
+"""The examples/ walkthroughs are part of the public surface — run
+each end-to-end at sf0.001 in a subprocess (own Spark session, like a
+user would) and require its success marker. Protects the three entry
+points from bitrot as the library evolves."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+
+_EXAMPLES = [
+    ("examples/run_reference_workload.py", ""),
+    ("examples/run_training_pipeline.py", ""),
+    ("examples/run_streaming_curation.py", "OK — all four streaming stages"),
+]
+
+
+@pytest.mark.parametrize("script,marker", _EXAMPLES)
+def test_example_runs_clean(script, marker):
+    r = subprocess.run(
+        [sys.executable, script, "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    if marker:
+        assert marker in r.stdout, r.stdout[-2000:]
