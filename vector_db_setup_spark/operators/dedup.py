@@ -472,6 +472,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard via inverted index: only pairs sharing at
     least one shingle are scored. jaccard = |A∩B| / (|A|+|B|-|A∩B|).
@@ -486,8 +487,18 @@ def ngram_jaccard_pairs(
     produces df² join rows in a single task). Doc sizes are computed on
     the capped universe, so the Jaccard stays internally consistent.
     None = exact (no cap); at 100 TB always set it.
+
+    ``shingles``: pre-built DISTINCT (id, s) set. The pipeline reads it
+    three times (sizes + both join sides) and Catalyst does NOT reuse
+    the exchange across them, so callers should pass a persisted set
+    (queries.py memoizes one per session) — measured 1.74 s → 1.15 s
+    warm at sf0.1. None = build (and recompute) from ``df``.
     """
-    sh = shingle_hashes(df, text_col, id_col, shingle_n).distinct()
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_hashes(df, text_col, id_col, shingle_n).distinct()
+    )
     if max_df is not None:
         keep = (
             sh.groupBy("s")
