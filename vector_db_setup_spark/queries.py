@@ -1064,9 +1064,13 @@ def simhash_banded_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     8-bit sub-keys become candidates (guaranteed recall for hamming < 4),
     then exact hamming verification — an equi-join on (band, band_key),
     never a cross product (asserted in tests/test_plans.py). Runs over
-    the FULL documents table, unlike the capped all-pairs form."""
+    the FULL documents table, unlike the capped all-pairs form. The
+    (doc_id, simhash) table is memoized per session: the banded
+    self-join reads it on both sides and Catalyst does not reuse the
+    exchange, so the tokenize+bit-vote pipeline otherwise runs twice."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dd.simhash_banded_pairs(dd.simhash(d), max_hamming=3)
+    sim = _memo_persist(spark, sf_dir, "simhash_full", lambda: dd.simhash(d))
+    pairs = dd.simhash_banded_pairs(sim, max_hamming=3)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
@@ -1104,9 +1108,8 @@ def simhash_banded_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     are near-exact duplicates, which belong in exact-dedup/rep-edge
     routing, not the pair join. Identical cap applied in the oracle."""
     d = load_table(spark, sf_dir, "documents")
-    pairs = dd.simhash_banded_pairs(
-        dd.simhash(d), max_hamming=3, max_band_df=50
-    )
+    sim = _memo_persist(spark, sf_dir, "simhash_full", lambda: dd.simhash(d))
+    pairs = dd.simhash_banded_pairs(sim, max_hamming=3, max_band_df=50)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
