@@ -331,6 +331,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 8,
     shingle_n: int = 3,
     max_band_df: int | None = None,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: per band, concat that band's (sorted) signature
     slice into a band key, then equi-join docs sharing a band key. THE
@@ -342,10 +343,17 @@ def minhash_lsh_candidates(
     ``_pairs_from_banded``); None = exact. At 100 TB either set it or —
     better — feed this operator exact-duplicate representatives via
     ``lsh_dedup_edges``, which removes the identical-signature blowup
-    at the source."""
-    banded = minhash_band_keys(
-        df, text_col, id_col, bands, num_hashes, shingle_n
-    )
+    at the source.
+
+    ``banded``: pre-built (id, band, band_key) view. The self-join (and
+    the cap's frequency pass) reads it two-to-three times and Catalyst
+    does not reuse the exchange, so callers should pass a persisted
+    view (queries.py memoizes one per session); None = build from
+    ``df`` and recompute per read."""
+    if banded is None:
+        banded = minhash_band_keys(
+            df, text_col, id_col, bands, num_hashes, shingle_n
+        )
     return _pairs_from_banded(banded, id_col, max_band_df)
 
 

@@ -736,9 +736,14 @@ def minhash_est_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding (4 bands × 2 rows): near-dup candidates via equi-join
-    on band keys — THE 100 TB dedup path (no pairwise comparison)."""
+    on band keys — THE 100 TB dedup path (no pairwise comparison). The
+    band-key view is memoized per session: the self-join reads it on
+    both sides and Catalyst does not reuse the exchange."""
     d = load_table(spark, sf_dir, "documents")
-    return dd.minhash_lsh_candidates(d)
+    banded = _memo_persist(
+        spark, sf_dir, "minhash_banded", lambda: dd.minhash_band_keys(d)
+    )
+    return dd.minhash_lsh_candidates(d, banded=banded)
 
 
 @register(
@@ -768,7 +773,10 @@ def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle applies the identical cap, so the capped semantics are
     value-checked against DuckDB, mirroring ngram_jaccard_capped."""
     d = load_table(spark, sf_dir, "documents")
-    return dd.minhash_lsh_candidates(d, max_band_df=3)
+    banded = _memo_persist(
+        spark, sf_dir, "minhash_banded", lambda: dd.minhash_band_keys(d)
+    )
+    return dd.minhash_lsh_candidates(d, max_band_df=3, banded=banded)
 
 
 @register(
