@@ -5641,3 +5641,119 @@ def quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH first_seen AS (
+        SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+        FROM events
+    )
+    SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(datediff('day', f.cohort_week, a.week) / 7 AS BIGINT)
+               AS week_n,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN first_seen f USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort_week, week_n
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — users bucketed by first-activity week,
+    counted in each subsequent week of activity. The product-analytics
+    staple (reference-class deployments run it against the same events
+    table their vector workloads live in). Two user_id-keyed
+    aggregations share ONE partitioning (first-seen and the distinct
+    weekly activity both shuffle on user_id; the join is co-located),
+    then a tiny (cohort, week) rollup. Week truncation is Monday-based
+    in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_n"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_n")
+    )
+
+
+@register(
+    "event_rate_anomalies",
+    """
+    WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, event_type,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT day, event_type, n,
+               avg(n) OVER w AS mu,
+               stddev_samp(n) OVER w AS sigma,
+               count(*) OVER w AS n_obs
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(day AS TIMESTAMP) AS day, event_type,
+           CAST(n AS BIGINT) AS n,
+           round((n - mu) / sigma, 6) AS zscore
+    FROM scored
+    WHERE n_obs >= 7 AND sigma > 0 AND abs((n - mu) / sigma) >= 2.0
+    ORDER BY day, event_type
+    """,
+)
+def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: each (day, event_type) count scored
+    against the TRAILING 7-day window (exclusive — today never explains
+    itself), flagged at |z| >= 2. The monitoring query every continuous
+    ingest runs over its own rollup; here it composes directly on the
+    daily aggregate, one event_type-keyed window over a table of
+    #days x #types rows — at 100 TB this reads the continuous-rollup
+    partials, never the raw events. The z-filter compares determinate
+    doubles (counts are exact ints; avg/stddev over <=7 ints) with a
+    2.0 threshold no fixture value sits within 1e-9 of."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-7, -1)
+    )
+    scored = daily.select(
+        "day",
+        "event_type",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_obs"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter(
+            (F.col("n_obs") >= 7) & (F.col("sigma") > 0) & (F.abs(z) >= 2.0)
+        )
+        .select(
+            "day",
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+            F.round(z, 6).alias("zscore"),
+        )
+        .orderBy("day", "event_type")
+    )
