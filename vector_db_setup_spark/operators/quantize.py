@@ -94,3 +94,154 @@ def dequantize_expr(codes_col: str = "codes"):
             lo[i] + CAST({codes_col}[i] AS DOUBLE) * (hi[i] - lo[i]) / 255.0D)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the second half of the modern big-vector
+# stack (IVF routes, PQ compresses; FAISS's IVFPQ shape). A d-dim
+# vector becomes m sub-vector codes of log2(ksub) bits each: 64-d
+# float32 -> 8 codes of 4 bits ≈ 64x smaller than float64. Search uses
+# asymmetric distance computation (ADC): per query, one m x ksub
+# lookup table of exact sub-distances, then distance ≈ sum of m table
+# lookups — a pure codegen aggregate over the codes, no vector math
+# per row. Training is seeded MLlib KMeans per subspace (batch,
+# offline — same contract as the IVF centroids above it).
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    max_iter: int = 10,
+):
+    """Train m sub-quantizer codebooks of ksub centroids each over
+    contiguous d/m-dim sub-vectors. Returns numpy (m, ksub, dsub).
+    One seeded MLlib KMeans fit per subspace — deterministic for a
+    fixed dataset + seed."""
+    import numpy as np
+
+    from vector_db_setup_spark.operators.ann import kmeans_centroids
+
+    dim = len(emb.select(vec_col).first()[0])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = []
+    for j in range(m):
+        sub = emb.select(
+            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("embedding")
+        )
+        books.append(
+            kmeans_centroids(sub, k=ksub, seed=seed + j, max_iter=max_iter)
+        )
+    return np.stack(books)
+
+
+def _sub_sq_dist(vec_col: str, j: int, dsub: int, centroid) -> "F.Column":
+    sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+    cent = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(
+            sub.cast("array<double>"), cent, lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Append ARRAY<INT> of m codes: per subspace, the argmin-distance
+    centroid index. m x ksub distance expressions, all whole-stage
+    codegen — encoding is a pure map stage (the codebooks travel as
+    literals, KBs)."""
+    m, ksub, dsub = codebooks.shape
+    code_cols = []
+    for j in range(m):
+        dists = F.array(
+            *[_sub_sq_dist(vec_col, j, dsub, codebooks[j][c]) for c in range(ksub)]
+        )
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.withColumn(out_col, F.array(*code_cols))
+
+
+def pq_adc_distance_expr(codebooks, query_vec, codes_col: str = "pq_codes"):
+    """Column: approximate squared L2 from the query to a coded vector,
+    as sum over subspaces of the PRECOMPUTED exact sub-distance between
+    the query's sub-vector and the code's centroid. The m x ksub lookup
+    table is built driver-side per query (numpy, microseconds) and
+    inlined as a literal — each row then costs m array lookups + adds."""
+    import numpy as np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    m, ksub, dsub = codebooks.shape
+    lut = np.stack(
+        [
+            ((codebooks[j] - q[j * dsub : (j + 1) * dsub]) ** 2).sum(axis=1)
+            for j in range(m)
+        ]
+    )  # (m, ksub) exact sub-distances
+    lut_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
+    )
+    # element_at is 1-based; codes are 0-based
+    return F.aggregate(
+        F.zip_with(
+            lut_lit,
+            F.col(codes_col),
+            lambda row, c: F.element_at(row, c + F.lit(1)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_search(
+    coded: DataFrame,
+    codebooks,
+    query_vec,
+    k: int = 10,
+    rerank: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codes_col: str = "pq_codes",
+) -> DataFrame:
+    """ADC candidate scan + exact rerank: rank by the m-lookup
+    approximate distance (reads only codes at scale), keep rerank*k
+    candidates, re-score those exactly at full precision. Returns
+    (id, distance) — distances are EXACT for everything returned."""
+    from vector_db_setup_spark.functions.vector import (
+        l2_distance,
+        vector_literal,
+    )
+
+    adc = coded.withColumn(
+        "adc", pq_adc_distance_expr(codebooks, query_vec, codes_col)
+    )
+    cands = adc.orderBy(F.col("adc").asc(), F.col(id_col).asc()).limit(
+        rerank * k
+    )
+    return (
+        cands.withColumn(
+            "distance",
+            F.round(
+                l2_distance(
+                    F.col(vec_col).cast("array<double>"),
+                    vector_literal(query_vec),
+                ),
+                6,
+            ),
+        )
+        .select(id_col, "distance")
+        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
