@@ -416,3 +416,25 @@ def test_pq_adc_matches_numpy_and_knn_recall(spark):
         key=lambda t: (round(t[0], 6), t[1]),
     )[:10]
     assert len(got & {i for _, i in exact}) >= 8, got
+
+
+def test_ivfpq_knn_recall_and_exact_distances(spark):
+    """IVF routing x PQ compression composed: >= 0.7 recall@10 vs exact
+    KNN (two approximation layers on near-uniform fixture vectors) and
+    every returned distance exact (rerank), including the query vector
+    itself at distance 0."""
+    emb = _emb_matrix(spark)
+    qvec = emb[0]
+    got = {
+        r["vec_id"]: r["distance"]
+        for r in q.queries()["ivfpq_knn"](spark, SF_ORACLE).collect()
+    }
+    exact = sorted(
+        ((np.linalg.norm(v - qvec), i) for i, v in emb.items()),
+        key=lambda t: (round(t[0], 6), t[1]),
+    )[:10]
+    assert len(set(got) & {i for _, i in exact}) >= 7, got
+    assert got[0] == 0.0
+    for i, d in got.items():
+        want = round(float(np.linalg.norm(emb[i] - qvec)), 6)
+        assert abs(d - want) <= 1e-6

@@ -5794,3 +5794,44 @@ def pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_search(
         coded, books, _query_vector(spark, sf_dir, 0), k=10, rerank=8
     )
+
+
+@register("ivfpq_knn")  # rows-only: seeded-KMeans routing + codebooks
+def ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full modern ANN stack in one query — IVF ROUTES, PQ
+    COMPRESSES (FAISS IVFPQ): vectors are assigned to 8 coarse KMeans
+    cells and product-quantized; a query probes its 3 nearest cells
+    (over an `ivf_write` layout that filter is partition pruning — at
+    100 TB only nprobe/k of the index is read, and what IS read is the
+    4x-to-64x smaller codes), ranks the probed rows by the m-lookup ADC
+    distance, and exactly reranks the candidate margin. Composes the
+    already-tested pieces: `ivf_assign` routing, `pq_encode` codes,
+    `pq_search` scan+rerank — recall of the composition is pinned in
+    tests against exact KNN."""
+    from vector_db_setup_spark.operators.ann import ivf_assign, kmeans_centroids
+    from vector_db_setup_spark.operators.quantize import pq_encode, pq_search
+
+    e = load_table(spark, sf_dir, "embeddings")
+    key = (spark, sf_dir, "ivfpq")
+    if key not in _PQ_CACHE:
+        import numpy as np
+
+        from vector_db_setup_spark.operators.quantize import pq_train
+
+        coarse = kmeans_centroids(e, k=8, seed=7)
+        books = pq_train(e, m=8, ksub=16, max_iter=10)
+        _PQ_CACHE[key] = (coarse, books)
+    coarse, books = _PQ_CACHE[key]
+    coded = _memo_persist(
+        spark,
+        sf_dir,
+        "ivfpq_index",
+        lambda: pq_encode(ivf_assign(e, coarse), books),
+    )
+    import numpy as np
+
+    qvec = _query_vector(spark, sf_dir, 0)
+    d2 = ((coarse - np.asarray(qvec)) ** 2).sum(axis=1)
+    probe = [int(i) for i in np.argsort(d2)[:3]]
+    probed = coded.filter(F.col("cluster_id").isin(probe))
+    return pq_search(probed, books, qvec, k=10, rerank=8)
