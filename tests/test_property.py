@@ -9,7 +9,7 @@ import math
 
 import numpy as np
 import pytest
-from hypothesis import HealthCheck, given, seed, settings
+from hypothesis import HealthCheck, example, given, seed, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -146,6 +146,7 @@ def test_pandas_l2_udf_wide_vectors(spark):
 )
 @settings(**PROP)
 @seed(42)
+@example(n=14, m=1, k=2, dup_every=2)  # the BLAS gemv-vs-gemm tie flip
 def test_matrix_topk_matches_bruteforce(n, m, k, dup_every):
     """Kernel-level (no Spark): _matrix_topk + the triangular mask must
     select EXACTLY the pairs brute force selects under the total order
@@ -161,6 +162,13 @@ def test_matrix_topk_matches_bruteforce(n, m, k, dup_every):
     mat[::dup_every] = mat[0]  # planted duplicate vectors -> tied sims
     mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     ids = np.arange(n, dtype=np.int64) * 3 + 1  # non-contiguous ids
+    # ONE similarity matrix feeds BOTH paths: recomputing the chunk as
+    # mat[lo:lo+m] @ mat.T dispatches to a different BLAS kernel (gemv
+    # at m=1) whose last-ulp sums can land tied duplicate-pairs on
+    # opposite sides of 1.0 and legitimately flip which of the ~n²/4
+    # tied pairs top-k keeps (hypothesis-found at n=14, m=1, k=2).
+    # The object under test is the mask + selection logic, not BLAS
+    # bitwise reproducibility across shapes.
     sims_full = mat @ mat.T
 
     # brute force: all i<j pairs, total order, top-k
@@ -175,7 +183,7 @@ def test_matrix_topk_matches_bruteforce(n, m, k, dup_every):
     # kernel path: row-chunked like the grid/bucket kernels
     acc = ([], [], [])
     for lo in range(0, n, m):
-        sims = mat[lo : lo + m] @ mat.T
+        sims = sims_full[lo : lo + m].copy()
         _mask_lower_inclusive(sims, lo)
         ia, jb, s = _matrix_topk(sims, ids[lo : lo + m], ids, k)
         acc[0].append(ia), acc[1].append(jb), acc[2].append(s)

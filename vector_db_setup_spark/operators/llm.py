@@ -16,6 +16,10 @@ handling, and batching are what this module owns and tests.
 from __future__ import annotations
 
 import hashlib
+import json
+import time
+import urllib.error
+import urllib.request
 from typing import Callable, Iterator
 
 import pandas as pd
@@ -31,6 +35,79 @@ def det_respond(prompts: pd.Series) -> pd.Series:
     return prompts.map(
         lambda p: LABELS[int(hashlib.md5(p.encode()).hexdigest()[0], 16) % 3]
     )
+
+
+def http_respond_fn(
+    url: str,
+    *,
+    batch_size: int = 32,
+    max_retries: int = 3,
+    timeout: float = 30.0,
+    backoff: float = 0.1,
+    headers: dict[str, str] | None = None,
+) -> Callable[[pd.Series], pd.Series]:
+    """Build a production ``respond_fn``: batched HTTP POST to an
+    inference endpoint (the real-network twin of the reference's
+    per-claim OpenAI calls, fever_multi_agent.py:235-247 — except
+    batched, so a 1M-row stage makes ~1M/batch_size requests, not 1M).
+
+    Protocol (deliberately minimal, adapter-shaped): POST a JSON body
+    ``{"prompts": [...]}``; the endpoint answers
+    ``{"completions": [...]}`` with one completion per prompt, in
+    order. Anything fancier (OpenAI chat schema, auth, streaming) is a
+    thin wrapper over ``headers`` + a different body mapping — the
+    retry loop, batching, and length contract live here.
+
+    Retries transient failures (HTTP 5xx / connection errors) with
+    exponential backoff per batch; a short response (fewer completions
+    than prompts) is a protocol error and raises immediately. Runs
+    INSIDE the Arrow worker (one connection pool per executor task),
+    so the driver never proxies prompt bytes.
+    """
+
+    def respond(prompts: pd.Series) -> pd.Series:
+        vals = prompts.tolist()
+        out: list[str] = []
+        for i in range(0, len(vals), batch_size):
+            chunk = vals[i : i + batch_size]
+            body = json.dumps({"prompts": chunk}).encode("utf-8")
+            last_err: Exception | None = None
+            payload = None
+            for attempt in range(max_retries + 1):
+                req = urllib.request.Request(
+                    url,
+                    data=body,
+                    headers={
+                        "Content-Type": "application/json",
+                        **(headers or {}),
+                    },
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=timeout) as r:
+                        payload = json.loads(r.read().decode("utf-8"))
+                    last_err = None
+                    break
+                except urllib.error.HTTPError as e:
+                    # 4xx = caller bug: do not retry. 5xx = transient.
+                    if e.code < 500:
+                        raise
+                    last_err = e
+                except (urllib.error.URLError, OSError) as e:
+                    last_err = e
+                if attempt < max_retries:
+                    time.sleep(backoff * (2**attempt))
+            if last_err is not None:
+                raise last_err
+            comps = payload["completions"]
+            if len(comps) != len(chunk):
+                raise ValueError(
+                    f"endpoint returned {len(comps)} completions for "
+                    f"{len(chunk)} prompts"
+                )
+            out.extend(comps)
+        return pd.Series(out, index=prompts.index, dtype=object)
+
+    return respond
 
 
 def llm_map_stage(
