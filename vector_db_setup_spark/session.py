@@ -55,6 +55,16 @@ def get_spark(
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # One BLAS thread per Python worker: Spark supplies the
+        # parallelism (local[N] / one core per task on a cluster), so an
+        # uncapped OpenBLAS pool inside each Arrow worker oversubscribes
+        # N tasks x N BLAS threads — measured here as ~30% system time
+        # (futex churn) and 2-6x run-to-run variance on the GEMM-heavy
+        # bench queries. Same reasoning as Spark's own task-cpus model:
+        # intra-task math must not exceed the task's core grant.
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
