@@ -1,0 +1,133 @@
+"""Training-shard export: the last mile of a curation pipeline.
+
+After dedup/filter/pack, a training run consumes the corpus as
+fixed-count shards with a manifest it can trust (doc counts, token
+totals, content checksum per shard). The reference stops at rows in
+Postgres (fever_multi_agent.py reads its corpus back by SELECT); an
+at-scale pipeline lands shards instead, because the trainer's data
+loader wants uniform, checksummable, independently-readable files.
+
+Spark-first shape:
+
+- shard assignment is a pure column expression (seed-stable md5 mod n)
+  — no shuffle beyond the single partitionBy-write exchange;
+- the manifest is one map-side-combinable aggregation per shard, with
+  an ORDER-INDEPENDENT content checksum (bit_xor of per-doc xxhash64
+  over the id and the payload), so verification never needs a sort or
+  a collect_list — mergeable at any scale;
+- `verify_shards` recomputes the same aggregation from the WRITTEN
+  files and diffs it against the manifest — a read-back audit that
+  catches truncated/lost/duplicated rows per shard without comparing
+  row-level data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_DIR = "_manifest"
+
+
+def assign_shard(df: DataFrame, n_shards: int, id_col: str = "doc_id",
+                 seed: int = 0) -> DataFrame:
+    """Seed-stable shard id: md5(id ':' seed) mod n_shards (the same
+    hash-the-key family as queries.corpus_shard_assignment's shuffle).
+    A doc's shard never depends on corpus membership — adding or
+    removing other docs never reshuffles survivors."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                              F.lit(str(seed)))), 1, 15),
+        16, 10,
+    ).cast("bigint")
+    return df.withColumn("shard_id", (h % n_shards).cast("int"))
+
+
+def _shard_manifest(df: DataFrame, text_col: str | None) -> DataFrame:
+    """Per-shard manifest row from an assigned DataFrame. The checksum
+    is bit_xor(xxhash64(id, payload)): order-independent and mergeable,
+    so partial aggregates combine map-side and the same expression
+    verifies a read-back regardless of file/row order."""
+    payload = [F.col("doc_id").cast("string")]
+    agg = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.bit_xor(F.xxhash64(*payload, F.col("_payload"))).alias("checksum"),
+    ]
+    if text_col is not None:
+        agg.append(F.sum(F.length(F.col(text_col))).alias("total_chars"))
+    return (
+        df.withColumn(
+            "_payload",
+            F.col(text_col) if text_col is not None else F.lit(""),
+        )
+        .groupBy("shard_id")
+        .agg(*agg)
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    dest_path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Land `df` as `n_shards` parquet shards + a manifest.
+
+    Layout: dest/shard_id=K/part-*.parquet (partition pruning gives a
+    trainer rank its shard without scanning others) and
+    dest/_manifest/ parquet with (shard_id, n_docs, checksum[,
+    total_chars]). Returns the manifest DataFrame (read back from the
+    written manifest, so the caller sees exactly what landed).
+
+    One data-sized exchange total: the partitionBy write. The manifest
+    aggregation reuses the assigned frame and reduces to n_shards rows
+    before anything reaches the driver.
+    """
+    assigned = assign_shard(df, n_shards, id_col=id_col, seed=seed)
+    if id_col != "doc_id":
+        assigned = assigned.withColumnRenamed(id_col, "doc_id")
+    assigned = assigned.persist()
+    try:
+        (
+            assigned.write.mode("overwrite")
+            .partitionBy("shard_id")
+            .parquet(dest_path)
+        )
+        manifest = _shard_manifest(assigned, text_col)
+        (
+            manifest.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{dest_path}/{MANIFEST_DIR}")
+        )
+    finally:
+        assigned.unpersist()
+    spark = df.sparkSession
+    return spark.read.parquet(f"{dest_path}/{MANIFEST_DIR}")
+
+
+def verify_shards(
+    spark: SparkSession, dest_path: str, text_col: str | None = "text"
+) -> DataFrame:
+    """Read-back audit: recompute the manifest aggregation from the
+    written shard files and FULL-OUTER diff it against the stored
+    manifest. Returns the per-shard comparison with an `ok` flag —
+    `ok=false` rows pinpoint truncated, lost, or double-written shards.
+    Cost: one scan of the shards (id + payload columns only, pruned) +
+    a broadcast join against the tiny manifest."""
+    data = spark.read.parquet(dest_path)
+    got = _shard_manifest(data, text_col).withColumnRenamed(
+        "n_docs", "got_docs"
+    ).withColumnRenamed("checksum", "got_checksum")
+    if text_col is not None:
+        got = got.withColumnRenamed("total_chars", "got_chars")
+    want = spark.read.parquet(f"{dest_path}/{MANIFEST_DIR}")
+    cmp = want.join(F.broadcast(got), "shard_id", "full_outer")
+    ok = (F.col("n_docs") == F.col("got_docs")) & (
+        F.col("checksum") == F.col("got_checksum")
+    )
+    if text_col is not None:
+        ok = ok & (F.col("total_chars") == F.col("got_chars"))
+    return cmp.withColumn("ok", F.coalesce(ok, F.lit(False)))
