@@ -86,6 +86,26 @@ def main() -> None:
     hh = qs["hot_tokens_cms"](spark, sf_dir).collect()
     print("   estimates:", {r["token"]: r["est_count"] for r in hh})
 
+    print("== 8. land training shards + audit ==")
+    from vector_db_setup_spark.sources.shards import (
+        verify_shards,
+        write_training_shards,
+    )
+
+    dest = os.path.join(tempfile.mkdtemp(prefix="shards_"), "corpus")
+    kept = docs.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    manifest = write_training_shards(
+        kept.select("doc_id", "text"), dest, n_shards=8, seed=7
+    )
+    audit_ok = all(r["ok"] for r in verify_shards(spark, dest).collect())
+    print(
+        f"   {manifest.count()} shards, "
+        f"{sum(r['n_docs'] for r in manifest.collect())} docs, "
+        f"audit {'OK' if audit_ok else 'FAILED'}"
+    )
+    if not audit_ok:
+        raise SystemExit("shard audit failed")
+
     print("PIPELINE OK")
 
 
