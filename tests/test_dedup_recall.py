@@ -547,3 +547,48 @@ def test_multiband_cosine_is_superset_and_lifts_recall(spark):
     ]
     dupes = [p for p, c in Counter(pairs).items() if c > 1]
     assert not dupes, dupes
+
+
+def test_leakage_safe_split_no_edge_straddles(spark):
+    """The split's whole point: no near-dup edge may cross train/eval.
+    Recompute the LSH edges and the per-doc assignment at sf0.01 and
+    assert every edge's endpoints share a split (and a cluster)."""
+    from tests.conftest import SF_ORACLE
+    from vector_db_setup_spark.operators.graph import (
+        connected_components_auto,
+    )
+    from vector_db_setup_spark.sources.registry import load_table
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    edges = dd.lsh_dedup_edges(d).persist()
+    cc = connected_components_auto(
+        d.select("doc_id"), edges, id_col="doc_id",
+        src_col="id_a", dst_col="id_b",
+    )
+    h4 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("component").cast("string"),
+                           F.lit("-split"))), 1, 4),
+        16, 10,
+    ).cast("long")
+    assigned = cc.select(
+        F.col("id").alias("doc_id"),
+        F.when(h4 % 10 < 8, F.lit("train")).otherwise(F.lit("eval"))
+        .alias("split"),
+    )
+    a = assigned.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "split", "split_a"
+    )
+    b = assigned.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "split", "split_b"
+    )
+    straddle = (
+        edges.join(a, "id_a").join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .count()
+    )
+    edges.unpersist()
+    assert straddle == 0
+    # and both splits are actually populated at this sf
+    splits = {r["split"] for r in assigned.select("split").distinct().collect()}
+    assert splits == {"train", "eval"}

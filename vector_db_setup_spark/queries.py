@@ -991,6 +991,88 @@ def dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE {_shingle_cte()}, {_MINHASH_CTE},
+    banded AS (
+        SELECT doc_id, h // 2 AS band,
+               string_agg(sig::VARCHAR, ',' ORDER BY sig ASC) AS band_key
+        FROM mh GROUP BY doc_id, h // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM cand
+            UNION SELECT id_b, id_a FROM cand),
+    reach(id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
+    ),
+    cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach
+           GROUP BY id),
+    assigned AS (
+        SELECT doc_id, cluster_id,
+               CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR
+                        || '-split'), 1, 4))::BIGINT % 10 < 8
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM cc
+    )
+    SELECT split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN doc_id != cluster_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_docs
+    FROM assigned GROUP BY split
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/eval split: the unit of assignment is the
+    near-duplicate CLUSTER, not the document — a plain per-doc hash
+    split leaks training text into eval whenever a near-dup pair
+    straddles the boundary, silently inflating eval scores. Pipeline:
+    MinHash-LSH edges → connected components (same machinery as
+    dedup_keepers, so the cluster ids agree with the keeper verdicts) →
+    seed-stable md5 split on the CLUSTER id (80/20) → per-split
+    counts. Every member of a cluster lands on one side by
+    construction; tests additionally assert no LSH edge straddles. The
+    oracle recomputes the closure with a recursive CTE and embeds the
+    same literal hash rule. At 100 TB the only new cost over
+    dedup_keepers is one map-side hash + a 2-row aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = dd.lsh_dedup_edges(d)
+    cc = _cc_with_star_fallback(d.select("doc_id"), edges)
+    h4 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.col("component").cast("string"), F.lit("-split"))
+            ),
+            1,
+            4,
+        ),
+        16,
+        10,
+    ).cast("long")
+    assigned = cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.when(h4 % 10 < 8, F.lit("train")).otherwise(F.lit("eval")).alias(
+            "split"
+        ),
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.sum(
+            F.when(F.col("doc_id") != F.col("cluster_id"), 1).otherwise(0)
+        ).alias("n_dup_docs"),
+    )
+
+
 _SIMHASH_CTE = """
     toksd AS (SELECT doc_id,
                      unnest(list_distinct(string_split(lower(text), ' '))) AS w
