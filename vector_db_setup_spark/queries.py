@@ -62,7 +62,7 @@ _DRIVER_PRIORITY = [
     "knn_l2_flagship", "knn_cosine", "sql_vector_knn", "batch_knn",
     "pricing_summary", "top_customers", "regional_revenue",
     "token_budgets", "doc_count", "doc_sample", "majority_vote",
-    "substring_accuracy", "dedup_exact_groups", "minhash_signatures",
+    "substring_accuracy", "dedup_exact_groups", "leakage_safe_split",
     "minhash_lsh_candidates", "minhash_lsh_capped",
     "ngram_jaccard_topk", "ngram_jaccard_capped", "doc_repetition",
     "benchmark_overlap", "dedup_keepers", "corpus_curation_verdict",
@@ -97,6 +97,14 @@ _DRIVER_PRIORITY = [
 # Both incoming queries are green in the judge-replica parity gate and
 # exercised on a plain driver-style session in
 # tests/test_driver_contract.py.
+#
+# r5 third rotation (same contract): IN leakage_safe_split (the
+# cluster-keyed train/eval split — first driver row for the
+# split-assignment family; exact recursive-CTE oracle) — OUT
+# minhash_signatures (the minhash family keeps minhash_lsh_candidates +
+# minhash_lsh_capped driver rows, plus dedup_keepers which exercises
+# the same signature pipeline end-to-end; signatures stay green in the
+# local parity gate).
 
 
 def _ordered(d: dict) -> dict:
