@@ -51,6 +51,7 @@ EXTENDED = [
     "embedding_multiband_pairs",
     "market_share",
     "benchmark_overlap_bloom",
+    "leakage_safe_split",
 ]
 
 
