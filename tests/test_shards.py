@@ -98,3 +98,86 @@ def test_verify_catches_corrupted_shard(spark, tmp_path):
     s0.write.mode("append").parquet(os.path.join(dest, "shard_id=0"))
     audit = {r["shard_id"]: r["ok"] for r in verify_shards(spark, dest).collect()}
     assert audit[0] is False and audit[1] is True
+
+
+def _files(dest, sid):
+    import glob
+
+    return sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(dest, f"shard_id={sid}", "*.parquet"))
+    )
+
+
+def test_land_snapshot_rewrites_only_dirty_shards(spark, tmp_path):
+    from vector_db_setup_spark.sources.shards import land_snapshot
+
+    dest = str(tmp_path / "snap")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+
+    r1 = land_snapshot(docs, dest, n_shards=4, seed=3)
+    assert {x["status"] for x in r1.collect()} == {"new"}
+    before = {sid: _files(dest, sid) for sid in range(4)}
+
+    # v2: edit ONE document -> exactly the shards holding it are dirty
+    victim = docs.limit(1).collect()[0]["doc_id"]
+    from vector_db_setup_spark.sources.shards import assign_shard
+
+    vshard = {
+        r["doc_id"]: r["shard_id"]
+        for r in assign_shard(docs, 4, seed=3).collect()
+    }[victim]
+    v2 = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == victim, F.lit("EDITED")).otherwise(
+            F.col("text")
+        ),
+    )
+    r2 = {x["shard_id"]: x["status"] for x in land_snapshot(
+        v2, dest, n_shards=4, seed=3
+    ).collect()}
+    assert r2[vshard] == "changed"
+    assert all(s == "unchanged" for sid, s in r2.items() if sid != vshard)
+
+    after = {sid: _files(dest, sid) for sid in range(4)}
+    # untouched shards keep their exact files; the dirty one was rewritten
+    for sid in range(4):
+        if sid == vshard:
+            assert after[sid] != before[sid]
+        else:
+            assert after[sid] == before[sid]
+
+    audit = verify_shards(spark, dest)
+    assert all(r["ok"] for r in audit.collect())
+    # and the landed content IS v2
+    landed = spark.read.parquet(dest).filter(F.col("doc_id") == victim)
+    assert landed.collect()[0]["text"] == "EDITED"
+
+
+def test_land_snapshot_removes_emptied_shard(spark, tmp_path):
+    from vector_db_setup_spark.sources.shards import (
+        assign_shard,
+        land_snapshot,
+    )
+
+    dest = str(tmp_path / "snap")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    land_snapshot(docs, dest, n_shards=4, seed=3)
+
+    # v2 drops EVERY doc of shard 2
+    doomed = [
+        r["doc_id"]
+        for r in assign_shard(docs, 4, seed=3)
+        .filter(F.col("shard_id") == 2)
+        .collect()
+    ]
+    assert doomed
+    v2 = docs.filter(~F.col("doc_id").isin(doomed))
+    r2 = {x["shard_id"]: x["status"] for x in land_snapshot(
+        v2, dest, n_shards=4, seed=3
+    ).collect()}
+    assert r2[2] == "removed"
+    assert not os.path.exists(os.path.join(dest, "shard_id=2"))
+    audit = verify_shards(spark, dest)
+    assert all(r["ok"] for r in audit.collect())
+    assert spark.read.parquet(dest).count() == v2.count()

@@ -108,6 +108,113 @@ def write_training_shards(
     return spark.read.parquet(f"{dest_path}/{MANIFEST_DIR}")
 
 
+def land_snapshot(
+    df: DataFrame,
+    dest_path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str | None = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Incremental corpus snapshot: rewrite ONLY the shards whose
+    content changed since the previous landing.
+
+    The daily-snapshot pattern at 100 TB: a new corpus version differs
+    from yesterday's in a small fraction of documents, and because
+    shard placement is membership-independent (md5 of the doc id), an
+    edit/add/remove only dirties the shards it touches. The old and new
+    per-shard checksums — two tiny aggregates — decide which shards
+    rewrite; everything else is untouched bytes on storage.
+
+    Mechanics: compute the new manifest (one aggregation over the
+    incoming frame), anti-diff it against the stored manifest, write
+    just the dirty shards via dynamic partition overwrite, then land
+    the new manifest. A shard can also DISAPPEAR (every doc in it
+    removed): its partition is deleted explicitly since a dynamic
+    overwrite of zero rows would leave it behind.
+
+    Returns a report DataFrame (shard_id, status ∈ new | changed |
+    unchanged | removed). First landing (no manifest) degrades to
+    `write_training_shards` semantics with an all-`new` report.
+
+    Removed-shard deletion uses local-FS ``shutil`` (same scope caveat
+    as ingest.compact_parquet); on an object store, delete the
+    ``shard_id=K`` prefix with the store's API instead.
+    """
+    spark = df.sparkSession
+    assigned = assign_shard(df, n_shards, id_col=id_col, seed=seed)
+    if id_col != "doc_id":
+        assigned = assigned.withColumnRenamed(id_col, "doc_id")
+    assigned = assigned.persist()
+    try:
+        new_m = _shard_manifest(assigned, text_col)
+        try:
+            old_m = spark.read.parquet(f"{dest_path}/{MANIFEST_DIR}")
+        except Exception:
+            old_m = None
+        if old_m is None:
+            (
+                assigned.write.mode("overwrite")
+                .partitionBy("shard_id")
+                .parquet(dest_path)
+            )
+            report = new_m.select(
+                "shard_id", F.lit("new").alias("status")
+            )
+        else:
+            old_keyed = old_m.select(
+                "shard_id",
+                F.col("n_docs").alias("old_docs"),
+                F.col("checksum").alias("old_checksum"),
+            )
+            cmp = new_m.join(old_keyed, "shard_id", "full_outer")
+            status = (
+                F.when(F.col("old_docs").isNull(), "new")
+                .when(F.col("n_docs").isNull(), "removed")
+                .when(
+                    (F.col("n_docs") == F.col("old_docs"))
+                    & (F.col("checksum") == F.col("old_checksum")),
+                    "unchanged",
+                )
+                .otherwise("changed")
+            )
+            report = cmp.select("shard_id", status.alias("status"))
+            # tiny: n_shards rows
+            rows = report.collect()
+            dirty = [
+                r["shard_id"] for r in rows if r["status"] in ("new", "changed")
+            ]
+            removed = [r["shard_id"] for r in rows if r["status"] == "removed"]
+            if dirty:
+                key = "spark.sql.sources.partitionOverwriteMode"
+                prev = spark.conf.get(key, "static")
+                spark.conf.set(key, "dynamic")
+                try:
+                    (
+                        assigned.filter(F.col("shard_id").isin(dirty))
+                        .write.mode("overwrite")
+                        .partitionBy("shard_id")
+                        .parquet(dest_path)
+                    )
+                finally:
+                    spark.conf.set(key, prev)
+            if removed:
+                import shutil
+
+                for sid in removed:
+                    shutil.rmtree(
+                        f"{dest_path}/shard_id={sid}", ignore_errors=True
+                    )
+        (
+            new_m.coalesce(1)
+            .write.mode("overwrite")
+            .parquet(f"{dest_path}/{MANIFEST_DIR}")
+        )
+    finally:
+        assigned.unpersist()
+    return report
+
+
 def verify_shards(
     spark: SparkSession, dest_path: str, text_col: str | None = "text"
 ) -> DataFrame:
