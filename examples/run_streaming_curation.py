@@ -101,8 +101,32 @@ def main() -> None:
         .collect()
     )
     print("   top rollup rows:", [tuple(r) for r in top])
+
+    print("== 5. land admitted docs as audited training shards ==")
+    from vector_db_setup_spark.sources.shards import (
+        land_snapshot,
+        verify_shards,
+    )
+
+    shards_path = os.path.join(work, "shards")
+    admitted = spark.read.parquet(admitted_path).select("doc_id", "text")
+    land_snapshot(admitted, shards_path, n_shards=4, seed=1)
+    # a later landing of the SAME admitted set must rewrite nothing —
+    # the incremental contract a re-triggered pipeline relies on
+    relanded = {
+        r["status"]
+        for r in land_snapshot(
+            admitted, shards_path, n_shards=4, seed=1
+        ).collect()
+    }
+    audit_ok = all(r["ok"] for r in verify_shards(spark, shards_path).collect())
+    print(f"   re-landing statuses: {sorted(relanded)}; audit "
+          f"{'OK' if audit_ok else 'FAILED'}")
+    if relanded != {"unchanged"} or not audit_ok:
+        raise SystemExit("shard landing not idempotent or audit failed")
+
     words.unpersist()
-    print("OK — all four streaming stages, exactly-once, composed.")
+    print("OK — all five streaming stages, exactly-once, composed.")
 
 
 if __name__ == "__main__":
