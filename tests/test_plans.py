@@ -232,3 +232,28 @@ def test_returned_item_customers_prunes_both_facts(spark):
     plan = executed_plan(q.returned_item_customers(spark, SF_ORACLE))
     assert "PushedFilters" in plan
     assert "l_returnflag" in plan and "o_orderdate" in plan
+
+
+def test_shard_manifest_partial_aggregate_before_exchange(spark):
+    """The shard manifest's scale contract: the per-shard aggregation
+    (count + bit_xor(xxhash64) + sum) must partial-aggregate map-side —
+    the checksum is mergeable by construction, so the exchange carries
+    n_shards-bounded partials, never rows."""
+    from vector_db_setup_spark.plans.inspect import executed_plan, n_exchanges
+    from vector_db_setup_spark.sources.registry import load_table
+    from vector_db_setup_spark.sources.shards import (
+        _shard_manifest,
+        assign_shard,
+    )
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    m = _shard_manifest(assign_shard(docs, 8), "text")
+    plan = executed_plan(m)
+    # partial then final HashAggregate around exactly one shuffle
+    import re
+
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+    assert n_exchanges(m) == 1, plan
+    first_agg = plan.index("HashAggregate")
+    assert "partial_" in plan[first_agg : plan.index("Exchange", first_agg)] or \
+        plan.count("partial_") >= 1, plan
