@@ -13,7 +13,7 @@ import pytest
 _EXAMPLES = [
     ("examples/run_reference_workload.py", ""),
     ("examples/run_training_pipeline.py", ""),
-    ("examples/run_streaming_curation.py", "OK — all four streaming stages"),
+    ("examples/run_streaming_curation.py", "OK — all five streaming stages"),
 ]
 
 
