@@ -134,7 +134,9 @@ def land_snapshot(
     overwrite of zero rows would leave it behind.
 
     Returns a report DataFrame (shard_id, status ∈ new | changed |
-    unchanged | removed). First landing (no manifest) degrades to
+    unchanged | removed), MATERIALIZED before return (n_shards rows) —
+    a lazy report would dangle over the pre-landing manifest this
+    function replaces. First landing (no manifest) degrades to
     `write_training_shards` semantics with an all-`new` report.
 
     Removed-shard deletion uses local-FS ``shutil`` (same scope caveat
@@ -158,9 +160,10 @@ def land_snapshot(
                 .partitionBy("shard_id")
                 .parquet(dest_path)
             )
-            report = new_m.select(
-                "shard_id", F.lit("new").alias("status")
-            )
+            rows = [
+                (r["shard_id"], "new")
+                for r in new_m.select("shard_id").collect()
+            ]
         else:
             old_keyed = old_m.select(
                 "shard_id",
@@ -178,13 +181,19 @@ def land_snapshot(
                 )
                 .otherwise("changed")
             )
-            report = cmp.select("shard_id", status.alias("status"))
-            # tiny: n_shards rows
-            rows = report.collect()
-            dirty = [
-                r["shard_id"] for r in rows if r["status"] in ("new", "changed")
+            # materialize NOW (tiny: n_shards rows) — the lineage reads
+            # the old manifest, which this function replaces below, so a
+            # lazy report would dangle over deleted files
+            rows = [
+                (r["shard_id"], r["status"])
+                for r in cmp.select(
+                    "shard_id", status.alias("status")
+                ).collect()
             ]
-            removed = [r["shard_id"] for r in rows if r["status"] == "removed"]
+            dirty = [
+                sid for sid, s in rows if s in ("new", "changed")
+            ]
+            removed = [sid for sid, s in rows if s == "removed"]
             if dirty:
                 key = "spark.sql.sources.partitionOverwriteMode"
                 prev = spark.conf.get(key, "static")
@@ -212,7 +221,7 @@ def land_snapshot(
         )
     finally:
         assigned.unpersist()
-    return report
+    return spark.createDataFrame(rows, "shard_id int, status string")
 
 
 def verify_shards(
