@@ -1,0 +1,109 @@
+"""Distributed BPE trainer vs an independent pure-Python reference:
+the learned merge SEQUENCE must match exactly (same data, same
+deterministic tie-break), and encode must replay the merges
+identically."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+from vector_db_setup_spark.operators.bpe import (
+    END,
+    _encode_word,
+    bpe_encode,
+    bpe_train,
+    bpe_vocab,
+    word_freq_table,
+)
+from vector_db_setup_spark.sources.registry import load_table
+
+
+def _py_bpe_train(word_freqs: dict[str, int], n_merges: int):
+    """Independent reference: Sennrich-style BPE on a word-freq dict,
+    greedy left-to-right merge, ties broken (count desc, (a,b) asc)."""
+    vocab = {tuple(list(w) + [END]): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        a, b = best
+        merges.append(best)
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+@pytest.fixture(scope="module")
+def wf(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60)
+    t = word_freq_table(docs).persist()
+    t.count()
+    yield t
+    t.unpersist()
+
+
+def test_merge_sequence_matches_python_reference(spark, wf):
+    freqs = {r["w"]: r["freq"] for r in wf.collect()}
+    want = _py_bpe_train(freqs, 25)
+    got = bpe_train(wf, 25)
+    assert got == want
+    assert len(got) == 25  # corpus is big enough to sustain 25 merges
+    assert bpe_vocab(got) == [a + b for a, b in want]
+
+
+def test_train_stops_when_pairs_exhausted(spark):
+    tiny = spark.createDataFrame([("ab", 3)], "w string, freq long")
+    merges = bpe_train(tiny, 10)
+    # "a b </w>" supports exactly 2 merges, then single symbols remain
+    assert len(merges) == 2
+    enc = _encode_word("ab", {p: i for i, p in enumerate(merges)})
+    assert enc == ["ab" + END]
+
+
+def test_encode_matches_reference_and_roundtrips(spark, wf):
+    merges = bpe_train(wf, 20)
+    ranks = {p: i for i, p in enumerate(merges)}
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    out = bpe_encode(docs, merges).select("doc_id", "text", "bpe_tokens")
+    for r in out.collect():
+        want = []
+        for w in r["text"].lower().split():
+            want.extend(_encode_word(w, ranks))
+        assert r["bpe_tokens"] == want
+        # lossless: concatenating tokens minus END markers rebuilds text
+        rebuilt = "".join(t for t in r["bpe_tokens"]).replace(END, " ")
+        assert rebuilt.rstrip() == " ".join(r["text"].lower().split())
+
+
+def test_merges_compress_token_count(spark, wf):
+    """Sanity: 25 merges must strictly reduce the total symbol count on
+    the training corpus (else the argmax picked a zero-gain pair)."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(60)
+    merges = bpe_train(wf, 25)
+    n0 = docs.select(
+        F.sum(F.length(F.regexp_replace(F.lower("text"), r"\s+", "")))
+    ).collect()[0][0]
+    n1 = (
+        bpe_encode(docs, merges)
+        .select(F.sum(F.size("bpe_tokens")))
+        .collect()[0][0]
+    )
+    # n0 counts characters (pre-BPE symbols minus END markers)
+    assert n1 < n0

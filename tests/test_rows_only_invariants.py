@@ -438,3 +438,23 @@ def test_ivfpq_knn_recall_and_exact_distances(spark):
     for i, d in got.items():
         want = round(float(np.linalg.norm(emb[i] - qvec)), 6)
         assert abs(d - want) <= 1e-6
+
+
+def test_bpe_merge_table_matches_python_reference(spark):
+    """bpe_merge_table value gate: the full merge sequence at sf0.01
+    equals an independent pure-Python BPE on the same word-freq dict
+    (exact order, same (count desc, pair asc) tie-break)."""
+    from tests.test_bpe import _py_bpe_train
+    from vector_db_setup_spark import queries as q
+    from vector_db_setup_spark.operators.bpe import word_freq_table
+    from vector_db_setup_spark.sources.registry import load_table
+
+    got = [
+        (r["a"], r["b"])
+        for r in q.queries()["bpe_merge_table"](spark, SF_ORACLE)
+        .orderBy("rank")
+        .collect()
+    ]
+    d = load_table(spark, SF_ORACLE, "documents")
+    freqs = {r["w"]: r["freq"] for r in word_freq_table(d).collect()}
+    assert got == _py_bpe_train(freqs, 24)

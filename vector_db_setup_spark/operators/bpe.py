@@ -1,0 +1,200 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary training.
+
+The tokenizer-training step of an LLM data pipeline, Spark-first. BPE
+trains on the WORD-FREQUENCY table, not the corpus: a 100 TB corpus
+collapses to tens of millions of distinct words (Zipf), so the state
+that iterates is a (word-symbols, freq) DataFrame a single cluster
+holds comfortably — the corpus is scanned exactly once.
+
+Per merge iteration (the algorithm is inherently sequential in the
+merge sequence — each merge changes the next pair counts):
+
+1. adjacent-pair counts: one `transform` over the symbol arrays + an
+   explode + a map-side-combined groupBy — partials are (pair, weight)
+   and the exchange carries distinct pairs, not words;
+2. best pair: deterministic argmax (count desc, then lexicographic
+   (a, b)) — ONE row to the driver per iteration;
+3. merge: a codegen `aggregate` fold over each word's symbols (greedy
+   left-to-right, the standard BPE contract) — a map stage, no
+   shuffle. Lineage is truncated with localCheckpoint every few
+   rounds, the same discipline as the CC iterations.
+
+Encoding new text replays the learned merges with the classic
+rank-priority algorithm inside an Arrow `mapInPandas` stage (the merge
+table broadcasts as a closure; applying ~30k merges per word is
+pointer-chasing, not columnar math — exactly the "Python is the right
+tool below the Arrow boundary" case).
+
+Determinism: ties on pair counts break lexicographically, so the
+learned merge SEQUENCE is a pure function of the word-freq table;
+tests pin it against an independent pure-Python reference
+implementation (exact sequence equality, and encode parity).
+
+Reference provenance: the reference repo tokenizes via its LLM
+provider (fever_multi_agent.py prompts); tokenizer TRAINING is part of
+the beyond-the-reference training-data scope (driver brief), anchored
+on the public BPE algorithm (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units").
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+END = "</w>"  # end-of-word marker, standard BPE word-boundary symbol
+
+
+def word_freq_table(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(word, freq) from one corpus scan — the only corpus-sized job in
+    BPE training. Lowercased whitespace words, matching the repo-wide
+    `tokens()` convention."""
+    return (
+        df.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _initial_symbols(words: DataFrame) -> DataFrame:
+    """word -> array of single-character symbols + end-of-word marker."""
+    return words.select(
+        F.concat(
+            F.split(F.col("w"), ""), F.array(F.lit(END))
+        ).alias("symbols"),
+        "freq",
+    )
+
+
+def _pair_counts(symbols: DataFrame) -> DataFrame:
+    """Adjacent-pair counts weighted by word freq. `transform` builds
+    the pair structs JVM-side; the groupBy partial-aggregates map-side
+    so the exchange carries distinct pairs only."""
+    pairs = F.expr(
+        "transform(slice(symbols, 1, size(symbols) - 1), "
+        "(s, i) -> struct(s AS a, element_at(symbols, i + 2) AS b))"
+    )
+    return (
+        symbols.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def _merge_pair(symbols: DataFrame, a: str, b: str) -> DataFrame:
+    """Greedy left-to-right merge of (a, b) -> a||b in every word — a
+    pure map stage (codegen fold, no Python, no shuffle)."""
+    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+    merged = F.aggregate(
+        F.col("symbols"),
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            # F.get is 0-based and null-safe on empty accumulators
+            (F.get(acc, F.size(acc) - 1) == la) & (s == lb),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(lab)
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return symbols.select(merged.alias("symbols"), "freq")
+
+
+def bpe_train(
+    words: DataFrame,
+    n_merges: int,
+    min_freq: int = 1,
+    checkpoint_every: int = 8,
+) -> list[tuple[str, str]]:
+    """Learn `n_merges` BPE merges from a (w, freq) table.
+
+    Returns the merge sequence [(a, b), ...] in learned order. Stops
+    early when no remaining pair reaches `min_freq`. The driver
+    receives ONE (a, b, n) row per iteration; the symbol state stays
+    distributed and localCheckpoints every `checkpoint_every` rounds
+    so the iterative plan doesn't deepen unboundedly.
+    """
+    sym = _initial_symbols(words).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        top = (
+            _pair_counts(sym)
+            .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_freq:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        sym = _merge_pair(sym, a, b)
+        if (i + 1) % checkpoint_every == 0:
+            sym = sym.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
+    """Merged-symbol vocabulary in learned order (the subword units a
+    trainer adds on top of the character alphabet)."""
+    return [a + b for a, b in merges]
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Classic rank-priority BPE encode of one word (lowest-rank pair
+    merges first; left-to-right on rank ties by scanning order)."""
+    syms = list(word) + [END]
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Tokenize `text_col` with a learned merge table: whitespace words
+    -> per-word rank-priority merge replay, inside one Arrow
+    `mapInPandas` stage (merge ranks ship once per task as a closure;
+    zero shuffles)."""
+    import pandas as pd
+
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(StringType()))]
+    )
+
+    def _stage(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cache: dict[str, list[str]] = {}
+
+        def enc(text: str) -> list[str]:
+            out: list[str] = []
+            for w in (text or "").lower().split():
+                got = cache.get(w)
+                if got is None:
+                    got = cache[w] = _encode_word(w, ranks)
+                out.extend(got)
+            return out
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = pdf[text_col].map(enc)
+            yield pdf
+
+    return df.mapInPandas(_stage, schema=out_schema)

@@ -4815,6 +4815,28 @@ def source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_merge_table")  # rows-only: iterative (driver-sequenced
+# merge loop — each merge depends on the previous one's pair counts);
+# the value gate is exact merge-SEQUENCE parity with an independent
+# pure-Python BPE reference (tests/test_bpe.py).
+def bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): one
+    corpus scan builds the word-frequency table (the Zipf collapse that
+    makes 100 TB trainable), then each of 24 merge rounds runs a
+    map-side-combined pair-count aggregate (distinct pairs on the
+    exchange, ONE row to the driver) and a codegen fold merge (map
+    stage, no shuffle). Returns the learned merge table in rank order
+    — deterministic by the (count desc, pair asc) tie-break."""
+    from vector_db_setup_spark.operators.bpe import bpe_train, word_freq_table
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(word_freq_table(d), n_merges=24)
+    return spark.createDataFrame(
+        [(i, a, b, a + b) for i, (a, b) in enumerate(merges)],
+        "rank int, a string, b string, merged string",
+    )
+
+
 @register("corpus_topics")
 def corpus_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topic discovery over the embedding space (BERTopic-shaped, all
