@@ -181,3 +181,18 @@ def test_land_snapshot_removes_emptied_shard(spark, tmp_path):
     audit = verify_shards(spark, dest)
     assert all(r["ok"] for r in audit.collect())
     assert spark.read.parquet(dest).count() == v2.count()
+
+
+def test_empty_corpus_lands_and_audits_clean(spark, tmp_path):
+    """Degenerate but legal: everything filtered out upstream. Landing
+    writes an empty manifest; the audit returns an empty (vacuously ok)
+    report instead of failing schema inference on a data-less dir."""
+    from vector_db_setup_spark.sources.shards import land_snapshot
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    dest = str(tmp_path / "s")
+    m = write_training_shards(empty, dest, n_shards=4)
+    assert m.count() == 0
+    assert verify_shards(spark, dest).count() == 0
+    r = land_snapshot(empty, str(tmp_path / "s2"), 4)
+    assert r.count() == 0
