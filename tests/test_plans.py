@@ -257,3 +257,25 @@ def test_shard_manifest_partial_aggregate_before_exchange(spark):
     first_agg = plan.index("HashAggregate")
     assert "partial_" in plan[first_agg : plan.index("Exchange", first_agg)] or \
         plan.count("partial_") >= 1, plan
+
+
+def test_bpe_pair_counts_partial_aggregate(spark):
+    """BPE's per-round scale contract: the adjacent-pair count must
+    partial-aggregate map-side so the exchange carries distinct pairs
+    (vocab-bounded), not word rows, and the pair construction stays
+    JVM-side (no PythonUDF/ArrowEval in the plan)."""
+    from vector_db_setup_spark.operators.bpe import (
+        _initial_symbols,
+        _pair_counts,
+        word_freq_table,
+    )
+    from vector_db_setup_spark.plans.inspect import executed_plan, n_exchanges
+    from vector_db_setup_spark.sources.registry import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    pc = _pair_counts(_initial_symbols(word_freq_table(docs)))
+    plan = executed_plan(pc)
+    assert "partial" in plan.lower(), plan
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    # word-freq groupBy + pair groupBy = exactly two keyed exchanges
+    assert n_exchanges(pc) == 2, plan
