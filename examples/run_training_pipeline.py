@@ -86,6 +86,23 @@ def main() -> None:
     hh = qs["hot_tokens_cms"](spark, sf_dir).collect()
     print("   estimates:", {r["token"]: r["est_count"] for r in hh})
 
+    print("== 7b. tokenizer training (distributed BPE) ==")
+    from vector_db_setup_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+        bpe_vocab,
+        word_freq_table,
+    )
+
+    merges = bpe_train(word_freq_table(docs), n_merges=16)
+    n_tok = (
+        bpe_encode(docs.limit(20), merges)
+        .select(F.sum(F.size("bpe_tokens")))
+        .collect()[0][0]
+    )
+    print(f"   {len(merges)} merges learned; vocab head: "
+          f"{bpe_vocab(merges)[:5]}; 20 docs -> {n_tok} BPE tokens")
+
     print("== 8. land training shards + audit ==")
     from vector_db_setup_spark.sources.shards import (
         verify_shards,
