@@ -40,9 +40,11 @@ DOC_LEN = 100
 N_MERGES = 100
 
 
-def corpus(spark, n_docs: int):
+def corpus(spark, n_docs: int, start: int = 0):
     """Zipf-ish: token id = xxhash64 mod (rank band); realistic skew by
-    mixing three bands (head/torso/tail)."""
+    mixing three bands (head/torso/tail). `start` offsets the id range
+    so a holdout draws DIFFERENT texts (text is a pure function of the
+    row id) from the same distribution."""
     h = lambda i, salt: F.abs(F.xxhash64(F.col("id"), F.lit(salt), i))  # noqa: E731
     word = lambda i: F.concat(  # noqa: E731
         F.lit("w"),
@@ -51,7 +53,7 @@ def corpus(spark, n_docs: int):
         .otherwise(h(i, 4) % VOCAB)  # 20% anywhere
         .cast("string"),
     )
-    return spark.range(n_docs).select(
+    return spark.range(start, start + n_docs).select(
         F.col("id").alias("doc_id"),
         F.concat_ws(
             " ", F.transform(F.sequence(F.lit(1), F.lit(DOC_LEN)), word)
@@ -83,14 +85,13 @@ def main() -> None:
         wf.unpersist(), c.unpersist()
 
     # same vocab shape -> the learned tokenizer should compress a
-    # holdout similarly regardless of which corpus trained it
-    hold = corpus(spark, 500).withColumn(
-        "doc_id", F.col("doc_id") + 10_000_000
-    )
+    # TRUE holdout (disjoint id range => different texts from the same
+    # distribution) similarly regardless of which corpus trained it
+    hold = corpus(spark, 500, start=10_000_000).persist()
+    chars = hold.select(
+        F.sum(F.length(F.regexp_replace(F.lower("text"), r"\s+", "")))
+    ).collect()[0][0]
     for n_docs, (_, _, _, merges) in results.items():
-        chars = hold.select(
-            F.sum(F.length(F.regexp_replace(F.lower("text"), r"\s+", "")))
-        ).collect()[0][0]
         toks = (
             bpe_encode(hold, merges)
             .select(F.sum(F.size("bpe_tokens")))

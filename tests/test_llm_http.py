@@ -169,3 +169,33 @@ def test_http_adapter_length_contract(model_server):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_http_adapter_retries_429_rate_limit(model_server):
+    """429 (endpoint shedding load under executor fan-out) must retry
+    with backoff, not kill the task."""
+    class _Once:
+        left = 2
+
+    orig = _Model.do_POST
+
+    def flaky(self):
+        with _Model.lock:
+            if _Once.left > 0:
+                _Once.left -= 1
+                _Model.requests_seen.append(-1)
+                self.rfile.read(int(self.headers["Content-Length"]))
+                self.send_response(429)
+                self.end_headers()
+                return
+        orig(self)
+
+    _Model.do_POST = flaky
+    try:
+        respond = http_respond_fn(
+            model_server, batch_size=4, max_retries=3, backoff=0.01
+        )
+        prompts = pd.Series(["p0", "p1"])
+        assert list(respond(prompts)) == list(det_respond(prompts))
+    finally:
+        _Model.do_POST = orig

@@ -196,3 +196,48 @@ def test_empty_corpus_lands_and_audits_clean(spark, tmp_path):
     assert verify_shards(spark, dest).count() == 0
     r = land_snapshot(empty, str(tmp_path / "s2"), 4)
     assert r.count() == 0
+
+
+def test_checksum_covers_all_columns(spark, tmp_path):
+    """An edit confined to a NON-text column must dirty its shard (the
+    checksum hashes every data column, not just id + text)."""
+    from vector_db_setup_spark.sources.shards import land_snapshot
+
+    dest = str(tmp_path / "s")
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    land_snapshot(docs, dest, n_shards=4, seed=3)
+    victim = docs.limit(1).collect()[0]["doc_id"]
+    v2 = docs.withColumn(
+        "lang",
+        F.when(F.col("doc_id") == victim, F.lit("xx")).otherwise(
+            F.col("lang")
+        ),
+    )
+    statuses = {
+        r["status"] for r in land_snapshot(v2, dest, 4, seed=3).collect()
+    }
+    assert "changed" in statuses
+    landed = spark.read.parquet(dest).filter(F.col("doc_id") == victim)
+    assert landed.collect()[0]["lang"] == "xx"
+
+
+def test_corrupt_manifest_raises_not_full_rewrite(spark, tmp_path):
+    """A corrupt (unreadable-as-parquet) manifest must RAISE — silently
+    taking the first-landing path would rewrite the whole corpus and
+    mask the fault."""
+    import glob
+
+    import pytest as _pytest
+
+    from vector_db_setup_spark.sources.shards import land_snapshot
+
+    dest = str(tmp_path / "s")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    land_snapshot(docs, dest, n_shards=4)
+    for p in glob.glob(os.path.join(dest, "_manifest", "*.parquet")):
+        with open(p, "wb") as f:
+            f.write(b"not parquet")
+    with _pytest.raises(Exception):
+        land_snapshot(docs, dest, n_shards=4)

@@ -51,8 +51,11 @@ def word_freq_table(
     df: DataFrame, text_col: str = "text"
 ) -> DataFrame:
     """(word, freq) from one corpus scan — the only corpus-sized job in
-    BPE training. Lowercased whitespace words, matching the repo-wide
-    `tokens()` convention."""
+    BPE training. Lowercased whitespace-RUN words (r"\\s+"): runs of
+    spaces/tabs/newlines are one separator here, unlike
+    functions/text.tokens(), which splits on single spaces to stay
+    DuckDB-oracle-comparable — a tokenizer trained on empty-string
+    "words" would waste merges on an artifact."""
     return (
         df.select(
             F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")

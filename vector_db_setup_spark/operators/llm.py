@@ -88,8 +88,11 @@ def http_respond_fn(
                     last_err = None
                     break
                 except urllib.error.HTTPError as e:
-                    # 4xx = caller bug: do not retry. 5xx = transient.
-                    if e.code < 500:
+                    # 5xx, 429 (rate limit — the common transient for a
+                    # shared inference endpoint under fan-out), and 408
+                    # retry with backoff; other 4xx = caller bug, fail
+                    # fast so Spark's task retry doesn't mask it.
+                    if e.code < 500 and e.code not in (408, 429):
                         raise
                     last_err = e
                 except (urllib.error.URLError, OSError) as e:

@@ -12,9 +12,9 @@ Spark-first shape:
 - shard assignment is a pure column expression (seed-stable md5 mod n)
   — no shuffle beyond the single partitionBy-write exchange;
 - the manifest is one map-side-combinable aggregation per shard, with
-  an ORDER-INDEPENDENT content checksum (bit_xor of per-doc xxhash64
-  over the id and the payload), so verification never needs a sort or
-  a collect_list — mergeable at any scale;
+  an ORDER-INDEPENDENT content checksum (bit_xor of per-row xxhash64
+  over EVERY data column), so verification never needs a sort or a
+  collect_list — mergeable at any scale;
 - `verify_shards` recomputes the same aggregation from the WRITTEN
   files and diffs it against the manifest — a read-back audit that
   catches truncated/lost/duplicated rows per shard without comparing
@@ -46,24 +46,22 @@ def assign_shard(df: DataFrame, n_shards: int, id_col: str = "doc_id",
 
 def _shard_manifest(df: DataFrame, text_col: str | None) -> DataFrame:
     """Per-shard manifest row from an assigned DataFrame. The checksum
-    is bit_xor(xxhash64(id, payload)): order-independent and mergeable,
-    so partial aggregates combine map-side and the same expression
-    verifies a read-back regardless of file/row order."""
-    payload = [F.col("doc_id").cast("string")]
+    is bit_xor(xxhash64(<every data column, name-sorted>)):
+    order-independent and mergeable, so partial aggregates combine
+    map-side and the same expression verifies a read-back regardless
+    of file/row order. Hashing ALL columns (not just id + text) means
+    an edit confined to any column — a fixed `lang` tag, a changed
+    score — dirties its shard and fails a corrupted audit."""
+    data_cols = sorted(c for c in df.columns if c != "shard_id")
     agg = [
         F.count(F.lit(1)).alias("n_docs"),
-        F.bit_xor(F.xxhash64(*payload, F.col("_payload"))).alias("checksum"),
+        F.bit_xor(
+            F.xxhash64(*[F.col(c) for c in data_cols])
+        ).alias("checksum"),
     ]
     if text_col is not None:
         agg.append(F.sum(F.length(F.col(text_col))).alias("total_chars"))
-    return (
-        df.withColumn(
-            "_payload",
-            F.col(text_col) if text_col is not None else F.lit(""),
-        )
-        .groupBy("shard_id")
-        .agg(*agg)
-    )
+    return df.groupBy("shard_id").agg(*agg)
 
 
 def write_training_shards(
@@ -150,9 +148,19 @@ def land_snapshot(
     assigned = assigned.persist()
     try:
         new_m = _shard_manifest(assigned, text_col)
+        from pyspark.errors import AnalysisException
+
         try:
             old_m = spark.read.parquet(f"{dest_path}/{MANIFEST_DIR}")
-        except Exception:
+        except AnalysisException as e:
+            # ONLY a genuinely absent manifest degrades to the
+            # first-landing (full write) path. A corrupt or transiently
+            # unreadable manifest must raise: silently treating it as
+            # "first landing" would rewrite the entire corpus and mask
+            # the fault behind an all-'new' report.
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
+                raise
             old_m = None
         if old_m is None:
             (
@@ -231,8 +239,9 @@ def verify_shards(
     written shard files and FULL-OUTER diff it against the stored
     manifest. Returns the per-shard comparison with an `ok` flag —
     `ok=false` rows pinpoint truncated, lost, or double-written shards.
-    Cost: one scan of the shards (id + payload columns only, pruned) +
-    a broadcast join against the tiny manifest.
+    Cost: one scan of the written shards; the diff itself joins two
+    n_shards-row aggregates (a FULL OUTER join can't broadcast — both
+    sides here are manifest-sized, so the exchange is trivial).
 
     A destination holding ZERO shards (an empty corpus landed — every
     doc filtered out upstream) has no data files to infer a schema
@@ -252,7 +261,7 @@ def verify_shards(
         if text_col is not None:
             got = got.withColumnRenamed("total_chars", "got_chars")
     want = spark.read.parquet(f"{dest_path}/{MANIFEST_DIR}")
-    cmp = want.join(F.broadcast(got), "shard_id", "full_outer")
+    cmp = want.join(got, "shard_id", "full_outer")
     ok = (F.col("n_docs") == F.col("got_docs")) & (
         F.col("checksum") == F.col("got_checksum")
     )
