@@ -5871,6 +5871,63 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "purchase_attribution",
+    """
+    WITH touched AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN CAST(json_extract(props, '$.k') AS INTEGER)
+                          END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS campaign
+        FROM events
+    )
+    SELECT coalesce(campaign, -1) AS campaign,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 6) AS attributed_revenue
+    FROM touched
+    WHERE event_type = 'purchase'
+    GROUP BY coalesce(campaign, -1)
+    """,
+)
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAST-TOUCH attribution: each purchase credits the campaign
+    (`props.k`) of the user's most recent preceding view/click — the
+    standard marketing-analytics join-free formulation: ONE user-keyed
+    window (last_value ignore-nulls over a conditional projection)
+    instead of a self-join on \"latest touch before ts\", so at 100 TB
+    the cost is a single user_id shuffle shared with every other
+    per-user analytic. Purchases with no prior touch land in campaign
+    -1. The purchase row itself can't self-attribute (its projection is
+    null before the frame's last_value)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.get_json_object("props", "$.k").cast("int"),
+    )
+    touched = ev.select(
+        "event_type",
+        "value",
+        F.last(touch, ignorenulls=True).over(w).alias("campaign"),
+    )
+    return (
+        touched.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("campaign", F.lit(-1)).alias("campaign"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 6).alias("attributed_revenue"),
+        )
+    )
+
+
 _PQ_CACHE: dict = {}
 
 
