@@ -109,8 +109,10 @@ def test_batch_knn_blocked_fallback_schema_with_custom_query_id_col(spark):
 
 
 def test_no_unguarded_full_corpus_collect():
-    """Regression tripwire: every .collect() in operators/ must sit
-    behind a _count_capped guard (the two remaining ones do)."""
+    """Regression tripwire: every .collect() in operators/ must be
+    size-bounded — either behind a _count_capped guard (similarity/
+    graph kernels) or structurally bounded by a .limit(k) in the same
+    chained expression (BPE's one-row argmax)."""
     import pathlib
 
     ops = (
@@ -120,10 +122,15 @@ def test_no_unguarded_full_corpus_collect():
     )
     for f in ops.glob("*.py"):
         text = f.read_text()
-        if ".collect()" in text:
-            assert "_count_capped" in text, (
-                f"{f}: .collect() without a size guard"
-            )
+        if "_count_capped" in text:
+            continue
+        for i in range(len(text)):
+            if text.startswith(".collect()", i):
+                window = text[max(0, i - 200) : i]
+                assert ".limit(" in window, (
+                    f"{f}: .collect() at offset {i} without a "
+                    "_count_capped guard or a .limit(k) bound"
+                )
 
 
 def test_ivf_pairs_exact_within_clusters(spark):
