@@ -84,6 +84,23 @@ def main() -> None:
         )
         wf.unpersist(), c.unpersist()
 
+    # batched rounds: same 100 merges, k disjoint merges per round
+    c = corpus(spark, 200_000).persist()
+    wf = word_freq_table(c).persist()
+    wf.count()
+    for k in (1, 8):
+        t = time.time()
+        m = bpe_train(wf, N_MERGES, merges_per_round=k)
+        print(
+            f"batched k={k}: {len(m)} merges in {time.time()-t:.1f}s"
+        )
+        if k == 1:
+            seq = m
+        else:
+            overlap = len(set(m) & set(seq)) / len(seq)
+            print(f"  merge-set overlap with sequential: {overlap:.0%}")
+    wf.unpersist(), c.unpersist()
+
     # same vocab shape -> the learned tokenizer should compress a
     # TRUE holdout (disjoint id range => different texts from the same
     # distribution) similarly regardless of which corpus trained it

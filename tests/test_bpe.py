@@ -107,3 +107,59 @@ def test_merges_compress_token_count(spark, wf):
     )
     # n0 counts characters (pre-BPE symbols minus END markers)
     assert n1 < n0
+
+
+def _py_bpe_train_batched(word_freqs: dict[str, int], n_merges: int, k: int):
+    """Independent reference for the batched mode: per round, rank all
+    pairs (count desc, pair asc), keep the symbol-disjoint prefix of up
+    to k (also excluding pairs referencing an accepted pair's merged
+    string), and apply them in one greedy left-to-right pass."""
+    vocab = {tuple(list(w) + [END]): f for w, f in word_freqs.items()}
+    merges = []
+    while len(merges) < n_merges:
+        counts: Counter = Counter()
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        want = min(k, n_merges - len(merges))
+        # the candidate cap is part of the defined batched rule
+        ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[
+            : max(4 * want, 16)
+        ]
+        used: set = set()
+        batch = []
+        for (a, b), _ in ranked:
+            if len(batch) >= want:
+                break
+            if a in used or b in used:
+                continue
+            batch.append((a, b))
+            used.update((a, b, a + b))
+        if not batch:
+            break
+        merges.extend(batch)
+        lookup = {(a, b): a + b for a, b in batch}
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out = []
+            for s in syms:
+                if out and (out[-1], s) in lookup:
+                    out[-1] = lookup[(out[-1], s)]
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_batched_merges_match_batched_reference(spark, wf):
+    freqs = {r["w"]: r["freq"] for r in wf.collect()}
+    for k in (4, 8):
+        want = _py_bpe_train_batched(freqs, 24, k)
+        got = bpe_train(wf, 24, merges_per_round=k)
+        assert got == want, (k, got[:5], want[:5])
+        assert len(got) == 24
+
+
+def test_batched_k1_equals_sequential(spark, wf):
+    assert bpe_train(wf, 15, merges_per_round=1) == bpe_train(wf, 15)

@@ -91,22 +91,53 @@ def _pair_counts(symbols: DataFrame) -> DataFrame:
     )
 
 
-def _merge_pair(symbols: DataFrame, a: str, b: str) -> DataFrame:
-    """Greedy left-to-right merge of (a, b) -> a||b in every word — a
-    pure map stage (codegen fold, no Python, no shuffle)."""
-    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+def _merge_pairs(
+    symbols: DataFrame, pairs: list[tuple[str, str]]
+) -> DataFrame:
+    """Greedy left-to-right merge of every (a, b) -> a||b in one fold
+    pass — a pure map stage (codegen fold, no Python, no shuffle).
+    With multiple pairs they must be symbol-disjoint (see
+    `_disjoint_prefix`), so match order among them is immaterial."""
+
+    def step(acc, s):
+        out = F.concat(acc, F.array(s))
+        last = F.get(acc, F.size(acc) - 1)
+        for a, b in pairs:
+            out = F.when(
+                # F.get is 0-based and null-safe on empty accumulators
+                (last == F.lit(a)) & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+                ),
+            ).otherwise(out)
+        return out
+
     merged = F.aggregate(
         F.col("symbols"),
         F.expr("CAST(array() AS array<string>)"),
-        lambda acc, s: F.when(
-            # F.get is 0-based and null-safe on empty accumulators
-            (F.get(acc, F.size(acc) - 1) == la) & (s == lb),
-            F.concat(
-                F.slice(acc, 1, F.size(acc) - 1), F.array(lab)
-            ),
-        ).otherwise(F.concat(acc, F.array(s))),
+        step,
     )
     return symbols.select(merged.alias("symbols"), "freq")
+
+
+def _disjoint_prefix(
+    ranked: list[tuple[str, str]], k: int
+) -> list[tuple[str, str]]:
+    """Greedy prefix of up to k pairs that can merge in ONE pass with
+    order-independent semantics: no symbol of an accepted pair appears
+    in a later pair, and no later pair references a string equal to an
+    accepted pair's MERGED symbol (else the fold could cascade two
+    merges in one round)."""
+    used: set[str] = set()
+    out: list[tuple[str, str]] = []
+    for a, b in ranked:
+        if len(out) >= k:
+            break
+        if a in used or b in used:
+            continue
+        out.append((a, b))
+        used.update((a, b, a + b))
+    return out
 
 
 def bpe_train(
@@ -114,30 +145,49 @@ def bpe_train(
     n_merges: int,
     min_freq: int = 1,
     checkpoint_every: int = 8,
+    merges_per_round: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merges from a (w, freq) table.
 
     Returns the merge sequence [(a, b), ...] in learned order. Stops
     early when no remaining pair reaches `min_freq`. The driver
-    receives ONE (a, b, n) row per iteration; the symbol state stays
-    distributed and localCheckpoints every `checkpoint_every` rounds
-    so the iterative plan doesn't deepen unboundedly.
+    receives at most `merges_per_round` (a, b, n) rows per round; the
+    symbol state stays distributed and localCheckpoints every
+    `checkpoint_every` rounds so the iterative plan doesn't deepen
+    unboundedly.
+
+    `merges_per_round=1` is exact sequential BPE (top-1 argmax per
+    round — each merge sees the previous one's pair counts).
+    `merges_per_round=k` is the standard batched approximation: per
+    round, fetch the top `max(4k, 16)` candidates by the same order
+    (the cap is PART of the defined rule — it bounds the driver fetch,
+    and a disjoint fill never plausibly needs more), keep the
+    symbol-DISJOINT prefix (`_disjoint_prefix` — disjointness makes
+    the one-pass fold order-independent), and apply them together —
+    counts are stale within a round for the 2nd..k-th pair, which is
+    the accepted trade for k× fewer rounds at scale. Both modes are
+    deterministic and reference-tested.
     """
     sym = _initial_symbols(words).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
-    for i in range(n_merges):
+    rounds = 0
+    while len(merges) < n_merges:
+        want = min(merges_per_round, n_merges - len(merges))
         top = (
             _pair_counts(sym)
+            .filter(F.col("n") >= min_freq)
             .orderBy(F.col("n").desc(), F.col("a").asc(), F.col("b").asc())
-            .limit(1)
+            # over-fetch so the disjoint filter can still fill the round
+            .limit(max(4 * want, 16))
             .collect()
         )
-        if not top or top[0]["n"] < min_freq:
+        batch = _disjoint_prefix([(r["a"], r["b"]) for r in top], want)
+        if not batch:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        sym = _merge_pair(sym, a, b)
-        if (i + 1) % checkpoint_every == 0:
+        merges.extend(batch)
+        sym = _merge_pairs(sym, batch)
+        rounds += 1
+        if rounds % checkpoint_every == 0:
             sym = sym.localCheckpoint(eager=True)
     return merges
 
