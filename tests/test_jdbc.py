@@ -151,3 +151,34 @@ def test_jdbc_reader_contract_for_production_driver(spark):
         "password": "p",
         "ssl": "true",
     }
+
+
+def test_jdbc_write_roundtrip(spark, tmp_path):
+    """write_table_jdbc -> load_table_jdbc round trip against Derby:
+    curated results published back to the database other consumers of
+    the reference still read."""
+    from vector_db_setup_spark.sources.jdbc import write_table_jdbc
+
+    src = spark.createDataFrame(
+        [(i, f"doc{i:03d}", float(i) / 4) for i in range(40)],
+        "doc_id int, name string, score double",
+    )
+    write_table_jdbc(
+        src,
+        URL,
+        "curated_out",
+        mode="overwrite",
+        batch_size=16,
+        num_partitions=2,
+        driver=DRIVER,
+    )
+    back = load_table_jdbc(spark, URL, "curated_out", driver=DRIVER)
+    got = sorted(tuple(r) for r in back.collect())
+    want = sorted(tuple(r) for r in src.collect())
+    assert got == want
+    # append mode adds rows without dropping
+    write_table_jdbc(
+        src.filter("doc_id < 5"), URL, "curated_out",
+        mode="append", driver=DRIVER,
+    )
+    assert back.count() == 45

@@ -84,6 +84,52 @@ def load_table_jdbc(
     return r.load()
 
 
+def write_table_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    *,
+    mode: str = "append",
+    batch_size: int = 10_000,
+    num_partitions: int | None = None,
+    driver: str | None = None,
+    user: str | None = None,
+    password: str | None = None,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Write a DataFrame back over JDBC — the REVERSE migration (e.g.
+    publishing curated results into the Postgres the reference's other
+    consumers still read).
+
+    Each Spark partition opens one connection and inserts in
+    ``batch_size``-row JDBC batches; ``num_partitions`` caps the
+    connection fan-in (a 1000-task write would otherwise open 1000
+    simultaneous connections against one database — coalesce first).
+    ``mode`` follows DataFrameWriter semantics; the default ``append``
+    never drops the remote table, ``overwrite`` does (Spark issues
+    DROP/CREATE unless ``truncate`` is passed via ``options``).
+    """
+    out = (
+        df.coalesce(num_partitions)
+        if num_partitions is not None and num_partitions < (
+            df.rdd.getNumPartitions()
+        )
+        else df
+    )
+    w = out.write.format("jdbc").mode(mode)
+    w = w.option("url", url).option("dbtable", table)
+    w = w.option("batchsize", str(batch_size))
+    if driver is not None:
+        w = w.option("driver", driver)
+    if user is not None:
+        w = w.option("user", user)
+    if password is not None:
+        w = w.option("password", password)
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.save()
+
+
 def ingest_jdbc_to_parquet(
     spark: SparkSession,
     url: str,
