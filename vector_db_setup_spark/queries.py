@@ -4815,6 +4815,56 @@ def source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "data_quality_report",
+    """
+    WITH s AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS v_null,
+               count(*) - count(DISTINCT doc_id) AS v_dup,
+               sum(CASE WHEN n_chars IS NULL OR n_chars < 1
+                             OR n_chars > 100000 THEN 1 ELSE 0 END) AS v_rng,
+               sum(CASE WHEN lang IS NULL
+                             OR NOT regexp_matches(lang, '^[a-z]{2}$')
+                        THEN 1 ELSE 0 END) AS v_lang
+        FROM documents
+    )
+    SELECT 'not_null(doc_id)' AS rule, CAST(v_null AS BIGINT) AS violations,
+           CAST(n AS BIGINT) AS n_rows, v_null = 0 AS passed FROM s
+    UNION ALL
+    SELECT 'unique(doc_id)', CAST(v_dup AS BIGINT), CAST(n AS BIGINT),
+           v_dup = 0 FROM s
+    UNION ALL
+    SELECT 'in_range(n_chars,1,100000)', CAST(v_rng AS BIGINT),
+           CAST(n AS BIGINT), v_rng = 0 FROM s
+    UNION ALL
+    SELECT 'matches(lang,^[a-z]{2}$)', CAST(v_lang AS BIGINT),
+           CAST(n AS BIGINT), v_lang = 0 FROM s
+    """,
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality contract over the corpus
+    (operators/validate.py): not-null + exact-unique key, n_chars
+    range, lang format — ALL checked in one aggregation pass
+    (conditional partial-sums + one count-distinct slot; the driver
+    receives one row however large the input). The ingestion gate a
+    pipeline runs before landing a batch; `enforce` wraps the same
+    rules as a land-or-abort. The oracle recomputes every count from
+    scratch in SQL."""
+    from vector_db_setup_spark.operators.validate import validate
+
+    d = load_table(spark, sf_dir, "documents")
+    return validate(
+        d,
+        [
+            {"rule": "not_null", "col": "doc_id"},
+            {"rule": "unique", "col": "doc_id"},
+            {"rule": "in_range", "col": "n_chars", "lo": 1, "hi": 100000},
+            {"rule": "matches", "col": "lang", "pattern": "^[a-z]{2}$"},
+        ],
+    )
+
+
 @register("bpe_merge_table")  # rows-only: iterative (driver-sequenced
 # merge loop — each merge depends on the previous one's pair counts);
 # the value gate is exact merge-SEQUENCE parity with an independent
