@@ -35,6 +35,19 @@ def main() -> None:
     qs = q.queries()
     docs = load_table(spark, sf_dir, "documents")
 
+    print("== 0. data-quality contract gate ==")
+    from vector_db_setup_spark.operators.validate import enforce
+
+    enforce(
+        docs,
+        [
+            {"rule": "not_null", "col": "doc_id"},
+            {"rule": "unique", "col": "doc_id"},
+            {"rule": "min_rows", "n": 10},
+        ],
+    )
+    print("   contract OK (not_null + unique doc_id, min_rows)")
+
     print("== 1. corpus profile ==")
     prof = qs["lang_stats"](spark, sf_dir).collect()
     print("   language mix:", {r[0]: r[1] for r in prof})
