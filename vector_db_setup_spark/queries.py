@@ -70,7 +70,7 @@ _DRIVER_PRIORITY = [
     "bm25_scores", "doc_winnow_fingerprints", "doc_pii_scrub",
     "simhash_values", "simhash_hamming_topk", "simhash_banded_pairs",
     "embedding_similar_topk", "embedding_bucketed_pairs",
-    "text_profile", "lang_id_detect", "lang_stats",
+    "data_quality_report", "lang_id_detect", "lang_stats",
     "rollup_orders", "count_distinct_custs",
     "customers_without_orders", "nation_set_ops",
     "customer_order_windows", "events_tumbling", "events_sessionize",
@@ -105,6 +105,11 @@ _DRIVER_PRIORITY = [
 # minhash_lsh_capped driver rows, plus dedup_keepers which exercises
 # the same signature pipeline end-to-end; signatures stay green in the
 # local parity gate).
+#
+# r5 fourth rotation (same contract): IN data_quality_report (first
+# driver row for the data-contracts family; from-scratch SQL oracle) —
+# OUT text_profile (the text-analysis family keeps lang_id_detect +
+# lang_stats driver rows; text_profile stays green in the local gate).
 
 
 def _ordered(d: dict) -> dict:
