@@ -73,3 +73,63 @@ def test_min_rows_gate(spark):
     d = load_table(spark, SF_ORACLE, "documents").limit(3)
     rep = validate(d, [{"rule": "min_rows", "n": 10}]).collect()[0]
     assert rep["violations"] == 7 and not rep["passed"]
+
+
+def test_quarantine_split_batch_and_stream_agree(spark, tmp_path):
+    """Row-level gate: clean+dirty partition the input, dirty rows name
+    their violated rules, and the SAME projection run as a streaming
+    micro-batch lands identical splits (stateless => stream==batch)."""
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.operators.validate import quarantine_split
+
+    rules = [
+        {"rule": "not_null", "col": "doc_id"},
+        {"rule": "matches", "col": "lang", "pattern": "^[a-z]{2}$"},
+    ]
+    d = load_table(spark, SF_ORACLE, "documents").select("doc_id", "lang")
+    bad = spark.createDataFrame(
+        [(None, "en"), (999999, "ZZZ")], "doc_id long, lang string"
+    )
+    src = d.union(bad)
+    clean, dirty = quarantine_split(src, rules)
+    assert clean.count() + dirty.count() == src.count()
+    flags = {
+        tuple(r["_violations"]) for r in dirty.collect()
+    }
+    assert ("not_null(doc_id)",) in flags
+    assert ("matches(lang,^[a-z]{2}$)",) in flags
+    assert "_violations" not in clean.columns
+
+    # streaming twin: same rules over a file stream, foreachBatch lands
+    # the same clean/dirty row sets
+    src_dir, out_clean, out_dirty = (
+        str(tmp_path / "src"), str(tmp_path / "clean"), str(tmp_path / "dirty")
+    )
+    src.write.parquet(src_dir)
+    stream = spark.readStream.schema(src.schema).parquet(src_dir)
+
+    def land(batch, _):
+        c, q = quarantine_split(batch, rules)
+        c.write.mode("append").parquet(out_clean)
+        q.drop("_violations").write.mode("append").parquet(out_dirty)
+
+    (
+        stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    got_clean = {tuple(r) for r in spark.read.parquet(out_clean).collect()}
+    want_clean = {tuple(r) for r in clean.collect()}
+    assert got_clean == want_clean
+    assert spark.read.parquet(out_dirty).count() == dirty.count()
+
+
+def test_flag_violations_rejects_aggregate_rules(spark):
+    from vector_db_setup_spark.operators.validate import flag_violations
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    with pytest.raises(ValueError, match="unique"):
+        flag_violations(d, [{"rule": "unique", "col": "doc_id"}])

@@ -103,6 +103,45 @@ def validate(df: DataFrame, rules: list[dict]) -> DataFrame:
     )
 
 
+ROW_LEVEL = {"not_null", "in_range", "matches", "in_set"}
+
+
+def flag_violations(
+    df: DataFrame, rules: list[dict], out_col: str = "_violations"
+) -> DataFrame:
+    """Append an array column naming every ROW-LEVEL rule the row
+    violates (empty array = clean). Pure stateless projection — works
+    identically on a batch frame and inside a streaming micro-batch.
+    Aggregate-level rules (unique, min_rows) can't be judged per row
+    and raise here; check those with `validate`/`enforce`."""
+    bad = [r for r in rules if r["rule"] not in ROW_LEVEL]
+    if bad:
+        raise ValueError(
+            "row-level flagging can't evaluate aggregate rules: "
+            + ", ".join(_rule_name(r) for r in bad)
+        )
+    names = [
+        F.when(_violation_expr(r) == 1, F.lit(_rule_name(r)))
+        for r in rules
+    ]
+    # array() of whens -> compact away the nulls of satisfied rules
+    arr = F.filter(F.array(*names), lambda x: x.isNotNull())
+    return df.withColumn(out_col, arr)
+
+
+def quarantine_split(
+    df: DataFrame, rules: list[dict]
+) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) by the row-level rules: clean rows drop the
+    flag column; quarantined rows keep `_violations` naming what failed
+    — the per-record ingestion gate (land clean, park dirty for triage)
+    that `enforce`'s all-or-nothing contract is too coarse for."""
+    flagged = flag_violations(df, rules)
+    clean = flagged.filter(F.size("_violations") == 0).drop("_violations")
+    dirty = flagged.filter(F.size("_violations") > 0)
+    return clean, dirty
+
+
 def enforce(df: DataFrame, rules: list[dict], max_violations: int = 0) -> DataFrame:
     """Land-or-abort gate: raise ValueError naming every rule whose
     violation count exceeds `max_violations`; otherwise return `df`
