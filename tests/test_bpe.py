@@ -131,7 +131,7 @@ def _py_bpe_train_batched(word_freqs: dict[str, int], n_merges: int, k: int):
         for (a, b), _ in ranked:
             if len(batch) >= want:
                 break
-            if a in used or b in used:
+            if a in used or b in used or a + b in used:
                 continue
             batch.append((a, b))
             used.update((a, b, a + b))
@@ -163,3 +163,18 @@ def test_batched_merges_match_batched_reference(spark, wf):
 
 def test_batched_k1_equals_sequential(spark, wf):
     assert bpe_train(wf, 15, merges_per_round=1) == bpe_train(wf, 15)
+
+
+def test_disjoint_prefix_blocks_merge_string_cascade():
+    """Review-found case: a candidate whose MERGED string equals a
+    symbol an accepted pair reads must be rejected — else the one-pass
+    fold creates the string mid-pass and cascades a second merge onto
+    it in the same round. ('abc','d') accepted => ('ab','c') (merging
+    to 'abc') must NOT join the batch; and two candidates merging to
+    the same string must not both enter."""
+    from vector_db_setup_spark.operators.bpe import _disjoint_prefix
+
+    out = _disjoint_prefix([("abc", "d"), ("ab", "c"), ("x", "y")], 3)
+    assert out == [("abc", "d"), ("x", "y")]
+    out2 = _disjoint_prefix([("a", "bc"), ("ab", "c")], 2)
+    assert out2 == [("a", "bc")]

@@ -111,8 +111,10 @@ def test_batch_knn_blocked_fallback_schema_with_custom_query_id_col(spark):
 def test_no_unguarded_full_corpus_collect():
     """Regression tripwire: every .collect() in operators/ must be
     size-bounded — either behind a _count_capped guard (similarity/
-    graph kernels) or structurally bounded by a .limit(k) in the same
-    chained expression (BPE's one-row argmax)."""
+    graph kernels) or with a .limit(k) IN THE SAME CALL CHAIN (checked
+    via ast, so an unrelated .limit( nearby can't mask an unbounded
+    collect)."""
+    import ast
     import pathlib
 
     ops = (
@@ -124,13 +126,30 @@ def test_no_unguarded_full_corpus_collect():
         text = f.read_text()
         if "_count_capped" in text:
             continue
-        for i in range(len(text)):
-            if text.startswith(".collect()", i):
-                window = text[max(0, i - 200) : i]
-                assert ".limit(" in window, (
-                    f"{f}: .collect() at offset {i} without a "
-                    "_count_capped guard or a .limit(k) bound"
-                )
+        for node in ast.walk(ast.parse(text)):
+            if not (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "collect"
+            ):
+                continue
+            cur, bounded = node.func.value, False
+            while True:
+                if isinstance(cur, ast.Call) and isinstance(
+                    cur.func, ast.Attribute
+                ):
+                    if cur.func.attr == "limit":
+                        bounded = True
+                        break
+                    cur = cur.func.value
+                elif isinstance(cur, ast.Attribute):
+                    cur = cur.value
+                else:
+                    break
+            assert bounded, (
+                f"{f}:{node.lineno}: .collect() without a _count_capped "
+                "guard or a .limit(k) in its own call chain"
+            )
 
 
 def test_ivf_pairs_exact_within_clusters(spark):

@@ -133,7 +133,11 @@ def _disjoint_prefix(
     for a, b in ranked:
         if len(out) >= k:
             break
-        if a in used or b in used:
+        # a+b in used: the candidate's MERGED string equals a symbol an
+        # accepted pair reads (or produces) — without this check the
+        # fold could create the string mid-pass and cascade a second
+        # merge onto it in the same round
+        if a in used or b in used or a + b in used:
             continue
         out.append((a, b))
         used.update((a, b, a + b))

@@ -103,22 +103,19 @@ def write_table_jdbc(
 
     Each Spark partition opens one connection and inserts in
     ``batch_size``-row JDBC batches; ``num_partitions`` caps the
-    connection fan-in (a 1000-task write would otherwise open 1000
-    simultaneous connections against one database — coalesce first).
-    ``mode`` follows DataFrameWriter semantics; the default ``append``
-    never drops the remote table, ``overwrite`` does (Spark issues
-    DROP/CREATE unless ``truncate`` is passed via ``options``).
+    connection fan-in via the writer's own option (Spark coalesces
+    before writing when the frame has more partitions) — a 1000-task
+    write would otherwise open 1000 simultaneous connections against
+    one database. ``mode`` follows DataFrameWriter semantics; the
+    default ``append`` never drops the remote table, ``overwrite``
+    does (Spark issues DROP/CREATE unless ``truncate`` is passed via
+    ``options``).
     """
-    out = (
-        df.coalesce(num_partitions)
-        if num_partitions is not None and num_partitions < (
-            df.rdd.getNumPartitions()
-        )
-        else df
-    )
-    w = out.write.format("jdbc").mode(mode)
+    w = df.write.format("jdbc").mode(mode)
     w = w.option("url", url).option("dbtable", table)
     w = w.option("batchsize", str(batch_size))
+    if num_partitions is not None:
+        w = w.option("numPartitions", str(num_partitions))
     if driver is not None:
         w = w.option("driver", driver)
     if user is not None:
