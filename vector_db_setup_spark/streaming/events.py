@@ -469,6 +469,98 @@ def funnel_state_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def attribution_state_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of queries.purchase_attribution: per-user
+    LAST-TOUCH state (campaign of the most recent view/click, with its
+    (ts, event_id) position) maintained across micro-batches with
+    applyInPandasWithState; each purchase emits one attributed row as
+    it is processed.
+
+    Campaign extraction (get_json_object on props) happens JVM-side
+    BEFORE the stateful stage, so the pandas state function only orders
+    and folds. Within a batch, events apply in (ts, event_id) order —
+    the exact total order of the batch window — so single-batch (or
+    in-order) delivery reproduces the batch query row-for-row; a touch
+    arriving in a later batch than a same-or-later purchase cannot
+    retro-attribute it (the same caveat as the funnel twin, asserted
+    in tests).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    prepared = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("campaign"),
+    )
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("campaign", IntegerType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    # latest touch: campaign + its position; campaign -1 = no touch yet
+    state_schema = StructType(
+        [
+            StructField("camp", IntegerType()),
+            StructField("ts_us", LongType()),
+            StructField("eid", LongType()),
+        ]
+    )
+
+    def _update(key, pdfs, state: GroupState):
+        camp, ts_us, eid = state.get if state.exists else (-1, -1, -1)
+        rows = {"user_id": [], "event_id": [], "campaign": [], "value": []}
+        frames = [
+            pdf[["ts", "event_id", "event_type", "value", "campaign"]]
+            for pdf in pdfs
+        ]
+        if frames:
+            allp = pd.concat(frames).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            for ts, ev_id, et, val, cmp_ in zip(
+                allp["ts"],
+                allp["event_id"],
+                allp["event_type"],
+                allp["value"],
+                allp["campaign"],
+            ):
+                us = int(ts.value // 1000)  # pandas ns -> µs
+                if et in ("view", "click"):
+                    # the batch window's last_value(ignore nulls): a
+                    # null campaign on a touch leaves state unchanged
+                    if not pd.isna(cmp_):
+                        camp, ts_us, eid = int(cmp_), us, int(ev_id)
+                elif et == "purchase":
+                    rows["user_id"].append(key[0])
+                    rows["event_id"].append(int(ev_id))
+                    rows["campaign"].append(camp)
+                    rows["value"].append(float(val))
+        state.update((camp, ts_us, eid))
+        yield pd.DataFrame(rows)
+
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def rollup_merge_batch(
     batch_df: DataFrame,
     batch_id: int,
