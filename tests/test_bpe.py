@@ -178,3 +178,19 @@ def test_disjoint_prefix_blocks_merge_string_cascade():
     assert out == [("abc", "d"), ("x", "y")]
     out2 = _disjoint_prefix([("a", "bc"), ("ab", "c")], 2)
     assert out2 == [("a", "bc")]
+
+
+def test_merge_table_persists_and_encodes_identically(spark, wf, tmp_path):
+    """train -> save -> load -> encode must equal encoding with the
+    in-memory table (incl. non-ASCII symbols through the JSON round
+    trip)."""
+    from vector_db_setup_spark.operators.bpe import load_merges, save_merges
+
+    merges = bpe_train(wf, 12) + [("é", "è")]  # force a non-ASCII entry
+    p = str(tmp_path / "merges.json")
+    save_merges(merges, p)
+    assert load_merges(p) == merges
+    docs = load_table(spark, SF_SMOKE, "documents").limit(5)
+    a = [r["bpe_tokens"] for r in bpe_encode(docs, merges).collect()]
+    b = [r["bpe_tokens"] for r in bpe_encode(docs, load_merges(p)).collect()]
+    assert a == b

@@ -241,3 +241,21 @@ def test_corrupt_manifest_raises_not_full_rewrite(spark, tmp_path):
             f.write(b"not parquet")
     with _pytest.raises(Exception):
         land_snapshot(docs, dest, n_shards=4)
+
+
+def test_land_snapshot_schema_add_rewrites_everything_consistently(spark, tmp_path):
+    """v2 adds a column: every shard's checksum changes (the checksum
+    hashes all data columns), so everything rewrites and the landed
+    corpus carries the new column uniformly — no mixed-schema shards."""
+    from vector_db_setup_spark.sources.shards import land_snapshot
+
+    dest = str(tmp_path / "s")
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    land_snapshot(docs, dest, n_shards=4, seed=1)
+    v2 = docs.withColumn("quality", F.length("text") % 100)
+    r = {x["status"] for x in land_snapshot(v2, dest, 4, seed=1).collect()}
+    assert r == {"changed"}
+    back = spark.read.parquet(dest)
+    assert "quality" in back.columns
+    assert back.filter(F.col("quality").isNull()).count() == 0
+    assert all(x["ok"] for x in verify_shards(spark, dest).collect())

@@ -196,6 +196,24 @@ def bpe_train(
     return merges
 
 
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a learned merge table as a JSON artifact (rank order is
+    the list order) — the tokenizer hand-off from the training pipeline
+    to every downstream encoder session."""
+    import json
+
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump([[a, b] for a, b in merges], f, ensure_ascii=False)
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Inverse of `save_merges`."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        return [(a, b) for a, b in json.load(f)]
+
+
 def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
     """Merged-symbol vocabulary in learned order (the subword units a
     trainer adds on top of the character alphabet)."""
