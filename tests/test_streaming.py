@@ -907,14 +907,7 @@ def test_attribution_stream_equals_batch_query(spark):
     )
 
     stream = attribution_state_stream(stream_events(spark, SF_SMOKE))
-    (
-        stream.writeStream.format("memory")
-        .queryName("t_attr")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    run_to_memory(stream, "t_attr", mode="append")
     got = {
         (r["campaign"], r["n_purchases"], r["attributed_revenue"])
         for r in spark.table("t_attr")
@@ -945,17 +938,93 @@ def test_attribution_stream_per_purchase_rows(spark):
     )
 
     stream = attribution_state_stream(stream_events(spark, SF_SMOKE))
-    (
-        stream.writeStream.format("memory")
-        .queryName("t_attr2")
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    run_to_memory(stream, "t_attr2", mode="append")
     out = spark.table("t_attr2")
     ev = load_table(spark, SF_SMOKE, "events")
     n_purch = ev.filter("event_type = 'purchase'").count()
     assert out.count() == n_purch
     assert out.select("event_id").distinct().count() == n_purch
-    assert out.filter("campaign = -1").count() >= 0  # schema path exercised
+    # no-prior-touch purchases must land in -1, and the count must
+    # equal the batch recompute (purchases preceding every touch)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.get_json_object("props", "$.k").cast("int"),
+    )
+    want_untouched = (
+        ev.select(
+            "event_type",
+            F.last(touch, ignorenulls=True).over(w).alias("c"),
+        )
+        .filter("event_type = 'purchase' AND c IS NULL")
+        .count()
+    )
+    assert out.filter("campaign = -1").count() == want_untouched
+
+
+def test_attribution_stream_ignores_late_out_of_order_touch(spark, tmp_path):
+    """A touch arriving in a LATER micro-batch with an OLDER event-time
+    position must not overwrite the stored newer touch (review-found:
+    the state's position slots exist exactly for this guard)."""
+    import datetime as dt
+
+    from vector_db_setup_spark.streaming.events import (
+        attribution_state_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev_rows(*rows):
+        return spark.createDataFrame(
+            [
+                (eid, t0 + dt.timedelta(seconds=s), 1, et, val, props)
+                for (eid, s, et, val, props) in rows
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    src, out, ckpt = (
+        str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    # batch 1: click@100s campaign 7
+    ev_rows((1, 100, "click", 0.0, '{"k": 7}')).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_available():
+        stream = attribution_state_stream(
+            spark.readStream.schema(schema).option(
+                "maxFilesPerTrigger", 1
+            ).parquet(src)
+        )
+        (
+            stream.writeStream.foreachBatch(
+                lambda b, _: b.write.mode("append").parquet(out)
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    run_available()
+    # batch 2: LATE click@50s campaign 3 (older position); batch 3:
+    # purchase@150s — must credit campaign 7, not 3
+    ev_rows((2, 50, "click", 0.0, '{"k": 3}')).write.mode(
+        "append"
+    ).parquet(src)
+    ev_rows((3, 150, "purchase", 10.0, "{}")).write.mode(
+        "append"
+    ).parquet(src)
+    run_available()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert rows[0]["campaign"] == 7 and rows[0]["value"] == 10.0

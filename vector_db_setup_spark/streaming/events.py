@@ -521,15 +521,25 @@ def attribution_state_stream(events: DataFrame) -> DataFrame:
     )
 
     def _update(key, pdfs, state: GroupState):
-        camp, ts_us, eid = state.get if state.exists else (-1, -1, -1)
+        # empty-state sentinel position = long-min: strictly older than
+        # ANY event position, including a null-ts touch (NaT-derived µs
+        # is INT64_MIN//1000, still above long-min) — so the first real
+        # touch always installs
+        camp, ts_us, eid = (
+            state.get if state.exists else (-1, -(2**63), -(2**63))
+        )
         rows = {"user_id": [], "event_id": [], "campaign": [], "value": []}
         frames = [
             pdf[["ts", "event_id", "event_type", "value", "campaign"]]
             for pdf in pdfs
         ]
         if frames:
+            # nulls-first ts ordering matches the batch window's ORDER
+            # BY ts ASC (Spark sorts nulls first); NaT.value is
+            # INT64_MIN, so the derived µs position stays consistent
+            # with that order
             allp = pd.concat(frames).sort_values(
-                ["ts", "event_id"], kind="mergesort"
+                ["ts", "event_id"], kind="mergesort", na_position="first"
             )
             for ts, ev_id, et, val, cmp_ in zip(
                 allp["ts"],
@@ -541,14 +551,22 @@ def attribution_state_stream(events: DataFrame) -> DataFrame:
                 us = int(ts.value // 1000)  # pandas ns -> µs
                 if et in ("view", "click"):
                     # the batch window's last_value(ignore nulls): a
-                    # null campaign on a touch leaves state unchanged
-                    if not pd.isna(cmp_):
+                    # null campaign on a touch leaves state unchanged;
+                    # and a LATE touch (position older than the stored
+                    # one) must not overwrite a newer stored touch —
+                    # that's what the state's position slots are for
+                    if not pd.isna(cmp_) and (us, int(ev_id)) > (
+                        ts_us,
+                        eid,
+                    ):
                         camp, ts_us, eid = int(cmp_), us, int(ev_id)
                 elif et == "purchase":
                     rows["user_id"].append(key[0])
                     rows["event_id"].append(int(ev_id))
                     rows["campaign"].append(camp)
-                    rows["value"].append(float(val))
+                    rows["value"].append(
+                        None if pd.isna(val) else float(val)
+                    )
         state.update((camp, ts_us, eid))
         yield pd.DataFrame(rows)
 
