@@ -592,3 +592,44 @@ def test_leakage_safe_split_no_edge_straddles(spark):
     # and both splits are actually populated at this sf
     splits = {r["split"] for r in assigned.select("split").distinct().collect()}
     assert splits == {"train", "eval"}
+
+
+def test_shingle_hashes_equals_shared_scan_lineage(spark):
+    """The standalone shingle_hashes and the shared-scan
+    token_stream+shingle_stream path duplicate the 20-bit pack
+    expressions BY DESIGN (shared-scan pipelines rely on the filtered
+    equivalence); this locks the two copies together so an edit to one
+    breaks loudly."""
+    from tests.conftest import SF_SMOKE
+    from vector_db_setup_spark.sources.registry import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(40)
+    a = {
+        (r["doc_id"], r["s"])
+        for r in dd.shingle_hashes(d, shingle_n=3).collect()
+    }
+    ts = dd.shingle_stream(dd.token_stream(d), ns=(3,))
+    b = {
+        (r["doc_id"], r["s3"])
+        for r in ts.filter(F.col("s3").isNotNull()).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_shingle_and_band_parameter_guards(spark):
+    """Misconfigurations must raise, not silently produce zero or
+    wrapped results: shingle_n > 3 overflows the 60-bit packing;
+    bands not dividing num_hashes empties or skews the banding."""
+    import pytest as _pytest
+
+    from tests.conftest import SF_SMOKE
+    from vector_db_setup_spark.sources.registry import load_table
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(5)
+    with _pytest.raises(ValueError, match="shingle_n"):
+        dd.shingle_hashes(d, shingle_n=4)
+    sigs = dd.minhash_signature_array(d)
+    with _pytest.raises(ValueError, match="bands"):
+        dd.band_keys_from_sigs(sigs, bands=16, num_hashes=8)
+    with _pytest.raises(ValueError, match="bands"):
+        dd.band_keys_from_sigs(sigs, bands=3, num_hashes=8)

@@ -291,3 +291,70 @@ def test_cosine_bucket_occupancy_cap_drops_only_hot_bucket(spark):
         p for p in uncapped if occ[assign[p[0]]] <= 25
     }  # pair's bucket = both members' bucket (same-bucket pairs only)
     assert capped == expected_capped
+
+
+def test_batch_knn_blocked_keeps_boundary_ties(spark):
+    """Duplicate corpus vectors tied at the k-th distance: the blocked
+    kernel must keep ALL boundary ties per chunk so the global
+    (dist, id) rank picks the smallest ids — result-equal to the
+    pure-DataFrame batch_knn_join contract."""
+    import numpy as np
+
+    from vector_db_setup_spark.operators.knn import batch_knn_join
+    from vector_db_setup_spark.operators.similarity import batch_knn_blocked
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal(8).tolist()
+    # ids 0..9 all share ONE vector (all tied at any distance);
+    # ids 10..19 are distinct
+    rows = [(i, base) for i in range(10)] + [
+        (i, rng.standard_normal(8).tolist()) for i in range(10, 20)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100, rng.standard_normal(8).tolist()), (101, base)],
+        "query_id long, qvec array<double>",
+    )
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in batch_knn_blocked(
+            queries, corpus, k=5, query_vec_col="qvec"
+        ).collect()
+    }
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in batch_knn_join(
+            queries,
+            corpus,
+            query_vec_col="qvec",
+            corpus_vec_col="embedding",
+            k=5,
+            metric="l2",
+            corpus_id_col="vec_id",
+        ).collect()
+    }
+    assert got == want
+    # the tied block resolves to the 5 SMALLEST ids for the base query
+    assert {v for q, v in got if q == 101} == {0, 1, 2, 3, 4}
+
+
+def test_blocked_kernels_handle_empty_inputs(spark):
+    from vector_db_setup_spark.operators.similarity import (
+        batch_knn_blocked,
+        cosine_topk_pairs_blocked,
+    )
+
+    empty_vec = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    empty_q = spark.createDataFrame(
+        [], "query_id long, qvec array<double>"
+    )
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    assert batch_knn_blocked(
+        empty_q, corpus, k=3, query_vec_col="qvec"
+    ).count() == 0
+    assert cosine_topk_pairs_blocked(empty_vec, k=3).count() == 0

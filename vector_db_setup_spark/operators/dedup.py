@@ -65,6 +65,13 @@ def shingle_hashes(
     window shuffles once on id_col — and downstream per-doc groupBys
     reuse that partitioning, so it's the pipeline's only shuffle.
     """
+    if not 1 <= shingle_n <= 3:
+        # the packing is 3 x 20-bit into a signed 64-bit long; a 4th
+        # token's t * 2^60 term silently wraps in Spark (and errors in
+        # DuckDB), breaking injectivity AND cross-engine parity
+        raise ValueError(
+            f"shingle_n={shingle_n}: the 20-bit packing supports 1..3"
+        )
     tok = df.select(F.col(id_col), F.posexplode(tokens(text_col)).alias("pos", "w"))
     th = tok.select(
         id_col,
@@ -129,8 +136,12 @@ def shingle_stream(
 def exact_dedup(
     df: DataFrame, key_cols: list[str], id_col: str
 ) -> DataFrame:
-    """Keep the lowest-id row per duplicate-key group (hash-groupBy
-    dedup). One shuffle on the key; min() is map-side combined."""
+    """Duplicate-group SUMMARY by key: one row per distinct key with
+    the group's lowest id (`keeper_id`) and its size — NOT a
+    deduplicated copy of ``df`` (no other columns survive the
+    aggregate; semi-join the keepers back for that, as
+    examples/run_training_pipeline.py does). One shuffle on the key;
+    min() is map-side combined."""
     return df.groupBy(*key_cols).agg(
         F.min(id_col).alias("keeper_id"),
         F.count(F.lit(1)).alias("group_size"),
@@ -269,6 +280,13 @@ def band_keys_from_sigs(
     """(id, band, band_key) from a PRECOMPUTED (id, sig) signature array
     (see `minhash_sigs_from_shingles`) — lets a shared-scan pipeline band
     without re-deriving signatures from text."""
+    if bands < 1 or num_hashes % bands != 0:
+        # bands > num_hashes would make every band slice empty (zero
+        # candidates, silently); a non-divisor would silently ignore
+        # the trailing hashes and change the collision probability
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes}"
+        )
     rpb = num_hashes // bands
     band_structs = F.array(
         *[
@@ -544,9 +562,11 @@ def simhash(
     """32-bit SimHash over distinct tokens.
 
     Each token's md5's first 8 hex chars supply 32 feature bits; each bit
-    votes ±1; the signature bit is 1 where the vote is positive. Bit
-    extraction goes through a hex-char lookup (strpos) so the identical
-    computation runs in the DuckDB oracle (no engine-native hash/conv).
+    votes ±1; the signature bit is 1 where the vote is positive. The hex
+    value is decoded Spark-side with conv(hex8, 16, 10); the DuckDB
+    oracle mirrors it as ('0x' || hex8)::BIGINT — both decode the SAME
+    md5 substring, which is what makes the votes engine-identical (the
+    md5 is the portable part, the hex decode is per-engine syntax).
     """
     assert bits <= 32
     toks = df.select(
@@ -674,12 +694,21 @@ def embedding_similar_pairs(
     At scale, never run this raw: restrict to ANN buckets
     (operators/ann.py ivf_assign / lsh bucketing) so the pairwise work is
     per-bucket. The exact form remains the verifier inside each bucket.
+
+    Zero-vector convention: a pair touching an all-zero vector scores
+    cosine 0.0 (coalesced), matching the GEMM kernels' normalize-by-1
+    convention (operators/similarity._normalize) — without the coalesce
+    the expression form yields NULL and the two "equivalent" paths
+    disagree on exactly the rows a verifier compares.
     """
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("v_a"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("v_b"))
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     out = pairs.withColumn(
-        "cosine", cosine_similarity(F.col("v_a"), F.col("v_b"))
+        "cosine",
+        F.coalesce(
+            cosine_similarity(F.col("v_a"), F.col("v_b")), F.lit(0.0)
+        ),
     ).select("id_a", "id_b", "cosine")
     if min_cosine is not None:
         out = out.filter(F.col("cosine") >= min_cosine)

@@ -428,6 +428,10 @@ def cosine_topk_pairs_blocked(
             "use cosine_topk_pairs_grid / cosine_pairs_bucketed"
         )
     rows = emb.select(id_col, vec_col).collect()
+    if not rows:  # empty corpus -> empty pair set, not an AxisError
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cosine double"
+        )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     nmat = _normalize(np.array([r[1] for r in rows], dtype=np.float64))
     srt = np.argsort(ids)  # id-sorted so "j > i" = "col index > global row"
@@ -484,8 +488,6 @@ def batch_knn_blocked(
     guarded: past ``max_query_rows`` the operator either falls back to
     the pure-DataFrame ``batch_knn_join`` (on_oversize="fallback") or
     raises (on_oversize="error") instead of OOMing the driver."""
-    from pyspark.sql import Window
-
     spark = corpus.sparkSession
     nq = _count_capped(queries, max_query_rows)
     if nq > max_query_rows:
@@ -511,6 +513,11 @@ def batch_knn_blocked(
             f"query side exceeds max_query_rows={max_query_rows}"
         )
     qrows = queries.select(query_id_col, query_vec_col).collect()
+    spark_schema = (
+        f"query_id long, {id_col} long, dist double"
+    )
+    if not qrows:  # 0 queries -> 0 neighbors, not an executor crash
+        return spark.createDataFrame([], spark_schema)
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
     b_qids = spark.sparkContext.broadcast(q_ids)
@@ -538,9 +545,17 @@ def batch_knn_blocked(
             out_q, out_id, out_d = [], [], []
             for j in range(len(qi)):
                 col = d2[:, j]
-                top = (
-                    np.argpartition(col, k)[:k] if len(col) > k else np.arange(len(col))
-                )
+                if len(col) > k:
+                    # keep EVERY candidate tied with the k-th distance
+                    # (argpartition alone cuts ties arbitrarily; the
+                    # global (dist, id) window then ranks a survivor
+                    # set that may have dropped the smaller-id tie —
+                    # same boundary rule as _topk_pairs above, so this
+                    # path stays result-equivalent with batch_knn_join)
+                    kth = np.partition(col, k - 1)[k - 1]
+                    top = np.nonzero(col <= kth)[0]
+                else:
+                    top = np.arange(len(col))
                 out_q.extend([qi[j]] * len(top))
                 out_id.extend(ids[top])
                 out_d.extend(np.sqrt(col[top]))
