@@ -57,6 +57,11 @@ def ivf_assign(
 
     Centroids ship as a literal array-of-arrays (k×d doubles — tiny);
     the argmin is a native expression, so assignment is a pure map stage.
+
+    A NULL embedding gets a NULL cluster_id and is therefore excluded
+    from every probe (isin / equi-join drop null keys) — validate
+    not_null upstream (operators/validate) if unsearchable rows must
+    be an error rather than absent.
     """
     cents = F.array(*[vector_literal(c) for c in centroids])
     dists = F.transform(cents, lambda c: l2_distance_sq(F.col(vec_col), c))
@@ -83,14 +88,32 @@ def ivf_search(
     metric: str = "l2",
     id_col: str | None = "vec_id",
 ) -> DataFrame:
-    """Probe the nprobe nearest centroids, exact top-k within them.
+    """Probe the nprobe best centroids FOR THE REQUESTED METRIC, exact
+    top-k within them.
 
     The cluster_id filter is a pushable predicate: over an `ivf_write`
     layout it prunes partitions before any IO.
+
+    Probe routing follows `metric`: L2 by squared distance, cosine by
+    centroid cosine, dot by centroid inner product (the standard
+    cluster-MIPS heuristic — centroids average away member norms, so
+    dot recall is softer than L2/cosine; raise nprobe accordingly).
+    Routing probes by L2 regardless of metric — the pre-review behavior
+    — silently searched the wrong clusters for cosine/dot queries.
     """
     q = np.asarray(query_vec, dtype=np.float64)
-    d2 = ((centroids - q) ** 2).sum(axis=1)
-    probe = [int(i) for i in np.argsort(d2)[:nprobe]]
+    if metric == "l2":
+        score = -(((centroids - q) ** 2).sum(axis=1))  # higher = better
+    elif metric == "cosine":
+        cn = np.linalg.norm(centroids, axis=1)
+        cn[cn == 0.0] = 1.0
+        qn = np.linalg.norm(q) or 1.0
+        score = (centroids @ q) / (cn * qn)
+    elif metric == "dot":
+        score = centroids @ q
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+    probe = [int(i) for i in np.argsort(-score)[:nprobe]]
     cand = assigned.filter(F.col("cluster_id").isin(probe))
     return knn_topk(cand, vec_col, list(q), k=k, metric=metric, id_col=id_col)
 

@@ -27,6 +27,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class NonConvergenceError(RuntimeError):
+    """The iterative closure hit its round budget without converging —
+    a dedicated type so connected_components_auto's star-fallback
+    catches ONLY this signal, not arbitrary RuntimeErrors from a broken
+    environment (which must propagate)."""
+
+
 def _count_capped(df: DataFrame, cap: int) -> int:
     """Row count that stops once cap is exceeded (limit pushdown) — the
     size guard every driver-side collect in operators/ must sit behind
@@ -96,7 +103,7 @@ def connected_components(
             if changed >= 0
             else "no iteration ran (max_iter <= 0) on a non-empty edge set"
         )
-        raise RuntimeError(
+        raise NonConvergenceError(
             f"connected_components did not converge in {max_iter} "
             f"iterations ({detail}) — the graph "
             "diameter exceeds max_iter; raise it, or use "
@@ -149,6 +156,10 @@ def connected_components_auto(
     e = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .filter(F.col("a") != F.col("b"))
+        # distinct BEFORE the driver-path cap: multi-band LSH stages
+        # emit the same pair many times, and raw row count would push a
+        # small graph onto the iterative distributed path
+        .distinct()
         .localCheckpoint(eager=True)
     )
     if (
@@ -197,7 +208,7 @@ def connected_components_auto(
     src2, dst2 = "a", "b"
     try:
         return connected_components(nodes, e, id_col, src2, dst2, max_iter)
-    except RuntimeError:
+    except NonConvergenceError:
         return connected_components_star(
             nodes, e, id_col, src2, dst2, star_max_iter
         )
@@ -273,7 +284,7 @@ def connected_components_star(
         )
         e = new_e
     if not converged:
-        raise RuntimeError(
+        raise NonConvergenceError(
             f"connected_components_star did not converge in {max_iter} rounds"
         )
     roots = e.groupBy("hi").agg(F.min("lo").alias("component"))

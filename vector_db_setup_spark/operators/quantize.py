@@ -38,6 +38,10 @@ __all__ = [
     "quantize",
     "dequantize_expr",
     "attach_quantizer",
+    "pq_train",
+    "pq_encode",
+    "pq_adc_distance_expr",
+    "pq_search",
 ]
 
 
@@ -49,7 +53,10 @@ def fit_scalar_quantizer(
     scan — partial aggregation map-side, a single-row shuffle. `dim`
     defaults to the first row's length (one cheap lookup)."""
     if dim is None:
-        dim = len(emb.select(vec_col).first()[0])
+        first = emb.select(vec_col).first()
+        if first is None:
+            raise ValueError("cannot fit a quantizer on an empty corpus")
+        dim = len(first[0])
     lo = [F.min(F.col(vec_col)[i].cast("double")) for i in range(dim)]
     hi = [F.max(F.col(vec_col)[i].cast("double")) for i in range(dim)]
     return emb.agg(
@@ -71,16 +78,20 @@ def quantize(
     """Append int codes (ARRAY<INT> in [0,255]) for `vec_col`, using the
     attached lo/hi columns. Degenerate dims (hi == lo) encode as 0 and
     decode back to lo exactly."""
+    # sequence(0, -1) in Spark steps DOWNWARD ([0, -1]), so an empty
+    # vector must short-circuit to an empty code array, not two nulls
     return df.withColumn(
         out_col,
         F.expr(
             f"""
-            transform(sequence(0, size({vec_col}) - 1), i ->
+            CASE WHEN size({vec_col}) = 0 THEN CAST(array() AS ARRAY<INT>)
+            ELSE transform(sequence(0, size({vec_col}) - 1), i ->
                 CASE WHEN hi[i] = lo[i] THEN 0
                      ELSE least(255, greatest(0,
                           CAST(round(255.0D * (CAST({vec_col}[i] AS DOUBLE) - lo[i])
                                      / (hi[i] - lo[i])) AS INT)))
                 END)
+            END
             """
         ),
     )
@@ -90,8 +101,10 @@ def dequantize_expr(codes_col: str = "codes"):
     """Column expression: decoded ARRAY<DOUBLE> from codes + lo/hi."""
     return F.expr(
         f"""
-        transform(sequence(0, size({codes_col}) - 1), i ->
+        CASE WHEN size({codes_col}) = 0 THEN CAST(array() AS ARRAY<DOUBLE>)
+        ELSE transform(sequence(0, size({codes_col}) - 1), i ->
             lo[i] + CAST({codes_col}[i] AS DOUBLE) * (hi[i] - lo[i]) / 255.0D)
+        END
         """
     )
 
@@ -125,18 +138,27 @@ def pq_train(
 
     from vector_db_setup_spark.operators.ann import kmeans_centroids
 
-    dim = len(emb.select(vec_col).first()[0])
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    dim = len(first[0])
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
     books = []
-    for j in range(m):
-        sub = emb.select(
-            F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("embedding")
-        )
-        books.append(
-            kmeans_centroids(sub, k=ksub, seed=seed + j, max_iter=max_iter)
-        )
+    # persist for the duration of training: m KMeans fits (plus their
+    # iterations) would otherwise each re-scan the source
+    emb = emb.persist()
+    try:
+        for j in range(m):
+            sub = emb.select(
+                F.slice(F.col(vec_col), j * dsub + 1, dsub).alias("embedding")
+            )
+            books.append(
+                kmeans_centroids(sub, k=ksub, seed=seed + j, max_iter=max_iter)
+            )
+    finally:
+        emb.unpersist()
     return np.stack(books)
 
 
