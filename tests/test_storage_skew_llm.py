@@ -136,7 +136,7 @@ def test_upsert_partitions_preserves_others(spark, tmp_path):
     }
     assert got == {(1, "d1", 10.0), (2, "d1", 20.0), (3, "d2", 99.0), (4, "d3", 40.0)}
     # config restored
-    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "static"
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower() == "static"  # session conf untouched: the write uses a per-writer option
 
 
 def test_upsert_partitions_idempotent_replay(spark, tmp_path):

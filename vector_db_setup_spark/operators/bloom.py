@@ -113,11 +113,25 @@ def bloom_probe(
     negatives). Probe cost: k rows per input row joined against the
     word table (broadcast when it fits, keyed shuffle when it does
     not), then one groupBy back over the input's own columns."""
+    reserved = {"_pos", "_i", "_idx", "_mask", "_hit", "_widx",
+                "_word", "__bloom_rid"}
+    clash = reserved & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_probe reserves column names {sorted(clash)}; "
+            "rename them on the input first"
+        )
     wt = words.select(F.col("idx").alias("_widx"), F.col("word").alias("_word"))
     if broadcast:
         wt = F.broadcast(wt)
+    # per-row id BEFORE the explode: the regroup keys on it, so (a)
+    # duplicate input rows stay distinct rows in the output and (b)
+    # non-groupable columns (maps) ride through first() untouched —
+    # grouping on df.columns (the previous shape) collapsed duplicates
+    # and rejected map columns outright. One lineage, no self-join.
+    base = df.withColumn("__bloom_rid", F.monotonically_increasing_id())
     probed = (
-        _positions(df, item_col, num_bits, k)
+        _positions(base, item_col, num_bits, k)
         .withColumn("_idx", F.shiftright("_pos", 6))
         .withColumn(
             "_mask",
@@ -130,15 +144,13 @@ def bloom_probe(
             & (F.col("_word").bitwiseAND(F.col("_mask")) != 0),
         )
     )
-    group_cols = [c for c in df.columns]
     return (
-        probed.groupBy(*group_cols)
-        # == count(*) rather than == k: duplicate input rows collapse
-        # into one group whose probes are k identical-hit copies each,
-        # and the equality must still mean "every probe hit".
+        probed.groupBy("__bloom_rid")
         .agg(
-            (
-                F.sum(F.col("_hit").cast("long")) == F.count(F.lit(1))
-            ).alias(out_col)
+            *[F.first(c).alias(c) for c in df.columns],
+            (F.sum(F.col("_hit").cast("long")) == F.count(F.lit(1))).alias(
+                out_col
+            ),
         )
+        .drop("__bloom_rid")
     )

@@ -62,8 +62,11 @@ def zorder_key(
     expression (2·bits shift/mask terms), no UDF."""
     from pyspark.sql import functions as F
 
-    a = col_a if not isinstance(col_a, str) else F.col(col_a)
-    b = col_b if not isinstance(col_b, str) else F.col(col_b)
+    # long arithmetic throughout: with int inputs, shiftleft at bit 31
+    # wraps to -2^31 and corrupts the ordering for large second-key
+    # values
+    a = (col_a if not isinstance(col_a, str) else F.col(col_a)).cast("long")
+    b = (col_b if not isinstance(col_b, str) else F.col(col_b)).cast("long")
     z = F.lit(0).cast("long")
     for i in range(bits):
         z = (
@@ -80,12 +83,23 @@ def scale_to_bits(col, lo, hi, bits: int = 16):
     from pyspark.sql import functions as F
 
     c = col if not isinstance(col, str) else F.col(col)
+    import math
+
+    if lo is None or hi is None or (
+        isinstance(lo, float) and math.isnan(lo)
+    ) or (isinstance(hi, float) and math.isnan(hi)):
+        # empty input or NaN bounds: no meaningful scaling exists;
+        # constant 0 keeps the write valid (and empty inputs write
+        # an empty dataset instead of raising)
+        return F.lit(0).cast("long")
     span = float(hi - lo) if hi > lo else 1.0
-    scaled = ((c - F.lit(lo)) / F.lit(span)) * F.lit((1 << bits) - 1)
-    return F.least(
-        F.greatest(scaled.cast("long"), F.lit(0)),
-        F.lit((1 << bits) - 1),
+    # clamp BEFORE the cast: an out-of-range double -> long cast is a
+    # runtime error under ANSI mode (Spark 4 default here)
+    scaled = ((c - F.lit(lo)) / F.lit(span)) * F.lit(float((1 << bits) - 1))
+    clamped = F.least(
+        F.greatest(scaled, F.lit(0.0)), F.lit(float((1 << bits) - 1))
     )
+    return F.coalesce(clamped.cast("long"), F.lit(0))
 
 
 def write_zordered(

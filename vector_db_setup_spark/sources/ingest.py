@@ -61,15 +61,18 @@ def upsert_partitions(
     (the default) would drop every other partition — the config flip is
     scoped to this write and restored afterwards.
     """
-    spark = df.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try:
-        out = df.repartition(repartition) if repartition else df
-        out.write.mode("overwrite").partitionBy(*partition_by).parquet(dest_path)
-    finally:
-        spark.conf.set(key, prev)
+    out = df.repartition(repartition) if repartition else df
+    (
+        out.write.mode("overwrite")
+        # per-WRITER option, not the session conf: flipping the session
+        # conf raced concurrent writers on the same SparkSession (one
+        # thread's finally-restore could land mid-resolution of another
+        # thread's write, turning it into a static overwrite that drops
+        # every other partition)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(dest_path)
+    )
 
 
 def compact_parquet(
@@ -87,7 +90,10 @@ def compact_parquet(
     100 TB the file count — not the byte count — kills scan planning
     (driver-side listing + one task per tiny file). Compaction is the
     standard maintenance pass: size from the actual footprint, one
-    coalesce-write, swap. Returns the file count written.
+    coalesce-write, swap. Returns the ACTUAL parquet file count on disk
+    after the rewrite (with partition_by, coalesce(n) bounds files PER
+    TASK, not per partition value — the count reports what really
+    landed).
 
     LOCAL-FILESYSTEM ONLY: sizing walks the directory with ``os`` and the
     swap uses ``shutil`` renames — on an object store or HDFS use the
@@ -122,10 +128,24 @@ def compact_parquet(
     import shutil
 
     back = path.rstrip("/") + "__compact_old"
+    if os.path.exists(back):
+        # never nest the live dir into a stale backup (shutil.move
+        # into an existing dir NESTS) or silently delete a backup a
+        # previous keep_backup=True run asked to keep
+        raise FileExistsError(
+            f"{back} already exists — verify/remove the previous "
+            "compaction backup before re-compacting"
+        )
     shutil.move(path, back)
     shutil.move(tmp, path)
-    # verify the swapped-in data before dropping the only remaining copy
-    spark.read.parquet(path).schema
+    # verify the swapped-in data before dropping the only remaining
+    # copy: a full count() actually reads every footer + row group
+    # (schema resolution alone touched one footer and missed truncated
+    # part files)
+    spark.read.parquet(path).count()
     if not keep_backup:
         shutil.rmtree(back)
-    return int(n_out)
+    written = 0
+    for root, _dirs, fnames in os.walk(path):
+        written += sum(1 for f in fnames if f.endswith(".parquet"))
+    return written

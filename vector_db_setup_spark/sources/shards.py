@@ -203,18 +203,15 @@ def land_snapshot(
             ]
             removed = [sid for sid, s in rows if s == "removed"]
             if dirty:
-                key = "spark.sql.sources.partitionOverwriteMode"
-                prev = spark.conf.get(key, "static")
-                spark.conf.set(key, "dynamic")
-                try:
-                    (
-                        assigned.filter(F.col("shard_id").isin(dirty))
-                        .write.mode("overwrite")
-                        .partitionBy("shard_id")
-                        .parquet(dest_path)
-                    )
-                finally:
-                    spark.conf.set(key, prev)
+                (
+                    assigned.filter(F.col("shard_id").isin(dirty))
+                    .write.mode("overwrite")
+                    # per-WRITER option (not the session conf, which
+                    # races concurrent writers on one SparkSession)
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("shard_id")
+                    .parquet(dest_path)
+                )
             if removed:
                 import shutil
 
