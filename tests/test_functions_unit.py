@@ -134,7 +134,7 @@ def test_range_join_window_edges(spark):
         [(1, 989.9), (1, 990.0), (1, 999.9), (1, 1000.0), (1, 500.0)],
         "k long, t double",
     ).select("k", F.timestamp_seconds("t").alias("rt"))
-    got = range_join(left, right, "k", "t", "rt", 10, "lid").collect()
+    got = range_join(left, right, "k", "t", "rt", 10).collect()
     # [t-10, t): 990.0 and 999.9 in; 989.9 below, 1000.0 (== t) excluded
     vals = sorted(r["rt"].timestamp() for r in got)
     assert vals == [990.0, 999.9]

@@ -107,7 +107,7 @@ def test_range_join_matches_bruteforce(spark, lefts, rights, delta):
 
     got = sorted(
         (r["lid"], r["rid"])
-        for r in range_join(left, right, "k", "t", "rt", delta, "lid").collect()
+        for r in range_join(left, right, "k", "t", "rt", delta).collect()
     )
     want = sorted(
         (i, j)

@@ -87,12 +87,20 @@ def cosine_distance(a: Column | str, b: Column | str) -> Column:
 
 
 def random_vector(dim: int, seed: int = 42) -> Column:
-    """Deterministic pseudo-random query vector (reference:
-    test_connection.py:86 uses ``np.random.rand(768)``).
+    """ONE deterministic pseudo-random query vector as a literal
+    (reference: test_connection.py:86 draws a single np.random.rand(768)
+    and ranks all rows against it).
 
-    Seeded `F.rand` keeps it reproducible across runs and executors.
+    Drawn driver-side with a seeded numpy RNG and shipped as a literal
+    array — the previous per-row ``F.rand`` form drew a DIFFERENT
+    vector for every row (F.rand is per-row and per-partition-seeded),
+    which made "nearest to the random query" meaningless and
+    partitioning-dependent.
     """
-    return F.array(*[F.rand(seed + i) for i in range(dim)]).cast("array<double>")
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return vector_literal(rng.random(dim).tolist())
 
 
 def pandas_l2_udf():
@@ -107,9 +115,24 @@ def pandas_l2_udf():
 
     @pandas_udf("double")
     def _l2(a: pd.Series, b: pd.Series) -> pd.Series:
-        am = np.stack(a.to_numpy())
-        bm = np.stack(b.to_numpy())
-        return pd.Series(np.sqrt(((am - bm) ** 2).sum(axis=1)))
+        # null-safe like knn._pandas_l2_to_query: a NULL or
+        # width-mismatched vector must yield a null distance, not kill
+        # the whole Arrow batch in np.stack
+        av, bv = a.to_numpy(), b.to_numpy()
+        out = np.full(len(av), np.nan)
+        ok = [
+            i
+            for i in range(len(av))
+            if av[i] is not None
+            and bv[i] is not None
+            and len(av[i]) == len(bv[i])
+        ]
+        if ok:
+            am = np.stack([np.asarray(av[i], dtype=np.float64) for i in ok])
+            bm = np.stack([np.asarray(bv[i], dtype=np.float64) for i in ok])
+            out[ok] = np.sqrt(((am - bm) ** 2).sum(axis=1))
+        s = pd.Series(out)
+        return s.where(~np.isnan(out), None)
 
     return _l2
 

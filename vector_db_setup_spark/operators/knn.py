@@ -94,7 +94,11 @@ def knn_topk(
     ``use_arrow_kernel=False`` or round the distance before the k-cut
     (and always pass ``id_col``).
     """
-    order = [F.col(dist_col).asc()]
+    # nulls LAST: a NULL/wrong-width vector yields a NULL distance,
+    # and Spark's default asc() is NULLS FIRST — which would rank every
+    # malformed row AHEAD of all real neighbors and fill the top-k.
+    # DuckDB's ASC is nulls-last, so this is also the oracle's order.
+    order = [F.col(dist_col).asc_nulls_last()]
     if id_col is not None:
         order.append(F.col(id_col).asc())
     wide = (
@@ -102,6 +106,12 @@ def knn_topk(
         if use_arrow_kernel is not None
         else len(query_vec) >= WIDE_DIM
     )
+    if use_arrow_kernel and metric != "l2":
+        raise ValueError(
+            f"use_arrow_kernel=True is only implemented for metric='l2' "
+            f"(got {metric!r}); the native expression is the only "
+            "cosine/dot path"
+        )
     if metric == "l2" and wide:
         dist = _pandas_l2_to_query(query_vec)(F.col(vec_col))
     else:
@@ -173,6 +183,13 @@ def batch_knn_join(
     the corpus id — required for result-equivalence with the GEMM path
     (``similarity.batch_knn_blocked``), which always tie-breaks on id.
     """
+    clash = {query_id_col, "__qvec"} & set(corpus.columns)
+    if clash:
+        raise ValueError(
+            f"corpus already has column(s) {sorted(clash)}; rename them "
+            "or pass a different query_id_col (the crossJoin would make "
+            "the window partition key ambiguous)"
+        )
     q = queries.select(
         F.col(query_id_col),
         F.col(query_vec_col).alias("__qvec"),
@@ -181,7 +198,9 @@ def batch_knn_join(
     scored = pairs.withColumn(
         dist_col, distance_expr(metric, F.col(corpus_vec_col), F.col("__qvec"))
     ).drop("__qvec")
-    order = [F.col(dist_col).asc()]
+    # nulls LAST (same reasoning as knn_topk): a malformed corpus row's
+    # NULL distance must not occupy rank 1 in EVERY query's window
+    order = [F.col(dist_col).asc_nulls_last()]
     if corpus_id_col is not None:
         order.append(F.col(corpus_id_col).asc())
     w = Window.partitionBy(query_id_col).orderBy(*order)

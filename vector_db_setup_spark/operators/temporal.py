@@ -83,21 +83,29 @@ def range_join(
     left_time: str,
     right_time: str,
     delta_seconds: int,
-    left_id: str,
 ) -> DataFrame:
     """Inner range join: pairs (left, right) with the same key and
     right_time in [left_time - delta, left_time).
 
     Bucketing: bucket width == delta, left probes buckets {b-1, b} —
     covers the full range window with exactly 2 equi-join probes.
+
+    Same-named time columns are supported (like `asof_join`): the two
+    times are compared through internal __lt/__rt aliases, so
+    range_join(l, r, 'k', 'ts', 'ts', 60) resolves unambiguously; any
+    OTHER shared column name still duplicates in the output (standard
+    join behavior) — project/rename first if that matters.
     """
     b_r = F.floor(F.col(right_time).cast("double") / delta_seconds)
-    r2 = right.withColumn("__b", b_r.cast("long"))
+    r2 = right.withColumn("__rt", F.col(right_time).cast("double")).withColumn(
+        "__b", b_r.cast("long")
+    )
     b_l = F.floor(F.col(left_time).cast("double") / delta_seconds).cast("long")
-    l2 = left.withColumn(
+    l2 = left.withColumn("__lt", F.col(left_time).cast("double")).withColumn(
         "__b", F.explode(F.array(b_l - 1, b_l))
     )
     joined = l2.join(r2, [key, "__b"]).drop("__b")
-    lt = F.col(left_time).cast("double")
-    rt = F.col(right_time).cast("double")
-    return joined.filter((rt >= lt - delta_seconds) & (rt < lt))
+    return joined.filter(
+        (F.col("__rt") >= F.col("__lt") - delta_seconds)
+        & (F.col("__rt") < F.col("__lt"))
+    ).drop("__lt", "__rt")

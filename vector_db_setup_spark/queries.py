@@ -2413,7 +2413,7 @@ def range_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("c_id"),
     )
     pairs = range_join(
-        purchases, clicks, "user_id", "ts", "c_ts", 3600, "purchase_id"
+        purchases, clicks, "user_id", "ts", "c_ts", 3600
     )
     counts = pairs.groupBy("purchase_id").agg(
         F.count(F.lit(1)).alias("n_clicks")
