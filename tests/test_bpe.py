@@ -194,3 +194,33 @@ def test_merge_table_persists_and_encodes_identically(spark, wf, tmp_path):
     a = [r["bpe_tokens"] for r in bpe_encode(docs, merges).collect()]
     b = [r["bpe_tokens"] for r in bpe_encode(docs, load_merges(p)).collect()]
     assert a == b
+
+
+def test_non_bmp_train_encode_parity(spark):
+    """Astral-plane text (emoji = surrogate pairs in UTF-16): the
+    trained alphabet must be code POINTS, not code units, or the
+    learned merges are dead at encode time (ADVICE r5). Train on an
+    emoji-heavy corpus, check the merge sequence against the pure-
+    Python code-point reference, and check encode replays every merge
+    (no lone-surrogate symbols anywhere)."""
+    freqs = {"\U0001F600\U0001F600ha": 9, "ha\U0001F680": 5, "haha": 3}
+    tiny = spark.createDataFrame(
+        [(w, f) for w, f in freqs.items()], "w string, freq long"
+    )
+    merges = bpe_train(tiny, 6)
+    assert merges == _py_bpe_train(freqs, 6)
+    # no symbol on either side of any merge may contain a lone surrogate
+    for a, b in merges:
+        for s in (a, b):
+            assert not any(0xD800 <= ord(ch) <= 0xDFFF for ch in s), s
+    docs = spark.createDataFrame(
+        [(1, "\U0001F600\U0001F600ha ha\U0001F680")], "doc_id long, text string"
+    )
+    ranks = {p: i for i, p in enumerate(merges)}
+    (row,) = bpe_encode(docs, merges).collect()
+    want = []
+    for w in "\U0001F600\U0001F600ha ha\U0001F680".split():
+        want.extend(_encode_word(w, ranks))
+    assert row["bpe_tokens"] == want
+    rebuilt = "".join(row["bpe_tokens"]).replace(END, " ").rstrip()
+    assert rebuilt == "\U0001F600\U0001F600ha ha\U0001F680"

@@ -67,10 +67,20 @@ def word_freq_table(
 
 
 def _initial_symbols(words: DataFrame) -> DataFrame:
-    """word -> array of single-character symbols + end-of-word marker."""
+    """word -> array of single-character symbols + end-of-word marker.
+
+    Split is CODE-POINT-wise (regexp_extract_all with '.': Java regex
+    matches one code point per '.', so astral-plane chars — emoji,
+    rare CJK — stay whole), NOT split(w, ''), which segments UTF-16
+    code units and would leave lone surrogates in the trained alphabet
+    that the Python-side encoder (list(word) = code points) can never
+    reproduce — those merges would be silently dead at encode time.
+    (?s) lets '.' match a literal newline inside a word, though the
+    \\s+ word split upstream means none survive to here."""
     return words.select(
         F.concat(
-            F.split(F.col("w"), ""), F.array(F.lit(END))
+            F.expr(r"regexp_extract_all(w, '(?s).', 0)"),
+            F.array(F.lit(END)),
         ).alias("symbols"),
         "freq",
     )

@@ -63,6 +63,16 @@ def http_respond_fn(
     than prompts) is a protocol error and raises immediately. Runs
     INSIDE the Arrow worker (one connection pool per executor task),
     so the driver never proxies prompt bytes.
+
+    Delivery contract is AT-LEAST-ONCE: a timeout or 5xx after the
+    endpoint partially processed a batch re-POSTs the whole batch (and
+    Spark task retry re-runs whole partitions), so a billed/generative
+    endpoint may see duplicates. Every attempt carries a deterministic
+    ``X-Idempotency-Key`` header (sha256 of the batch payload) so an
+    endpoint that supports idempotency can dedupe; endpoints that
+    don't must tolerate replays. A 200 response that isn't
+    ``{"completions": [...]}`` raises ValueError (protocol error), not
+    KeyError.
     """
 
     def respond(prompts: pd.Series) -> pd.Series:
@@ -71,6 +81,7 @@ def http_respond_fn(
         for i in range(0, len(vals), batch_size):
             chunk = vals[i : i + batch_size]
             body = json.dumps({"prompts": chunk}).encode("utf-8")
+            idem_key = hashlib.sha256(body).hexdigest()
             last_err: Exception | None = None
             payload = None
             for attempt in range(max_retries + 1):
@@ -79,6 +90,7 @@ def http_respond_fn(
                     data=body,
                     headers={
                         "Content-Type": "application/json",
+                        "X-Idempotency-Key": idem_key,
                         **(headers or {}),
                     },
                 )
@@ -101,6 +113,12 @@ def http_respond_fn(
                     time.sleep(backoff * (2**attempt))
             if last_err is not None:
                 raise last_err
+            if not isinstance(payload, dict) or "completions" not in payload:
+                raise ValueError(
+                    "endpoint returned 200 without a 'completions' key "
+                    f"(got: {str(payload)[:120]!r}) — schema-mismatched "
+                    "endpoint, not a transient failure"
+                )
             comps = payload["completions"]
             if len(comps) != len(chunk):
                 raise ValueError(

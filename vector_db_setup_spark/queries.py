@@ -5935,7 +5935,7 @@ def event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                                THEN CAST(json_extract(props, '$.k') AS INTEGER)
                           END IGNORE NULLS)
                    OVER (PARTITION BY user_id
-                         ORDER BY ts ASC, event_id ASC
+                         ORDER BY ts ASC NULLS FIRST, event_id ASC
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS campaign
         FROM events
@@ -5959,9 +5959,13 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     -1. The purchase row itself can't self-attribute (its projection is
     null before the frame's last_value)."""
     ev = load_table(spark, sf_dir, "events")
+    # asc_nulls_first is Spark's asc default, but DuckDB's ASC default
+    # is NULLS LAST — both sides pin NULLS FIRST explicitly (matching
+    # attribution_state_stream's NaT-as-minimum position) so a future
+    # null-ts event can't silently diverge the two engines.
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .orderBy(F.col("ts").asc_nulls_first(), F.col("event_id").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     touch = F.when(

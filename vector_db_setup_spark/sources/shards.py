@@ -34,11 +34,22 @@ def assign_shard(df: DataFrame, n_shards: int, id_col: str = "doc_id",
     """Seed-stable shard id: md5(id ':' seed) mod n_shards (the same
     hash-the-key family as queries.corpus_shard_assignment's shuffle).
     A doc's shard never depends on corpus membership — adding or
-    removing other docs never reshuffles survivors."""
+    removing other docs never reshuffles survivors.
+
+    NULL ids hash an explicit '<null>' token: concat_ws silently SKIPS
+    nulls, so without the coalesce every null-id doc would hash the
+    bare seed string and collapse into one shard with identical
+    checksum contributions, quietly weakening the audit. With the
+    token they still co-locate (all nulls are one key — upstream
+    validation should reject them) but the hash input is explicit and
+    documented rather than an accident of concat_ws."""
     h = F.conv(
         F.substring(
-            F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
-                              F.lit(str(seed)))), 1, 15),
+            F.md5(F.concat_ws(
+                ":",
+                F.coalesce(F.col(id_col).cast("string"), F.lit("<null>")),
+                F.lit(str(seed)),
+            )), 1, 15),
         16, 10,
     ).cast("bigint")
     return df.withColumn("shard_id", (h % n_shards).cast("int"))
@@ -247,9 +258,19 @@ def verify_shards(
     got_cols = "shard_id int, got_docs bigint, got_checksum bigint" + (
         ", got_chars bigint" if text_col is not None else ""
     )
+    from pyspark.errors import AnalysisException
+
     try:
         data = spark.read.parquet(dest_path)
-    except Exception:
+    except AnalysisException as e:
+        # Only a genuinely ABSENT/EMPTY destination degrades to the
+        # zero-shards audit path. Permissions, corrupt footers, and
+        # transient FS errors propagate — conflating "shards lost"
+        # with "audit could not run" would misdirect triage toward
+        # re-landing data that may be perfectly intact.
+        msg = str(e)
+        if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
+            raise
         got = spark.createDataFrame([], got_cols)
     else:
         got = _shard_manifest(data, text_col).withColumnRenamed(
