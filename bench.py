@@ -60,6 +60,50 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# Fixed-work calibration reference constants, recorded 2026-08-14 on
+# the round-6 build host at load_avg ~1-6, in bench context (after the
+# warmup pass; min-of-3 of each probe, best of two full bench runs).
+# The host is SHARED: round-to-round load swings measured 2-3× wall
+# slowdowns (SCALE_EXPERIMENTS.md "BLAS oversubscription"), which made
+# r4-vs-r5 cold comparisons unfalsifiable. Every bench run now re-runs
+# the same fixed work and reports measured/reference as `calib_factor`
+# (geometric mean of the two probes); `value_calibrated` = value /
+# calib_factor is the host-normalized total. Raw `value` stays the
+# BASELINE-comparable headline.
+CALIB_REF = {"numpy_gemm_s": 0.108, "spark_codegen_s": 0.196}
+
+
+def _calibrate(spark) -> dict[str, float]:
+    """Two fixed-work probes bracketing what the queries exercise:
+    a 4096³ float32 GEMM (driver-process BLAS — the mapInPandas kernel
+    path) and a 200M-row codegen aggregate over 32 partitions (JVM
+    whole-stage codegen + task scheduling — the DataFrame path).
+    Min-of-3 each: min is the standard noise-robust point estimate on
+    a shared host."""
+    import numpy as np
+
+    a = np.ones((4096, 4096), dtype=np.float32)
+    b = np.ones((4096, 4096), dtype=np.float32)
+    gemm = min(
+        _timed(lambda: a @ b) for _ in range(3)
+    )
+    def _spark_probe():
+        spark.range(200_000_000, numPartitions=32).selectExpr(
+            "count(if((id * 2654435761) % 97 = 0, 1, null)) as n"
+        ).collect()
+    codegen = min(_timed(_spark_probe) for _ in range(3))
+    return {
+        "numpy_gemm_s": round(gemm, 4),
+        "spark_codegen_s": round(codegen, 4),
+    }
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -88,6 +132,19 @@ def main() -> None:
             ).count()
     except Exception:
         pass
+
+    try:
+        calib = _calibrate(spark)
+        calib_factor = round(
+            (
+                (calib["numpy_gemm_s"] / CALIB_REF["numpy_gemm_s"])
+                * (calib["spark_codegen_s"] / CALIB_REF["spark_codegen_s"])
+            )
+            ** 0.5,
+            3,
+        )
+    except Exception:
+        calib, calib_factor = {}, 1.0
 
     qs = q.queries()
     timings: dict[str, float] = {}
@@ -138,6 +195,18 @@ def main() -> None:
             sum(t for n, t in timings.items() if n in EXTENDED and t >= 0), 3
         ),
         "load_avg_1m": round(os.getloadavg()[0], 2),
+        "calibration": calib,
+        "calib_ref": CALIB_REF,
+        "calib_factor": calib_factor,
+        "value_calibrated": round(total / calib_factor, 3)
+        if calib_factor > 0
+        else total,
+        "value_warm_calibrated": round(
+            sum(t for n, t in warm.items() if n in HEADLINE) / calib_factor,
+            3,
+        )
+        if calib_factor > 0
+        else -1.0,
     }
     if errors:
         out["errors"] = errors

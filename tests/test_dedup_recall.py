@@ -108,6 +108,17 @@ def test_simhash_hamming_separates(spark, planted):
     assert exact <= found, f"missed {len(exact - found)} exact dups"
 
 
+def test_simhash_forms_identical(spark, planted):
+    """flat (33-slot aggregate, scale path) and exploded (per-bit rows,
+    plan-cheap path) must produce bit-identical signatures — they are
+    the same vote algebra in two plan shapes, and queries pick per
+    context (simhash_hamming_topk uses exploded; banded uses flat)."""
+    df, _near, _exact, _family = planted
+    a = sorted(tuple(r) for r in dd.simhash(df, form="flat").collect())
+    b = sorted(tuple(r) for r in dd.simhash(df, form="exploded").collect())
+    assert a == b
+
+
 def test_hot_shingle_cap_kills_viral_shingle(spark):
     """Planted skew: every doc shares one viral 3-gram. Uncapped, the
     inverted-index join materializes a pair for every doc combination

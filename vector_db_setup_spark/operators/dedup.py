@@ -557,7 +557,11 @@ def ngram_jaccard_pairs(
 
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    form: str = "flat",
 ) -> DataFrame:
     """32-bit SimHash over distinct tokens.
 
@@ -567,8 +571,30 @@ def simhash(
     oracle mirrors it as ('0x' || hex8)::BIGINT — both decode the SAME
     md5 substring, which is what makes the votes engine-identical (the
     md5 is the portable part, the hex decode is per-engine syntax).
+
+    ``form`` selects between two algebraically identical plans
+    (equality is pinned in tests/test_dedup_recall.py):
+
+    - ``"flat"`` (default, the 100 TB path): one aggregate slot per
+      bit — the token stream shuffles ONCE with full map-side combine
+      and never multiplies. The cost is a wide plan (33 slots + a
+      32-term signature expression) whose Catalyst analysis + codegen
+      is ~1 s of fixed driver time per run.
+    - ``"exploded"``: explode 32 bit positions per token and aggregate
+      (doc, bit) — a tiny plan (two small aggregations) that analyzes
+      and compiles in ~0.1 s, but the exchange carries up to 32× more
+      rows (partial combine collapses them to ≤32 rows/doc map-side,
+      yet the pre-combine stream is ×32).
+
+    The crossover is data volume vs plan cost: bounded/interactive
+    inputs (the doc_id<80 verification query) are plan-dominated —
+    use exploded; full-corpus batch runs are data-dominated — use
+    flat. Measured at sf0.1: exploded topk query 0.6 s warm vs 1.4 s
+    flat; flat full-corpus banded pairs 0.96 s warm vs multi-second
+    exploded (SCALE_EXPERIMENTS.md "SimHash vote formulations").
     """
     assert bits <= 32
+    assert form in ("flat", "exploded")
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("w")
     )
@@ -577,7 +603,26 @@ def simhash(
     hx = toks.withColumn(
         "hv", F.conv(F.substring(_md5(F.col("w")), 1, 8), 16, 10).cast("long")
     )
-    # one flat aggregate per bit — NOT an explode over bit positions
+    if form == "exploded":
+        bitpos = hx.select(
+            id_col,
+            "hv",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        )
+        bit = F.expr("shiftright(hv, b)").bitwiseAND(F.lit(1))
+        votes = (
+            bitpos.withColumn("vote", F.when(bit == 1, 1).otherwise(-1))
+            .groupBy(id_col, "b")
+            .agg(F.sum("vote").alias("v"))
+        )
+        return votes.groupBy(id_col).agg(
+            F.sum(
+                F.when(
+                    F.col("v") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    # flat: one aggregate per bit — NOT an explode over bit positions
     # (that multiplies the token stream ×bits; at 100 TB the 32×
     # intermediate is the difference between one map-side-combined
     # shuffle of ≤ one row per doc and a 32×-row double aggregation).

@@ -1132,9 +1132,15 @@ def simhash_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs verification form (doc_id < 80 cap makes the cross product
     a constant ~3k pairs; it exists to oracle-check raw hamming without
     a banding recall bound). The scale path over the full corpus is
-    `simhash_banded_pairs` (equi-join, no cartesian, plan-asserted)."""
+    `simhash_banded_pairs` (equi-join, no cartesian, plan-asserted).
+
+    Uses simhash(form="exploded"): 80 docs make this query PLAN-cost
+    dominated, and the exploded form's small plan analyzes+compiles ~2×
+    faster than the flat 33-slot form the full-corpus paths use (the
+    r3→r5 bench drift on this entry was exactly that fixed plan cost;
+    see dd.simhash's docstring for the measured crossover)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 80)
-    pairs = dd.simhash_hamming_pairs(dd.simhash(d))
+    pairs = dd.simhash_hamming_pairs(dd.simhash(d, form="exploded"))
     return (
         pairs.withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy(F.col("hamming").asc(), F.col("id_a").asc(), F.col("id_b").asc())
