@@ -60,6 +60,7 @@ def register(name: str, oracle: str | None = None):
 # gate.
 _DRIVER_PRIORITY = [
     "knn_l2_flagship", "knn_cosine", "sql_vector_knn", "batch_knn",
+    "batch_knn_blocked", "pq_adc_distances",
     "pricing_summary", "top_customers", "regional_revenue",
     "token_budgets", "doc_count", "doc_sample", "majority_vote",
     "substring_accuracy", "dedup_exact_groups", "leakage_safe_split",
@@ -68,13 +69,13 @@ _DRIVER_PRIORITY = [
     "benchmark_overlap", "dedup_keepers", "corpus_curation_verdict",
     "semantic_dedup_keepers", "doc_chunking", "context_packing",
     "bm25_scores", "doc_winnow_fingerprints", "doc_pii_scrub",
-    "simhash_values", "simhash_hamming_topk", "simhash_banded_pairs",
+    "simhash_hamming_topk", "simhash_banded_pairs",
     "embedding_similar_topk", "embedding_bucketed_pairs",
     "data_quality_report", "lang_id_detect", "lang_stats",
     "rollup_orders", "count_distinct_custs",
     "customers_without_orders", "nation_set_ops",
     "customer_order_windows", "events_tumbling", "events_sessionize",
-    "events_json_extract", "events_dedup_first", "event_funnel",
+    "events_json_extract", "event_funnel",
     "benchmark_overlap_bloom",
     "fever_pipeline", "fever_accuracy", "multimodal_byte_stats",
 ]
@@ -110,6 +111,20 @@ _DRIVER_PRIORITY = [
 # driver row for the data-contracts family; from-scratch SQL oracle) —
 # OUT text_profile (the text-analysis family keeps lang_id_detect +
 # lang_stats driver rows; text_profile stays green in the local gate).
+#
+# r6 rotation (same contract; VERDICT r5 items 4+6): IN
+# batch_knn_blocked (the GEMM scale path of J2 — same oracle as
+# batch_knn by construction, the judge-named most load-bearing
+# driver-unverified operator) and pq_adc_distances (PQ encode+ADC over
+# a FIXED literal codebook — first exact-oracled row for the
+# quantization family; only the KMeans fit stays rows-only) — OUT
+# simhash_values (both remaining simhash driver rows compute the
+# signature pipeline internally, so its values stay driver-exercised
+# transitively AND green in the local gate) and events_dedup_first
+# (the streaming-twin family keeps tumbling/sessionize/funnel driver
+# rows; dedup-first stays green in the local gate + stream==batch
+# equivalence tests). The machine-readable window snapshot is
+# generated by tools/gen_driver_window.py into DRIVER_WINDOW.md.
 
 
 def _ordered(d: dict) -> dict:
@@ -5994,6 +6009,106 @@ def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PQ_CACHE: dict = {}
+
+
+def _pq_adc_fixture():
+    """Deterministic PQ fixture shared by the `pq_adc_distances` Spark
+    query and its DuckDB oracle string: a FIXED literal codebook (4
+    subspaces x 4 centroids x 16 dims, formula-derived, in the
+    embedding data range [-0.5, 0.5)) and a fixed query vector. With
+    the codebook literal instead of KMeans-fit, PQ's deterministic
+    pieces — argmin encoding and the ADC lookup-table distance — are
+    fully SQL-expressible, which upgrades the PQ stack from rows-only
+    to exact-oracled (VERDICT r5 item 6); only the KMeans FIT remains
+    engine-specific (pq_knn / ivfpq_knn, recall-pinned in tests)."""
+    import numpy as np
+
+    m, ksub, dsub = 4, 4, 16
+    j, c, t = np.meshgrid(
+        np.arange(m), np.arange(ksub), np.arange(dsub), indexing="ij"
+    )
+    cb = ((j * 31 + c * 17 + t * 7) % 19) / 19.0 - 0.5
+    qv = ((np.arange(m * dsub) * 13) % 23) / 23.0 - 0.5
+    return cb, qv
+
+
+def _pq_adc_oracle_sql() -> str:
+    """DuckDB mirror of encode+ADC over the literal codebook: the
+    codebook and query inline as VALUES rows (repr(float) round-trips
+    IEEE754, so both engines see bit-identical doubles), encoding is
+    the row_number()-argmin over per-subspace squared distances (ORDER
+    BY d, code == Spark's first-min array_position tie-break), and ADC
+    is a lookup-table join summed per vector."""
+    cb, qv = _pq_adc_fixture()
+    m, ksub, dsub = cb.shape
+
+    def arr(vals):
+        return "[" + ", ".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+    cb_rows = ",\n        ".join(
+        f"({j}, {c}, {arr(cb[j][c])})" for j in range(m) for c in range(ksub)
+    )
+    q_rows = ",\n        ".join(
+        f"({j}, {arr(qv[j * dsub:(j + 1) * dsub])})" for j in range(m)
+    )
+    return f"""
+    WITH cb(sub, code, centroid) AS (VALUES
+        {cb_rows}),
+    q(sub, qsub) AS (VALUES
+        {q_rows}),
+    subd AS (
+        SELECT e.vec_id, c.sub, c.code,
+               list_sum(list_transform(range(1, {dsub} + 1), i ->
+                   (e.embedding[c.sub * {dsub} + i]::DOUBLE - c.centroid[i])
+                 * (e.embedding[c.sub * {dsub} + i]::DOUBLE - c.centroid[i])))
+                   AS d
+        FROM embeddings e CROSS JOIN cb c
+        WHERE e.vec_id < 200),
+    chosen AS (
+        SELECT vec_id, sub, code,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY d ASC, code ASC) AS rk
+        FROM subd),
+    lut AS (
+        SELECT c.sub, c.code,
+               list_sum(list_transform(range(1, {dsub} + 1), i ->
+                   (q.qsub[i] - c.centroid[i]) * (q.qsub[i] - c.centroid[i])))
+                   AS qd
+        FROM cb c JOIN q ON q.sub = c.sub)
+    SELECT ch.vec_id, round(sum(l.qd), 6) AS adc_distance
+    FROM chosen ch JOIN lut l ON l.sub = ch.sub AND l.code = ch.code
+    WHERE ch.rk = 1
+    GROUP BY ch.vec_id
+    ORDER BY ch.vec_id
+    """
+
+
+@register("pq_adc_distances", _pq_adc_oracle_sql())
+def pq_adc_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + asymmetric-distance scan with a FIXED literal
+    codebook — the driver-oracled decomposition of `pq_knn`
+    (operators/quantize.py pq_encode/pq_adc_distance_expr; reference
+    parity: fever_multi_agent.py:67-75's distance scan, compressed).
+    Encoding is m x ksub codegen distance expressions per row, ADC is
+    m array lookups per row — the whole query is one map stage over
+    the embeddings scan, zero shuffles, which is precisely why it
+    scales: at 100 TB the ADC scan reads 4-64x fewer bytes than the
+    raw vectors and never exchanges."""
+    from vector_db_setup_spark.operators.quantize import (
+        pq_adc_distance_expr,
+        pq_encode,
+    )
+
+    cb, qv = _pq_adc_fixture()
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return (
+        pq_encode(e, cb)
+        .select(
+            "vec_id",
+            F.round(pq_adc_distance_expr(cb, qv), 6).alias("adc_distance"),
+        )
+        .orderBy(F.col("vec_id").asc())
+    )
 
 
 @register("pq_knn")  # rows-only: MLlib KMeans codebooks (recall tested)

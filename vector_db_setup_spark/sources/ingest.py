@@ -82,6 +82,7 @@ def compact_parquet(
     min_files: int = 1,
     partition_by: list[str] | None = None,
     keep_backup: bool = False,
+    fs=None,
 ) -> int:
     """Small-file compaction: rewrite a parquet directory into
     ceil(total_bytes / target_file_bytes) files (floored at min_files).
@@ -95,29 +96,31 @@ def compact_parquet(
     TASK, not per partition value — the count reports what really
     landed).
 
-    LOCAL-FILESYSTEM ONLY: sizing walks the directory with ``os`` and the
-    swap uses ``shutil`` renames — on an object store or HDFS use the
-    table format's own compaction (Iceberg rewrite_data_files / Delta
-    OPTIMIZE) or rewrite to a fresh prefix and flip the reader path.
-    Hive-partitioned layouts: pass ``partition_by`` so the rewrite
-    preserves the partition columns (sizing already walks recursively);
-    without it a partitioned input is flattened.
+    Storage: every directory operation (sizing, swap, delete) routes
+    through the ``fs`` contract (``sources/fs.py``) — default resolves
+    by path scheme: LocalFS for bare paths, the Hadoop FileSystem API
+    for ``hdfs://``/``s3a://``/``gs://``/``file://`` URIs, so the same
+    code lands on HDFS and object stores. Object-store caveat: rename
+    is copy+delete there — the swap window widens from metadata-op to
+    O(bytes); for concurrent-reader compaction on object stores prefer
+    a transactional table format (Iceberg rewrite_data_files / Delta
+    OPTIMIZE). Hive-partitioned layouts: pass ``partition_by`` so the
+    rewrite preserves the partition columns (sizing already walks
+    recursively); without it a partitioned input is flattened.
 
-    The swap is NOT atomic — there is a brief window between the two
-    renames where ``path`` is absent; concurrent readers must be fenced
+    The swap is NOT atomic — there is a window between the two renames
+    where ``path`` is absent; concurrent readers must be fenced
     externally. The pre-compaction data is kept at ``<path>__compact_old``
     when ``keep_backup=True`` (verify, then delete); by default it is
-    removed only after the new directory is verified readable.
+    removed only after the new directory is verified readable. A crash
+    mid-swap always leaves a complete copy at ``path`` or the backup —
+    the ordering (backup first, verify before delete) is pinned by
+    tests including a simulated rename-is-copy object store.
     """
-    import os
+    from vector_db_setup_spark.sources.fs import get_fs
 
-    total = 0
-    for root, _dirs, fnames in os.walk(path):
-        total += sum(
-            os.path.getsize(os.path.join(root, f))
-            for f in fnames
-            if f.endswith(".parquet")
-        )
+    fs = fs or get_fs(spark, path)
+    total, _n = fs.du_suffix(path, ".parquet")
     n_out = max(min_files, (total + target_file_bytes - 1) // target_file_bytes)
     df = spark.read.parquet(path)
     tmp = path.rstrip("/") + "__compact_tmp"
@@ -125,27 +128,23 @@ def compact_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
-    import shutil
 
     back = path.rstrip("/") + "__compact_old"
-    if os.path.exists(back):
-        # never nest the live dir into a stale backup (shutil.move
-        # into an existing dir NESTS) or silently delete a backup a
-        # previous keep_backup=True run asked to keep
+    if fs.exists(back):
+        # never nest the live dir into a stale backup or silently
+        # delete a backup a previous keep_backup=True run asked to keep
         raise FileExistsError(
             f"{back} already exists — verify/remove the previous "
             "compaction backup before re-compacting"
         )
-    shutil.move(path, back)
-    shutil.move(tmp, path)
+    fs.move(path, back)
+    fs.move(tmp, path)
     # verify the swapped-in data before dropping the only remaining
     # copy: a full count() actually reads every footer + row group
     # (schema resolution alone touched one footer and missed truncated
     # part files)
     spark.read.parquet(path).count()
     if not keep_backup:
-        shutil.rmtree(back)
-    written = 0
-    for root, _dirs, fnames in os.walk(path):
-        written += sum(1 for f in fnames if f.endswith(".parquet"))
+        fs.delete(back)
+    _total, written = fs.du_suffix(path, ".parquet")
     return written

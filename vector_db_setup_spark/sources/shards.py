@@ -148,9 +148,10 @@ def land_snapshot(
     function replaces. First landing (no manifest) degrades to
     `write_training_shards` semantics with an all-`new` report.
 
-    Removed-shard deletion uses local-FS ``shutil`` (same scope caveat
-    as ingest.compact_parquet); on an object store, delete the
-    ``shard_id=K`` prefix with the store's API instead.
+    Removed-shard deletion routes through the ``fs`` contract
+    (sources/fs.py): LocalFS for bare paths, the Hadoop FileSystem
+    connectors for ``scheme://`` URIs — so deleting a ``shard_id=K``
+    prefix works the same on HDFS/S3A/GCS as on local disk.
     """
     spark = df.sparkSession
     assigned = assign_shard(df, n_shards, id_col=id_col, seed=seed)
@@ -224,10 +225,11 @@ def land_snapshot(
                     .parquet(dest_path)
                 )
             if removed:
-                import shutil
+                from vector_db_setup_spark.sources.fs import get_fs
 
+                fs = get_fs(spark, dest_path)
                 for sid in removed:
-                    shutil.rmtree(
+                    fs.delete(
                         f"{dest_path}/shard_id={sid}", ignore_errors=True
                     )
         (

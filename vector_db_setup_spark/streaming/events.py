@@ -678,8 +678,10 @@ def compact_rollup(
     ≥ that id keep their own partitions and stay replay-safe; only
     older, committed batches are folded.
 
-    Swap safety (LOCAL FILESYSTEM ONLY — shutil; on an object store use
-    the Hadoop FS API / a table format's rewrite): the compacted output
+    Swap safety (directory ops via sources/fs.py — local, HDFS, or
+    object store through the Hadoop FS connectors; on object stores
+    rename is copy+delete, so prefer a table format's transactional
+    rewrite for concurrent readers): the compacted output
     is WRITTEN AND VERIFIED READABLE before the old directory is
     touched; a stale backup from a previous crash is cleared first; the
     old data is removed only after the swapped-in directory verifies.
@@ -720,6 +722,7 @@ def _compact_partials(
     verify,
     keep_batches_from: int | None,
     what: str,
+    fs=None,
 ) -> None:
     """Shared compaction engine for every `_batch`-partitioned partial
     sink (rollup, Bloom words, CMS sketches): fold with the sink's own
@@ -727,21 +730,27 @@ def _compact_partials(
     own invariant metric BEFORE touching the original, then do the
     snapshot-pinned swap + mid-compaction-commit rescue documented on
     compact_rollup. `verify` must be invariant under folding (a sum /
-    popcount of the MERGED view), so want == got certifies the fold."""
-    import os
-    import shutil
+    popcount of the MERGED view), so want == got certifies the fold.
 
+    Directory ops route through the ``fs`` contract (sources/fs.py;
+    default resolves by path scheme — Hadoop FS API for scheme://
+    URIs, local otherwise). The backup-first ordering below is what
+    makes a crash at ANY point recoverable (full history at `base` or
+    `<base>__old`, never neither) — pinned by tests including a
+    simulated rename-is-copy object store, where the move itself is
+    non-atomic."""
+    from vector_db_setup_spark.sources.fs import get_fs
+
+    fs = fs or get_fs(spark, out_path)
     base = out_path.rstrip("/")
 
     def _list_batches(path: str) -> set[str]:
-        if not os.path.isdir(path):
-            return set()
-        return {d for d in os.listdir(path) if d.startswith("_batch=")}
+        return {d for d in fs.listdir(path) if d.startswith("_batch=")}
 
     snapshot = _list_batches(base)  # listed ONCE; all reads pin to it
     if snapshot:
         src = spark.read.option("basePath", base).parquet(
-            *(os.path.join(base, d) for d in sorted(snapshot))
+            *(f"{base}/{d}" for d in sorted(snapshot))
         )
     else:
         src = spark.read.parquet(base)
@@ -768,16 +777,16 @@ def _compact_partials(
             f"original untouched, compacted attempt left at {tmp}"
         )
     back = base + "__old"
-    if os.path.exists(back):
-        shutil.rmtree(back)  # stale backup from a previous crash
-    shutil.move(base, back)
-    shutil.move(tmp, base)
+    if fs.exists(back):
+        fs.delete(back)  # stale backup from a previous crash
+    fs.move(base, back)
+    fs.move(tmp, base)
     try:
         verify(spark.read.parquet(base))
     except Exception:
         # restore the original rather than leaving a broken sink
-        shutil.move(base, tmp)
-        shutil.move(back, base)
+        fs.move(base, tmp)
+        fs.move(back, base)
         raise
     # rescue batches the live stream committed AFTER the snapshot: they
     # are in the old dir but not in the compacted output, and deleting
@@ -785,10 +794,10 @@ def _compact_partials(
     # marks them committed (silent data loss). Their ids are new, so a
     # plain partition-dir move into the new layout is sufficient.
     for late in sorted(_list_batches(back) - snapshot):
-        dst = os.path.join(base, late)
-        if not os.path.exists(dst):
-            shutil.move(os.path.join(back, late), dst)
-    shutil.rmtree(back)
+        dst = f"{base}/{late}"
+        if not fs.exists(dst):
+            fs.move(f"{back}/{late}", dst)
+    fs.delete(back)
 
 
 def compact_benchmark_filter(
