@@ -42,12 +42,43 @@ def test_binary_column_plumbing(spark):
 
 
 def test_decode_stub_contract():
-    img = decode_image(b"\x10" * 16)
+    from vector_db_setup_spark.multimodal.columns import _pil
+
+    img = decode_image(b"\x10" * 16, real=False)
     assert img.ndim == 3 and img.shape[2] == 3 and img.dtype == np.uint8
     # deterministic in the payload
-    assert (decode_image(b"\x10" * 16) == img).all()
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x10" * 16, real=True)
+    assert (decode_image(b"\x10" * 16, real=False) == img).all()
+    if _pil() is None:
+        # capability probe absent: real=True must raise the
+        # missing-dependency error, and auto (None) must pick the fake
+        with pytest.raises(NotImplementedError):
+            decode_image(b"\x10" * 16, real=True)
+        assert (decode_image(b"\x10" * 16) == img).all()
+    else:
+        # PIL present: real=True on garbage bytes is a CODEC error
+        # (unidentifiable image), never a silent fake fallback
+        with pytest.raises(Exception):
+            decode_image(b"\x10" * 16, real=True)
+
+
+def test_decode_image_real_pil_roundtrip():
+    """Real-codec path contract (skip-marked where PIL is absent):
+    PNG-encode a known array, decode through the SAME entry point the
+    fake path uses, require exact pixels back."""
+    from vector_db_setup_spark.multimodal.columns import _pil
+
+    Image = _pil()
+    if Image is None:
+        pytest.skip("PIL not installed in this container")
+    import io
+
+    want = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    buf = io.BytesIO()
+    Image.fromarray(want, "RGB").save(buf, format="PNG")
+    got = decode_image(buf.getvalue(), real=True)
+    assert got.dtype == np.uint8 and (got == want).all()
+    # auto mode picks the real codec when the library is present
+    assert (decode_image(buf.getvalue()) == want).all()
 
 
 def test_video_stub_raises():
@@ -181,7 +212,7 @@ def test_resize_matches_local_numpy(spark):
     payloads = {r["doc_id"]: bytes(r["img"]) for r in with_bin.select("doc_id", "img").collect()}
     got = {r["doc_id"]: r["mean_px"] for r in resize_images(with_bin, 4, 4).collect()}
     for doc_id, payload in payloads.items():
-        arr = decode_image(payload)
+        arr = decode_image(payload, real=False)
         h, w = arr.shape[:2]
         ri = (np.arange(4) * h) // 4
         ci = (np.arange(4) * w) // 4
@@ -190,12 +221,15 @@ def test_resize_matches_local_numpy(spark):
 
 def test_audio_features_contract(spark):
     from vector_db_setup_spark.multimodal.columns import (
+        _soundfile,
         decode_audio,
         extract_audio_features,
     )
 
-    with pytest.raises(NotImplementedError):
-        decode_audio(b"xx", real=True)
+    if _soundfile() is None:
+        # non-WAV payload + no codec: real=True names the dependency
+        with pytest.raises(NotImplementedError):
+            decode_audio(b"xx", real=True)
     d = load_table(spark, SF_SMOKE, "documents").limit(10)
     out = extract_audio_features(attach_fake_binary(d)).collect()
     assert len(out) == 10
@@ -206,9 +240,74 @@ def test_audio_features_contract(spark):
 
 
 def test_decode_image_empty_payload():
-    arr = decode_image(b"")
+    arr = decode_image(b"", real=False)
     assert arr.shape == (1, 1, 3)
     assert (arr == 0).all()
+
+
+def _make_wav(samples: np.ndarray, channels: int = 1, rate: int = 8000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_decode_audio_real_wav_runs_in_container():
+    """The REAL audio decode path for PCM16 WAV needs only the stdlib
+    `wave` module, so it runs (not skips) in this container: a known
+    waveform must round-trip exactly through the same entry point the
+    fake path uses, auto mode must pick it (RIFF magic), and stereo
+    must mono-average."""
+    from vector_db_setup_spark.multimodal.columns import decode_audio
+
+    want = np.array([0, 16384, -16384, 32767, -32768], dtype=np.int16)
+    wav = decode_audio(_make_wav(want), real=True)
+    assert wav.dtype == np.float32
+    assert np.allclose(wav, want.astype(np.float32) / 32768.0)
+    # auto mode: RIFF magic routes to the real decoder
+    assert np.allclose(decode_audio(_make_wav(want)), wav)
+    # stereo -> mono average
+    stereo = np.array([100, 300, -200, -400], dtype=np.int16)  # L,R,L,R
+    got = decode_audio(_make_wav(stereo, channels=2), real=True)
+    assert np.allclose(got, np.array([200.0, -300.0], dtype=np.float32) / 32768.0)
+    # unsupported depth names the way out
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)  # 8-bit
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x7f\xff")
+    with pytest.raises(NotImplementedError, match="16-bit"):
+        decode_audio(buf.getvalue(), real=True)
+    # a non-RIFF payload in explicit fake mode stays the fake contract
+    fake = decode_audio(b"\x00\xff", real=False)
+    assert fake.dtype == np.float32 and len(fake) == 2
+
+
+def test_decode_audio_real_soundfile_roundtrip():
+    """soundfile-backed decode (skip-marked where absent): same entry
+    point, same [-1,1] float32 contract."""
+    from vector_db_setup_spark.multimodal.columns import _soundfile, decode_audio
+
+    sf = _soundfile()
+    if sf is None:
+        pytest.skip("soundfile not installed in this container")
+    import io
+
+    want = (np.arange(16, dtype=np.float32) - 8) / 8.0
+    buf = io.BytesIO()
+    sf.write(buf, want, 8000, format="WAV", subtype="FLOAT")
+    got = decode_audio(buf.getvalue(), real=True)
+    assert got.dtype == np.float32 and np.allclose(got, want)
 
 
 def test_csv_roundtrip_and_quarantine(spark, tmp_path):

@@ -4,12 +4,16 @@ metadata (north-star extension, BASELINE.json).
 Model: a `binary` payload column next to a metadata struct
 (mime/width/height/duration). All Spark-side plumbing — schema,
 partition-friendly layout, Arrow-batched mapInPandas feature extraction —
-is real and tested. The actual codec step is STUBBED: the image/audio
-libraries are not in this container, so `decode_image` with
-`real=True` raises NotImplementedError, and the default path produces a
-deterministic fake decode (seeded from the payload bytes) with the same
-shape contract a real decoder would satisfy. Swapping in PIL/ffmpeg
-changes one function body, not the pipeline.
+is real and tested. Codecs sit behind CAPABILITY PROBES (r6): decode
+functions take a tri-state ``real`` flag — None auto-selects the real
+codec when its library imports (PIL for images, soundfile for audio —
+plus a stdlib `wave` PCM16 path so real WAV decode works even with no
+third-party codec installed, and is tested in this container), True
+requires it (NotImplementedError naming the missing dependency),
+False forces the deterministic fake (seeded from payload bytes, same
+shape contract). Contract tests parameterize over both paths and
+skip-mark the library-gated ones where the library is absent. Video
+frame sampling remains a stub — no stdlib video demuxer exists.
 
 At 100 TB: payloads dominate storage — keep them in their own parquet
 column (or external object store with a path column) so metadata-only
@@ -56,18 +60,44 @@ def attach_fake_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("img", payload).withColumn("img_meta", meta)
 
 
-def decode_image(payload: bytes, real: bool = False) -> np.ndarray:
+def _pil():
+    """Capability probe: PIL.Image if importable, else None. Probed per
+    call (cheap — sys.modules hit after the first) so a worker env with
+    PIL and a driver env without disagree per-process, correctly."""
+    try:
+        from PIL import Image  # type: ignore
+
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(payload: bytes, real: bool | None = None) -> np.ndarray:
     """Decode one image payload to an HxWx3 uint8 array.
 
-    real=True is the seam for an actual codec (PIL/opencv — not in this
-    container). The fake path is deterministic in the payload bytes and
-    honors the shape contract.
+    ``real`` is a tri-state capability switch:
+    - ``None`` (default): use PIL when importable, else the
+      deterministic fake — the auto mode a mixed fleet wants.
+    - ``True``: require the real codec; raises NotImplementedError
+      with the missing-dependency explanation when PIL is absent
+      (this container) rather than silently faking.
+    - ``False``: always the fake — deterministic in the payload bytes,
+      honoring the same HxWx3 uint8 contract (tests pin both paths to
+      the contract; the PIL path is skip-marked where PIL is absent).
     """
+    img_mod = _pil()
+    if real is None:
+        real = img_mod is not None
     if real:
-        raise NotImplementedError(
-            "real image decode requires PIL/opencv, not available here; "
-            "deterministic fake decode is the supported path"
-        )
+        if img_mod is None:
+            raise NotImplementedError(
+                "real image decode requires PIL/opencv, not available "
+                "here; pass real=False (or default None) for the "
+                "deterministic fake decode"
+            )
+        import io
+
+        return np.asarray(img_mod.open(io.BytesIO(payload)).convert("RGB"))
     b = np.frombuffer(payload, dtype=np.uint8)
     if len(b) == 0:
         # deterministic fallback for empty payloads (mirrors the
@@ -162,10 +192,14 @@ def resize_images(
     out_w: int = 4,
     payload_col: str = "img",
     id_col: str = "doc_id",
+    real: bool | None = False,
 ) -> DataFrame:
     """Decode → nearest-neighbor resize → summarize, as one Arrow-batched
     map stage. The resize itself is real numpy (index-gather — no codec
-    needed); only the decode behind it is the deterministic fake. Output
+    needed). ``real`` passes through to decode_image per payload; the
+    default pins the FAKE decode because the fixture payloads are md5
+    bytes a real codec must not be asked to parse — callers with
+    genuine image columns pass real=None (auto) or True. Output
     carries the resized shape and mean pixel so tests can pin the
     contract."""
 
@@ -173,7 +207,7 @@ def resize_images(
         for pdf in batches:
             ids, means = [], []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                arr = decode_image(bytes(payload))
+                arr = decode_image(bytes(payload), real=real)
                 h, w = arr.shape[:2]
                 ri = (np.arange(out_h) * h) // out_h
                 ci = (np.arange(out_w) * w) // out_w
@@ -202,32 +236,93 @@ AUDIO_SCHEMA = StructType(
 )
 
 
-def decode_audio(payload: bytes, real: bool = False) -> np.ndarray:
+def _soundfile():
+    """Capability probe: soundfile if importable, else None."""
+    try:
+        import soundfile  # type: ignore
+
+        return soundfile
+    except ImportError:
+        return None
+
+
+def _decode_wav_stdlib(payload: bytes) -> np.ndarray | None:
+    """PCM WAV decode with only the stdlib `wave` module: returns the
+    mono-averaged float32 waveform in [-1, 1], or None if the payload
+    is not a RIFF/WAV container (caller falls through). 16-bit PCM —
+    the dominant interchange format — is the supported depth; real
+    deployments with flac/ogg/mp3 bring soundfile/ffmpeg."""
+    if not payload[:4] == b"RIFF":
+        return None
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        width = w.getsampwidth()
+        if width != 2:
+            raise NotImplementedError(
+                f"stdlib WAV path supports 16-bit PCM only (got "
+                f"{8 * width}-bit); install soundfile for other depths"
+            )
+        frames = np.frombuffer(
+            w.readframes(w.getnframes()), dtype="<i2"
+        ).astype(np.float32)
+        ch = w.getnchannels()
+        if ch > 1:
+            frames = frames.reshape(-1, ch).mean(axis=1)
+        return frames / 32768.0
+
+
+def decode_audio(payload: bytes, real: bool | None = None) -> np.ndarray:
     """Decode one audio payload to a float32 waveform in [-1, 1].
 
-    real=True is the seam for an actual codec (soundfile/ffmpeg — not in
-    this container); the fake path maps payload bytes deterministically
-    onto a centered waveform with the same dtype/range contract."""
+    ``real`` tri-state, same contract as decode_image: ``None`` auto
+    (real codec when available, else fake), ``True`` require real,
+    ``False`` force the deterministic fake. The real path tries
+    soundfile first (any format it knows), then a stdlib `wave` PCM16
+    decode for RIFF/WAV payloads — so real WAV decode works even in
+    this container (tested), and only non-WAV formats need the
+    soundfile install."""
+    can_real = _soundfile() is not None or payload[:4] == b"RIFF"
+    if real is None:
+        real = can_real
     if real:
+        sf = _soundfile()
+        if sf is not None:
+            import io
+
+            wav, _rate = sf.read(io.BytesIO(payload), dtype="float32")
+            if wav.ndim > 1:
+                wav = wav.mean(axis=1)
+            return wav.astype(np.float32)
+        wav = _decode_wav_stdlib(payload)
+        if wav is not None:
+            return wav
         raise NotImplementedError(
-            "real audio decode requires soundfile/ffmpeg, not available "
-            "here; deterministic fake decode is the supported path"
+            "real audio decode for non-WAV formats requires "
+            "soundfile/ffmpeg, not available here; pass real=False for "
+            "the deterministic fake decode"
         )
     b = np.frombuffer(payload, dtype=np.uint8).astype(np.float32)
     return (b - 127.5) / 127.5
 
 
 def extract_audio_features(
-    df: DataFrame, payload_col: str = "img", id_col: str = "doc_id"
+    df: DataFrame, payload_col: str = "img", id_col: str = "doc_id",
+    real: bool | None = False,
 ) -> DataFrame:
     """Waveform features (sample count, RMS, zero-crossing count) via the
-    same Arrow-batched mapInPandas shape as the image path."""
+    same Arrow-batched mapInPandas shape as the image path. ``real``
+    passes through to decode_audio per payload; the default pins the
+    FAKE decode because this extractor's fixture payloads are md5
+    bytes, which a real codec must not be asked to parse — a caller
+    with genuine audio columns passes real=None (auto) or True."""
 
     def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ns, rms, zc = [], [], [], []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                wav = decode_audio(bytes(payload))
+                wav = decode_audio(bytes(payload), real=real)
                 ids.append(i)
                 ns.append(len(wav))
                 rms.append(float(np.sqrt((wav**2).mean())) if len(wav) else 0.0)
