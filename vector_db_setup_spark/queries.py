@@ -393,6 +393,148 @@ def ivf_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RETRIEVAL_K = 10
+
+
+@register(
+    "retrieval_eval",
+    f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec,
+               label AS qlabel
+        FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+        SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+               list_distance(e.embedding::DOUBLE[], q.qvec) AS dist
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY dist ASC, vec_id ASC) AS rn
+        FROM scored
+    ),
+    topk AS (SELECT * FROM ranked WHERE rn <= {_RETRIEVAL_K}),
+    totals AS (
+        SELECT q.query_id, count(*) AS total_rel
+        FROM q JOIN embeddings e
+          ON e.label = q.qlabel AND e.vec_id != q.query_id
+        GROUP BY q.query_id
+    ),
+    per AS (
+        SELECT t.query_id,
+               CAST(sum(CASE WHEN t.label = t.qlabel THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rel,
+               min(CASE WHEN t.label = t.qlabel THEN t.rn END) AS first_rel,
+               sum(CASE WHEN t.label = t.qlabel
+                        THEN 1.0 / log2(t.rn + 1.0) ELSE 0.0 END) AS dcg
+        FROM topk t GROUP BY t.query_id
+    ),
+    ideal AS (
+        SELECT tt.query_id, sum(1.0 / log2(i + 1.0)) AS idcg
+        FROM totals tt
+        JOIN (SELECT unnest(generate_series(1, {_RETRIEVAL_K})) AS i) s
+          ON s.i <= least(tt.total_rel, {_RETRIEVAL_K})
+        GROUP BY tt.query_id
+    )
+    SELECT p.query_id,
+           p.n_rel,
+           round(p.n_rel / {_RETRIEVAL_K}.0, 6) AS precision_at_k,
+           round(p.n_rel::DOUBLE / tt.total_rel, 6) AS recall_at_k,
+           round(coalesce(1.0 / p.first_rel, 0.0), 6) AS mrr,
+           round(coalesce(p.dcg / i.idcg, 0.0), 6) AS ndcg_at_k
+    FROM per p
+    JOIN totals tt ON tt.query_id = p.query_id
+    LEFT JOIN ideal i ON i.query_id = p.query_id
+    """,
+)
+def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding retrieval-quality evaluation — the metric suite an
+    embedding/training pipeline monitors per model version: exact
+    top-{{k}} over the labeled corpus (self excluded) per query vector,
+    then per-query precision@k, recall@k, MRR, and binary-relevance
+    nDCG@k against the `label` column as graded ground truth. All four
+    metrics are pure rank algebra over the KNN result, so the WHOLE
+    evaluation is exact-oracled (the log2-based nDCG matches DuckDB at
+    6 dp — IEEE doubles on integer-rank inputs).
+
+    Scale shape: queries broadcast (the eval set is always the small
+    side); the corpus is scored once per query batch with the same
+    crossJoin+window plan as `batch_knn` — at 100 TB substitute
+    `batch_knn_blocked` (GEMM) or `ivf_search_batch` (pruned probes)
+    for the scorer and the metric algebra downstream is UNCHANGED,
+    which is exactly why the metrics live in DataFrame expressions
+    rather than inside the scorer. Eval-set leakage note: at training
+    time pair this with `leakage_safe_split` so eval queries share no
+    near-dup cluster with the index side."""
+    e = load_table(spark, sf_dir, "embeddings")
+    k = _RETRIEVAL_K
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    pairs = e.crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = pairs.withColumn(
+        "dist", l2_distance(F.col("embedding"), F.col("qvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+    rel = (F.col("label") == F.col("qlabel")).cast("int")
+    per = topk.groupBy("query_id").agg(
+        F.sum(rel).cast("bigint").alias("n_rel"),
+        F.min(F.when(rel == 1, F.col("rn"))).alias("first_rel"),
+        F.sum(
+            F.when(rel == 1, 1.0 / F.log2(F.col("rn") + 1.0)).otherwise(0.0)
+        ).alias("dcg"),
+    )
+    totals = (
+        q.alias("q")
+        .join(
+            e.alias("e"),
+            (F.col("e.label") == F.col("q.qlabel"))
+            & (F.col("e.vec_id") != F.col("q.query_id")),
+        )
+        .groupBy("q.query_id")
+        .agg(F.count(F.lit(1)).alias("total_rel"))
+    )
+    ideal = (
+        totals.select(
+            "query_id",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.col("total_rel"), F.lit(k)))
+            ).alias("i"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum(1.0 / F.log2(F.col("i") + 1.0)).alias("idcg"))
+    )
+    return (
+        per.join(totals, "query_id")
+        .join(ideal, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.round(F.col("n_rel") / k, 6).alias("precision_at_k"),
+            F.round(
+                F.col("n_rel").cast("double") / F.col("total_rel"), 6
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)), 6
+            ).alias("ndcg_at_k"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational inventory over the star schema (SURVEY.md §2.3 J4, §2.4)
 # ---------------------------------------------------------------------------
