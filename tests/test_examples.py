@@ -14,6 +14,7 @@ _EXAMPLES = [
     ("examples/run_reference_workload.py", ""),
     ("examples/run_training_pipeline.py", ""),
     ("examples/run_streaming_curation.py", "OK — all five streaming stages"),
+    ("examples/run_bus_operations.py", "OK — bus operations loop"),
 ]
 
 

@@ -126,3 +126,81 @@ def test_file_and_rate_transports_share_event_schema(spark):
         open_event_stream(
             spark, {"format": "rate", "options": {"nope": 1}}
         )
+
+
+def test_serialize_parse_roundtrip(spark):
+    """serialize_event_value must be the exact inverse of
+    parse_event_value: batch events -> kafka (key, value) bytes ->
+    parsed rows == original rows, zero dead letters, key == event_id."""
+    from vector_db_setup_spark.streaming.sources import serialize_event_value
+
+    ev = load_table(spark, SF_SMOKE, "events").limit(150)
+    wire = serialize_event_value(ev)
+    assert wire.columns == ["key", "value"]
+    parsed = parse_event_value(wire)
+    assert parsed.filter(F.col("_corrupt").isNotNull()).count() == 0
+    got = sorted(tuple(r) for r in parsed.select(*EVENT_COLUMNS).collect())
+    want = sorted(tuple(r) for r in ev.select(*EVENT_COLUMNS).collect())
+    assert got == want
+    keys = {
+        int(bytes(r["key"]).decode()) for r in wire.select("key").collect()
+    }
+    assert keys == {r["event_id"] for r in ev.select("event_id").collect()}
+
+
+def test_sink_config_validation(spark):
+    from vector_db_setup_spark.streaming.sources import open_event_sink
+
+    stream = open_event_stream(
+        spark, {"format": "file", "options": {"path": SF_SMOKE}}
+    )
+    with pytest.raises(ValueError, match="'format' key"):
+        open_event_sink(stream, {})
+    with pytest.raises(ValueError, match="checkpointLocation"):
+        open_event_sink(stream, {"format": "file", "options": {"path": "/x"}})
+    with pytest.raises(ValueError, match="checkpointLocation"):
+        open_event_sink(
+            stream,
+            {"format": "kafka",
+             "options": {"kafka.bootstrap.servers": "h:9092", "topic": "t"}},
+        )
+    with pytest.raises(ValueError, match="topic"):
+        open_event_sink(
+            stream,
+            {"format": "kafka",
+             "options": {"kafka.bootstrap.servers": "h:9092",
+                         "checkpointLocation": "/ckpt"}},
+        )
+    with pytest.raises(ValueError, match="queryName"):
+        open_event_sink(stream, {"format": "memory", "options": {}})
+    with pytest.raises(ValueError, match="unknown stream sink"):
+        open_event_sink(stream, {"format": "pulsar"})
+
+
+def test_file_source_to_file_sink_end_to_end(spark, tmp_path):
+    """The full config-driven loop: file source -> file sink (parquet,
+    availableNow) -> read back rows == batch table."""
+    from vector_db_setup_spark.streaming.sources import open_event_sink
+
+    stream = open_event_stream(
+        spark, {"format": "file", "options": {"path": SF_SMOKE}}
+    )
+    out = str(tmp_path / "out")
+    writer = open_event_sink(
+        stream,
+        {"format": "file",
+         "options": {"path": out,
+                     "checkpointLocation": str(tmp_path / "ckpt")}},
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(out).select(*EVENT_COLUMNS).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select(*EVENT_COLUMNS)
+        .collect()
+    )
+    assert got == want

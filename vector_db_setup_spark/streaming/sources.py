@@ -175,3 +175,81 @@ def open_event_stream(spark: SparkSession, source: dict) -> DataFrame:
         )
 
     raise ValueError(f"unknown stream source format: {fmt!r}")
+
+
+def serialize_event_value(df: DataFrame) -> DataFrame:
+    """Event rows -> Kafka-shaped (key, value) bytes — the exact
+    inverse of `parse_event_value` (round-trip pinned in tests).
+
+    value = JSON of the event columns with MICROSECOND timestamps
+    (default to_json truncates to millis, which would break event_id
+    tie-ordering on replay); key = event_id bytes, so a keyed topic
+    partitions by event and a compacted topic retains the latest
+    version per event. Pure codegen expressions."""
+    return df.select(
+        F.col("event_id").cast("string").cast("binary").alias("key"),
+        F.to_json(
+            F.struct(*[F.col(c) for c in EVENT_COLUMNS]),
+            {"timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"},
+        ).cast("binary").alias("value"),
+    )
+
+
+def open_event_sink(events: DataFrame, sink: dict):
+    """Build a started-ready DataStreamWriter from a transport config —
+    the write-side twin of `open_event_stream`; call `.start()` (or
+    `.trigger(...).start()`) on the result.
+
+        {"format": "kafka",
+         "options": {"kafka.bootstrap.servers": "h:9092",
+                     "topic": "events",
+                     "checkpointLocation": "/ckpt/events-out"}}
+
+        {"format": "file",
+         "options": {"path": "/data/out",
+                     "checkpointLocation": "/ckpt/events-out"}}
+
+    kafka serializes rows through `serialize_event_value`; file lands
+    parquet. Both REQUIRE an explicit checkpointLocation — a sink
+    without one silently loses exactly-once on restart, so the factory
+    refuses rather than defaulting. Config validation is eager, same
+    contract as the source factory."""
+    if not isinstance(sink, dict) or "format" not in sink:
+        raise ValueError(
+            "sink config must be a dict with a 'format' key "
+            "('kafka' | 'file' | 'memory')"
+        )
+    fmt = sink["format"]
+    opts = dict(sink.get("options", {}))
+    if fmt in ("kafka", "file") and not opts.get("checkpointLocation"):
+        raise ValueError(
+            f"{fmt} sink requires options.checkpointLocation — without "
+            "it a restart replays from scratch (silent duplicate data)"
+        )
+    if fmt == "kafka":
+        if not opts.get("kafka.bootstrap.servers"):
+            raise ValueError(
+                "kafka sink requires options['kafka.bootstrap.servers']"
+            )
+        if not opts.get("topic"):
+            raise ValueError("kafka sink requires options.topic")
+        writer = serialize_event_value(events).writeStream.format("kafka")
+        for k, v in opts.items():
+            writer = writer.option(k, str(v))
+        return writer
+    if fmt == "file":
+        path = opts.pop("path", None)
+        if not path:
+            raise ValueError("file sink requires options.path")
+        writer = events.writeStream.format("parquet").option("path", path)
+        for k, v in opts.items():
+            writer = writer.option(k, str(v))
+        return writer
+    if fmt == "memory":
+        name = opts.pop("queryName", None)
+        if not name:
+            raise ValueError("memory sink requires options.queryName")
+        if opts:
+            raise ValueError(f"unsupported memory-sink options: {sorted(opts)}")
+        return events.writeStream.format("memory").queryName(name)
+    raise ValueError(f"unknown stream sink format: {fmt!r}")
