@@ -86,21 +86,7 @@ def main() -> None:
 
     # 3b. the same maintenance pass through the Hadoop FileSystem API —
     #     the exact code path an HDFS/S3A deployment runs (file:// here)
-    from vector_db_setup_spark.streaming.events import _compact_partials
-
-    _compact_partials(
-        spark,
-        rollup_path,
-        key_cols=["bucket_start", "event_type"],
-        agg_exprs=[
-            F.sum("n").alias("n"),
-            F.sum("total_value").alias("total_value"),
-        ],
-        verify=lambda df: df.agg(F.sum("n")).collect()[0][0],
-        keep_batches_from=None,
-        what="compact_rollup[hadoop]",
-        fs=HadoopFS(spark, rollup_path),
-    )
+    compact_rollup(spark, rollup_path, fs=HadoopFS(spark, rollup_path))
     got_n2 = read_rollup(spark, rollup_path).agg(F.sum("n")).collect()[0][0]
     assert got_n2 == want_n, (got_n2, want_n)
     print(f"[3b] compact via HadoopFS (Hadoop FileSystem API): "

@@ -39,6 +39,21 @@ def test_get_fs_scheme_resolution(spark):
     assert isinstance(get_fs(spark, "file:///tmp/x"), HadoopFS)
     with pytest.raises(Exception, match="S3AFileSystem not found"):
         get_fs(spark, "s3a://bucket/x")
+    # NOT an allowlist: any scheme:// reaches Hadoop's own resolution
+    # and fails loudly there if the connector is absent — silently
+    # falling back to LocalFS would no-op remote deletes
+    with pytest.raises(Exception):
+        get_fs(spark, "viewfs://ns/x")
+
+
+def test_hadoop_delete_false_return_raises(spark, tmp_path):
+    """Hadoop FileSystem.delete signals failure by RETURNING false
+    (e.g. path absent) — that must surface as an error like LocalFS's
+    FileNotFoundError, not a silent success."""
+    fs = HadoopFS(spark, f"file://{tmp_path}")
+    with pytest.raises(OSError, match="returned false"):
+        fs.delete(f"file://{tmp_path}/absent")
+    fs.delete(f"file://{tmp_path}/absent", ignore_errors=True)  # no raise
 
 
 def test_move_refuses_existing_destination(tmp_path):

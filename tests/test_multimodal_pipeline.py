@@ -413,3 +413,18 @@ def test_compact_parquet_preserves_partitions_and_backup(spark, tmp_path):
     assert os.path.isdir(back)
     backup = sorted(tuple(r) for r in spark.read.parquet(back).collect())
     assert backup == before
+
+
+def test_decode_audio_corrupt_riff_is_data_error():
+    """A RIFF-magic payload that fails WAV decode must RAISE (data
+    error), never silently fall back to the byte-fake — garbage
+    features that look healthy are worse than a loud failure."""
+    from vector_db_setup_spark.multimodal.columns import _soundfile, decode_audio
+
+    if _soundfile() is not None:
+        pytest.skip("soundfile present; stdlib path not reached")
+    corrupt = b"RIFF" + b"\x00" * 8  # magic without a valid WAV body
+    with pytest.raises((ValueError, NotImplementedError)):
+        decode_audio(corrupt)  # auto mode routes real via the magic
+    # explicit fake mode still decodes the bytes deterministically
+    assert len(decode_audio(corrupt, real=False)) == 12

@@ -29,6 +29,16 @@ def test_config_validation_fails_at_build_time(spark):
             spark,
             {"format": "file", "options": {"path": SF_SMOKE, "bogus": 1}},
         )
+    # the documented FileStreamSource analogues DO pass through
+    s = open_event_stream(
+        spark,
+        {
+            "format": "file",
+            "options": {"path": SF_SMOKE, "latestFirst": "true",
+                        "maxFileAge": "7d"},
+        },
+    )
+    assert s.isStreaming
     with pytest.raises(ValueError, match="bootstrap.servers"):
         open_event_stream(spark, {"format": "kafka", "options": {}})
     with pytest.raises(ValueError, match="exactly one of subscribe"):
@@ -106,10 +116,14 @@ def test_parse_event_value_dead_letters_corrupt_payloads(spark):
     parsed = parse_event_value(raw).collect()
     ok = [r for r in parsed if r["_corrupt"] is None]
     bad = [r for r in parsed if r["_corrupt"] is not None]
-    assert len(ok) == 2  # the good row + the null payload (null in, null out)
-    assert len(bad) == 1 and bad[0]["_corrupt"] == "this is not json"
-    good = [r for r in ok if r["event_id"] is not None][0]
-    assert good["event_type"] == "view" and good["value"] == 1.5
+    # both the malformed payload AND the null payload (a compacted-
+    # topic tombstone) dead-letter; only the real event passes
+    assert len(ok) == 1
+    assert sorted(r["_corrupt"] for r in bad) == [
+        "<null payload>",
+        "this is not json",
+    ]
+    assert ok[0]["event_type"] == "view" and ok[0]["value"] == 1.5
 
 
 def test_file_and_rate_transports_share_event_schema(spark):

@@ -276,13 +276,16 @@ def _decode_wav_stdlib(payload: bytes) -> np.ndarray | None:
 def decode_audio(payload: bytes, real: bool | None = None) -> np.ndarray:
     """Decode one audio payload to a float32 waveform in [-1, 1].
 
-    ``real`` tri-state, same contract as decode_image: ``None`` auto
-    (real codec when available, else fake), ``True`` require real,
-    ``False`` force the deterministic fake. The real path tries
-    soundfile first (any format it knows), then a stdlib `wave` PCM16
-    decode for RIFF/WAV payloads — so real WAV decode works even in
-    this container (tested), and only non-WAV formats need the
-    soundfile install."""
+    ``real`` tri-state, same contract as decode_image: ``None`` auto,
+    ``True`` require real, ``False`` force the deterministic fake.
+    Auto selects by CAPABILITY, not by decode success: soundfile
+    importable, or the payload carrying the RIFF/WAV magic (the stdlib
+    `wave` PCM16 path). Once a real-looking payload is routed real, a
+    decode failure RAISES — a corrupt or unsupported-depth WAV is a
+    data error, and silently substituting the byte-fake would feed
+    garbage features downstream while looking healthy. Only payloads
+    with no real capability at all (non-RIFF bytes, no soundfile) fall
+    back to the fake in auto mode."""
     can_real = _soundfile() is not None or payload[:4] == b"RIFF"
     if real is None:
         real = can_real
@@ -295,7 +298,16 @@ def decode_audio(payload: bytes, real: bool | None = None) -> np.ndarray:
             if wav.ndim > 1:
                 wav = wav.mean(axis=1)
             return wav.astype(np.float32)
-        wav = _decode_wav_stdlib(payload)
+        try:
+            wav = _decode_wav_stdlib(payload)
+        except NotImplementedError:
+            raise
+        except Exception as e:
+            raise ValueError(
+                f"RIFF payload failed WAV decode ({e}) — corrupt audio is "
+                "a data error, not a capability gap; route it to a "
+                "dead-letter path rather than decoding with real=False"
+            ) from e
         if wav is not None:
             return wav
         raise NotImplementedError(

@@ -20,7 +20,7 @@ operation through this small FS contract:
 - ``RenameIsCopyFS`` — a LocalFS test double whose ``move`` is
   copy-then-delete with optional fault injection, simulating
   object-store rename semantics so the swap paths' crash behavior is
-  testable without an object store (tests/test_storage_skew_llm.py).
+  testable without an object store (tests/test_fs.py).
 
 The contract is deliberately tiny — exactly the operations the
 maintenance paths need, nothing speculative:
@@ -47,6 +47,7 @@ of the forward-looking 100 TB landing story, not reference parity.
 from __future__ import annotations
 
 import os
+import re
 import shutil
 
 
@@ -124,11 +125,22 @@ class HadoopFS:
             raise OSError(f"Hadoop rename {src} -> {dst} returned false")
 
     def delete(self, path: str, ignore_errors: bool = False) -> None:
+        # Hadoop delete() signals failure (including path-not-found) by
+        # RETURNING false, not raising — ignoring it would let a failed
+        # backup cleanup report success and strand __old dirs that make
+        # the next compaction abort. Align with LocalFS: a no-op delete
+        # raises unless ignore_errors.
         try:
-            self._fs.delete(self._jpath(path), True)
+            ok = self._fs.delete(self._jpath(path), True)
         except Exception:
-            if not ignore_errors:
-                raise
+            if ignore_errors:
+                return
+            raise
+        if not ok and not ignore_errors:
+            raise OSError(
+                f"Hadoop delete({path}) returned false — path missing or "
+                "store refused the delete"
+            )
 
     def du_suffix(self, path: str, suffix: str) -> tuple[int, int]:
         total = 0
@@ -176,14 +188,18 @@ class RenameIsCopyFS(LocalFS):
         self.moves += 1
 
 
-_SCHEMES = ("hdfs://", "s3a://", "s3://", "gs://", "abfs://", "abfss://",
-            "wasb://", "wasbs://", "file://")
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
 
 def get_fs(spark, path: str):
-    """Resolve the FS for ``path``: HadoopFS for any ``scheme://`` URI
-    (including ``file://`` — useful to exercise the Hadoop code path
-    locally), LocalFS for bare paths."""
-    if any(path.startswith(s) for s in _SCHEMES):
+    """Resolve the FS for ``path``: HadoopFS for ANY ``scheme://`` URI
+    (hdfs, s3a, gs, abfs, viewfs, oss, … — including ``file://``,
+    useful to exercise the Hadoop code path locally), LocalFS only for
+    bare scheme-less paths. Deliberately NOT an allowlist: an unknown
+    scheme must reach Hadoop's own resolution and fail LOUDLY there if
+    its connector is absent — silently falling back to LocalFS would
+    run remote maintenance ops against the driver's local disk (no-op
+    deletes, 0-byte sizing) while reporting success."""
+    if _SCHEME_RE.match(path):
         return HadoopFS(spark, path)
     return LocalFS()

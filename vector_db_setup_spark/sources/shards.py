@@ -28,6 +28,28 @@ from pyspark.sql import functions as F
 
 MANIFEST_DIR = "_manifest"
 
+_MISSING_PATH_CONDITIONS = {"PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"}
+
+
+def _is_missing_path(e) -> bool:
+    """True iff an AnalysisException means 'the path holds no readable
+    data' (absent dir / nothing to infer a schema from). Prefers the
+    structured error condition (Spark 3.4+ ``getCondition``) over
+    message-substring matching, which is brittle across Spark message
+    format changes; the substring check remains as the fallback for
+    builds where the condition is unset."""
+    for attr in ("getCondition", "getErrorClass"):
+        get = getattr(e, attr, None)
+        if get is not None:
+            try:
+                cond = get()
+            except Exception:
+                cond = None
+            if cond:
+                return cond in _MISSING_PATH_CONDITIONS
+    msg = str(e)
+    return any(c in msg for c in _MISSING_PATH_CONDITIONS)
+
 
 def assign_shard(df: DataFrame, n_shards: int, id_col: str = "doc_id",
                  seed: int = 0) -> DataFrame:
@@ -170,8 +192,7 @@ def land_snapshot(
             # unreadable manifest must raise: silently treating it as
             # "first landing" would rewrite the entire corpus and mask
             # the fault behind an all-'new' report.
-            msg = str(e)
-            if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
+            if not _is_missing_path(e):
                 raise
             old_m = None
         if old_m is None:
@@ -270,8 +291,7 @@ def verify_shards(
         # transient FS errors propagate — conflating "shards lost"
         # with "audit could not run" would misdirect triage toward
         # re-landing data that may be perfectly intact.
-        msg = str(e)
-        if "PATH_NOT_FOUND" not in msg and "UNABLE_TO_INFER_SCHEMA" not in msg:
+        if not _is_missing_path(e):
             raise
         got = spark.createDataFrame([], got_cols)
     else:

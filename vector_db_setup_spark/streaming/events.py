@@ -21,13 +21,18 @@ from pyspark.sql import functions as F
 
 
 def stream_events(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    reader_options: dict | None = None,
 ) -> DataFrame:
     """readStream over the events parquet directory.
 
     Parquet-dir streaming needs an explicit schema; reuse the batch
-    registry's (including the ns→µs ts conversion).
-    """
+    registry's (including the ns→µs ts conversion). ``reader_options``
+    passes additional FileStreamSource options (latestFirst,
+    maxFileAge — the source factory's documented pass-throughs)
+    straight to the reader."""
     from vector_db_setup_spark.sources.registry import load_table
 
     batch = load_table(spark, sf_dir, "events")
@@ -36,6 +41,8 @@ def stream_events(
     )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, str(v))
     # FileStreamSource needs a directory basePath; select the single
     # fixture file out of it with a glob filter
     raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
@@ -664,10 +671,12 @@ def read_rollup(spark, out_path: str) -> DataFrame:
 
 
 def compact_rollup(
-    spark, out_path: str, keep_batches_from: int | None = None
+    spark, out_path: str, keep_batches_from: int | None = None, fs=None
 ) -> None:
     """Fold partial partitions into a single `_batch=-1` partition
     (maintenance path; read_rollup output is identical before/after).
+    ``fs`` forwards to the shared engine (default: resolved from the
+    path scheme — LocalFS or the Hadoop FileSystem API).
 
     REPLAY FENCING: folding a batch's partials into `-1` destroys the
     per-batch overwrite key that makes redelivery idempotent, so either
@@ -711,6 +720,7 @@ def compact_rollup(
         verify=lambda df: df.agg(F.sum("n")).collect()[0][0],
         keep_batches_from=keep_batches_from,
         what="compact_rollup",
+        fs=fs,
     )
 
 
@@ -801,14 +811,15 @@ def _compact_partials(
 
 
 def compact_benchmark_filter(
-    spark, out_path: str, keep_batches_from: int | None = None
+    spark, out_path: str, keep_batches_from: int | None = None, fs=None
 ) -> None:
     """Fold the continuous Bloom filter's per-batch word partials into
     one `_batch=-1` partition (read_benchmark_filter output identical
     before/after — Bloom union is bitwise OR, so folding is exact).
-    Same replay-fencing and swap-safety contract as compact_rollup;
-    the verification invariant is the POPCOUNT of the fully merged
-    bitmap, which folding cannot change."""
+    Same replay-fencing and swap-safety contract as compact_rollup
+    (incl. the ``fs`` forward); the verification invariant is the
+    POPCOUNT of the fully merged bitmap, which folding cannot
+    change."""
     _compact_partials(
         spark,
         out_path,
@@ -822,6 +833,7 @@ def compact_benchmark_filter(
         ),
         keep_batches_from=keep_batches_from,
         what="compact_benchmark_filter",
+        fs=fs,
     )
 
 

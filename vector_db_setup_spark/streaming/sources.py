@@ -78,17 +78,24 @@ def parse_event_value(raw: DataFrame, value_col: str = "value") -> DataFrame:
     # PERMISSIVE from_json yields a struct of NULLS (not a null struct)
     # for malformed input, so corruption must be captured explicitly
     # via columnNameOfCorruptRecord — the parse schema carries one
-    # extra string slot that receives the raw payload on failure
+    # extra string slot that receives the raw payload on failure.
+    # NULL payloads (Kafka compacted-topic tombstones) dead-letter too
+    # (sentinel '<null payload>'): from_json(null) is a null struct
+    # with a null corrupt slot, and letting an all-null "event" row
+    # through would feed null-keyed junk into every downstream window.
     parsed = raw.select(
         F.from_json(
             s,
             EVENT_VALUE_DDL + ", _corrupt string",
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
-        ).alias("e")
+        ).alias("e"),
+        s.isNull().alias("_was_null"),
     )
     return parsed.select(
         *[F.col(f"e.{c}").alias(c) for c in EVENT_COLUMNS],
-        F.col("e._corrupt").alias("_corrupt"),
+        F.when(F.col("_was_null"), F.lit("<null payload>"))
+        .otherwise(F.col("e._corrupt"))
+        .alias("_corrupt"),
     )
 
 
@@ -114,16 +121,22 @@ def open_event_stream(spark: SparkSession, source: dict) -> DataFrame:
         from vector_db_setup_spark.streaming.events import stream_events
 
         mft = opts.pop("maxFilesPerTrigger", None)
-        stream = stream_events(
-            spark, path, max_files_per_trigger=mft
-        )
-        # remaining FileStreamSource options (latestFirst, maxFileAge,
-        # ...) are not yet routed; reject rather than silently ignore
+        # the documented FileStreamSource analogues pass through to the
+        # reader; anything else is rejected eagerly (Spark would ignore
+        # an unknown/typo'd option silently)
+        passthrough = {
+            k: opts.pop(k)
+            for k in ("latestFirst", "maxFileAge")
+            if k in opts
+        }
         if opts:
             raise ValueError(
                 f"unsupported file-source options: {sorted(opts)}"
             )
-        return stream
+        return stream_events(
+            spark, path, max_files_per_trigger=mft,
+            reader_options=passthrough,
+        )
 
     if fmt == "kafka":
         if not opts.get("kafka.bootstrap.servers"):
