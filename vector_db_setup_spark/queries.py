@@ -6351,3 +6351,86 @@ def ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = [int(i) for i in np.argsort(d2)[:3]]
     probed = coded.filter(F.col("cluster_id").isin(probe))
     return pq_search(probed, books, qvec, k=10, rerank=8)
+
+
+@register(
+    "doc_length_profile",
+    """
+    WITH n AS (
+        SELECT lang, len(string_split(lower(text), ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_tokens), 6) AS mean_tokens,
+           round(quantile_cont(n_tokens, 0.25), 6) AS p25,
+           round(quantile_cont(n_tokens, 0.50), 6) AS p50,
+           round(quantile_cont(n_tokens, 0.75), 6) AS p75,
+           round(quantile_cont(n_tokens, 0.95), 6) AS p95
+    FROM n GROUP BY lang
+    """,
+)
+def doc_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-length distribution profile — the
+    data-profiling pass a corpus intake runs before setting chunking /
+    packing / quality thresholds (token_budgets and doc_chunking
+    consume exactly these statistics). Spark's EXACT `percentile`
+    aggregate matches DuckDB's `quantile_cont` (both linear
+    interpolation on the sorted group; verified at 6 dp).
+
+    One scan, one groupBy(lang); the exact percentile aggregate
+    buffers each group's values — fine for any per-group cardinality
+    that fits an executor (100s of millions of longs), and the
+    documented swap at extreme scale is `percentile_approx` (t-digest,
+    mergeable, map-side combined) with an accepted error bound; the
+    query shape is otherwise unchanged."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split(F.lower(F.col("text")), " "))
+    return d.select("lang", n.alias("n_tokens")).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(n_tokens, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_tokens, 0.75)"), 6).alias("p75"),
+        F.round(F.expr("percentile(n_tokens, 0.95)"), 6).alias("p95"),
+    )
+
+
+@register(
+    "stratified_eval_sample",
+    """
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(doc_id::VARCHAR || ':42') ASC, doc_id ASC
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly n=5 docs per language
+    stratum, selected by seed-stable md5 order — how an eval set is
+    drawn so (a) every stratum is represented regardless of corpus
+    skew and (b) the draw is REPRODUCIBLE and membership-independent
+    (a doc's selection rank never depends on other docs' existence
+    within rank <= n, the same hash-the-key property as
+    `corpus_shard_assignment`). Unlike rate-based `corpus_mixture_sample`
+    (Bernoulli keep-rate), this is exact-n-per-group — the form an
+    eval budget requires.
+
+    Scale: one lang-keyed shuffle; WindowGroupLimit prunes each input
+    partition to its local top-5 per stratum BEFORE the exchange, so
+    the shuffle carries ≤ partitions × strata × n rows — the same
+    pre-shuffle prune batch_knn/retrieval_eval lean on."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    w = Window.partitionBy("lang").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+    )
