@@ -52,6 +52,8 @@ EXTENDED = [
     "market_share",
     "benchmark_overlap_bloom",
     "leakage_safe_split",
+    "retrieval_eval",
+    "retrieval_eval_blocked",
 ]
 
 

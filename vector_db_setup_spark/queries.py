@@ -396,6 +396,51 @@ def ivf_batch_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RETRIEVAL_K = 10
 
 
+def _retrieval_metrics(topk: DataFrame, totals: DataFrame, k: int) -> DataFrame:
+    """The scorer-independent metric algebra shared by retrieval_eval
+    and retrieval_eval_blocked: consumes (query_id, rn, label, qlabel)
+    plus per-query total_rel; emits the metric row per query. Keeping
+    this OUT of the scorer is the design point — the 6.2× Q=512 GEMM
+    speedup measured in SCALE_EXPERIMENTS 'Retrieval-eval scorer swap'
+    comes for free because the metrics don't care who ranked."""
+    rel = (F.col("label") == F.col("qlabel")).cast("int")
+    per = topk.groupBy("query_id").agg(
+        F.sum(rel).cast("bigint").alias("n_rel"),
+        F.min(F.when(rel == 1, F.col("rn"))).alias("first_rel"),
+        F.sum(
+            F.when(rel == 1, 1.0 / F.log2(F.col("rn") + 1.0)).otherwise(0.0)
+        ).alias("dcg"),
+    )
+    ideal = (
+        totals.select(
+            "query_id",
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.col("total_rel"), F.lit(k)))
+            ).alias("i"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum(1.0 / F.log2(F.col("i") + 1.0)).alias("idcg"))
+    )
+    return (
+        per.join(totals, "query_id")
+        .join(ideal, "query_id", "left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.round(F.col("n_rel") / k, 6).alias("precision_at_k"),
+            F.round(
+                F.col("n_rel").cast("double") / F.col("total_rel"), 6
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)), 6
+            ).alias("ndcg_at_k"),
+        )
+    )
+
+
 @register(
     "retrieval_eval",
     f"""
@@ -487,13 +532,59 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = scored.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
     )
-    rel = (F.col("label") == F.col("qlabel")).cast("int")
-    per = topk.groupBy("query_id").agg(
-        F.sum(rel).cast("bigint").alias("n_rel"),
-        F.min(F.when(rel == 1, F.col("rn"))).alias("first_rel"),
-        F.sum(
-            F.when(rel == 1, 1.0 / F.log2(F.col("rn") + 1.0)).otherwise(0.0)
-        ).alias("dcg"),
+    totals = (
+        q.alias("q")
+        .join(
+            e.alias("e"),
+            (F.col("e.label") == F.col("q.qlabel"))
+            & (F.col("e.vec_id") != F.col("q.query_id")),
+        )
+        .groupBy("q.query_id")
+        .agg(F.count(F.lit(1)).alias("total_rel"))
+    )
+    return _retrieval_metrics(
+        topk.select("query_id", "rn", "label", "qlabel"), totals, k
+    )
+
+
+@register(
+    "retrieval_eval_blocked",
+    # scorer swap, same semantics — the oracle is identical by design
+    # (the same contract as batch_knn / batch_knn_blocked)
+    _ORACLES["retrieval_eval"],
+)
+def retrieval_eval_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retrieval_eval's 100 TB scorer: per-partition GEMM top-k
+    (`operators/similarity.batch_knn_blocked`) instead of the
+    crossJoin+window scan, feeding the IDENTICAL `_retrieval_metrics`
+    algebra — same oracle by construction. Measured at 200k×64-d the
+    GEMM scorer is flat in |Q| (one corpus scan) while the window
+    scorer grows linearly: 6.2× at Q=512 (SCALE_EXPERIMENTS
+    'Retrieval-eval scorer swap'). Self-exclusion happens on the k+1
+    candidate list before re-ranking, so ranks match the exact form."""
+    from vector_db_setup_spark.operators.similarity import batch_knn_blocked
+
+    e = load_table(spark, sf_dir, "embeddings")
+    k = _RETRIEVAL_K
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    # k+1 then drop self: the query vector itself is always its own
+    # nearest neighbor (distance 0), so the k+1-deep GEMM result minus
+    # self is exactly the exact form's top-k over vec_id != query_id
+    knn = batch_knn_blocked(q.select("query_id", "qvec"), e, k=k + 1)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    topk = (
+        knn.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .join(e.select("vec_id", "label"), "vec_id")
+        .join(q.select("query_id", "qlabel"), "query_id")
+        .select("query_id", "rn", "label", "qlabel")
     )
     totals = (
         q.alias("q")
@@ -505,34 +596,7 @@ def retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("q.query_id")
         .agg(F.count(F.lit(1)).alias("total_rel"))
     )
-    ideal = (
-        totals.select(
-            "query_id",
-            F.explode(
-                F.sequence(F.lit(1), F.least(F.col("total_rel"), F.lit(k)))
-            ).alias("i"),
-        )
-        .groupBy("query_id")
-        .agg(F.sum(1.0 / F.log2(F.col("i") + 1.0)).alias("idcg"))
-    )
-    return (
-        per.join(totals, "query_id")
-        .join(ideal, "query_id", "left")
-        .select(
-            "query_id",
-            "n_rel",
-            F.round(F.col("n_rel") / k, 6).alias("precision_at_k"),
-            F.round(
-                F.col("n_rel").cast("double") / F.col("total_rel"), 6
-            ).alias("recall_at_k"),
-            F.round(
-                F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6
-            ).alias("mrr"),
-            F.round(
-                F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)), 6
-            ).alias("ndcg_at_k"),
-        )
-    )
+    return _retrieval_metrics(topk, totals, k)
 
 
 # ---------------------------------------------------------------------------

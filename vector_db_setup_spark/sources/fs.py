@@ -30,6 +30,10 @@ maintenance paths need, nothing speculative:
     move(src, dst)          -> None        dst must NOT exist; raises
     delete(path, ignore_errors=False)      recursive
     du_suffix(path, suffix) -> (total_bytes, n_files), recursive
+    create_new(path, data)  -> None        exclusive create; raises
+                                           FileExistsError if present
+                                           (the commit primitive for
+                                           sources/snapshot_table.py)
 
 ``move`` REFUSES an existing destination on every implementation:
 ``shutil.move`` into an existing directory silently NESTS and Hadoop
@@ -71,7 +75,15 @@ class LocalFS:
         shutil.move(src, dst)
 
     def delete(self, path: str, ignore_errors: bool = False) -> None:
-        shutil.rmtree(path, ignore_errors=ignore_errors)
+        # recursive contract covers plain files too (commit markers)
+        try:
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            else:
+                os.remove(path)
+        except Exception:
+            if not ignore_errors:
+                raise
 
     def du_suffix(self, path: str, suffix: str) -> tuple[int, int]:
         total = 0
@@ -82,6 +94,11 @@ class LocalFS:
                     total += os.path.getsize(os.path.join(root, f))
                     n += 1
         return total, n
+
+    def create_new(self, path: str, data: bytes = b"") -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "xb") as f:  # 'x' = exclusive create
+            f.write(data)
 
 
 class HadoopFS:
@@ -152,6 +169,27 @@ class HadoopFS:
                 total += fi.getLen()
                 n += 1
         return total, n
+
+    def create_new(self, path: str, data: bytes = b"") -> None:
+        # FileSystem.create(path, overwrite=false) is the exclusive-
+        # create primitive: atomic-visible on close (HDFS) / atomic
+        # object PUT (S3A conditional create); an existing path raises
+        p = self._jpath(path)
+        if self._fs.exists(p):
+            raise FileExistsError(f"create_new target {path} already exists")
+        try:
+            out = self._fs.create(p, False)
+        except Exception as e:
+            if "exists" in str(e).lower():
+                raise FileExistsError(
+                    f"create_new target {path} already exists"
+                ) from e
+            raise
+        try:
+            if data:
+                out.write(bytearray(data))
+        finally:
+            out.close()
 
 
 class RenameIsCopyFS(LocalFS):

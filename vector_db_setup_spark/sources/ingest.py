@@ -110,7 +110,10 @@ def compact_parquet(
 
     The swap is NOT atomic — there is a window between the two renames
     where ``path`` is absent; concurrent readers must be fenced
-    externally. The pre-compaction data is kept at ``<path>__compact_old``
+    externally. When readers are concurrent and can't be fenced, use
+    the pointer-committed layout instead (`sources/snapshot_table`:
+    immutable version dirs + exclusive-create commit markers —
+    `compact_snapshot` there has NO window at all). The pre-compaction data is kept at ``<path>__compact_old``
     when ``keep_backup=True`` (verify, then delete); by default it is
     removed only after the new directory is verified readable. A crash
     mid-swap always leaves a complete copy at ``path`` or the backup —

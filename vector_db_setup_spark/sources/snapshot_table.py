@@ -1,0 +1,226 @@
+"""Pointer-committed snapshot table — the minimal table-format commit
+protocol that removes the maintenance swap window entirely.
+
+The r5 verdict's residual storage risk was that directory-swap
+compaction (`ingest.compact_parquet`, `streaming._compact_partials`)
+has a non-atomic window: between the two renames the live path is
+absent, and an in-flight reader or writer can fail. Those paths stay
+(they compact IN PLACE, which some layouts require), but this module
+is the recommended landing shape when readers are concurrent — the
+same idea Iceberg/Delta are built on, reduced to its core:
+
+    base/
+      v00000001/          immutable parquet data dir
+      v00000002/
+      _commits/
+        v00000001         commit marker (small JSON: row count, note)
+        v00000002
+
+- **Data dirs are immutable and never renamed.** A writer materializes
+  the FULL new version directory first; nothing references it yet.
+- **Commit = one exclusive file create** (`fs.create_new`) of the
+  marker. Exclusive create is atomic-visible on local FS, HDFS, and
+  object stores (conditional PUT) — no atomic-rename requirement, so
+  the protocol is safe exactly where rename is copy+delete.
+- **Readers resolve the newest MARKER, then read that pinned dir.**
+  A half-written version has no marker and is invisible; a reader
+  mid-query keeps reading its pinned dir, which no writer ever
+  touches — compaction has NO window at all.
+- **Crash safety:** a writer dying before the marker leaves an orphan
+  data dir — invisible to readers, skipped by version allocation, and
+  reclaimed by `gc_snapshots`. A writer dying after the marker leaves
+  a fully valid committed version (the marker is written only after
+  the data verifies).
+- **Optimistic concurrency:** two writers racing to the same version
+  number — the second `create_new` raises FileExistsError; the caller
+  re-reads the head and retries (`write_snapshot(retries=...)` does).
+
+What this deliberately does NOT have (and where real table formats
+earn their complexity): column-level stats/pruning metadata, partition
+evolution, row-level deletes, and multi-table transactions. For the
+engine's maintenance story — land, compact, audit, GC under live
+readers — the pointer protocol is sufficient and fully testable.
+
+Reference scope: the reference delegates storage transactionality to
+Postgres (setup.sh); this module is the 100 TB landing story's answer
+to "what replaces BEGIN/COMMIT on a data lake".
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+
+COMMITS_DIR = "_commits"
+_V_PREFIX = "v"
+_V_DIGITS = 8
+
+
+def _vname(n: int) -> str:
+    return f"{_V_PREFIX}{n:0{_V_DIGITS}d}"
+
+
+def _parse_v(name: str) -> int | None:
+    if (
+        name.startswith(_V_PREFIX)
+        and len(name) == len(_V_PREFIX) + _V_DIGITS
+        and name[len(_V_PREFIX):].isdigit()
+    ):
+        return int(name[len(_V_PREFIX):])
+    return None
+
+
+def _resolve_fs(spark, base: str, fs):
+    if fs is not None:
+        return fs
+    from vector_db_setup_spark.sources.fs import get_fs
+
+    return get_fs(spark, base)
+
+
+def committed_versions(spark, base: str, fs=None) -> list[int]:
+    """Sorted committed version numbers (from the marker listing —
+    data dirs without a marker are uncommitted and excluded)."""
+    fs = _resolve_fs(spark, base, fs)
+    out = []
+    for name in fs.listdir(f"{base}/{COMMITS_DIR}"):
+        v = _parse_v(name)
+        if v is not None:
+            out.append(v)
+    return sorted(out)
+
+
+def _data_dir_versions(fs, base: str) -> list[int]:
+    out = []
+    for name in fs.listdir(base):
+        v = _parse_v(name)
+        if v is not None:
+            out.append(v)
+    return sorted(out)
+
+
+def write_snapshot(
+    df: DataFrame,
+    base: str,
+    note: str = "",
+    fs=None,
+    retries: int = 3,
+) -> int:
+    """Land `df` as the next committed version; returns its number.
+
+    Protocol per attempt: allocate n = max(committed, orphan dirs)+1 →
+    write parquet to `base/v{n}` → verify the written dir readable and
+    count its rows → exclusive-create the marker. A FileExistsError on
+    the marker means another writer won version n: the just-written
+    data dir is abandoned as an orphan (GC reclaims it) and the
+    attempt repeats against the new head. Marker content records the
+    verified row count for audit."""
+    spark = df.sparkSession
+    fs = _resolve_fs(spark, base, fs)
+    last_err: Exception | None = None
+    for _ in range(retries + 1):
+        committed = committed_versions(spark, base, fs)
+        orphans = _data_dir_versions(fs, base)
+        n = max(committed + orphans, default=0) + 1
+        data_dir = f"{base}/{_vname(n)}"
+        df.write.mode("error").parquet(data_dir)
+        # verify BEFORE publishing: the marker must never reference a
+        # dir that can't be read back (full count touches every footer)
+        n_rows = spark.read.parquet(data_dir).count()
+        marker = json.dumps({"version": n, "rows": n_rows, "note": note})
+        try:
+            fs.create_new(
+                f"{base}/{COMMITS_DIR}/{_vname(n)}", marker.encode()
+            )
+            return n
+        except FileExistsError as e:
+            # lost the race for version n — abandon the orphan dir and
+            # retry against the new head (GC reclaims the dir; deleting
+            # it here would race the winner's allocation scan)
+            last_err = e
+    raise RuntimeError(
+        f"write_snapshot lost the commit race {retries + 1} times at {base}"
+    ) from last_err
+
+
+def current_version(spark, base: str, fs=None) -> int:
+    vs = committed_versions(spark, base, fs)
+    if not vs:
+        raise FileNotFoundError(f"no committed snapshot at {base}")
+    return vs[-1]
+
+
+def read_snapshot(
+    spark: SparkSession, base: str, version: int | None = None, fs=None
+) -> DataFrame:
+    """DataFrame over a committed version (newest by default). The
+    returned frame is PINNED to that version's directory — later
+    commits and compactions never change what it reads (time travel
+    for free: pass an older committed `version`)."""
+    v = version if version is not None else current_version(spark, base, fs)
+    fs = _resolve_fs(spark, base, fs)
+    if not fs.exists(f"{base}/{COMMITS_DIR}/{_vname(v)}"):
+        raise FileNotFoundError(
+            f"version {v} is not committed at {base} (uncommitted orphan "
+            "dirs are not readable by protocol)"
+        )
+    return spark.read.parquet(f"{base}/{_vname(v)}")
+
+
+def snapshot_info(spark, base: str, version: int) -> dict:
+    """The commit marker's audit record (version, rows, note).
+    Markers are tiny; reading through Spark's text reader serves local
+    and remote stores without new FS surface."""
+    rows = spark.read.text(f"{base}/{COMMITS_DIR}/{_vname(version)}").collect()
+    return json.loads("".join(r["value"] for r in rows) or "{}")
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    base: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+    fs=None,
+) -> int:
+    """Compaction with NO swap window: read the current version,
+    coalesce-rewrite it as the NEXT version, commit. Concurrent
+    readers keep their pinned dirs; a crash at any point leaves either
+    the old head (marker never written) or a valid new head. Returns
+    the new version number. Old versions remain until `gc_snapshots`."""
+    fs = _resolve_fs(spark, base, fs)
+    v = current_version(spark, base, fs)
+    data_dir = f"{base}/{_vname(v)}"
+    total, _n = fs.du_suffix(data_dir, ".parquet")
+    n_out = max(min_files, (total + target_file_bytes - 1) // target_file_bytes)
+    df = spark.read.parquet(data_dir).coalesce(int(n_out))
+    return write_snapshot(df, base, note=f"compacted v{v}", fs=fs)
+
+
+def gc_snapshots(spark, base: str, keep: int = 2, fs=None) -> list[int]:
+    """Reclaim old committed versions (keeping the newest `keep`) and
+    ALL uncommitted orphan dirs. Returns the removed version numbers.
+
+    Grace contract: `keep` >= 2 plus a scheduling gap longer than the
+    longest-running reader — a reader pinned to a GC'd version fails
+    on its next file read (loudly, mid-scan), which is the same
+    contract Iceberg's expire_snapshots documents. Deletion order is
+    marker FIRST, then data: a crash mid-GC leaves an already-
+    invisible orphan dir (reclaimed next GC), never a committed
+    version with missing files."""
+    fs = _resolve_fs(spark, base, fs)
+    committed = committed_versions(spark, base, fs)
+    drop = committed[:-keep] if keep > 0 else committed
+    removed = []
+    for v in drop:
+        # marker first: the version disappears from resolution before
+        # its bytes do, so no reader can newly pin a half-deleted dir
+        fs.delete(f"{base}/{COMMITS_DIR}/{_vname(v)}", ignore_errors=True)
+        fs.delete(f"{base}/{_vname(v)}", ignore_errors=True)
+        removed.append(v)
+    keep_set = set(committed[-keep:] if keep > 0 else [])
+    for v in _data_dir_versions(fs, base):
+        if v not in keep_set and v not in removed and v not in committed:
+            fs.delete(f"{base}/{_vname(v)}", ignore_errors=True)  # orphan
+            removed.append(v)
+    return sorted(removed)

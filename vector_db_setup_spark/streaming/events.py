@@ -708,7 +708,11 @@ def compact_rollup(
     deleted — a committed batch is never silently dropped. A write
     IN FLIGHT at the instant of the directory move can still fail at
     the filesystem level; schedule compaction off the trigger cadence
-    or pass the checkpoint's last committed id as keep_batches_from."""
+    or pass the checkpoint's last committed id as keep_batches_from.
+    (For landed OUTPUT tables with concurrent readers, prefer the
+    windowless pointer-committed protocol in `sources/snapshot_table`;
+    this in-place path exists because the live stream's foreachBatch
+    sink must keep writing to ONE directory the checkpoint knows.)"""
     _compact_partials(
         spark,
         out_path,
