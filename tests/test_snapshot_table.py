@@ -124,8 +124,10 @@ def test_gc_keeps_newest_and_reclaims_orphans(spark, tmp_path):
     for n in (10, 20, 30):
         write_snapshot(_df(spark, n), base)
     _df(spark, 5).write.parquet(f"{base}/v00000009")  # orphan
-    removed = gc_snapshots(spark, base, keep=2)
-    assert removed == [1, 9]
+    # default grace refuses young orphans (could be an in-flight writer)
+    assert gc_snapshots(spark, base, keep=2) == [1]
+    removed = gc_snapshots(spark, base, keep=2, orphan_min_age_s=0)
+    assert removed == [9]
     assert committed_versions(spark, base) == [2, 3]
     assert not os.path.exists(f"{base}/v00000001")
     assert not os.path.exists(f"{base}/v00000009")
@@ -152,3 +154,49 @@ def test_protocol_through_hadoop_fs(spark, tmp_path):
     with pytest.raises(FileExistsError):
         fs.create_new(f"{base}/_commits/v00000001", b"x")
     assert gc_snapshots(spark, base, keep=1, fs=fs) == [1]
+
+
+def test_data_dir_collision_retries(spark, tmp_path):
+    """The COMMON two-writer race loses at the data dir, not the
+    marker: a rival's dir for the allocated version makes
+    mode('error') fail, and the writer must re-scan and land on the
+    next number instead of surfacing the path-exists error."""
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 10), base)
+    # rival occupied v2's data dir (uncommitted — mid-write)
+    _df(spark, 999).write.parquet(f"{base}/v00000002")
+
+    class StaleScanFS(LocalFS):
+        """Simulates reading a stale listing: the first allocation scan
+        doesn't see the rival's v2 dir yet."""
+        def __init__(self):
+            self.scans = 0
+
+        def listdir(self, path):
+            names = super().listdir(path)
+            self.scans += 1
+            if self.scans <= 2:  # first attempt's two scans miss v2
+                names = [n for n in names if n != "v00000002"]
+            return names
+
+    v = write_snapshot(_df(spark, 20), base, fs=StaleScanFS())
+    assert v == 3
+    assert read_snapshot(spark, base).count() == 20
+
+
+def test_idempotency_key_lands_exactly_once(spark, tmp_path):
+    """Replayable producers (streaming foreachBatch) pass their batch
+    id: the replay returns the ORIGINAL version and writes nothing."""
+    import glob
+
+    base = str(tmp_path / "t")
+    v1 = write_snapshot(_df(spark, 100), base, idempotency_key="batch-7")
+    files_before = sorted(glob.glob(f"{base}/v*/*.parquet"))
+    v2 = write_snapshot(_df(spark, 999), base, idempotency_key="batch-7")
+    assert v2 == v1
+    assert sorted(glob.glob(f"{base}/v*/*.parquet")) == files_before
+    assert read_snapshot(spark, base).count() == 100  # replay landed 0 rows
+    # a NEW key lands normally
+    v3 = write_snapshot(_df(spark, 50), base, idempotency_key="batch-8")
+    assert v3 == v1 + 1
+    assert snapshot_info(spark, base, v3)["idempotency_key"] == "batch-8"

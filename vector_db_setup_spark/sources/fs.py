@@ -34,6 +34,8 @@ maintenance paths need, nothing speculative:
                                            FileExistsError if present
                                            (the commit primitive for
                                            sources/snapshot_table.py)
+    mtime(path)             -> float       modification time, epoch s
+                                           (GC grace decisions)
 
 ``move`` REFUSES an existing destination on every implementation:
 ``shutil.move`` into an existing directory silently NESTS and Hadoop
@@ -99,6 +101,9 @@ class LocalFS:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         with open(path, "xb") as f:  # 'x' = exclusive create
             f.write(data)
+
+    def mtime(self, path: str) -> float:
+        return os.path.getmtime(path)
 
 
 class HadoopFS:
@@ -190,6 +195,12 @@ class HadoopFS:
                 out.write(bytearray(data))
         finally:
             out.close()
+
+    def mtime(self, path: str) -> float:
+        return (
+            self._fs.getFileStatus(self._jpath(path)).getModificationTime()
+            / 1000.0
+        )
 
 
 class RenameIsCopyFS(LocalFS):

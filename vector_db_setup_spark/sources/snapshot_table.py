@@ -100,45 +100,88 @@ def _data_dir_versions(fs, base: str) -> list[int]:
     return sorted(out)
 
 
+def _find_idempotent(spark, base: str, fs, key: str) -> int | None:
+    for v in reversed(committed_versions(spark, base, fs)):
+        if snapshot_info(spark, base, v).get("idempotency_key") == key:
+            return v
+    return None
+
+
 def write_snapshot(
     df: DataFrame,
     base: str,
     note: str = "",
     fs=None,
     retries: int = 3,
+    idempotency_key: str | None = None,
 ) -> int:
     """Land `df` as the next committed version; returns its number.
 
     Protocol per attempt: allocate n = max(committed, orphan dirs)+1 →
     write parquet to `base/v{n}` → verify the written dir readable and
-    count its rows → exclusive-create the marker. A FileExistsError on
-    the marker means another writer won version n: the just-written
-    data dir is abandoned as an orphan (GC reclaims it) and the
-    attempt repeats against the new head. Marker content records the
-    verified row count for audit."""
+    count its rows → exclusive-create the marker. Losing a race at
+    EITHER contention point retries against the new head: a
+    path-exists failure on the DATA dir (two writers allocated the
+    same n — mode('error') makes the second fail before any marker
+    exists) or a FileExistsError on the MARKER (the rarer interleave:
+    both wrote distinct dirs, one committed first; the loser's dir is
+    abandoned as an orphan for GC — deleting it here would race the
+    winner's allocation scan). Marker content records the verified row
+    count for audit.
+
+    ``idempotency_key``: exactly-once landing for replayable producers
+    (a streaming foreachBatch passes its batch id). If a committed
+    marker already carries the key, that version is returned WITHOUT
+    writing — so a replayed batch lands zero new bytes. The check is
+    repeated after losing a marker race, covering the concurrent
+    duplicate-producer case (both replicas write; exactly one commits;
+    the loser discovers the winner's key and returns its version)."""
     spark = df.sparkSession
     fs = _resolve_fs(spark, base, fs)
+    if idempotency_key is not None:
+        v = _find_idempotent(spark, base, fs, idempotency_key)
+        if v is not None:
+            return v
     last_err: Exception | None = None
     for _ in range(retries + 1):
         committed = committed_versions(spark, base, fs)
         orphans = _data_dir_versions(fs, base)
         n = max(committed + orphans, default=0) + 1
         data_dir = f"{base}/{_vname(n)}"
-        df.write.mode("error").parquet(data_dir)
+        try:
+            df.write.mode("error").parquet(data_dir)
+        except Exception as e:
+            # data-dir collision = lost the allocation race; re-scan
+            if "already exists" in str(e).lower() or "PATH_ALREADY_EXISTS" in str(e):
+                last_err = e
+                continue
+            raise
         # verify BEFORE publishing: the marker must never reference a
         # dir that can't be read back (full count touches every footer)
         n_rows = spark.read.parquet(data_dir).count()
-        marker = json.dumps({"version": n, "rows": n_rows, "note": note})
+        marker = json.dumps(
+            {
+                "version": n,
+                "rows": n_rows,
+                "note": note,
+                **(
+                    {"idempotency_key": idempotency_key}
+                    if idempotency_key is not None
+                    else {}
+                ),
+            }
+        )
         try:
             fs.create_new(
                 f"{base}/{COMMITS_DIR}/{_vname(n)}", marker.encode()
             )
             return n
         except FileExistsError as e:
-            # lost the race for version n — abandon the orphan dir and
-            # retry against the new head (GC reclaims the dir; deleting
-            # it here would race the winner's allocation scan)
             last_err = e
+            if idempotency_key is not None:
+                v = _find_idempotent(spark, base, fs, idempotency_key)
+                if v is not None:
+                    return v  # a concurrent replica landed our batch
     raise RuntimeError(
         f"write_snapshot lost the commit race {retries + 1} times at {base}"
     ) from last_err
@@ -197,17 +240,33 @@ def compact_snapshot(
     return write_snapshot(df, base, note=f"compacted v{v}", fs=fs)
 
 
-def gc_snapshots(spark, base: str, keep: int = 2, fs=None) -> list[int]:
+def gc_snapshots(
+    spark,
+    base: str,
+    keep: int = 2,
+    fs=None,
+    orphan_min_age_s: float = 3600.0,
+) -> list[int]:
     """Reclaim old committed versions (keeping the newest `keep`) and
-    ALL uncommitted orphan dirs. Returns the removed version numbers.
+    uncommitted orphan dirs older than ``orphan_min_age_s``. Returns
+    the removed version numbers.
 
-    Grace contract: `keep` >= 2 plus a scheduling gap longer than the
-    longest-running reader — a reader pinned to a GC'd version fails
-    on its next file read (loudly, mid-scan), which is the same
-    contract Iceberg's expire_snapshots documents. Deletion order is
-    marker FIRST, then data: a crash mid-GC leaves an already-
-    invisible orphan dir (reclaimed next GC), never a committed
-    version with missing files."""
+    Grace contracts (both are the same class of promise Iceberg's
+    expire_snapshots documents):
+    - READERS: `keep` >= 2 plus a scheduling gap longer than the
+      longest-running reader — a reader pinned to a GC'd version fails
+      on its next file read (loudly, mid-scan).
+    - WRITERS: an orphan dir could be an IN-FLIGHT writer that hasn't
+      committed its marker yet — reclaiming it would let that writer's
+      later marker commit reference deleted data. The mtime grace
+      (default 1 h) must exceed the longest plausible snapshot write;
+      a writer that stalls past it and then commits is the residual
+      risk, identical to Iceberg's orphan-file cleanup contract.
+    Deletion order is marker FIRST, then data: a crash mid-GC leaves
+    an already-invisible orphan dir (reclaimed next GC), never a
+    committed version with missing files."""
+    import time as _time
+
     fs = _resolve_fs(spark, base, fs)
     committed = committed_versions(spark, base, fs)
     drop = committed[:-keep] if keep > 0 else committed
@@ -219,8 +278,15 @@ def gc_snapshots(spark, base: str, keep: int = 2, fs=None) -> list[int]:
         fs.delete(f"{base}/{_vname(v)}", ignore_errors=True)
         removed.append(v)
     keep_set = set(committed[-keep:] if keep > 0 else [])
+    now = _time.time()
     for v in _data_dir_versions(fs, base):
-        if v not in keep_set and v not in removed and v not in committed:
-            fs.delete(f"{base}/{_vname(v)}", ignore_errors=True)  # orphan
+        if v in keep_set or v in removed or v in committed:
+            continue
+        try:
+            age = now - fs.mtime(f"{base}/{_vname(v)}")
+        except Exception:
+            continue  # raced a concurrent reclaim/commit; next GC gets it
+        if age >= orphan_min_age_s:
+            fs.delete(f"{base}/{_vname(v)}", ignore_errors=True)
             removed.append(v)
     return sorted(removed)
