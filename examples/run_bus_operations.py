@@ -101,6 +101,30 @@ def main() -> None:
     assert bad == 0, f"{bad} shards failed audit"
     print(f"[4] shard export: {report.count()} shards audited, 0 bad")
 
+    # 5. versioned landing with the pointer-committed snapshot table:
+    #    windowless compaction under a pinned reader + exactly-once
+    #    replay via the idempotency key
+    from vector_db_setup_spark.sources.snapshot_table import (
+        committed_versions,
+        compact_snapshot,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    tbl = os.path.join(work, "docs_table")
+    v1 = write_snapshot(docs.repartition(13), tbl, idempotency_key="load-1")
+    pinned = read_snapshot(spark, tbl)  # resolved BEFORE compaction
+    n_before = pinned.count()
+    v2 = compact_snapshot(spark, tbl)
+    replay = write_snapshot(docs, tbl, idempotency_key="load-1")
+    assert replay == v1, "replayed load must return the original version"
+    assert pinned.count() == n_before, "pinned reader must survive compaction"
+    print(
+        f"[5] snapshot table: v{v1} landed, compacted to v{v2} with a live "
+        f"pinned reader, replay returned v{replay} (exactly-once); "
+        f"versions={committed_versions(spark, tbl)}"
+    )
+
     print("OK — bus operations loop (source→partials→compact→audit)")
 
 
