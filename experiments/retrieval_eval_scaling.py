@@ -64,44 +64,12 @@ def make_queries(spark, seed=1):
 
 
 def metrics_from_topk(topk, totals):
-    """The scorer-independent metric algebra (mirrors
-    queries.retrieval_eval): consumes (query_id, rn, label, qlabel)."""
-    rel = (F.col("label") == F.col("qlabel")).cast("int")
-    per = topk.groupBy("query_id").agg(
-        F.sum(rel).cast("bigint").alias("n_rel"),
-        F.min(F.when(rel == 1, F.col("rn"))).alias("first_rel"),
-        F.sum(
-            F.when(rel == 1, 1.0 / F.log2(F.col("rn") + 1.0)).otherwise(0.0)
-        ).alias("dcg"),
-    )
-    ideal = (
-        totals.select(
-            "query_id",
-            F.explode(
-                F.sequence(F.lit(1), F.least(F.col("total_rel"), F.lit(K)))
-            ).alias("i"),
-        )
-        .groupBy("query_id")
-        .agg(F.sum(1.0 / F.log2(F.col("i") + 1.0)).alias("idcg"))
-    )
-    return (
-        per.join(totals, "query_id")
-        .join(ideal, "query_id", "left")
-        .select(
-            "query_id",
-            "n_rel",
-            F.round(F.col("n_rel") / K, 6).alias("precision_at_k"),
-            F.round(
-                F.col("n_rel").cast("double") / F.col("total_rel"), 6
-            ).alias("recall_at_k"),
-            F.round(
-                F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6
-            ).alias("mrr"),
-            F.round(
-                F.coalesce(F.col("dcg") / F.col("idcg"), F.lit(0.0)), 6
-            ).alias("ndcg_at_k"),
-        )
-    )
+    """The PRODUCTION metric algebra, imported — the experiment's whole
+    claim is that this exact code is scorer-independent, so it must
+    exercise the shared implementation, not a copy that could drift."""
+    from vector_db_setup_spark.queries import _retrieval_metrics
+
+    return _retrieval_metrics(topk, totals, K)
 
 
 def main():

@@ -36,6 +36,8 @@ maintenance paths need, nothing speculative:
                                            sources/snapshot_table.py)
     mtime(path)             -> float       modification time, epoch s
                                            (GC grace decisions)
+    read_file(path)         -> bytes       whole small file (commit
+                                           markers; NOT for data)
 
 ``move`` REFUSES an existing destination on every implementation:
 ``shutil.move`` into an existing directory silently NESTS and Hadoop
@@ -105,6 +107,10 @@ class LocalFS:
     def mtime(self, path: str) -> float:
         return os.path.getmtime(path)
 
+    def read_file(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
 
 class HadoopFS:
     """Hadoop FileSystem API via the SparkSession's JVM.
@@ -123,6 +129,7 @@ class HadoopFS:
 
     def __init__(self, spark, path: str):
         jvm = spark._jvm
+        self._jvm = jvm
         self._jpath = jvm.org.apache.hadoop.fs.Path
         self._fs = self._jpath(path).getFileSystem(
             spark._jsc.hadoopConfiguration()
@@ -202,6 +209,18 @@ class HadoopFS:
             / 1000.0
         )
 
+    def read_file(self, path: str) -> bytes:
+        # py4j can't fill a Python buffer in place (the JVM mutates a
+        # COPY); commons-io (on Spark's classpath) drains the stream
+        # JVM-side and returns byte[], which py4j maps to bytes
+        stream = self._fs.open(self._jpath(path))
+        try:
+            return bytes(
+                self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
 
 class RenameIsCopyFS(LocalFS):
     """Test double: object-store rename semantics on the local disk.
@@ -237,18 +256,23 @@ class RenameIsCopyFS(LocalFS):
         self.moves += 1
 
 
-_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
+# single-slash URIs ('hdfs:/nn/x', 'file:/tmp/x') are valid Hadoop
+# paths (the form Spark itself prints) and must route to HadoopFS too;
+# the 2+-char scheme requirement keeps hypothetical 'C:/...' drive
+# letters local
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]+:/")
 
 
 def get_fs(spark, path: str):
-    """Resolve the FS for ``path``: HadoopFS for ANY ``scheme://`` URI
-    (hdfs, s3a, gs, abfs, viewfs, oss, … — including ``file://``,
-    useful to exercise the Hadoop code path locally), LocalFS only for
-    bare scheme-less paths. Deliberately NOT an allowlist: an unknown
-    scheme must reach Hadoop's own resolution and fail LOUDLY there if
-    its connector is absent — silently falling back to LocalFS would
-    run remote maintenance ops against the driver's local disk (no-op
-    deletes, 0-byte sizing) while reporting success."""
+    """Resolve the FS for ``path``: HadoopFS for ANY ``scheme://`` or
+    ``scheme:/`` URI (hdfs, s3a, gs, abfs, viewfs, oss, … — including
+    ``file://``, useful to exercise the Hadoop code path locally),
+    LocalFS only for bare scheme-less paths. Deliberately NOT an
+    allowlist: an unknown scheme must reach Hadoop's own resolution
+    and fail LOUDLY there if its connector is absent — silently
+    falling back to LocalFS would run remote maintenance ops against
+    the driver's local disk (no-op deletes, 0-byte sizing) while
+    reporting success."""
     if _SCHEME_RE.match(path):
         return HadoopFS(spark, path)
     return LocalFS()

@@ -10,30 +10,42 @@ is the recommended landing shape when readers are concurrent — the
 same idea Iceberg/Delta are built on, reduced to its core:
 
     base/
-      v00000001/          immutable parquet data dir
-      v00000002/
+      d-3f2a.../           immutable parquet data dir, WRITER-UNIQUE name
+      d-81c0.../
       _commits/
-        v00000001         commit marker (small JSON: row count, note)
+        v00000001           marker (small JSON: data dir, rows, note, key)
         v00000002
 
-- **Data dirs are immutable and never renamed.** A writer materializes
-  the FULL new version directory first; nothing references it yet.
+- **Data dirs have writer-unique names** (random token), so two
+  writers can NEVER interleave part files into one directory — the
+  check-then-write race Spark's mode('error') would otherwise allow.
+  Data dirs are immutable and never renamed.
 - **Commit = one exclusive file create** (`fs.create_new`) of the
-  marker. Exclusive create is atomic-visible on local FS, HDFS, and
-  object stores (conditional PUT) — no atomic-rename requirement, so
-  the protocol is safe exactly where rename is copy+delete.
-- **Readers resolve the newest MARKER, then read that pinned dir.**
-  A half-written version has no marker and is invisible; a reader
+  version marker, whose CONTENT names the data dir. Exclusive create
+  is atomic-visible on local FS, HDFS, and object stores (conditional
+  PUT) — no atomic-rename requirement, so the protocol is safe
+  exactly where rename is copy+delete. ALL version contention
+  resolves at this single atomic point: a loser's fully-written data
+  dir is simply re-committed under the next number (no rewrite).
+- **Readers resolve a committed MARKER, then read the dir it names.**
+  A half-written dir has no marker and is invisible; a reader
   mid-query keeps reading its pinned dir, which no writer ever
   touches — compaction has NO window at all.
 - **Crash safety:** a writer dying before the marker leaves an orphan
-  data dir — invisible to readers, skipped by version allocation, and
-  reclaimed by `gc_snapshots`. A writer dying after the marker leaves
-  a fully valid committed version (the marker is written only after
-  the data verifies).
-- **Optimistic concurrency:** two writers racing to the same version
-  number — the second `create_new` raises FileExistsError; the caller
-  re-reads the head and retries (`write_snapshot(retries=...)` does).
+  data dir — invisible, and reclaimed by `gc_snapshots` after an
+  mtime grace (it could be an IN-FLIGHT writer). A writer dying after
+  the marker leaves a fully valid committed version (the marker is
+  written only after the data verifies readable).
+- **Exactly-once for replayable producers** via ``idempotency_key``
+  (a streaming foreachBatch passes its batch id): the key is checked
+  before writing AND re-checked after every lost marker race — and
+  because version allocation is purely max(committed)+1 (data dirs
+  play no part), two same-key replicas MUST collide on the marker,
+  where exactly one wins and the loser returns the winner's version.
+
+Marker reads are driver-side ``fs.read_file`` calls (bytes of a tiny
+JSON file) — resolving a version or scanning for an idempotency key
+launches no Spark jobs.
 
 What this deliberately does NOT have (and where real table formats
 earn their complexity): column-level stats/pruning metadata, partition
@@ -49,10 +61,12 @@ to "what replaces BEGIN/COMMIT on a data lake".
 from __future__ import annotations
 
 import json
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 COMMITS_DIR = "_commits"
+DATA_PREFIX = "d-"
 _V_PREFIX = "v"
 _V_DIGITS = 8
 
@@ -91,18 +105,17 @@ def committed_versions(spark, base: str, fs=None) -> list[int]:
     return sorted(out)
 
 
-def _data_dir_versions(fs, base: str) -> list[int]:
-    out = []
-    for name in fs.listdir(base):
-        v = _parse_v(name)
-        if v is not None:
-            out.append(v)
-    return sorted(out)
+def snapshot_info(spark, base: str, version: int, fs=None) -> dict:
+    """The commit marker's record (version, data dir, rows, note,
+    idempotency_key if any) — one driver-side small-file read."""
+    fs = _resolve_fs(spark, base, fs)
+    raw = fs.read_file(f"{base}/{COMMITS_DIR}/{_vname(version)}")
+    return json.loads(raw.decode() or "{}")
 
 
 def _find_idempotent(spark, base: str, fs, key: str) -> int | None:
     for v in reversed(committed_versions(spark, base, fs)):
-        if snapshot_info(spark, base, v).get("idempotency_key") == key:
+        if snapshot_info(spark, base, v, fs).get("idempotency_key") == key:
             return v
     return None
 
@@ -117,51 +130,36 @@ def write_snapshot(
 ) -> int:
     """Land `df` as the next committed version; returns its number.
 
-    Protocol per attempt: allocate n = max(committed, orphan dirs)+1 →
-    write parquet to `base/v{n}` → verify the written dir readable and
-    count its rows → exclusive-create the marker. Losing a race at
-    EITHER contention point retries against the new head: a
-    path-exists failure on the DATA dir (two writers allocated the
-    same n — mode('error') makes the second fail before any marker
-    exists) or a FileExistsError on the MARKER (the rarer interleave:
-    both wrote distinct dirs, one committed first; the loser's dir is
-    abandoned as an orphan for GC — deleting it here would race the
-    winner's allocation scan). Marker content records the verified row
-    count for audit.
-
-    ``idempotency_key``: exactly-once landing for replayable producers
-    (a streaming foreachBatch passes its batch id). If a committed
-    marker already carries the key, that version is returned WITHOUT
-    writing — so a replayed batch lands zero new bytes. The check is
-    repeated after losing a marker race, covering the concurrent
-    duplicate-producer case (both replicas write; exactly one commits;
-    the loser discovers the winner's key and returns its version)."""
+    Protocol: write parquet ONCE to a writer-unique data dir
+    (`d-<token>` — no other writer can touch it) → verify the dir
+    readable and count its rows → loop: allocate n = max(committed)+1
+    and exclusive-create marker v{n} naming the dir. A FileExistsError
+    means another writer committed n first: re-scan and re-commit the
+    SAME already-written dir under the next number (the data is never
+    rewritten). With ``idempotency_key``, the key is checked before
+    writing and after every lost race — since allocation depends only
+    on committed markers, two same-key replicas must collide at the
+    marker, so exactly one commits and the other returns its version
+    (the loser's data dir becomes an orphan for GC)."""
     spark = df.sparkSession
     fs = _resolve_fs(spark, base, fs)
     if idempotency_key is not None:
         v = _find_idempotent(spark, base, fs, idempotency_key)
         if v is not None:
             return v
+    data_name = DATA_PREFIX + uuid.uuid4().hex
+    data_dir = f"{base}/{data_name}"
+    df.write.mode("error").parquet(data_dir)
+    # verify BEFORE publishing: the marker must never reference a dir
+    # that can't be read back (full count touches every footer)
+    n_rows = spark.read.parquet(data_dir).count()
     last_err: Exception | None = None
     for _ in range(retries + 1):
-        committed = committed_versions(spark, base, fs)
-        orphans = _data_dir_versions(fs, base)
-        n = max(committed + orphans, default=0) + 1
-        data_dir = f"{base}/{_vname(n)}"
-        try:
-            df.write.mode("error").parquet(data_dir)
-        except Exception as e:
-            # data-dir collision = lost the allocation race; re-scan
-            if "already exists" in str(e).lower() or "PATH_ALREADY_EXISTS" in str(e):
-                last_err = e
-                continue
-            raise
-        # verify BEFORE publishing: the marker must never reference a
-        # dir that can't be read back (full count touches every footer)
-        n_rows = spark.read.parquet(data_dir).count()
+        n = max(committed_versions(spark, base, fs), default=0) + 1
         marker = json.dumps(
             {
                 "version": n,
+                "data": data_name,
                 "rows": n_rows,
                 "note": note,
                 **(
@@ -198,25 +196,19 @@ def read_snapshot(
     spark: SparkSession, base: str, version: int | None = None, fs=None
 ) -> DataFrame:
     """DataFrame over a committed version (newest by default). The
-    returned frame is PINNED to that version's directory — later
+    returned frame is PINNED to that version's data directory — later
     commits and compactions never change what it reads (time travel
     for free: pass an older committed `version`)."""
-    v = version if version is not None else current_version(spark, base, fs)
     fs = _resolve_fs(spark, base, fs)
-    if not fs.exists(f"{base}/{COMMITS_DIR}/{_vname(v)}"):
+    v = version if version is not None else current_version(spark, base, fs)
+    marker_path = f"{base}/{COMMITS_DIR}/{_vname(v)}"
+    if not fs.exists(marker_path):
         raise FileNotFoundError(
             f"version {v} is not committed at {base} (uncommitted orphan "
             "dirs are not readable by protocol)"
         )
-    return spark.read.parquet(f"{base}/{_vname(v)}")
-
-
-def snapshot_info(spark, base: str, version: int) -> dict:
-    """The commit marker's audit record (version, rows, note).
-    Markers are tiny; reading through Spark's text reader serves local
-    and remote stores without new FS surface."""
-    rows = spark.read.text(f"{base}/{COMMITS_DIR}/{_vname(version)}").collect()
-    return json.loads("".join(r["value"] for r in rows) or "{}")
+    info = snapshot_info(spark, base, v, fs)
+    return spark.read.parquet(f"{base}/{info['data']}")
 
 
 def compact_snapshot(
@@ -227,13 +219,14 @@ def compact_snapshot(
     fs=None,
 ) -> int:
     """Compaction with NO swap window: read the current version,
-    coalesce-rewrite it as the NEXT version, commit. Concurrent
-    readers keep their pinned dirs; a crash at any point leaves either
-    the old head (marker never written) or a valid new head. Returns
-    the new version number. Old versions remain until `gc_snapshots`."""
+    coalesce-rewrite it as a NEW data dir, commit as the next version.
+    Concurrent readers keep their pinned dirs; a crash at any point
+    leaves either the old head (marker never written) or a valid new
+    head. Returns the new version number. Old versions remain until
+    `gc_snapshots`."""
     fs = _resolve_fs(spark, base, fs)
     v = current_version(spark, base, fs)
-    data_dir = f"{base}/{_vname(v)}"
+    data_dir = f"{base}/{snapshot_info(spark, base, v, fs)['data']}"
     total, _n = fs.du_suffix(data_dir, ".parquet")
     n_out = max(min_files, (total + target_file_bytes - 1) // target_file_bytes)
     df = spark.read.parquet(data_dir).coalesce(int(n_out))
@@ -248,23 +241,24 @@ def gc_snapshots(
     orphan_min_age_s: float = 3600.0,
 ) -> list[int]:
     """Reclaim old committed versions (keeping the newest `keep`) and
-    uncommitted orphan dirs older than ``orphan_min_age_s``. Returns
-    the removed version numbers.
+    unreferenced orphan data dirs older than ``orphan_min_age_s``.
+    Returns the removed version numbers.
 
-    Grace contracts (both are the same class of promise Iceberg's
+    Grace contracts (both the same class of promise Iceberg's
     expire_snapshots documents):
     - READERS: `keep` >= 2 plus a scheduling gap longer than the
       longest-running reader — a reader pinned to a GC'd version fails
       on its next file read (loudly, mid-scan).
-    - WRITERS: an orphan dir could be an IN-FLIGHT writer that hasn't
-      committed its marker yet — reclaiming it would let that writer's
-      later marker commit reference deleted data. The mtime grace
-      (default 1 h) must exceed the longest plausible snapshot write;
-      a writer that stalls past it and then commits is the residual
-      risk, identical to Iceberg's orphan-file cleanup contract.
-    Deletion order is marker FIRST, then data: a crash mid-GC leaves
-    an already-invisible orphan dir (reclaimed next GC), never a
-    committed version with missing files."""
+    - WRITERS: an unreferenced data dir could be an IN-FLIGHT writer
+      that hasn't committed its marker yet; the mtime grace (default
+      1 h) must exceed the longest plausible snapshot write.
+
+    Deletion order per version: marker FIRST, and the data dir is
+    touched ONLY if the marker delete actually succeeded — a refused
+    marker delete (object-store false return) leaves the version
+    fully intact rather than committed-but-missing-files. A crash
+    after the marker delete leaves an already-invisible orphan dir,
+    reclaimed by a later GC."""
     import time as _time
 
     fs = _resolve_fs(spark, base, fs)
@@ -272,21 +266,30 @@ def gc_snapshots(
     drop = committed[:-keep] if keep > 0 else committed
     removed = []
     for v in drop:
-        # marker first: the version disappears from resolution before
-        # its bytes do, so no reader can newly pin a half-deleted dir
-        fs.delete(f"{base}/{COMMITS_DIR}/{_vname(v)}", ignore_errors=True)
-        fs.delete(f"{base}/{_vname(v)}", ignore_errors=True)
+        info = snapshot_info(spark, base, v, fs)  # read BEFORE deleting
+        try:
+            fs.delete(f"{base}/{COMMITS_DIR}/{_vname(v)}")
+        except Exception:
+            continue  # marker survived -> version stays fully intact
+        data = info.get("data")
+        if data:
+            fs.delete(f"{base}/{data}", ignore_errors=True)
         removed.append(v)
-    keep_set = set(committed[-keep:] if keep > 0 else [])
+    # orphan data dirs: not referenced by ANY surviving marker, old
+    # enough that no in-flight writer can still be producing them
+    referenced = set()
+    for v in committed_versions(spark, base, fs):
+        referenced.add(snapshot_info(spark, base, v, fs).get("data"))
     now = _time.time()
-    for v in _data_dir_versions(fs, base):
-        if v in keep_set or v in removed or v in committed:
+    orphans = []
+    for name in fs.listdir(base):
+        if not name.startswith(DATA_PREFIX) or name in referenced:
             continue
         try:
-            age = now - fs.mtime(f"{base}/{_vname(v)}")
+            age = now - fs.mtime(f"{base}/{name}")
         except Exception:
             continue  # raced a concurrent reclaim/commit; next GC gets it
         if age >= orphan_min_age_s:
-            fs.delete(f"{base}/{_vname(v)}", ignore_errors=True)
-            removed.append(v)
+            fs.delete(f"{base}/{name}", ignore_errors=True)
+            orphans.append(name)
     return sorted(removed)

@@ -246,6 +246,18 @@ def open_event_sink(events: DataFrame, sink: dict):
             )
         if not opts.get("topic"):
             raise ValueError("kafka sink requires options.topic")
+        # kafka.* passes through (producer config namespace); beyond it
+        # only the documented writer options — Spark silently ignores
+        # unknown keys, so a typo'd option must die here, not run
+        # unconfigured
+        bad = [
+            k
+            for k in opts
+            if not k.startswith("kafka.")
+            and k not in ("topic", "checkpointLocation", "includeHeaders")
+        ]
+        if bad:
+            raise ValueError(f"unsupported kafka-sink options: {sorted(bad)}")
         writer = serialize_event_value(events).writeStream.format("kafka")
         for k, v in opts.items():
             writer = writer.option(k, str(v))
@@ -254,6 +266,9 @@ def open_event_sink(events: DataFrame, sink: dict):
         path = opts.pop("path", None)
         if not path:
             raise ValueError("file sink requires options.path")
+        bad = [k for k in opts if k not in ("checkpointLocation", "compression")]
+        if bad:
+            raise ValueError(f"unsupported file-sink options: {sorted(bad)}")
         writer = events.writeStream.format("parquet").option("path", path)
         for k, v in opts.items():
             writer = writer.option(k, str(v))
