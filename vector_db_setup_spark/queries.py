@@ -62,9 +62,9 @@ _DRIVER_PRIORITY = [
     "knn_l2_flagship", "knn_cosine", "sql_vector_knn", "batch_knn",
     "batch_knn_blocked", "pq_adc_distances",
     "pricing_summary", "top_customers", "regional_revenue",
-    "token_budgets", "doc_count", "doc_sample", "majority_vote",
+    "doc_length_profile", "doc_count", "doc_sample", "majority_vote",
     "substring_accuracy", "dedup_exact_groups", "leakage_safe_split",
-    "minhash_lsh_candidates", "minhash_lsh_capped",
+    "minhash_lsh_candidates", "retrieval_eval",
     "ngram_jaccard_topk", "ngram_jaccard_capped", "doc_repetition",
     "benchmark_overlap", "dedup_keepers", "corpus_curation_verdict",
     "semantic_dedup_keepers", "doc_chunking", "context_packing",
@@ -125,6 +125,18 @@ _DRIVER_PRIORITY = [
 # rows; dedup-first stays green in the local gate + stream==batch
 # equivalence tests). The machine-readable window snapshot is
 # generated by tools/gen_driver_window.py into DRIVER_WINDOW.md.
+#
+# r6 second rotation (same contract): IN retrieval_eval (first driver
+# row for the new retrieval-metrics family — precision/recall/MRR/nDCG
+# exact-oracled) and doc_length_profile (first driver row for the
+# distribution-profiling family — exact percentile vs quantile_cont)
+# — OUT minhash_lsh_capped (the minhash family keeps
+# minhash_lsh_candidates + dedup_keepers driver rows; the cap
+# mechanism keeps its ngram_jaccard_capped driver row and the planted
+# hot-band tests) and token_budgets (rotated in at r5, one green
+# driver round; the token/F family keeps substring_accuracy +
+# doc_chunking + context_packing driver rows). Both rotated-out
+# queries stay green in the local parity gate.
 
 
 def _ordered(d: dict) -> dict:
@@ -6497,4 +6509,49 @@ def stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang")
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= 5)
+    )
+
+
+@register(
+    "hashed_bow",
+    """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(w), 1, 4))::BIGINT % 64 AS BIGINT)
+               AS bucket,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM toks WHERE w != ''
+    GROUP BY doc_id, ('0x' || substr(md5(w), 1, 4))::BIGINT % 64
+    """,
+)
+def hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words (Weinberger et al.'s feature
+    hashing): term frequencies over a FIXED 64-bucket hash space —
+    how text becomes a bounded-width ML feature vector with NO
+    vocabulary pass, no vocab broadcast, no OOV handling. The md5
+    bucket assignment is engine-portable (same substring-decode family
+    as simhash), so the whole featurization is exact-oracled.
+
+    Scale shape: one explode + one map-side-combined groupBy — the
+    shuffle carries at most docs x 64 rows regardless of vocabulary
+    size, which is the hashing trick's entire point at 100 TB (a
+    vocab-indexed BOW needs a vocabulary join; this needs nothing).
+    Collisions are the accepted trade (two words sharing a bucket add
+    their counts) — standard for linear-model featurization; widen
+    the space (2^18+) in production, 64 here keeps the fixture's
+    collision structure visible to the oracle."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("w"),
+    ).filter(F.col("w") != "")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("w")), 1, 4), 16, 10).cast("bigint")
+        % 64
+    )
+    return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("tf")
     )
