@@ -428,3 +428,29 @@ def test_decode_audio_corrupt_riff_is_data_error():
         decode_audio(corrupt)  # auto mode routes real via the magic
     # explicit fake mode still decodes the bytes deterministically
     assert len(decode_audio(corrupt, real=False)) == 12
+
+
+def test_ingest_orc_roundtrip(spark, tmp_path):
+    """ORC is a generic-format path through the same ingest entry
+    point (Spark ships the ORC datasource in-core like parquet) —
+    pinned so a user landing ORC exports gets the same partitioned-
+    parquet contract as json/csv."""
+    from vector_db_setup_spark.sources.ingest import ingest
+
+    src = str(tmp_path / "orc_in")
+    spark.range(100).selectExpr(
+        "id", "id % 4 AS grp", "md5(cast(id AS string)) AS payload"
+    ).write.orc(src)
+    dest = str(tmp_path / "out")
+    back = ingest(
+        spark, src, dest, fmt="orc", partition_by=["grp"], repartition=2
+    )
+    assert back.count() == 100
+    cols = ["id", "grp", "payload"]
+    want = sorted(tuple(r) for r in spark.read.orc(src).select(*cols).collect())
+    # partitionBy moves the partition column to the end on read-back;
+    # compare by name-aligned projection
+    assert sorted(tuple(r) for r in back.select(*cols).collect()) == want
+    import glob
+
+    assert glob.glob(f"{dest}/grp=1/*.parquet")

@@ -458,3 +458,33 @@ def test_bpe_merge_table_matches_python_reference(spark):
     d = load_table(spark, SF_ORACLE, "documents")
     freqs = {r["w"]: r["freq"] for r in word_freq_table(d).collect()}
     assert got == _py_bpe_train(freqs, 24)
+
+
+def test_quality_model_scores_separate_and_agree(spark):
+    """The learned quality filter (quality_model_scores): probabilities
+    in [0,1], STRONG separation between the weak-keep and weak-drop
+    populations it was distilled from, and agreement with the weak
+    labels far above chance — the model must actually have learned the
+    teacher, not collapsed to a constant."""
+    from vector_db_setup_spark.operators.quality_model import weak_labels
+
+    out = {r["doc_id"]: r["p_keep"]
+           for r in q.queries()["quality_model_scores"](spark, SF_ORACLE).collect()}
+    docs = load_table(spark, SF_ORACLE, "documents")
+    assert len(out) == docs.count()
+    assert all(0.0 <= p <= 1.0 for p in out.values())
+    labels = {r["doc_id"]: r["label"] for r in weak_labels(docs).collect()}
+    keep = [out[d] for d, y in labels.items() if y == 1.0]
+    drop = [out[d] for d, y in labels.items() if y == 0.0]
+    assert keep and drop
+    mean_keep = sum(keep) / len(keep)
+    mean_drop = sum(drop) / len(drop)
+    assert mean_keep - mean_drop > 0.5, (mean_keep, mean_drop)
+    # thresholded agreement with the weak labels well above chance
+    correct = sum(
+        1 for d, y in labels.items() if (out[d] >= 0.5) == (y == 1.0)
+    )
+    assert correct / len(labels) > 0.85, correct / len(labels)
+    # and the scores are not degenerate on the unlabeled middle band
+    mids = [p for d, p in out.items() if d not in labels]
+    assert mids and min(mids) < 0.5 < max(mids)

@@ -6555,3 +6555,33 @@ def hashed_bow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return toks.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("tf")
     )
+
+
+_QMODEL_CACHE: dict = {}
+
+
+@register("quality_model_scores")  # rows-only: MLlib LBFGS + murmur3 TF
+def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED quality filter (operators/quality_model.py): a logistic
+    regression distilled from the heuristic quality score's confident
+    quantiles over hashed bag-of-words features, scoring every doc
+    with P(keep) — the CCNet/LLaMA-style classifier pass that
+    complements the heuristic signals in corpus_curation_verdict.
+    Rows-only: LBFGS float reductions and murmur3 hashing have no SQL
+    oracle form; separation/agreement invariants are pinned in
+    tests/test_rows_only_invariants.py. The fitted model is memoized
+    per session (training is the offline step at scale; scoring is
+    the per-corpus map pass)."""
+    from vector_db_setup_spark.operators.quality_model import (
+        score_quality,
+        train_quality_model,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    key = (spark, sf_dir, "qmodel")
+    if key not in _QMODEL_CACHE:
+        _QMODEL_CACHE[key] = train_quality_model(d)
+    model = _QMODEL_CACHE[key]
+    return score_quality(model, d).select(
+        "doc_id", F.round("p_keep", 6).alias("p_keep")
+    )
