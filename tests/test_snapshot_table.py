@@ -245,3 +245,38 @@ def test_protocol_through_hadoop_fs(spark, tmp_path):
     with pytest.raises(FileExistsError):
         fs.create_new(f"{base}/_commits/v00000001", b"x")
     assert gc_snapshots(spark, base, keep=1, fs=fs, orphan_min_age_s=0) == [1]
+
+
+def test_upsert_merge_semantics(spark, tmp_path):
+    """SQL MERGE as copy-on-write: replace matched keys, insert new
+    ones, tombstone-delete flagged ones; unrelated rows untouched;
+    old version still time-travelable; replay via idempotency key
+    lands nothing."""
+    from vector_db_setup_spark.sources.snapshot_table import upsert_snapshot
+
+    base = str(tmp_path / "t")
+    initial = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+    )
+    v1 = upsert_snapshot(initial, base, key_col="id")
+    assert v1 == 1  # first landing = plain insert
+    updates = spark.createDataFrame(
+        [(2, "B", False), (4, "d", False), (3, None, True)],
+        "id long, val string, _deleted boolean",
+    )
+    v2 = upsert_snapshot(
+        updates, base, key_col="id", delete_col="_deleted",
+        idempotency_key="day-2",
+    )
+    got = _rows(read_snapshot(spark, base))
+    assert got == [(1, "a"), (2, "B"), (4, "d")]  # replaced/inserted/deleted
+    assert _rows(read_snapshot(spark, base, version=v1)) == [
+        (1, "a"), (2, "b"), (3, "c"),
+    ]  # time travel intact
+    # replayed merge is a no-op returning the same version
+    v3 = upsert_snapshot(
+        updates, base, key_col="id", delete_col="_deleted",
+        idempotency_key="day-2",
+    )
+    assert v3 == v2
+    assert _rows(read_snapshot(spark, base)) == got

@@ -64,6 +64,7 @@ import json
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 COMMITS_DIR = "_commits"
 DATA_PREFIX = "d-"
@@ -293,3 +294,53 @@ def gc_snapshots(
             fs.delete(f"{base}/{name}", ignore_errors=True)
             orphans.append(name)
     return sorted(removed)
+
+
+def upsert_snapshot(
+    updates: DataFrame,
+    base: str,
+    key_col: str,
+    delete_col: str | None = None,
+    fs=None,
+    idempotency_key: str | None = None,
+) -> int:
+    """MERGE (upsert + optional delete) as a copy-on-write commit:
+    next version = current head minus rows whose key appears in
+    `updates`, plus the surviving update rows. With ``delete_col``
+    (boolean), update rows flagged true are tombstones — their keys
+    vanish from the new version and the flag column itself is dropped.
+
+    Semantics are exactly SQL MERGE (match on key → replace / delete;
+    no match → insert), expressed as one left_anti join + union — both
+    shuffle on the key, and AQE broadcasts the updates side when it's
+    small (the common case: a day's changes vs a corpus).
+
+    COST MODEL (the honest caveat): this is COARSE copy-on-write — the
+    whole table is rewritten into the new version, so it suits
+    dimension-sized tables and periodic corpus refreshes, not per-row
+    OLTP. For incremental corpus updates at 100 TB use the
+    dirty-shard path (`sources/shards.land_snapshot`: only changed
+    shards rewrite) and snapshot-commit the shard ROOT per landing;
+    real row-level deletes at scale are what full table formats'
+    delete files exist for. First landing (no committed version)
+    degrades to inserting `updates` as v1."""
+    spark = updates.sparkSession
+    fs = _resolve_fs(spark, base, fs)
+    new_rows = updates
+    if delete_col is not None:
+        new_rows = updates.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    if committed_versions(spark, base, fs):
+        head = read_snapshot(spark, base, fs=fs)
+        keys = updates.select(key_col).distinct()
+        merged = head.join(keys, key_col, "left_anti").unionByName(new_rows)
+    else:
+        merged = new_rows
+    return write_snapshot(
+        merged,
+        base,
+        note=f"upsert on {key_col}",
+        fs=fs,
+        idempotency_key=idempotency_key,
+    )
