@@ -280,3 +280,58 @@ def test_upsert_merge_semantics(spark, tmp_path):
     )
     assert v3 == v2
     assert _rows(read_snapshot(spark, base)) == got
+
+
+def test_versioned_ivf_index_build_search_rebuild(spark, tmp_path):
+    """operators/ann_index: a build lands as a self-describing
+    snapshot version (centroids in the marker meta); full-probe search
+    equals exact KNN; a rebuild lands a NEW version while a pinned
+    search against the old one still answers; partition pruning
+    reaches the probed cluster dirs."""
+    from tests.conftest import SF_ORACLE
+    from vector_db_setup_spark.operators.ann_index import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from vector_db_setup_spark.operators.knn import knn_topk
+    from vector_db_setup_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    base = str(tmp_path / "idx")
+    v1 = build_ivf_index(emb, base, k=8, seed=7)
+    assert v1 == 1
+    info = snapshot_info(spark, base, v1)
+    assert info["meta"]["k"] == 8 and len(info["meta"]["centroids"]) == 8
+    # nprobe = k is exact: must equal brute-force KNN row-for-row
+    got = [
+        (r["vec_id"], round(r["distance"], 6))
+        for r in search_ivf_index(spark, base, qvec, topk=10, nprobe=8).collect()
+    ]
+    want = [
+        (r["vec_id"], round(r["distance"], 6))
+        for r in knn_topk(emb, "embedding", qvec, k=10, id_col="vec_id").collect()
+    ]
+    assert got == want
+    # partial probe prunes partitions (physical plan carries the
+    # cluster_id partition filter)
+    pruned = search_ivf_index(spark, base, qvec, topk=5, nprobe=2)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+    # rebuild with a different seed lands v2; a search pinned to v1
+    # still answers identically after the new head exists
+    v2 = build_ivf_index(emb, base, k=8, seed=99)
+    assert v2 == 2
+    got_v1 = [
+        (r["vec_id"], round(r["distance"], 6))
+        for r in search_ivf_index(
+            spark, base, qvec, topk=10, nprobe=8, version=v1
+        ).collect()
+    ]
+    assert got_v1 == want
+    # head search (new index) is also exact at full probe
+    got_v2 = [
+        (r["vec_id"], round(r["distance"], 6))
+        for r in search_ivf_index(spark, base, qvec, topk=10, nprobe=8).collect()
+    ]
+    assert got_v2 == want

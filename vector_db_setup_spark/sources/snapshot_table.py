@@ -128,6 +128,8 @@ def write_snapshot(
     fs=None,
     retries: int = 3,
     idempotency_key: str | None = None,
+    partition_by: list[str] | None = None,
+    meta: dict | None = None,
 ) -> int:
     """Land `df` as the next committed version; returns its number.
 
@@ -141,7 +143,14 @@ def write_snapshot(
     writing and after every lost race — since allocation depends only
     on committed markers, two same-key replicas must collide at the
     marker, so exactly one commits and the other returns its version
-    (the loser's data dir becomes an orphan for GC)."""
+    (the loser's data dir becomes an orphan for GC).
+
+    ``partition_by`` lands a hive-partitioned data dir (partition
+    pruning inside a pinned version — the versioned-ANN-index use).
+    ``meta`` is an arbitrary small JSON-able dict stored in the marker
+    under "meta" (index parameters, centroids, schema notes) — it
+    versions WITH the data, which is what makes an index snapshot
+    self-describing."""
     spark = df.sparkSession
     fs = _resolve_fs(spark, base, fs)
     if idempotency_key is not None:
@@ -150,7 +159,10 @@ def write_snapshot(
             return v
     data_name = DATA_PREFIX + uuid.uuid4().hex
     data_dir = f"{base}/{data_name}"
-    df.write.mode("error").parquet(data_dir)
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
     # verify BEFORE publishing: the marker must never reference a dir
     # that can't be read back (full count touches every footer)
     n_rows = spark.read.parquet(data_dir).count()
@@ -163,6 +175,7 @@ def write_snapshot(
                 "data": data_name,
                 "rows": n_rows,
                 "note": note,
+                **({"meta": meta} if meta is not None else {}),
                 **(
                     {"idempotency_key": idempotency_key}
                     if idempotency_key is not None
