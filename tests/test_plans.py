@@ -288,3 +288,18 @@ def test_bpe_pair_counts_partial_aggregate(spark):
     assert "Python" not in plan and "ArrowEval" not in plan, plan
     # word-freq groupBy + pair groupBy = exactly two keyed exchanges
     assert n_exchanges(pc) == 2, plan
+
+
+def test_hashed_bow_partial_aggregate_before_exchange(spark):
+    """Feature hashing's scale claim: the groupBy(doc_id, bucket)
+    partial-aggregates map-side, so the exchange carries at most
+    docs x 64 combined rows, not the raw token stream."""
+    import re
+
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(q.hashed_bow(spark, SF_ORACLE))
+    # tree prints top-down (final agg, exchange, partial agg, scan):
+    # the partial_count node must exist BELOW the exchange
+    first_ex = plan.index("Exchange")
+    assert "partial_count" in plan[first_ex:], plan

@@ -262,3 +262,58 @@ def test_quantize_roundtrip_error_bound_property(spark, vecs):
                 # half a step + float slack proportional to the range
                 bound = (hi[d] - lo[d]) / 510.0 + 1e-9 * (hi[d] - lo[d])
                 assert err <= bound, (d, err, bound)
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),   # key
+            st.integers(min_value=0, max_value=99),  # value
+            st.booleans(),                           # delete?
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+)
+@settings(**PROP)
+def test_upsert_snapshot_matches_dict_semantics(spark, tmp_path_factory, ops):
+    """Property: a sequence of MERGE batches equals plain dict
+    update/delete semantics — the simplest possible model of a keyed
+    table. Each hypothesis example runs one batch of (key, val, del)
+    ops against a fresh snapshot table seeded with keys 0..4 and
+    compares the head version to the dict model. Within a batch,
+    duplicate keys are deduped keep-one (updates.distinct on key isn't
+    defined for conflicting values, so the model drops conflicting
+    duplicates the same way: last write wins is NOT promised — we
+    feed at most one op per key per batch)."""
+    from vector_db_setup_spark.sources.snapshot_table import (
+        read_snapshot,
+        upsert_snapshot,
+    )
+
+    # at most one op per key per batch (MERGE requires unique keys)
+    seen, batch = set(), []
+    for k, v, d in ops:
+        if k not in seen:
+            seen.add(k)
+            batch.append((k, v, d))
+
+    base = str(tmp_path_factory.mktemp("prop") / "t")
+    model = {k: -1 for k in range(5)}
+    initial = spark.createDataFrame(
+        [(k, v) for k, v in model.items()], "id long, val long"
+    )
+    upsert_snapshot(initial, base, key_col="id")
+    updates = spark.createDataFrame(
+        batch, "id long, val long, _del boolean"
+    )
+    upsert_snapshot(updates, base, key_col="id", delete_col="_del")
+    for k, v, d in batch:
+        if d:
+            model.pop(k, None)
+        else:
+            model[k] = v
+    got = {
+        r["id"]: r["val"] for r in read_snapshot(spark, base).collect()
+    }
+    assert got == model

@@ -194,6 +194,10 @@ def write_snapshot(
                 v = _find_idempotent(spark, base, fs, idempotency_key)
                 if v is not None:
                     return v  # a concurrent replica landed our batch
+    # terminal failure: reclaim our own (never-referenced) data dir
+    # now rather than waiting out the GC orphan grace — we KNOW no
+    # marker names it because every create_new we issued failed
+    fs.delete(data_dir, ignore_errors=True)
     raise RuntimeError(
         f"write_snapshot lost the commit race {retries + 1} times at {base}"
     ) from last_err
