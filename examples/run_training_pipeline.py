@@ -95,6 +95,20 @@ def main() -> None:
     bins = packed.count()
     print(f"   {bins} (source, bin) groups at 2048-token budget")
 
+    print("== 6b. learned quality filter (distilled classifier) ==")
+    from vector_db_setup_spark.operators.quality_model import (
+        score_quality,
+        train_quality_model,
+    )
+
+    qmodel = train_quality_model(docs)
+    scored = score_quality(qmodel, docs)
+    n_model_drop = scored.filter(F.col("p_keep") < 0.5).count()
+    print(
+        f"   model drops {n_model_drop}/{docs.count()} docs at p_keep<0.5 "
+        "(heuristic-distilled LR over hashed BOW)"
+    )
+
     print("== 7. heavy-hitter sketch (CMS) ==")
     hh = qs["hot_tokens_cms"](spark, sf_dir).collect()
     print("   estimates:", {r["token"]: r["est_count"] for r in hh})
