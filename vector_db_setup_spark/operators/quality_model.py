@@ -94,12 +94,31 @@ def train_quality_model(
     docs: DataFrame,
     text_col: str = "text",
     n_features: int = 1024,
+    model_dir: str | None = None,
 ):
     """Fit the distilled quality classifier on weak labels. Returns
-    the fitted PipelineModel (save()/load() = standard MLlib
-    artifact)."""
+    the fitted PipelineModel, round-tripped through save()/load()
+    (into ``model_dir`` when given, else a temp dir).
+
+    The round-trip is LOAD-BEARING, not ceremony: a freshly-fit
+    LogisticRegressionModel carries its trainingSummary, which holds
+    the live SparkSession — and the transform UDF's closure serializes
+    the MODEL, so scoring tasks drag the session along. That is
+    invisible until the session has any driver-only state a closure
+    can't ship (one `df.observe` anywhere populates
+    ObservationManager), at which point every transform dies with
+    'Task not serializable'. Persisted models don't keep summaries,
+    so the loaded model is exactly the deployable artifact — which is
+    also the production path (train offline, ship the directory)."""
+    import tempfile
+
     labeled = weak_labels(docs, text_col)
-    return build_quality_pipeline(text_col, n_features).fit(labeled)
+    fitted = build_quality_pipeline(text_col, n_features).fit(labeled)
+    from pyspark.ml import PipelineModel
+
+    path = model_dir or tempfile.mkdtemp(prefix="quality_model_")
+    fitted.write().overwrite().save(path)
+    return PipelineModel.load(path)
 
 
 def score_quality(
