@@ -1040,3 +1040,36 @@ def test_attribution_stream_ignores_late_out_of_order_touch(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1
     assert rows[0]["campaign"] == 7 and rows[0]["value"] == 10.0
+
+
+def test_quality_model_scores_stream_equals_batch(spark):
+    """The learned quality filter is a pure map stage (tokenize + hash
+    + dot product), so the SAME fitted model must score a stream
+    row-for-row identically to batch — the streaming decontamination
+    gate's model-based sibling. MLlib transform applies directly to a
+    streaming DataFrame; no stateful operator involved."""
+    from vector_db_setup_spark.operators.quality_model import (
+        score_quality,
+        train_quality_model,
+    )
+    from vector_db_setup_spark.sources.registry import load_table
+    from vector_db_setup_spark.streaming.events import (
+        run_to_memory,
+        stream_documents,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    model = train_quality_model(docs)
+    want = {
+        r["doc_id"]: round(r["p_keep"], 6)
+        for r in score_quality(model, docs).select("doc_id", "p_keep").collect()
+    }
+    stream = score_quality(model, stream_documents(spark, SF_SMOKE)).select(
+        "doc_id", "p_keep"
+    )
+    run_to_memory(stream, "qm_stream", mode="append")
+    got = {
+        r["doc_id"]: round(r["p_keep"], 6)
+        for r in spark.table("qm_stream").collect()
+    }
+    assert got == want
