@@ -1073,3 +1073,60 @@ def test_quality_model_scores_stream_equals_batch(spark):
         for r in spark.table("qm_stream").collect()
     }
     assert got == want
+
+
+def test_user_cardinality_stream_equals_batch_and_compacts(spark, tmp_path):
+    """HLL continuous cardinality: stream partials unioned on read must
+    EQUAL the one-shot batch sketch estimate (HLL++ union at equal
+    precision is lossless), stay within rigorous error of the exact
+    distinct count, and survive compaction unchanged."""
+    from pyspark.sql import functions as F
+
+    from vector_db_setup_spark.sources.registry import load_table
+    from vector_db_setup_spark.streaming.events import (
+        compact_user_cardinality,
+        read_user_cardinality,
+        user_cardinality_stream,
+    )
+
+    path = str(tmp_path / "card")
+    q_ = user_cardinality_stream(
+        stream_events(spark, SF_SMOKE, max_files_per_trigger=1), path
+    )
+    q_.awaitTermination()
+    got = {
+        r["event_type"]: r["est_users"]
+        for r in read_user_cardinality(spark, path).collect()
+    }
+    batch = load_table(spark, SF_SMOKE, "events")
+    want = {
+        r["event_type"]: r["est"]
+        for r in batch.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert got == want  # lossless union: EXACT equality, not approx
+    exact = {
+        r["event_type"]: r["n"]
+        for r in batch.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, est in got.items():
+        # lgK=12 -> relative std error ~1.04/sqrt(2^12) ≈ 1.6%; 5 sigma
+        assert abs(est - exact[et]) <= max(5, 0.1 * exact[et]), (et, est, exact[et])
+    compact_user_cardinality(spark, path)
+    got2 = {
+        r["event_type"]: r["est_users"]
+        for r in read_user_cardinality(spark, path).collect()
+    }
+    assert got2 == got
+    batches = {
+        r["_batch"]
+        for r in spark.read.parquet(path).select("_batch").distinct().collect()
+    }
+    assert batches == {-1}

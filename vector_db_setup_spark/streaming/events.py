@@ -1140,3 +1140,92 @@ def ivf_append_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous distinct-user cardinality: the third mergeable-sketch
+# sink (Bloom = membership, CMS = frequency, HLL = cardinality). Same
+# per-batch partial idiom; HLL++ union at equal precision is LOSSLESS
+# (union of sketches == sketch of the union), so stream == batch is
+# EXACTLY testable, like the CMS and Bloom twins.
+# ---------------------------------------------------------------------------
+
+
+def hll_merge_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    out_path: str,
+    lg_k: int = 12,
+) -> None:
+    """One micro-batch of the continuous cardinality sketch: one HLL
+    sketch per (event_type) for this batch's users, landed as the
+    batch's own `_batch=<id>` partition (dynamic overwrite = replay
+    rewrites its partial; the rollup_merge_batch contract). All
+    partials MUST share lg_k or hll_union_agg refuses — the precision
+    is part of the sink's schema."""
+    sk = batch_df.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk")
+    )
+    part = sk.select("event_type", "sk", F.lit(batch_id).alias("_batch"))
+    (
+        part.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch")
+        .parquet(out_path)
+    )
+
+
+def user_cardinality_stream(events: DataFrame, out_path: str, lg_k: int = 12):
+    """Continuous distinct-users-per-event-type maintenance: each
+    trigger folds its batch into KB-sized HLL partials; the query side
+    unions #batches × #types sketches regardless of event volume —
+    the raw stream is never re-scanned."""
+    return (
+        events.writeStream.foreachBatch(
+            lambda df, bid: hll_merge_batch(df, bid, out_path, lg_k=lg_k)
+        )
+        .option("checkpointLocation", out_path.rstrip("/") + "__ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_user_cardinality(spark, out_path: str) -> DataFrame:
+    """Merge-on-read estimate: union the per-batch partials per
+    event_type (exact lossless HLL union) and estimate. Returns
+    (event_type, est_users)."""
+    return (
+        spark.read.parquet(out_path)
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+        )
+    )
+
+
+def compact_user_cardinality(
+    spark, out_path: str, keep_batches_from: int | None = None, fs=None
+) -> None:
+    """Fold the per-batch HLL partials into `_batch=-1` through the
+    shared partial-sink engine — hll_union_agg IS the distributive
+    fold, and the verify invariant is the total merged estimate,
+    which lossless union cannot change."""
+    _compact_partials(
+        spark,
+        out_path,
+        key_cols=["event_type"],
+        agg_exprs=[F.hll_union_agg("sk").alias("sk")],
+        verify=lambda df: sorted(
+            (r["event_type"], r["est_users"])
+            for r in df.groupBy("event_type")
+            .agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
+                    "est_users"
+                )
+            )
+            .collect()
+        ),
+        keep_batches_from=keep_batches_from,
+        what="compact_user_cardinality",
+        fs=fs,
+    )
