@@ -488,3 +488,23 @@ def test_quality_model_scores_separate_and_agree(spark):
     # and the scores are not degenerate on the unlabeled middle band
     mids = [p for d, p in out.items() if d not in labels]
     assert mids and min(mids) < 0.5 < max(mids)
+
+
+def test_user_cardinality_hll_within_bounds(spark):
+    """HLL estimates vs exact distinct counts: within rigorous bounds
+    (lgK=12 -> ~1.6% std error; allow 10% / ±5 absolute), one row per
+    event type."""
+    out = {
+        r["event_type"]: r["est_users"]
+        for r in q.queries()["user_cardinality_hll"](spark, SF_ORACLE).collect()
+    }
+    ev = load_table(spark, SF_ORACLE, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert out.keys() == exact.keys()
+    for et in exact:
+        assert abs(out[et] - exact[et]) <= max(5, 0.1 * exact[et])

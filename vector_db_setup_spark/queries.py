@@ -6585,3 +6585,24 @@ def quality_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_quality(model, d).select(
         "doc_id", F.round("p_keep", 6).alias("p_keep")
     )
+
+
+@register("user_cardinality_hll")  # rows-only: HLL sketch estimates
+def user_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via native HLL sketches
+    (hll_sketch_agg → hll_sketch_estimate) — the cardinality member of
+    the mergeable-sketch trio (Bloom membership, CMS frequency). The
+    sketch row is KBs and UNIONS losslessly (hll_union_agg), so at
+    100 TB per-day/per-partition sketches roll up to any grain without
+    rescanning raw events — the continuous twin
+    (streaming/events.user_cardinality_stream) maintains exactly these
+    partials per micro-batch and is pinned stream==batch EXACTLY
+    (union at equal precision is lossless). Rows-only: DuckDB's
+    approx_count_distinct is a different estimator; the invariant test
+    bounds the estimate against the exact distinct count."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.hll_sketch_estimate(
+            F.hll_sketch_agg("user_id", F.lit(12))
+        ).alias("est_users")
+    )
