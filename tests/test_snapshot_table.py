@@ -335,3 +335,93 @@ def test_versioned_ivf_index_build_search_rebuild(spark, tmp_path):
         for r in search_ivf_index(spark, base, qvec, topk=10, nprobe=8).collect()
     ]
     assert got_v2 == want
+
+
+def test_upsert_duplicate_keys_rejected(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import upsert_snapshot
+
+    base = str(tmp_path / "t")
+    dup = spark.createDataFrame(
+        [(1, "a"), (1, "b")], "id long, val string"
+    )
+    with pytest.raises(ValueError, match="duplicate id"):
+        upsert_snapshot(dup, base, key_col="id")
+
+
+def test_upsert_recomputes_on_concurrent_commit(spark, tmp_path):
+    """Lost-update protection: a rival commits between the merge's head
+    read and the marker create. The upsert must NOT land its stale
+    merge (which would drop the rival's change) — it recomputes
+    against the new head, so BOTH changes survive."""
+    from vector_db_setup_spark.sources.snapshot_table import (
+        upsert_snapshot,
+        write_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    initial = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, val string"
+    )
+    upsert_snapshot(initial, base, key_col="id")
+    rival_df = spark.createDataFrame(
+        [(1, "RIVAL"), (2, "b"), (9, "rival-new")], "id long, val string"
+    )
+
+    class RivalCommitsFS(LocalFS):
+        def __init__(self):
+            self.injected = False
+
+        def create_new(self, path, data=b""):
+            if not self.injected and "_commits" in path:
+                self.injected = True
+                write_snapshot(rival_df, base)  # rival lands v2 first
+            super().create_new(path, data)
+
+    updates = spark.createDataFrame([(2, "B2")], "id long, val string")
+    v = upsert_snapshot(updates, base, key_col="id", fs=RivalCommitsFS())
+    got = _rows(read_snapshot(spark, base))
+    # rival's rows survive AND the upsert applied: key 1 = RIVAL,
+    # key 2 = B2 (upsert over the rival's head), key 9 present
+    assert got == [(1, "RIVAL"), (2, "B2"), (9, "rival-new")]
+    assert v == committed_versions(spark, base)[-1]
+
+
+def test_search_refuses_non_index_version(spark, tmp_path):
+    """compact_snapshot/upsert land generic commits without index meta
+    or cluster partitioning — searching such a head must fail loudly,
+    not scan unpruned with stale centroids."""
+    from tests.conftest import SF_ORACLE
+    from vector_db_setup_spark.operators.ann_index import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from vector_db_setup_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    base = str(tmp_path / "idx")
+    v1 = build_ivf_index(emb, base, k=4, seed=7)
+    compact_snapshot(spark, base)  # generic commit becomes the head
+    qvec = emb.first()["embedding"]
+    with pytest.raises(ValueError, match="not an IVF index commit"):
+        search_ivf_index(spark, base, qvec, topk=3, nprobe=4)
+    # pinning the index version still works
+    got = search_ivf_index(spark, base, qvec, topk=3, nprobe=4, version=v1)
+    assert got.count() == 3
+
+
+def test_build_ivf_index_custom_vec_col(spark, tmp_path):
+    from tests.conftest import SF_ORACLE
+    from vector_db_setup_spark.operators.ann_index import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from vector_db_setup_spark.sources.registry import load_table
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").withColumnRenamed(
+        "embedding", "vec"
+    )
+    base = str(tmp_path / "idx")
+    build_ivf_index(emb, base, k=4, seed=7, vec_col="vec")
+    qvec = emb.first()["vec"]
+    got = search_ivf_index(spark, base, qvec, topk=3, nprobe=4)
+    assert got.count() == 3

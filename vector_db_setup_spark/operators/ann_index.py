@@ -54,7 +54,9 @@ def build_ivf_index(
     map-stage assignment, one partitioned write, one commit. The
     centroids travel in the marker meta (k×d doubles — KBs), so a
     search needs no artifact beyond the table itself."""
-    cents = kmeans_centroids(emb.select(vec_col), k=k, seed=seed)
+    cents = kmeans_centroids(
+        emb.select(F.col(vec_col).alias("embedding")), k=k, seed=seed
+    )
     assigned = ivf_assign(emb, cents, vec_col=vec_col)
     return write_snapshot(
         assigned,
@@ -95,7 +97,19 @@ def search_ivf_index(
 
     v = version if version is not None else current_version(spark, base, fs)
     info = snapshot_info(spark, base, v, fs)
-    meta = info["meta"]
+    meta = info.get("meta") or {}
+    if meta.get("kind") != "ivf":
+        # generic snapshot commits (compact_snapshot, upsert_snapshot)
+        # carry no index meta and no cluster partitioning — an index
+        # table is maintained by RE-BUILDING (build_ivf_index lands the
+        # refreshed index as the next version), never by generic
+        # maintenance ops, and a mixed table must fail loudly here
+        # rather than scan unpruned with stale centroids
+        raise ValueError(
+            f"version {v} at {base} is not an IVF index commit "
+            f"(marker meta: {sorted(meta) or 'none'}); index tables are "
+            "refreshed with build_ivf_index, not generic snapshot ops"
+        )
     cents = np.asarray(meta["centroids"], dtype=np.float64)
     q = np.asarray(query_vec, dtype=np.float64)
     probe = [int(i) for i in np.argsort(((cents - q) ** 2).sum(axis=1))[:nprobe]]

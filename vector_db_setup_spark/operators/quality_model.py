@@ -110,15 +110,25 @@ def train_quality_model(
     'Task not serializable'. Persisted models don't keep summaries,
     so the loaded model is exactly the deployable artifact — which is
     also the production path (train offline, ship the directory)."""
+    import shutil
     import tempfile
 
     labeled = weak_labels(docs, text_col)
     fitted = build_quality_pipeline(text_col, n_features).fit(labeled)
     from pyspark.ml import PipelineModel
 
-    path = model_dir or tempfile.mkdtemp(prefix="quality_model_")
-    fitted.write().overwrite().save(path)
-    return PipelineModel.load(path)
+    if model_dir is not None:
+        fitted.write().overwrite().save(model_dir)
+        return PipelineModel.load(model_dir)
+    # throwaway round-trip dir: the loaded model holds everything in
+    # memory, so clean up immediately (repeated training would
+    # otherwise accumulate /tmp model dirs indefinitely)
+    tmp = tempfile.mkdtemp(prefix="quality_model_")
+    try:
+        fitted.write().overwrite().save(tmp)
+        return PipelineModel.load(tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def score_quality(

@@ -121,6 +121,14 @@ def _find_idempotent(spark, base: str, fs, key: str) -> int | None:
     return None
 
 
+class SnapshotConflictError(RuntimeError):
+    """Raised by write_snapshot(expected_head=...) when another writer
+    committed first: the caller's input was derived from a head that
+    is no longer current, so blindly re-committing would silently drop
+    the concurrent changes — recompute against the new head and retry
+    (upsert_snapshot does exactly that)."""
+
+
 def write_snapshot(
     df: DataFrame,
     base: str,
@@ -130,6 +138,7 @@ def write_snapshot(
     idempotency_key: str | None = None,
     partition_by: list[str] | None = None,
     meta: dict | None = None,
+    expected_head: int | None = None,
 ) -> int:
     """Land `df` as the next committed version; returns its number.
 
@@ -150,7 +159,16 @@ def write_snapshot(
     ``meta`` is an arbitrary small JSON-able dict stored in the marker
     under "meta" (index parameters, centroids, schema notes) — it
     versions WITH the data, which is what makes an index snapshot
-    self-describing."""
+    self-describing.
+
+    ``expected_head``: optimistic-concurrency guard for DERIVED
+    commits (MERGE/read-modify-write). When set, the commit succeeds
+    only as version expected_head+1; if another writer got there
+    first, raises SnapshotConflictError instead of re-committing under
+    a later number — re-committing would be correct for a
+    self-contained snapshot but silently DROPS the concurrent commit's
+    changes when `df` was computed FROM the old head. The abandoned
+    data dir is reclaimed immediately (nothing references it)."""
     spark = df.sparkSession
     fs = _resolve_fs(spark, base, fs)
     if idempotency_key is not None:
@@ -168,7 +186,14 @@ def write_snapshot(
     n_rows = spark.read.parquet(data_dir).count()
     last_err: Exception | None = None
     for _ in range(retries + 1):
-        n = max(committed_versions(spark, base, fs), default=0) + 1
+        head = max(committed_versions(spark, base, fs), default=0)
+        if expected_head is not None and head != expected_head:
+            fs.delete(data_dir, ignore_errors=True)
+            raise SnapshotConflictError(
+                f"head at {base} is v{head}, expected v{expected_head} — "
+                "a concurrent writer committed; recompute and retry"
+            )
+        n = head + 1
         marker = json.dumps(
             {
                 "version": n,
@@ -332,6 +357,18 @@ def upsert_snapshot(
     shuffle on the key, and AQE broadcasts the updates side when it's
     small (the common case: a day's changes vs a corpus).
 
+    CONCURRENCY: the merge is a READ-MODIFY-WRITE, so the commit
+    carries ``expected_head`` — if another writer lands between the
+    head read and the marker create, the attempt raises inside
+    write_snapshot and the merge is RECOMPUTED against the new head
+    (up to ``retries`` times) rather than silently overwriting the
+    concurrent commit's changes with a stale merge. This is the same
+    validate-and-retry loop Delta/Iceberg MERGE runs.
+
+    Duplicate keys in ``updates`` are an ERROR (SQL MERGE semantics:
+    multiple source rows matching one target key is ambiguous — which
+    value wins?); the check is one tiny aggregate over updates.
+
     COST MODEL (the honest caveat): this is COARSE copy-on-write — the
     whole table is rewritten into the new version, so it suits
     dimension-sized tables and periodic corpus refreshes, not per-row
@@ -343,21 +380,43 @@ def upsert_snapshot(
     degrades to inserting `updates` as v1."""
     spark = updates.sparkSession
     fs = _resolve_fs(spark, base, fs)
+    n_all, n_distinct = updates.agg(
+        F.count(F.lit(1)), F.countDistinct(key_col)
+    ).first()
+    if n_all != n_distinct:
+        raise ValueError(
+            f"updates carry duplicate {key_col} values "
+            f"({n_all} rows, {n_distinct} distinct keys) — SQL MERGE "
+            "forbids multiple source rows per target key; dedup first"
+        )
     new_rows = updates
     if delete_col is not None:
         new_rows = updates.filter(
             ~F.coalesce(F.col(delete_col), F.lit(False))
         ).drop(delete_col)
-    if committed_versions(spark, base, fs):
-        head = read_snapshot(spark, base, fs=fs)
-        keys = updates.select(key_col).distinct()
-        merged = head.join(keys, key_col, "left_anti").unionByName(new_rows)
-    else:
-        merged = new_rows
-    return write_snapshot(
-        merged,
-        base,
-        note=f"upsert on {key_col}",
-        fs=fs,
-        idempotency_key=idempotency_key,
-    )
+    last: Exception | None = None
+    for _ in range(4):
+        vs = committed_versions(spark, base, fs)
+        head_v = vs[-1] if vs else 0
+        if head_v:
+            head = read_snapshot(spark, base, version=head_v, fs=fs)
+            keys = updates.select(key_col).distinct()
+            merged = head.join(keys, key_col, "left_anti").unionByName(
+                new_rows
+            )
+        else:
+            merged = new_rows
+        try:
+            return write_snapshot(
+                merged,
+                base,
+                note=f"upsert on {key_col}",
+                fs=fs,
+                idempotency_key=idempotency_key,
+                expected_head=head_v,
+            )
+        except SnapshotConflictError as e:
+            last = e  # head moved: recompute the merge against it
+    raise RuntimeError(
+        f"upsert_snapshot kept losing to concurrent writers at {base}"
+    ) from last
