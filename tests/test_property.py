@@ -317,3 +317,44 @@ def test_upsert_snapshot_matches_dict_semantics(spark, tmp_path_factory, ops):
         r["id"]: r["val"] for r in read_snapshot(spark, base).collect()
     }
     assert got == model
+
+
+@given(
+    payloads=st.lists(
+        st.one_of(
+            st.none(),
+            st.binary(max_size=40),
+            st.text(max_size=40),
+            st.builds(
+                lambda i, t: (
+                    '{"event_id": %d, "event_type": "%s"}' % (i, t)
+                ),
+                st.integers(0, 99),
+                st.sampled_from(["view", "click"]),
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+)
+@settings(**PROP)
+def test_parse_event_value_total_function(spark, payloads):
+    """Property: the kafka payload parser is TOTAL — any byte soup in,
+    exactly one row per input out, never a crash; every row is either
+    fully parsed (valid JSON object) or dead-lettered (_corrupt set),
+    and a null payload always dead-letters."""
+    from vector_db_setup_spark.streaming.sources import (
+        EVENT_COLUMNS,
+        parse_event_value,
+    )
+
+    rows = [
+        (p.encode() if isinstance(p, str) else p,) for p in payloads
+    ]
+    raw = spark.createDataFrame(rows, "value binary")
+    out = parse_event_value(raw).collect()
+    assert len(out) == len(payloads)
+    for r, p in zip(out, payloads):
+        assert set(r.asDict()) == set(EVENT_COLUMNS) | {"_corrupt"}
+        if p is None:
+            assert r["_corrupt"] == "<null payload>"

@@ -425,3 +425,24 @@ def test_build_ivf_index_custom_vec_col(spark, tmp_path):
     qvec = emb.first()["vec"]
     got = search_ivf_index(spark, base, qvec, topk=3, nprobe=4)
     assert got.count() == 3
+
+
+def test_schema_evolution_across_versions(spark, tmp_path):
+    """Per-version immutable dirs make schema evolution trivial: a new
+    version may add/drop columns; every pinned version reads with ITS
+    OWN schema (no mergeSchema fog, no retroactive nulls)."""
+    base = str(tmp_path / "t")
+    v1 = write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, val string"), base
+    )
+    v2 = write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 0.5)], "id long, val string, score double"
+        ),
+        base,
+    )
+    assert read_snapshot(spark, base, version=v1).columns == ["id", "val"]
+    assert read_snapshot(spark, base, version=v2).columns == [
+        "id", "val", "score",
+    ]
+    assert read_snapshot(spark, base).first()["score"] == 0.5

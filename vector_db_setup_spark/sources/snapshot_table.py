@@ -369,15 +369,19 @@ def upsert_snapshot(
     multiple source rows matching one target key is ambiguous — which
     value wins?); the check is one tiny aggregate over updates.
 
-    COST MODEL (the honest caveat): this is COARSE copy-on-write — the
-    whole table is rewritten into the new version, so it suits
-    dimension-sized tables and periodic corpus refreshes, not per-row
-    OLTP. For incremental corpus updates at 100 TB use the
-    dirty-shard path (`sources/shards.land_snapshot`: only changed
-    shards rewrite) and snapshot-commit the shard ROOT per landing;
-    real row-level deletes at scale are what full table formats'
-    delete files exist for. First landing (no committed version)
-    degrades to inserting `updates` as v1."""
+    COST MODEL (measured — SCALE_EXPERIMENTS "MERGE vs dirty-shard
+    landing"): this is COARSE copy-on-write — the whole table
+    rewrites into the new version. That is FINE up to
+    dimension-table/periodic-refresh sizes, and the measured surprise
+    is that the "incremental" dirty-shard alternative only beats it
+    when changes are LOCAL to few shards: scattered edits dirty every
+    shard (balls-in-bins — 1% scattered touched 64/64), making its
+    reland a full rewrite plus manifest overhead. At 100 TB: use
+    `sources/shards.land_snapshot` when change-locality holds, this
+    MERGE when the table is small relative to the cluster, and a full
+    table format's delete files for scattered row-level churn. First
+    landing (no committed version) degrades to inserting `updates`
+    as v1."""
     spark = updates.sparkSession
     fs = _resolve_fs(spark, base, fs)
     n_all, n_distinct = updates.agg(
