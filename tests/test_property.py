@@ -358,3 +358,88 @@ def test_parse_event_value_total_function(spark, payloads):
         assert set(r.asDict()) == set(EVENT_COLUMNS) | {"_corrupt"}
         if p is None:
             assert r["_corrupt"] == "<null payload>"
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("write"), st.integers(1, 30)),
+            st.tuples(st.just("upsert"), st.integers(0, 9)),
+            st.tuples(st.just("compact"), st.just(0)),
+            st.tuples(st.just("gc"), st.integers(1, 3)),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@settings(**PROP)
+def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
+    """Model-based check of the whole pointer-commit protocol: a random
+    interleaving of write/upsert/compact/gc must keep the table
+    equivalent to a trivial dict-and-version-list model — head contents
+    exact, every surviving version's row count exact, GC'd versions
+    unreadable. This is the randomized companion to the targeted
+    race/crash tests."""
+    from vector_db_setup_spark.sources.snapshot_table import (
+        committed_versions,
+        compact_snapshot,
+        gc_snapshots,
+        read_snapshot,
+        upsert_snapshot,
+        write_snapshot,
+    )
+
+    base = str(tmp_path_factory.mktemp("model") / "t")
+    head: dict[int, int] = {}          # key -> val (the logical table)
+    versions: dict[int, int] = {}      # committed version -> rowcount
+    gone: set[int] = set()
+
+    def _df(d):
+        return spark.createDataFrame(
+            [(k, v) for k, v in sorted(d.items())] or [(None, None)],
+            "id long, val long",
+        ).filter(F.col("id").isNotNull())
+
+    for op, arg in ops:
+        if op == "write":
+            head = {k: k for k in range(arg)}
+            v = write_snapshot(_df(head), base)
+            versions[v] = len(head)
+        elif op == "upsert":
+            if not versions:
+                continue
+            head = dict(head)
+            head[arg] = arg * 100
+            v = upsert_snapshot(
+                _df({arg: arg * 100}), base, key_col="id"
+            )
+            versions[v] = len(head)
+        elif op == "compact":
+            if not versions:
+                continue
+            v = compact_snapshot(spark, base)
+            versions[v] = len(head)
+        elif op == "gc":
+            if not versions:
+                continue
+            removed = gc_snapshots(spark, base, keep=arg, orphan_min_age_s=0)
+            for r in removed:
+                gone.add(r)
+                versions.pop(r, None)
+        # invariants after EVERY op
+        live = committed_versions(spark, base)
+        assert live == sorted(versions), (live, versions)
+        if versions:
+            got = {
+                r["id"]: r["val"]
+                for r in read_snapshot(spark, base).collect()
+            }
+            assert got == head, (got, head)
+            for v, n in versions.items():
+                assert read_snapshot(spark, base, version=v).count() == n
+        for v in gone:
+            try:
+                read_snapshot(spark, base, version=v)
+                raise AssertionError(f"GC'd version {v} still readable")
+            except FileNotFoundError:
+                pass
