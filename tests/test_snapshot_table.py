@@ -446,3 +446,53 @@ def test_schema_evolution_across_versions(spark, tmp_path):
         "id", "val", "score",
     ]
     assert read_snapshot(spark, base).first()["score"] == 0.5
+
+
+def test_snapshot_diff_statuses(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import snapshot_diff
+
+    base = str(tmp_path / "t")
+    v1 = write_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, val string"
+        ),
+        base,
+    )
+    v2 = write_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "B"), (4, "d")], "id long, val string"
+        ),
+        base,
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(spark, base, v1, v2, key_col="id").collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_rollback_is_zero_copy_and_gc_safe(spark, tmp_path):
+    """Rollback commits a marker pointing at the OLD data dir (no new
+    dir appears); the shared dir survives GC of the bad version while
+    the rollback head references it."""
+    from vector_db_setup_spark.sources.snapshot_table import (
+        rollback_snapshot,
+        snapshot_info,
+    )
+
+    base = str(tmp_path / "t")
+    v1 = write_snapshot(_df(spark, 100), base)
+    v2 = write_snapshot(_df(spark, 999), base)  # the "bad" deploy
+    dirs_before = _data_dirs(base)
+    v3 = rollback_snapshot(spark, base, v1)
+    assert _data_dirs(base) == dirs_before  # zero-copy: no new dir
+    assert snapshot_info(spark, base, v3)["data"] == snapshot_info(
+        spark, base, v1
+    )["data"]
+    assert read_snapshot(spark, base).count() == 100  # head = rolled back
+    assert read_snapshot(spark, base, version=v2).count() == 999  # auditable
+    # GC the bad version and the original: the SHARED dir must survive
+    # because the rollback head still references it
+    removed = gc_snapshots(spark, base, keep=1, orphan_min_age_s=0)
+    assert removed == [v1, v2]
+    assert read_snapshot(spark, base).count() == 100

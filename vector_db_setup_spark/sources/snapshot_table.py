@@ -307,6 +307,13 @@ def gc_snapshots(
     fs = _resolve_fs(spark, base, fs)
     committed = committed_versions(spark, base, fs)
     drop = committed[:-keep] if keep > 0 else committed
+    keep_set = [v for v in committed if v not in drop]
+    # data dirs named by SURVIVING markers must not be touched even
+    # when a dropped version also names them — zero-copy rollback
+    # commits a NEW marker over an OLD dir, so dirs can be shared
+    kept_refs = {
+        snapshot_info(spark, base, v, fs).get("data") for v in keep_set
+    }
     removed = []
     for v in drop:
         info = snapshot_info(spark, base, v, fs)  # read BEFORE deleting
@@ -315,7 +322,7 @@ def gc_snapshots(
         except Exception:
             continue  # marker survived -> version stays fully intact
         data = info.get("data")
-        if data:
+        if data and data not in kept_refs:
             fs.delete(f"{base}/{data}", ignore_errors=True)
         removed.append(v)
     # orphan data dirs: not referenced by ANY surviving marker, old
@@ -424,3 +431,75 @@ def upsert_snapshot(
     raise RuntimeError(
         f"upsert_snapshot kept losing to concurrent writers at {base}"
     ) from last
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    base: str,
+    v_from: int,
+    v_to: int,
+    key_col: str,
+    fs=None,
+) -> DataFrame:
+    """What changed between two committed versions: one FULL OUTER join
+    on the key between two pinned reads → (key, status ∈ added |
+    removed | changed | unchanged). The versioned sibling of
+    queries.corpus_snapshot_diff (which diffs by content hash over one
+    landing); here the versions are already materialized, so the diff
+    is pure join — time-travel makes change-data-capture a query."""
+    a = read_snapshot(spark, base, version=v_from, fs=fs)
+    b = read_snapshot(spark, base, version=v_to, fs=fs)
+    val_cols = [c for c in a.columns if c != key_col]
+    a_h = a.select(
+        F.col(key_col), F.xxhash64(*[F.col(c) for c in val_cols]).alias("_ha")
+    )
+    b_h = b.select(
+        F.col(key_col), F.xxhash64(*[F.col(c) for c in val_cols]).alias("_hb")
+    )
+    j = a_h.join(b_h, key_col, "full_outer")
+    status = (
+        F.when(F.col("_ha").isNull(), F.lit("added"))
+        .when(F.col("_hb").isNull(), F.lit("removed"))
+        .when(F.col("_ha") != F.col("_hb"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(key_col, status.alias("status"))
+
+
+def rollback_snapshot(spark, base: str, to_version: int, fs=None) -> int:
+    """ZERO-COPY rollback: commit a new head whose marker points at
+    ``to_version``'s EXISTING data dir — no bytes move, because
+    markers name dirs and dirs are immutable (the same property that
+    makes a lost-race re-commit free). The rolled-back-over versions
+    remain time-travelable until GC; GC's referenced-dir scan keeps a
+    dir alive while ANY surviving marker names it, so the shared dir
+    is safe even after the bad version is reclaimed.
+
+    Forward-rolling recovery: rolling back creates a NEW version (an
+    audit-visible event), never rewrites history — v5 'rollback to
+    v3' leaves v4 inspectable, exactly Iceberg's rollback semantics."""
+    fs = _resolve_fs(spark, base, fs)
+    info = snapshot_info(spark, base, to_version, fs)
+    last_err: Exception | None = None
+    for _ in range(4):
+        n = max(committed_versions(spark, base, fs), default=0) + 1
+        marker = json.dumps(
+            {
+                "version": n,
+                "data": info["data"],
+                "rows": info.get("rows"),
+                "note": f"rollback to v{to_version}",
+                **(
+                    {"meta": info["meta"]} if info.get("meta") is not None
+                    else {}
+                ),
+            }
+        )
+        try:
+            fs.create_new(f"{base}/{COMMITS_DIR}/{_vname(n)}", marker.encode())
+            return n
+        except FileExistsError as e:
+            last_err = e
+    raise RuntimeError(
+        f"rollback_snapshot lost the commit race at {base}"
+    ) from last_err
