@@ -366,6 +366,7 @@ def test_parse_event_value_total_function(spark, payloads):
             st.tuples(st.just("write"), st.integers(1, 30)),
             st.tuples(st.just("upsert"), st.integers(0, 9)),
             st.tuples(st.just("compact"), st.just(0)),
+            st.tuples(st.just("rollback"), st.just(0)),
             st.tuples(st.just("gc"), st.integers(1, 3)),
         ),
         min_size=1,
@@ -385,6 +386,7 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
         compact_snapshot,
         gc_snapshots,
         read_snapshot,
+        rollback_snapshot,
         upsert_snapshot,
         write_snapshot,
     )
@@ -392,6 +394,7 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
     base = str(tmp_path_factory.mktemp("model") / "t")
     head: dict[int, int] = {}          # key -> val (the logical table)
     versions: dict[int, int] = {}      # committed version -> rowcount
+    contents: dict[int, dict] = {}     # committed version -> full dict
     gone: set[int] = set()
 
     def _df(d):
@@ -405,6 +408,7 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
             head = {k: k for k in range(arg)}
             v = write_snapshot(_df(head), base)
             versions[v] = len(head)
+            contents[v] = dict(head)
         elif op == "upsert":
             if not versions:
                 continue
@@ -414,11 +418,21 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
                 _df({arg: arg * 100}), base, key_col="id"
             )
             versions[v] = len(head)
+            contents[v] = dict(head)
         elif op == "compact":
             if not versions:
                 continue
             v = compact_snapshot(spark, base)
             versions[v] = len(head)
+            contents[v] = dict(head)
+        elif op == "rollback":
+            if not versions:
+                continue
+            target = sorted(versions)[0]  # oldest surviving
+            head = dict(contents[target])
+            v = rollback_snapshot(spark, base, target)
+            versions[v] = len(head)
+            contents[v] = dict(head)
         elif op == "gc":
             if not versions:
                 continue
