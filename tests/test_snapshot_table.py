@@ -496,3 +496,90 @@ def test_rollback_is_zero_copy_and_gc_safe(spark, tmp_path):
     removed = gc_snapshots(spark, base, keep=1, orphan_min_age_s=0)
     assert removed == [v1, v2]
     assert read_snapshot(spark, base).count() == 100
+
+
+def test_gc_shared_dir_survives_partial_marker_failure(spark, tmp_path):
+    """A dir shared by TWO dropped versions (original + its rollback):
+    if one marker delete is refused, the dir must survive — else the
+    surviving committed version points at deleted data."""
+    from vector_db_setup_spark.sources.snapshot_table import (
+        rollback_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    v1 = write_snapshot(_df(spark, 100), base)       # dir D
+    rollback_snapshot(spark, base, v1)               # v2 also names D
+    write_snapshot(_df(spark, 50), base)             # v3
+    write_snapshot(_df(spark, 60), base)             # v4 (head)
+    # drop = [v1, v2]; refuse exactly v2's marker delete
+    class RefusesV2(LocalFS):
+        def delete(self, path, ignore_errors=False):
+            if path.endswith("_commits/v00000002"):
+                raise OSError("refused")
+            super().delete(path, ignore_errors=ignore_errors)
+
+    removed = gc_snapshots(
+        spark, base, keep=2, fs=RefusesV2(), orphan_min_age_s=0
+    )
+    assert removed == [1]
+    # v2 survived the failed delete AND its (shared) data is intact
+    assert 2 in committed_versions(spark, base)
+    assert read_snapshot(spark, base, version=2).count() == 100
+
+
+def test_rollback_detects_concurrent_gc_of_target(spark, tmp_path):
+    """GC reclaims the target's dir between the marker read and the
+    commit: the rollback must undo its own marker and raise, never
+    leave a head pointing at deleted data."""
+    import shutil
+
+    from vector_db_setup_spark.sources.snapshot_table import (
+        rollback_snapshot,
+        snapshot_info,
+    )
+
+    base = str(tmp_path / "t")
+    v1 = write_snapshot(_df(spark, 100), base)
+    write_snapshot(_df(spark, 50), base)
+    doomed = f"{base}/{snapshot_info(spark, base, v1)['data']}"
+
+    class GcRacesUs(LocalFS):
+        def __init__(self):
+            self.raced = False
+
+        def create_new(self, path, data=b""):
+            super().create_new(path, data)
+            if not self.raced and "_commits" in path:
+                self.raced = True
+                shutil.rmtree(doomed)  # GC lands right after our commit
+
+    with pytest.raises(FileNotFoundError, match="GC'd concurrently"):
+        rollback_snapshot(spark, base, v1, fs=GcRacesUs())
+    # the orphan marker was undone; head still valid
+    assert committed_versions(spark, base) == [1, 2]
+    assert read_snapshot(spark, base).count() == 50
+
+
+def test_snapshot_diff_refuses_schema_mismatch_and_duplicates(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import snapshot_diff
+
+    base = str(tmp_path / "t")
+    v1 = write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, val string"), base
+    )
+    v2 = write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 1.0)], "id long, val string, score double"
+        ),
+        base,
+    )
+    with pytest.raises(ValueError, match="differ in schema"):
+        snapshot_diff(spark, base, v1, v2, key_col="id")
+    v3 = write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 1.0), (1, "b", 2.0)], "id long, val string, score double"
+        ),
+        base,
+    )
+    with pytest.raises(ValueError, match="duplicate id"):
+        snapshot_diff(spark, base, v2, v3, key_col="id")

@@ -314,17 +314,29 @@ def gc_snapshots(
     kept_refs = {
         snapshot_info(spark, base, v, fs).get("data") for v in keep_set
     }
+    # two passes: delete ALL droppable markers first, then delete a
+    # data dir only if every dropped marker naming it actually went
+    # AND no kept marker names it — with zero-copy rollback a dir can
+    # be shared by several versions, and deleting it while ANY marker
+    # (kept, or dropped-but-delete-refused) still names it would leave
+    # a committed version with missing files
     removed = []
+    drop_refs: dict = {}
+    failed_refs = set()
     for v in drop:
         info = snapshot_info(spark, base, v, fs)  # read BEFORE deleting
+        data = info.get("data")
         try:
             fs.delete(f"{base}/{COMMITS_DIR}/{_vname(v)}")
         except Exception:
-            continue  # marker survived -> version stays fully intact
-        data = info.get("data")
-        if data and data not in kept_refs:
-            fs.delete(f"{base}/{data}", ignore_errors=True)
+            failed_refs.add(data)  # marker survived -> dir must too
+            continue
+        if data:
+            drop_refs.setdefault(data, []).append(v)
         removed.append(v)
+    for data in drop_refs:
+        if data not in kept_refs and data not in failed_refs:
+            fs.delete(f"{base}/{data}", ignore_errors=True)
     # orphan data dirs: not referenced by ANY surviving marker, old
     # enough that no in-flight writer can still be producing them
     referenced = set()
@@ -446,9 +458,32 @@ def snapshot_diff(
     removed | changed | unchanged). The versioned sibling of
     queries.corpus_snapshot_diff (which diffs by content hash over one
     landing); here the versions are already materialized, so the diff
-    is pure join — time-travel makes change-data-capture a query."""
+    is pure join — time-travel makes change-data-capture a query.
+
+    Guards: refuses schema-asymmetric versions (this module supports
+    per-version schema evolution, and hashing only one side's columns
+    would report added-column changes as 'unchanged' — diff the
+    common projection explicitly if that's what you mean) and refuses
+    duplicate keys on either side (a full-outer join would multiply
+    them into contradictory status rows; same convention as
+    upsert_snapshot's duplicate check)."""
     a = read_snapshot(spark, base, version=v_from, fs=fs)
     b = read_snapshot(spark, base, version=v_to, fs=fs)
+    if sorted(a.columns) != sorted(b.columns):
+        raise ValueError(
+            f"versions differ in schema (v{v_from}: {sorted(a.columns)} "
+            f"vs v{v_to}: {sorted(b.columns)}) — select a common "
+            "projection from each read_snapshot and diff that instead"
+        )
+    for side, df in (("v_from", a), ("v_to", b)):
+        n_all, n_dist = df.agg(
+            F.count(F.lit(1)), F.countDistinct(key_col)
+        ).first()
+        if n_all != n_dist:
+            raise ValueError(
+                f"{side} holds duplicate {key_col} values ({n_all} rows, "
+                f"{n_dist} distinct) — a keyed diff is undefined"
+            )
     val_cols = [c for c in a.columns if c != key_col]
     a_h = a.select(
         F.col(key_col), F.xxhash64(*[F.col(c) for c in val_cols]).alias("_ha")
@@ -477,7 +512,15 @@ def rollback_snapshot(spark, base: str, to_version: int, fs=None) -> int:
 
     Forward-rolling recovery: rolling back creates a NEW version (an
     audit-visible event), never rewrites history — v5 'rollback to
-    v3' leaves v4 inspectable, exactly Iceberg's rollback semantics."""
+    v3' leaves v4 inspectable, exactly Iceberg's rollback semantics.
+
+    GC interplay: roll back only to versions inside the GC keep
+    window. A GC racing this call could reclaim the target's dir
+    between the marker read and the commit (GC snapshotted its
+    referenced-dir set before our marker existed), so the commit is
+    RE-VALIDATED: if the data dir is gone afterwards, the fresh
+    marker is deleted and the rollback raises instead of leaving a
+    head that points at nothing."""
     fs = _resolve_fs(spark, base, fs)
     info = snapshot_info(spark, base, to_version, fs)
     last_err: Exception | None = None
@@ -497,9 +540,20 @@ def rollback_snapshot(spark, base: str, to_version: int, fs=None) -> int:
         )
         try:
             fs.create_new(f"{base}/{COMMITS_DIR}/{_vname(n)}", marker.encode())
-            return n
         except FileExistsError as e:
             last_err = e
+            continue
+        if not fs.exists(f"{base}/{info['data']}"):
+            # a concurrent GC reclaimed the target's dir in the window
+            # between our marker read and this commit — undo the
+            # marker (it references nothing) and fail loudly
+            fs.delete(f"{base}/{COMMITS_DIR}/{_vname(n)}", ignore_errors=True)
+            raise FileNotFoundError(
+                f"rollback target v{to_version}'s data dir was GC'd "
+                f"concurrently at {base}; roll back only within the GC "
+                "keep window"
+            )
+        return n
     raise RuntimeError(
         f"rollback_snapshot lost the commit race at {base}"
     ) from last_err
