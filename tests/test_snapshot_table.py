@@ -583,3 +583,149 @@ def test_snapshot_diff_refuses_schema_mismatch_and_duplicates(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="duplicate id"):
         snapshot_diff(spark, base, v2, v3, key_col="id")
+
+
+def test_same_key_twin_committing_during_parquet_write(spark, tmp_path):
+    """The r6-advice exactly-once hole: replica B lands the key while A
+    is inside its (long) parquet write — A's entry-time key check is
+    stale, and the head scan SEES B's marker, so without the in-loop
+    recheck A would allocate head+1 and commit the batch a second time
+    with no marker collision. The recheck must instead return B's
+    version, and A's unreferenced data dir must be reclaimed."""
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 10), base)
+    rival_df = _df(spark, 77)
+
+    class TwinLandsMidWrite(LocalFS):
+        """listdir of _commits #1 is A's entry-time key check (before
+        the data write); on call #2 — the commit loop's head scan,
+        after A's parquet is on disk — replica B commits the key
+        first, and the listing A gets back INCLUDES B's marker."""
+
+        def __init__(self):
+            self.calls = 0
+
+        def listdir(self, path):
+            if path.endswith("_commits"):
+                self.calls += 1
+                if self.calls == 2:
+                    write_snapshot(rival_df, base, idempotency_key="batch-9")
+            return super().listdir(path)
+
+    dirs_before = set(_data_dirs(base))
+    v = write_snapshot(
+        _df(spark, 20), base, fs=TwinLandsMidWrite(), idempotency_key="batch-9"
+    )
+    assert v == 2
+    assert committed_versions(spark, base) == [1, 2]
+    assert read_snapshot(spark, base, version=2).count() == 77  # B's data
+    keys = [
+        snapshot_info(spark, base, x).get("idempotency_key")
+        for x in committed_versions(spark, base)
+    ]
+    assert keys.count("batch-9") == 1  # landed exactly once
+    # A's abandoned dir was reclaimed immediately; only B's dir is new
+    new_dirs = set(_data_dirs(base)) - dirs_before
+    assert new_dirs == {snapshot_info(spark, base, 2)["data"]}
+
+
+def test_compaction_does_not_shadow_concurrent_commit(spark, tmp_path):
+    """The r6-advice lost-update hole: a writer lands v2 during the
+    compaction rewrite of v1. Compaction must NOT commit its stale copy
+    of v1 over it (v2 would vanish from the head lineage and GC would
+    later delete its data); it must detect the conflict via
+    expected_head and recompact the NEW head instead."""
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 100), base)
+
+    class WriterLandsMidCompaction(LocalFS):
+        """du_suffix is compaction's sizing pass over the OLD head's
+        dir — inject the rival there, before the rewrite commits."""
+
+        def __init__(self):
+            self.injected = False
+
+        def du_suffix(self, path, suffix):
+            if not self.injected:
+                self.injected = True
+                write_snapshot(_df(spark, 999), base)  # acknowledged v2
+            return super().du_suffix(path, suffix)
+
+    v = compact_snapshot(
+        spark, base, target_file_bytes=10**9, fs=WriterLandsMidCompaction()
+    )
+    assert v == 3
+    assert committed_versions(spark, base) == [1, 2, 3]
+    # the acknowledged v2 stayed in the lineage and the new head is a
+    # compaction OF v2, not a resurrected copy of v1
+    assert read_snapshot(spark, base, version=2).count() == 999
+    assert read_snapshot(spark, base).count() == 999
+    assert snapshot_info(spark, base, 3)["note"] == "compacted v2"
+
+
+def test_compaction_conflict_exhaustion_raises(spark, tmp_path):
+    """A table too hot to compact must raise, never re-commit a stale
+    rewrite under a later version number."""
+    from vector_db_setup_spark.sources.snapshot_table import (
+        SnapshotConflictError,
+    )
+
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 100), base)
+
+    class AlwaysRivaled(LocalFS):
+        def du_suffix(self, path, suffix):
+            write_snapshot(_df(spark, 5), base)  # a rival EVERY attempt
+            return super().du_suffix(path, suffix)
+
+    with pytest.raises(SnapshotConflictError, match="kept losing"):
+        compact_snapshot(
+            spark, base, target_file_bytes=10**9, fs=AlwaysRivaled(),
+            retries=1,
+        )
+    # every head in the lineage is a real commit; no stale copy landed
+    notes = [
+        snapshot_info(spark, base, x)["note"]
+        for x in committed_versions(spark, base)
+    ]
+    assert all(not n.startswith("compacted") for n in notes)
+
+
+def test_snapshot_diff_key_only_table(spark, tmp_path):
+    """A table with no value columns diffs as added/removed/unchanged
+    (zero-arg xxhash64 used to fail analysis with an unrelated error)."""
+    from vector_db_setup_spark.sources.snapshot_table import snapshot_diff
+
+    base = str(tmp_path / "t")
+    v1 = write_snapshot(spark.createDataFrame([(1,), (2,)], "id long"), base)
+    v2 = write_snapshot(spark.createDataFrame([(2,), (3,)], "id long"), base)
+    got = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(spark, base, v1, v2, key_col="id").collect()
+    }
+    assert got == {1: "removed", 2: "unchanged", 3: "added"}
+
+
+def test_gc_skips_versions_reclaimed_by_concurrent_gc(spark, tmp_path):
+    """Two maintenance schedulers: a marker vanishing between this GC's
+    listing and its read must be SKIPPED (already reclaimed), not abort
+    the whole run mid-way."""
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 10), base)
+    write_snapshot(_df(spark, 20), base)
+    write_snapshot(_df(spark, 30), base)
+
+    class RivalGcAteV1(LocalFS):
+        """v1's marker reads as already-gone (the rival GC removed it
+        after our listing); everything else behaves normally."""
+
+        def read_file(self, path):
+            if path.endswith("_commits/v00000001"):
+                raise FileNotFoundError(path)
+            return super().read_file(path)
+
+    removed = gc_snapshots(
+        spark, base, keep=1, fs=RivalGcAteV1(), orphan_min_age_s=0
+    )
+    assert removed == [2]  # v2 still reclaimed; v1 skipped, run completed
+    assert read_snapshot(spark, base).count() == 30  # head untouched

@@ -184,8 +184,19 @@ class HadoopFS:
 
     def create_new(self, path: str, data: bytes = b"") -> None:
         # FileSystem.create(path, overwrite=false) is the exclusive-
-        # create primitive: atomic-visible on close (HDFS) / atomic
-        # object PUT (S3A conditional create); an existing path raises
+        # create primitive — but ONLY where the store implements it
+        # atomically. HDFS does (namenode lease, atomic-visible on
+        # close). STOCK S3A does NOT: overwrite=false there is an
+        # exists-check-then-PUT with last-write-wins, so two racing
+        # committers can BOTH "succeed" on the same marker path and one
+        # acknowledged commit silently loses. Deployments on object
+        # stores need true conditional create — Hadoop >= 3.4.1 S3A
+        # conditional writes (fs.s3a.create.conditional.enabled, via
+        # S3 If-None-Match), GCS preconditions, or ABFS conditional
+        # create — or else external single-writer coordination on the
+        # commit path (the same requirement Delta's S3 LogStore
+        # documents). snapshot_table's whole protocol rests on this
+        # one primitive being atomic; see its module docstring.
         p = self._jpath(path)
         if self._fs.exists(p):
             raise FileExistsError(f"create_new target {path} already exists")
@@ -212,8 +223,17 @@ class HadoopFS:
     def read_file(self, path: str) -> bytes:
         # py4j can't fill a Python buffer in place (the JVM mutates a
         # COPY); commons-io (on Spark's classpath) drains the stream
-        # JVM-side and returns byte[], which py4j maps to bytes
-        stream = self._fs.open(self._jpath(path))
+        # JVM-side and returns byte[], which py4j maps to bytes.
+        # Missing path -> FileNotFoundError like LocalFS, so callers'
+        # raced-a-concurrent-GC handling (snapshot_table.gc_snapshots)
+        # works identically through either implementation.
+        try:
+            stream = self._fs.open(self._jpath(path))
+        except Exception as e:
+            msg = str(e).lower()
+            if "filenotfound" in msg or "does not exist" in msg:
+                raise FileNotFoundError(path) from e
+            raise
         try:
             return bytes(
                 self._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)

@@ -21,12 +21,16 @@ same idea Iceberg/Delta are built on, reduced to its core:
   check-then-write race Spark's mode('error') would otherwise allow.
   Data dirs are immutable and never renamed.
 - **Commit = one exclusive file create** (`fs.create_new`) of the
-  version marker, whose CONTENT names the data dir. Exclusive create
-  is atomic-visible on local FS, HDFS, and object stores (conditional
-  PUT) — no atomic-rename requirement, so the protocol is safe
-  exactly where rename is copy+delete. ALL version contention
-  resolves at this single atomic point: a loser's fully-written data
-  dir is simply re-committed under the next number (no rewrite).
+  version marker, whose CONTENT names the data dir. No atomic-rename
+  requirement, so the protocol works where rename is copy+delete —
+  but the exclusive create itself MUST be atomic: local FS (O_EXCL)
+  and HDFS give this natively; object stores give it only with true
+  conditional writes (Hadoop >= 3.4.1 S3A conditional create, GCS
+  preconditions) — STOCK S3A's overwrite=false is check-then-PUT
+  with last-write-wins and needs external single-writer coordination
+  instead (see HadoopFS.create_new). ALL version contention resolves
+  at this single atomic point: a loser's fully-written data dir is
+  simply re-committed under the next number (no rewrite).
 - **Readers resolve a committed MARKER, then read the dir it names.**
   A half-written dir has no marker and is invisible; a reader
   mid-query keeps reading its pinned dir, which no writer ever
@@ -38,10 +42,13 @@ same idea Iceberg/Delta are built on, reduced to its core:
   written only after the data verifies readable).
 - **Exactly-once for replayable producers** via ``idempotency_key``
   (a streaming foreachBatch passes its batch id): the key is checked
-  before writing AND re-checked after every lost marker race — and
-  because version allocation is purely max(committed)+1 (data dirs
-  play no part), two same-key replicas MUST collide on the marker,
-  where exactly one wins and the loser returns the winner's version.
+  before writing, re-checked on EVERY commit attempt against the same
+  marker listing the version number is allocated from, and re-checked
+  after every lost marker race — so a twin either shows up in the
+  listing (short-circuit return) or commits after it, in which case
+  version allocation being purely max(committed)+1 over that listing
+  forces both replicas onto the SAME marker name, where exactly one
+  exclusive-create wins and the loser returns the winner's version.
 
 Marker reads are driver-side ``fs.read_file`` calls (bytes of a tiny
 JSON file) — resolving a version or scanning for an idempotency key
@@ -114,9 +121,22 @@ def snapshot_info(spark, base: str, version: int, fs=None) -> dict:
     return json.loads(raw.decode() or "{}")
 
 
-def _find_idempotent(spark, base: str, fs, key: str) -> int | None:
-    for v in reversed(committed_versions(spark, base, fs)):
-        if snapshot_info(spark, base, v, fs).get("idempotency_key") == key:
+def _find_idempotent(
+    spark, base: str, fs, key: str, versions: list[int] | None = None
+) -> int | None:
+    """Newest committed version carrying ``key``, else None. Pass
+    ``versions`` to scan an ALREADY-TAKEN marker listing — the
+    exactly-once argument in write_snapshot needs the key check and
+    the head allocation to see the SAME listing (a twin visible to one
+    but not the other reopens the double-commit race)."""
+    if versions is None:
+        versions = committed_versions(spark, base, fs)
+    for v in reversed(versions):
+        try:
+            info = snapshot_info(spark, base, v, fs)
+        except FileNotFoundError:
+            continue  # raced a concurrent GC of an old version
+        if info.get("idempotency_key") == key:
             return v
     return None
 
@@ -186,7 +206,24 @@ def write_snapshot(
     n_rows = spark.read.parquet(data_dir).count()
     last_err: Exception | None = None
     for _ in range(retries + 1):
-        head = max(committed_versions(spark, base, fs), default=0)
+        vs = committed_versions(spark, base, fs)
+        if idempotency_key is not None:
+            # re-check the key against the SAME listing the head comes
+            # from, EVERY attempt — checking only at entry is racy: a
+            # same-key twin committing during our (long) parquet write
+            # would be visible to the head scan but not to a stale
+            # entry-time check, and we'd land the batch a second time
+            # under head+1 with no marker collision. With the recheck,
+            # any twin visible to the listing short-circuits here, and
+            # a twin committing AFTER this listing must allocate the
+            # same n we do (allocation is max(committed)+1 over that
+            # same listing) — forcing the marker collision the
+            # FileExistsError handler below already resolves.
+            v = _find_idempotent(spark, base, fs, idempotency_key, vs)
+            if v is not None:
+                fs.delete(data_dir, ignore_errors=True)  # ours, unreferenced
+                return v
+        head = max(vs, default=0)
         if expected_head is not None and head != expected_head:
             fs.delete(data_dir, ignore_errors=True)
             raise SnapshotConflictError(
@@ -218,7 +255,10 @@ def write_snapshot(
             if idempotency_key is not None:
                 v = _find_idempotent(spark, base, fs, idempotency_key)
                 if v is not None:
-                    return v  # a concurrent replica landed our batch
+                    # a concurrent replica landed our batch; our dir is
+                    # unreferenced (every create_new we issued failed)
+                    fs.delete(data_dir, ignore_errors=True)
+                    return v
     # terminal failure: reclaim our own (never-referenced) data dir
     # now rather than waiting out the GC orphan grace — we KNOW no
     # marker names it because every create_new we issued failed
@@ -260,20 +300,45 @@ def compact_snapshot(
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 1,
     fs=None,
+    retries: int = 3,
 ) -> int:
     """Compaction with NO swap window: read the current version,
     coalesce-rewrite it as a NEW data dir, commit as the next version.
     Concurrent readers keep their pinned dirs; a crash at any point
     leaves either the old head (marker never written) or a valid new
     head. Returns the new version number. Old versions remain until
-    `gc_snapshots`."""
+    `gc_snapshots`.
+
+    CONCURRENCY: compaction is a READ-MODIFY-WRITE derived from the
+    head, so the commit carries ``expected_head`` — without it, a
+    writer landing v+1 during the (long) compaction rewrite would be
+    silently SHADOWED: the compactor would commit a copy of v as v+2,
+    the acknowledged v+1 would vanish from the head lineage, and GC
+    would eventually delete its data (lost update). On conflict the
+    stale rewrite is abandoned (write_snapshot reclaims its dir) and
+    compaction RESTARTS against the new head, up to ``retries`` times;
+    a table too hot to compact raises SnapshotConflictError rather
+    than ever re-committing a stale copy under a later number."""
     fs = _resolve_fs(spark, base, fs)
-    v = current_version(spark, base, fs)
-    data_dir = f"{base}/{snapshot_info(spark, base, v, fs)['data']}"
-    total, _n = fs.du_suffix(data_dir, ".parquet")
-    n_out = max(min_files, (total + target_file_bytes - 1) // target_file_bytes)
-    df = spark.read.parquet(data_dir).coalesce(int(n_out))
-    return write_snapshot(df, base, note=f"compacted v{v}", fs=fs)
+    last: SnapshotConflictError | None = None
+    for _ in range(retries + 1):
+        v = current_version(spark, base, fs)
+        data_dir = f"{base}/{snapshot_info(spark, base, v, fs)['data']}"
+        total, _n = fs.du_suffix(data_dir, ".parquet")
+        n_out = max(
+            min_files, (total + target_file_bytes - 1) // target_file_bytes
+        )
+        df = spark.read.parquet(data_dir).coalesce(int(n_out))
+        try:
+            return write_snapshot(
+                df, base, note=f"compacted v{v}", fs=fs, expected_head=v
+            )
+        except SnapshotConflictError as e:
+            last = e  # head moved mid-rewrite: recompact the new head
+    raise SnapshotConflictError(
+        f"compact_snapshot kept losing to concurrent writers at {base} "
+        f"({retries + 1} attempts) — compact when the table is quieter"
+    ) from last
 
 
 def gc_snapshots(
@@ -311,9 +376,12 @@ def gc_snapshots(
     # data dirs named by SURVIVING markers must not be touched even
     # when a dropped version also names them — zero-copy rollback
     # commits a NEW marker over an OLD dir, so dirs can be shared
-    kept_refs = {
-        snapshot_info(spark, base, v, fs).get("data") for v in keep_set
-    }
+    kept_refs = set()
+    for v in keep_set:
+        try:
+            kept_refs.add(snapshot_info(spark, base, v, fs).get("data"))
+        except FileNotFoundError:
+            continue  # raced a concurrent GC; nothing left to protect
     # two passes: delete ALL droppable markers first, then delete a
     # data dir only if every dropped marker naming it actually went
     # AND no kept marker names it — with zero-copy rollback a dir can
@@ -324,7 +392,11 @@ def gc_snapshots(
     drop_refs: dict = {}
     failed_refs = set()
     for v in drop:
-        info = snapshot_info(spark, base, v, fs)  # read BEFORE deleting
+        try:
+            info = snapshot_info(spark, base, v, fs)  # read BEFORE deleting
+        except FileNotFoundError:
+            continue  # a concurrent GC already reclaimed this version;
+            # aborting here would strand the REST of the run's work
         data = info.get("data")
         try:
             fs.delete(f"{base}/{COMMITS_DIR}/{_vname(v)}")
@@ -341,7 +413,10 @@ def gc_snapshots(
     # enough that no in-flight writer can still be producing them
     referenced = set()
     for v in committed_versions(spark, base, fs):
-        referenced.add(snapshot_info(spark, base, v, fs).get("data"))
+        try:
+            referenced.add(snapshot_info(spark, base, v, fs).get("data"))
+        except FileNotFoundError:
+            continue  # raced a concurrent GC; next GC gets its orphans
     now = _time.time()
     orphans = []
     for name in fs.listdir(base):
@@ -400,49 +475,60 @@ def upsert_snapshot(
     MERGE when the table is small relative to the cluster, and a full
     table format's delete files for scattered row-level churn. First
     landing (no committed version) degrades to inserting `updates`
-    as v1."""
+    as v1.
+
+    ``updates`` is evaluated SEVERAL times (dup-check aggregate,
+    anti-join key set, union into the commit — and again per conflict
+    retry), so it is persisted for the duration of the call: a
+    nondeterministic source (a fresh `sample()`, a re-reading stream
+    batch) would otherwise commit a merge that differs from the frame
+    the duplicate check validated."""
     spark = updates.sparkSession
     fs = _resolve_fs(spark, base, fs)
-    n_all, n_distinct = updates.agg(
-        F.count(F.lit(1)), F.countDistinct(key_col)
-    ).first()
-    if n_all != n_distinct:
-        raise ValueError(
-            f"updates carry duplicate {key_col} values "
-            f"({n_all} rows, {n_distinct} distinct keys) — SQL MERGE "
-            "forbids multiple source rows per target key; dedup first"
-        )
-    new_rows = updates
-    if delete_col is not None:
-        new_rows = updates.filter(
-            ~F.coalesce(F.col(delete_col), F.lit(False))
-        ).drop(delete_col)
-    last: Exception | None = None
-    for _ in range(4):
-        vs = committed_versions(spark, base, fs)
-        head_v = vs[-1] if vs else 0
-        if head_v:
-            head = read_snapshot(spark, base, version=head_v, fs=fs)
-            keys = updates.select(key_col).distinct()
-            merged = head.join(keys, key_col, "left_anti").unionByName(
-                new_rows
+    updates = updates.persist()
+    try:
+        n_all, n_distinct = updates.agg(
+            F.count(F.lit(1)), F.countDistinct(key_col)
+        ).first()
+        if n_all != n_distinct:
+            raise ValueError(
+                f"updates carry duplicate {key_col} values "
+                f"({n_all} rows, {n_distinct} distinct keys) — SQL MERGE "
+                "forbids multiple source rows per target key; dedup first"
             )
-        else:
-            merged = new_rows
-        try:
-            return write_snapshot(
-                merged,
-                base,
-                note=f"upsert on {key_col}",
-                fs=fs,
-                idempotency_key=idempotency_key,
-                expected_head=head_v,
-            )
-        except SnapshotConflictError as e:
-            last = e  # head moved: recompute the merge against it
-    raise RuntimeError(
-        f"upsert_snapshot kept losing to concurrent writers at {base}"
-    ) from last
+        new_rows = updates
+        if delete_col is not None:
+            new_rows = updates.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+        last: Exception | None = None
+        for _ in range(4):
+            vs = committed_versions(spark, base, fs)
+            head_v = vs[-1] if vs else 0
+            if head_v:
+                head = read_snapshot(spark, base, version=head_v, fs=fs)
+                keys = updates.select(key_col).distinct()
+                merged = head.join(keys, key_col, "left_anti").unionByName(
+                    new_rows
+                )
+            else:
+                merged = new_rows
+            try:
+                return write_snapshot(
+                    merged,
+                    base,
+                    note=f"upsert on {key_col}",
+                    fs=fs,
+                    idempotency_key=idempotency_key,
+                    expected_head=head_v,
+                )
+            except SnapshotConflictError as e:
+                last = e  # head moved: recompute the merge against it
+        raise RuntimeError(
+            f"upsert_snapshot kept losing to concurrent writers at {base}"
+        ) from last
+    finally:
+        updates.unpersist()
 
 
 def snapshot_diff(
@@ -485,12 +571,16 @@ def snapshot_diff(
                 f"{n_dist} distinct) — a keyed diff is undefined"
             )
     val_cols = [c for c in a.columns if c != key_col]
-    a_h = a.select(
-        F.col(key_col), F.xxhash64(*[F.col(c) for c in val_cols]).alias("_ha")
+    # key-only tables (no value columns) diff as added/removed/unchanged
+    # only — hash a constant so a key present on both sides compares
+    # equal (zero-arg xxhash64 would fail analysis with a cryptic error)
+    hash_of = (
+        (lambda: F.xxhash64(*[F.col(c) for c in val_cols]))
+        if val_cols
+        else (lambda: F.xxhash64(F.lit(0)))
     )
-    b_h = b.select(
-        F.col(key_col), F.xxhash64(*[F.col(c) for c in val_cols]).alias("_hb")
-    )
+    a_h = a.select(F.col(key_col), hash_of().alias("_ha"))
+    b_h = b.select(F.col(key_col), hash_of().alias("_hb"))
     j = a_h.join(b_h, key_col, "full_outer")
     status = (
         F.when(F.col("_ha").isNull(), F.lit("added"))
