@@ -48,11 +48,22 @@ def weak_labels(
     keep-quantile of quality_score get label 1, below the
     drop-quantile get 0, the ambiguous middle band is EXCLUDED (the
     standard distillation trick — train only where the teacher is
-    confident). Returns (all original columns, label)."""
+    confident). Returns (all original columns, label).
+
+    The thresholds come from ``approx_percentile`` (KLL sketch,
+    accuracy 10000 ≈ 0.01% rank error), NOT exact ``percentile``:
+    exact percentile buffers every value of the group in ONE
+    aggregation buffer, so the final merge materializes ~every
+    distinct quality score on a single reducer — OOM at corpus scale,
+    and this runs in a PIPELINE stage, not a profiling query. The
+    labels are weak by construction (the teacher is a three-feature
+    heuristic); sub-0.1%-rank threshold jitter moves only docs whose
+    keep/drop call was arbitrary anyway, and the invariant tests pin
+    separation/agreement, not the exact cutoff."""
     scored = docs.withColumn("_q", quality_score(text_col))
     hi, lo = scored.select(
-        F.expr(f"percentile(_q, {keep_quantile})"),
-        F.expr(f"percentile(_q, {drop_quantile})"),
+        F.expr(f"approx_percentile(_q, {keep_quantile}, 10000)"),
+        F.expr(f"approx_percentile(_q, {drop_quantile}, 10000)"),
     ).first()
     return (
         scored.filter((F.col("_q") >= hi) | (F.col("_q") <= lo))
