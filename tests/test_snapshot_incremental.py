@@ -1,0 +1,638 @@
+"""Round-8 snapshot-table increments: append commits (multi-dir
+versions), per-file min/max stats + file-skipping reads, the CDC
+change feed with its Bloom-maintenance consumer, and incremental IVF
+index appends (assign-only-new-vectors with the head marker's
+centroids, drift-metric recommendation, conflict re-assignment)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_setup_spark.sources.fs import LocalFS
+from vector_db_setup_spark.sources.snapshot_table import (
+    DATA_PREFIX,
+    SnapshotConflictError,
+    append_snapshot,
+    committed_versions,
+    compact_snapshot,
+    current_version,
+    gc_snapshots,
+    read_snapshot,
+    snapshot_changes,
+    snapshot_diff,
+    snapshot_info,
+    upsert_snapshot,
+    write_snapshot,
+)
+
+
+def _df(spark, lo, hi, parts=4):
+    return (
+        spark.range(lo, hi)
+        .select("id", F.md5(F.col("id").cast("string")).alias("payload"))
+        .repartition(parts)
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------------- append
+
+
+def test_append_snapshot_multi_dir_versions(spark, tmp_path):
+    """v2 = v1's dirs + one new dir: no byte of v1 rewrites, the pinned
+    v1 read is untouched, and the head reads the union."""
+    base = str(tmp_path / "t")
+    v1 = write_snapshot(_df(spark, 0, 100), base)
+    dirs_v1 = set(
+        d for d in os.listdir(base) if d.startswith(DATA_PREFIX)
+    )
+    mtimes = {
+        d: os.path.getmtime(f"{base}/{d}") for d in dirs_v1
+    }
+    v2 = append_snapshot(_df(spark, 100, 130), base, note="night batch")
+    assert (v1, v2) == (1, 2)
+    info = snapshot_info(spark, base, 2)
+    assert isinstance(info["data"], list) and len(info["data"]) == 2
+    assert info["rows"] == 130
+    assert read_snapshot(spark, base, version=1).count() == 100  # pinned
+    head = read_snapshot(spark, base)
+    assert head.count() == 130
+    assert _rows(head.select("id")) == [(i,) for i in range(130)]
+    # v1's dir bytes untouched (same mtime — append never rewrites)
+    for d, m in mtimes.items():
+        assert os.path.getmtime(f"{base}/{d}") == m
+
+
+def test_append_chain_compacts_to_one_dir(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 50), base)
+    append_snapshot(_df(spark, 50, 80), base)
+    append_snapshot(_df(spark, 80, 90), base)
+    assert len(snapshot_info(spark, base, 3)["data"]) == 3
+    v4 = compact_snapshot(spark, base, target_file_bytes=10**9)
+    info = snapshot_info(spark, base, v4)
+    assert isinstance(info["data"], str)  # absorbed into one dir
+    assert _rows(read_snapshot(spark, base)) == _rows(
+        read_snapshot(spark, base, version=3)
+    )
+
+
+def test_append_first_landing_and_schema_guard(spark, tmp_path):
+    base = str(tmp_path / "t")
+    v1 = append_snapshot(_df(spark, 0, 10), base)  # empty table: v1
+    assert v1 == 1 and read_snapshot(spark, base).count() == 10
+    with pytest.raises(ValueError, match="columns"):
+        append_snapshot(spark.range(5), base)  # schema mismatch
+    with pytest.raises(ValueError, match="partitioning"):
+        append_snapshot(
+            _df(spark, 10, 20), base, partition_by=["payload"]
+        )
+    # failed appends left no extra committed version and no leak into
+    # the readable table
+    assert committed_versions(spark, base) == [1]
+    assert read_snapshot(spark, base).count() == 10
+
+
+def test_append_expected_head_conflict(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 10), base)
+
+    class RivalMidAppend(LocalFS):
+        def __init__(self):
+            self.fired = False
+
+        def listdir(self, path):
+            if path.endswith("_commits") and not self.fired:
+                self.fired = True
+                # rival lands v2 after our dir is written, before commit
+                write_snapshot(_df(spark, 0, 99), base)
+            return super().listdir(path)
+
+    with pytest.raises(SnapshotConflictError):
+        append_snapshot(
+            _df(spark, 10, 20), base, fs=RivalMidAppend(), expected_head=1
+        )
+    # the abandoned append dir was reclaimed (both survivors referenced)
+    dirs = [d for d in os.listdir(base) if d.startswith(DATA_PREFIX)]
+    refs = set()
+    for v in committed_versions(spark, base):
+        d = snapshot_info(spark, base, v)["data"]
+        refs.update(d if isinstance(d, list) else [d])
+    assert set(dirs) == refs
+
+
+def test_append_idempotency_key(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 10), base)
+    v2 = append_snapshot(_df(spark, 10, 20), base, idempotency_key="b-1")
+    replay = append_snapshot(_df(spark, 10, 20), base, idempotency_key="b-1")
+    assert replay == v2
+    assert read_snapshot(spark, base).count() == 20  # landed once
+
+
+def test_gc_keeps_dirs_shared_with_append_head(spark, tmp_path):
+    """GC of the base version must not delete dirs the append head
+    still references (dir sharing through the marker's dir LIST)."""
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 40), base)
+    append_snapshot(_df(spark, 40, 50), base)
+    removed = gc_snapshots(spark, base, keep=1, orphan_min_age_s=10**9)
+    assert removed == [1]
+    assert read_snapshot(spark, base).count() == 50  # all dirs alive
+
+
+# ------------------------------------------------------ file-skip stats
+
+
+def test_file_skipping_stats_prune_files(spark, tmp_path):
+    """A keyed read of a multi-file version touches a strict subset of
+    files (marker min/max pruning) and returns exactly the full-scan
+    filter's rows."""
+    base = str(tmp_path / "t")
+    df = (
+        spark.range(1000)
+        .select("id", (F.col("id") * 2).alias("val"))
+        .repartitionByRange(8, "id")  # disjoint id ranges per file
+    )
+    write_snapshot(df, base, stats_cols=["id"])
+    info = snapshot_info(spark, base, 1)
+    assert info["stats"]["cols"] == ["id"]
+    assert len(info["stats"]["files"]) >= 8
+    full = read_snapshot(spark, base)
+    pruned = read_snapshot(spark, base, key_between=("id", 100, 180))
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert _rows(pruned) == _rows(full.filter(F.col("id").between(100, 180)))
+
+
+def test_key_between_without_stats_still_filters(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 100), base)  # no stats declared
+    got = read_snapshot(spark, base, key_between=("id", 10, 12))
+    assert _rows(got.select("id")) == [(10,), (11,), (12,)]
+
+
+def test_key_between_empty_range_and_null_files(spark, tmp_path):
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (None, "c")], "id long, s string"
+    ).repartition(3)
+    write_snapshot(df, base, stats_cols=["id"])
+    # a range matching nothing returns an empty frame w/ full schema
+    got = read_snapshot(spark, base, key_between=("id", 100, 200))
+    assert got.count() == 0 and set(got.columns) == {"id", "s"}
+    # null ids never match BETWEEN; non-null rows still found
+    got2 = read_snapshot(spark, base, key_between=("id", 1, 2))
+    assert sorted(r["s"] for r in got2.collect()) == ["a", "b"]
+
+
+def test_append_merges_stats_and_prunes_across_dirs(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(100).repartitionByRange(4, "id"),
+        base,
+        stats_cols=["id"],
+    )
+    append_snapshot(
+        spark.range(100, 200).repartitionByRange(4, "id"),
+        base,
+        stats_cols=["id"],
+    )
+    info = snapshot_info(spark, base, 2)
+    assert len(info["stats"]["files"]) >= 8  # both dirs covered
+    pruned = read_snapshot(spark, base, key_between=("id", 150, 160))
+    full = read_snapshot(spark, base)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert _rows(pruned) == [(i,) for i in range(150, 161)]
+    # append WITHOUT stats drops the map (absent stats = full scan,
+    # never wrong pruning)
+    append_snapshot(spark.range(200, 210), base)
+    assert "stats" not in snapshot_info(spark, base, 3)
+    got = read_snapshot(spark, base, key_between=("id", 205, 206))
+    assert _rows(got) == [(205,), (206,)]
+
+
+def test_stats_pruning_on_partitioned_version(spark, tmp_path):
+    """Pruned file reads under a hive layout keep the partition column
+    (basePath anchoring)."""
+    base = str(tmp_path / "t")
+    df = spark.range(400).select(
+        "id", (F.col("id") % 4).alias("bucket")
+    ).repartitionByRange(8, "id")
+    write_snapshot(df, base, partition_by=["bucket"], stats_cols=["id"])
+    pruned = read_snapshot(spark, base, key_between=("id", 10, 20))
+    assert set(pruned.columns) == {"id", "bucket"}
+    full = read_snapshot(spark, base)
+    assert _rows(pruned) == _rows(full.filter(F.col("id").between(10, 20)))
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+
+
+# ------------------------------------------------------------- CDC feed
+
+
+def test_snapshot_changes_matches_batch_diff(spark, tmp_path):
+    """Cumulative feed == batch snapshot_diff(v1, head): composing the
+    per-version increments nets out to the end-to-end diff."""
+    base = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id long, s string"
+        ),
+        base,
+    )
+    upsert_snapshot(
+        spark.createDataFrame([(2, "B"), (4, "d")], "id long, s string"),
+        base,
+        key_col="id",
+    )
+    upsert_snapshot(
+        spark.createDataFrame(
+            [(3, "c", True), (5, "e", False)],
+            "id long, s string, dead boolean",
+        ),
+        base,
+        key_col="id",
+        delete_col="dead",
+    )
+    feed = snapshot_changes(spark, base, "id", from_version=1)
+    got = {
+        (r["id"], r["version"]): r["status"] for r in feed.collect()
+    }
+    assert got == {
+        (2, 2): "changed",
+        (4, 2): "added",
+        (3, 3): "removed",
+        (5, 3): "added",
+    }
+    # compose increments: last status per key == batch diff's status
+    last = {}
+    for (kid, ver), st in sorted(got.items(), key=lambda kv: kv[0][1]):
+        last[kid] = st
+    batch = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(spark, base, 1, 3, "id")
+        .filter(F.col("status") != "unchanged")
+        .collect()
+    }
+    assert last == batch
+    # replay: same range, same rows (immutable versions)
+    again = {
+        (r["id"], r["version"]): r["status"]
+        for r in snapshot_changes(spark, base, "id", 1).collect()
+    }
+    assert again == got
+
+
+def test_snapshot_changes_empty_and_gc_guard(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_snapshot(spark.createDataFrame([(1,)], "id long"), base)
+    feed = snapshot_changes(spark, base, "id", 1, to_version=1)
+    assert feed.count() == 0
+    assert set(feed.columns) == {"id", "status", "version"}
+    write_snapshot(spark.createDataFrame([(2,)], "id long"), base)
+    write_snapshot(spark.createDataFrame([(3,)], "id long"), base)
+    gc_snapshots(spark, base, keep=2, orphan_min_age_s=10**9)  # drops v1
+    with pytest.raises(ValueError, match="not committed"):
+        snapshot_changes(spark, base, "id", 1)
+    # a range fully inside the keep window still works
+    assert snapshot_changes(spark, base, "id", 2).count() == 2
+
+
+def test_bloom_maintained_from_change_feed(spark, tmp_path):
+    """The canonical consumer: a decontamination filter ingests only
+    the `added` keys of each increment; the maintained filter screens
+    identically to one rebuilt from scratch, and replay is a no-op."""
+    from vector_db_setup_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+        bloom_update_from_changes,
+    )
+
+    base = str(tmp_path / "t")
+    docs0 = spark.createDataFrame(
+        [(i, f"doc-{i}") for i in range(50)], "id long, text string"
+    )
+    write_snapshot(docs0, base)
+    words0 = bloom_build(
+        read_snapshot(spark, base, version=1).select("text"),
+        "text",
+        num_bits=1 << 16,
+        k=5,
+    ).persist()
+    words0.count()
+    # two incremental landings
+    upsert_snapshot(
+        spark.createDataFrame(
+            [(i, f"doc-{i}") for i in range(50, 70)], "id long, text string"
+        ),
+        base,
+        key_col="id",
+    )
+    upsert_snapshot(
+        spark.createDataFrame(
+            [(i, f"doc-{i}") for i in range(70, 80)], "id long, text string"
+        ),
+        base,
+        key_col="id",
+    )
+    # the screened column IS the feed key here (text), so the feed's
+    # added keys are exactly what the filter must ingest
+    from vector_db_setup_spark.operators.bloom import bloom_merge
+
+    added_texts = (
+        snapshot_changes(spark, base, "text", 1)
+        .filter(F.col("status") == "added")
+        .select("text")
+    )
+    maintained = bloom_merge(
+        words0, bloom_build(added_texts, "text", num_bits=1 << 16, k=5)
+    )
+    rebuilt = bloom_build(
+        read_snapshot(spark, base).select("text"),
+        "text",
+        num_bits=1 << 16,
+        k=5,
+    )
+    assert _rows(maintained) == _rows(rebuilt)  # word tables identical
+    # probe behavior: every current doc screens positive
+    probes = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(80)] + [("never-seen",)],
+        "text string",
+    )
+    hit = bloom_probe(
+        probes, "text", maintained, num_bits=1 << 16, k=5
+    )
+    # no false negative among members (Bloom's hard guarantee)
+    assert (
+        hit.filter(
+            (F.col("text") != "never-seen") & ~F.col("maybe_member")
+        ).count()
+        == 0
+    )
+    # replay idempotence: ingesting the same range again changes nothing
+    replayed = bloom_merge(
+        maintained,
+        bloom_build(added_texts, "text", num_bits=1 << 16, k=5),
+    )
+    assert _rows(replayed) == _rows(maintained)
+    words0.unpersist()
+
+
+def test_bloom_update_from_changes_direct(spark, tmp_path):
+    """bloom_update_from_changes on a key-col-screened table equals a
+    from-scratch rebuild over the head's keys."""
+    from vector_db_setup_spark.operators.bloom import (
+        bloom_build,
+        bloom_update_from_changes,
+    )
+
+    base = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(f"k{i}",) for i in range(30)], "k string"),
+        base,
+    )
+    words = bloom_build(
+        read_snapshot(spark, base, version=1), "k", num_bits=1 << 14, k=4
+    )
+    upsert_snapshot(
+        spark.createDataFrame(
+            [(f"k{i}",) for i in range(30, 45)], "k string"
+        ),
+        base,
+        key_col="k",
+    )
+    maintained = bloom_update_from_changes(
+        spark, base, "k", words, from_version=1, num_bits=1 << 14, k=4
+    )
+    rebuilt = bloom_build(
+        read_snapshot(spark, base), "k", num_bits=1 << 14, k=4
+    )
+    assert _rows(maintained) == _rows(rebuilt)
+
+
+# ----------------------------------------------------------- IVF append
+
+
+def _emb_df(spark, lo, hi, dim=8, shift=0.0, seed=7):
+    rng = np.random.default_rng(seed + lo)
+    rows = [
+        (int(i), (rng.standard_normal(dim) + shift).tolist())
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_ivf_append_assigns_with_head_centroids(spark, tmp_path):
+    from vector_db_setup_spark.operators.ann import ivf_assign
+    from vector_db_setup_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+
+    base = str(tmp_path / "ivf")
+    v1 = build_ivf_index(_emb_df(spark, 0, 120), base, k=4)
+    meta1 = snapshot_info(spark, base, v1)["meta"]
+    batch = _emb_df(spark, 120, 150)
+    v2 = append_to_ivf_index(batch, base)
+    assert (v1, v2) == (1, 2)
+    # appended rows carry EXACTLY the assignment the v1 centroids give
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in read_snapshot(spark, base, version=2)
+        .filter(F.col("vec_id") >= 120)
+        .select("vec_id", "cluster_id")
+        .collect()
+    }
+    want = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ivf_assign(batch, np.asarray(meta1["centroids"]))
+        .select("vec_id", "cluster_id")
+        .collect()
+    }
+    assert got == want
+    meta2 = snapshot_info(spark, base, v2)["meta"]
+    assert meta2["centroids"] == meta1["centroids"]  # geometry unchanged
+    assert meta2["appended_batches"] == 1
+    assert meta2["drift_ratio"] is not None
+    assert isinstance(meta2["rebuild_recommended"], bool)
+
+
+def test_ivf_pinned_search_survives_append(spark, tmp_path):
+    from vector_db_setup_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from vector_db_setup_spark.operators.knn import knn_topk
+
+    base = str(tmp_path / "ivf")
+    v1 = build_ivf_index(_emb_df(spark, 0, 150), base, k=4)
+    q = [0.25] * 8
+    before = _rows(search_ivf_index(spark, base, q, topk=5, nprobe=4))
+    append_to_ivf_index(_emb_df(spark, 150, 190), base)
+    # pinned search: identical result through the append
+    after_pinned = _rows(
+        search_ivf_index(spark, base, q, topk=5, nprobe=4, version=v1)
+    )
+    assert after_pinned == before
+    # head search at full probe == exact KNN over the whole union
+    head = search_ivf_index(spark, base, q, topk=5, nprobe=4)
+    exact = knn_topk(
+        read_snapshot(spark, base).drop("cluster_id"), "embedding", q, k=5
+    )
+    assert _rows(head.select("vec_id", "distance")) == _rows(
+        exact.select("vec_id", "distance")
+    )
+
+
+def test_ivf_append_partition_pruning_across_dirs(spark, tmp_path):
+    """A probed search over an appended (multi-dir) version reads only
+    the probed cluster partitions of BOTH dirs."""
+    from vector_db_setup_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+
+    base = str(tmp_path / "ivf")
+    build_ivf_index(_emb_df(spark, 0, 200), base, k=4)
+    append_to_ivf_index(_emb_df(spark, 200, 260), base)
+    probed = search_ivf_index(spark, base, [0.0] * 8, topk=3, nprobe=1)
+    assert probed.count() == 3
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # the probe filter reaches BOTH dirs' scans as a partition filter
+    # (filters push through the Union of the per-dir reads)
+    assert plan.count("PartitionFilters: [") >= 2
+    assert "cluster_id" in plan.split("PartitionFilters: [", 1)[1]
+
+
+def test_ivf_append_drift_recommends_rebuild(spark, tmp_path):
+    """A far-away batch (shifted distribution) must trip the drift
+    recommendation; an in-distribution batch must not."""
+    from vector_db_setup_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+
+    base = str(tmp_path / "ivf")
+    build_ivf_index(_emb_df(spark, 0, 150), base, k=4)
+    append_to_ivf_index(_emb_df(spark, 150, 170), base)
+    m = snapshot_info(spark, base, 2)["meta"]
+    assert m["rebuild_recommended"] is False  # same distribution
+    append_to_ivf_index(_emb_df(spark, 170, 190, shift=25.0), base)
+    m2 = snapshot_info(spark, base, 3)["meta"]
+    assert m2["drift_ratio"] > m["drift_ratio"]
+    assert m2["rebuild_recommended"] is True
+
+
+def test_ivf_append_reassigns_on_concurrent_rebuild(spark, tmp_path):
+    """A rebuild with NEW centroids landing mid-append must not let the
+    old-centroid assignment commit — the append re-assigns against the
+    new head's geometry."""
+    from vector_db_setup_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+    from vector_db_setup_spark.operators.ann import ivf_assign
+
+    base = str(tmp_path / "ivf")
+    build_ivf_index(_emb_df(spark, 0, 100), base, k=3)
+
+    class RebuildMidAppend(LocalFS):
+        def __init__(self):
+            self.fired = False
+
+        def listdir(self, path):
+            if path.endswith("_commits") and not self.fired:
+                self.fired = True
+                build_ivf_index(
+                    _emb_df(spark, 0, 140, shift=3.0), base, k=3, seed=99
+                )
+            return super().listdir(path)
+
+    batch = _emb_df(spark, 500, 520)
+    v = append_to_ivf_index(batch, base, fs=RebuildMidAppend())
+    assert v == 3  # append landed AFTER the rival rebuild's v2
+    meta = snapshot_info(spark, base, 3)["meta"]
+    rebuilt_meta = snapshot_info(spark, base, 2)["meta"]
+    assert meta["centroids"] == rebuilt_meta["centroids"]  # new geometry
+    got = {
+        r["vec_id"]: r["cluster_id"]
+        for r in read_snapshot(spark, base, version=3)
+        .filter(F.col("vec_id") >= 500)
+        .select("vec_id", "cluster_id")
+        .collect()
+    }
+    want = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ivf_assign(batch, np.asarray(rebuilt_meta["centroids"]))
+        .select("vec_id", "cluster_id")
+        .collect()
+    }
+    assert got == want
+
+
+def test_compact_ivf_index_preserves_meta_and_search(spark, tmp_path):
+    from vector_db_setup_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        search_ivf_index,
+    )
+
+    base = str(tmp_path / "ivf")
+    build_ivf_index(_emb_df(spark, 0, 120), base, k=4)
+    append_to_ivf_index(_emb_df(spark, 120, 160), base)
+    q = [0.5] * 8
+    before = _rows(search_ivf_index(spark, base, q, topk=5, nprobe=4))
+    v3 = compact_ivf_index(spark, base, target_file_bytes=10**9)
+    info = snapshot_info(spark, base, v3)
+    assert isinstance(info["data"], str)  # one dir again
+    assert info["meta"]["kind"] == "ivf"
+    after = _rows(search_ivf_index(spark, base, q, topk=5, nprobe=4))
+    assert after == before
+
+
+def test_generic_append_refused_by_ivf_append(spark, tmp_path):
+    from vector_db_setup_spark.operators.ann_index import append_to_ivf_index
+
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 10), base)
+    with pytest.raises(ValueError, match="not an IVF index"):
+        append_to_ivf_index(_emb_df(spark, 0, 5), base)
+
+
+# ----------------------------------------------- upsert cache semantics
+
+
+def test_upsert_leaves_caller_cache_alone(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, s string"), base
+    )
+    updates = spark.createDataFrame(
+        [(2, "b")], "id long, s string"
+    ).persist()
+    updates.count()
+    upsert_snapshot(updates, base, key_col="id")
+    lvl = updates.storageLevel
+    assert lvl.useMemory or lvl.useDisk  # caller's cache untouched
+    updates.unpersist()
+
+
+def test_upsert_checkpoint_mode(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "id long, s string"), base
+    )
+    updates = spark.createDataFrame([(2, "b"), (3, "c")], "id long, s string")
+    v = upsert_snapshot(updates, base, key_col="id", checkpoint=True)
+    assert read_snapshot(spark, base, version=v).count() == 3

@@ -52,11 +52,17 @@ def ivf_assign(
     emb: DataFrame,
     centroids: np.ndarray,
     vec_col: str = "embedding",
+    dist_col: str | None = None,
 ) -> DataFrame:
     """Assign each vector its nearest-centroid id as `cluster_id`.
 
     Centroids ship as a literal array-of-arrays (k×d doubles — tiny);
     the argmin is a native expression, so assignment is a pure map stage.
+
+    ``dist_col`` additionally emits the L2 distance to the assigned
+    centroid — the quantization-error signal `append_to_ivf_index`
+    aggregates into its drift metric (same single map stage; the
+    distance array is computed for the argmin anyway).
 
     A NULL embedding gets a NULL cluster_id and is therefore excluded
     from every probe (isin / equi-join drop null keys) — validate
@@ -65,9 +71,12 @@ def ivf_assign(
     """
     cents = F.array(*[vector_literal(c) for c in centroids])
     dists = F.transform(cents, lambda c: l2_distance_sq(F.col(vec_col), c))
-    return emb.withColumn(
+    out = emb.withColumn(
         "cluster_id", F.array_position(dists, F.array_min(dists)).cast("int") - 1
     )
+    if dist_col is not None:
+        out = out.withColumn(dist_col, F.sqrt(F.array_min(dists)))
+    return out
 
 
 def ivf_write(

@@ -53,13 +53,20 @@ def build_ivf_index(
     Offline batch shape: seeded KMeans (deterministic per data+seed),
     map-stage assignment, one partitioned write, one commit. The
     centroids travel in the marker meta (k×d doubles — KBs), so a
-    search needs no artifact beyond the table itself."""
+    search needs no artifact beyond the table itself.
+
+    The marker also records ``mean_assign_dist`` — the mean L2
+    distance of the build's vectors to their assigned centroid (the
+    index's quantization-error baseline). ``append_to_ivf_index``
+    compares each appended batch against it to decide when the
+    centroids have drifted enough to recommend a full retrain."""
     cents = kmeans_centroids(
         emb.select(F.col(vec_col).alias("embedding")), k=k, seed=seed
     )
-    assigned = ivf_assign(emb, cents, vec_col=vec_col)
+    assigned = ivf_assign(emb, cents, vec_col=vec_col, dist_col="_adist")
+    mean_d = assigned.agg(F.avg("_adist")).first()[0]
     return write_snapshot(
-        assigned,
+        assigned.drop("_adist"),
         base,
         note=f"ivf k={k} seed={seed}",
         fs=fs,
@@ -71,6 +78,9 @@ def build_ivf_index(
             "seed": int(seed),
             "vec_col": vec_col,
             "centroids": [[float(x) for x in c] for c in np.asarray(cents)],
+            "mean_assign_dist": (
+                float(mean_d) if mean_d is not None else None
+            ),
         },
     )
 
@@ -119,3 +129,163 @@ def search_ivf_index(
     return knn_topk(
         scan, meta["vec_col"], query_vec, k=topk, id_col=id_col
     )
+
+
+def append_to_ivf_index(
+    new_emb: DataFrame,
+    base: str,
+    fs=None,
+    idempotency_key: str | None = None,
+    rebuild_drift_ratio: float = 1.5,
+    retries: int = 3,
+) -> int:
+    """Incrementally maintain the index: assign ONLY the new vectors
+    using the HEAD marker's centroids and append them into the same
+    cluster-partitioned layout — cost proportional to the BATCH, not
+    the corpus. ``build_ivf_index`` retrains KMeans and rewrites every
+    vector; a nightly 100 TB refresh cannot afford that, and the
+    corpus shape is append-dominated anyway (the reference's FEVER
+    chunks accumulate; fever_multi_agent.py:67-75 searches a table
+    that only ever grows).
+
+    Returns the new committed version. Searches pinned to an older
+    version are untouched (append shares their dirs, immutably);
+    a head search sees old + new vectors with identical routing,
+    because the centroids — and therefore the probe geometry — are
+    EXACTLY the head's (carried verbatim into the new marker).
+
+    DRIFT: appended data can wander away from the trained centroids
+    (new topics → vectors far from every center → recall decays even
+    at the same nprobe). Each append records in the marker meta:
+    ``last_append_mean_dist`` (the batch's mean assignment distance),
+    ``drift_ratio`` (batch mean / the ORIGINAL build's
+    ``mean_assign_dist``), and ``rebuild_recommended`` (drift_ratio >
+    ``rebuild_drift_ratio``). The metric is advisory — the append
+    still commits (the index stays EXACT within its probed clusters;
+    drift costs recall-per-nprobe, not correctness) — and an operator
+    or scheduler reads it off ``snapshot_info(...)["meta"]`` to decide
+    when to pay for a full ``build_ivf_index``.
+
+    CONCURRENCY: the assignment is DERIVED from the head marker's
+    centroids, so the commit pins ``expected_head`` — if a concurrent
+    rebuild landed new centroids mid-append, blindly committing would
+    mix two centroid geometries in one version (probes would miss the
+    mis-assigned rows). On conflict the batch is RE-ASSIGNED against
+    the new head's centroids and retried, same loop as
+    upsert_snapshot."""
+    from vector_db_setup_spark.sources.snapshot_table import (
+        SnapshotConflictError,
+        append_snapshot,
+        current_version,
+    )
+
+    spark = new_emb.sparkSession
+    last: Exception | None = None
+    for _ in range(retries + 1):
+        v = current_version(spark, base, fs)
+        info = snapshot_info(spark, base, v, fs)
+        meta = info.get("meta") or {}
+        if meta.get("kind") != "ivf":
+            raise ValueError(
+                f"version {v} at {base} is not an IVF index commit "
+                f"(marker meta: {sorted(meta) or 'none'}); append only "
+                "maintains indexes built by build_ivf_index"
+            )
+        cents = np.asarray(meta["centroids"], dtype=np.float64)
+        vec_col = meta["vec_col"]
+        assigned = ivf_assign(
+            new_emb, cents, vec_col=vec_col, dist_col="_adist"
+        )
+        batch_mean = assigned.agg(F.avg("_adist")).first()[0]
+        base_mean = meta.get("mean_assign_dist")
+        drift = (
+            float(batch_mean) / float(base_mean)
+            if batch_mean is not None and base_mean
+            else None
+        )
+        new_meta = {
+            **meta,
+            "appended_batches": int(meta.get("appended_batches", 0)) + 1,
+            "last_append_mean_dist": (
+                float(batch_mean) if batch_mean is not None else None
+            ),
+            "drift_ratio": drift,
+            "rebuild_recommended": bool(
+                drift is not None and drift > rebuild_drift_ratio
+            ),
+        }
+        try:
+            return append_snapshot(
+                assigned.drop("_adist"),
+                base,
+                note=f"ivf append onto v{v}",
+                fs=fs,
+                idempotency_key=idempotency_key,
+                partition_by=["cluster_id"],
+                meta=new_meta,
+                expected_head=v,
+            )
+        except SnapshotConflictError as e:
+            last = e  # head moved (possibly NEW centroids): re-assign
+    raise RuntimeError(
+        f"append_to_ivf_index kept losing to concurrent writers at {base}"
+    ) from last
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    base: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fs=None,
+    retries: int = 3,
+) -> int:
+    """Absorb an append chain: rewrite the head's dirs as ONE
+    cluster-partitioned dir, carrying the index meta (centroids,
+    drift history) verbatim — the data and routing are unchanged, only
+    the file layout consolidates. Generic ``compact_snapshot`` must
+    not be used on index tables: it drops meta and the hive layout, so
+    `search_ivf_index` would (correctly) refuse the result."""
+    from vector_db_setup_spark.sources.snapshot_table import (
+        SnapshotConflictError,
+        read_snapshot,
+        write_snapshot,
+    )
+    from vector_db_setup_spark.sources.snapshot_table import (
+        _data_names,
+        current_version,
+    )
+
+    from vector_db_setup_spark.sources.fs import get_fs
+
+    rfs = fs if fs is not None else get_fs(spark, base)
+    last: SnapshotConflictError | None = None
+    for _ in range(retries + 1):
+        v = current_version(spark, base, rfs)
+        info = snapshot_info(spark, base, v, rfs)
+        meta = info.get("meta") or {}
+        if meta.get("kind") != "ivf":
+            raise ValueError(
+                f"version {v} at {base} is not an IVF index commit; use "
+                "compact_snapshot for plain tables"
+            )
+        dirs = [f"{base}/{n}" for n in _data_names(info)]
+        total = sum(rfs.du_suffix(d, ".parquet")[0] for d in dirs)
+        n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
+        df = read_snapshot(spark, base, version=v, fs=rfs).repartition(
+            int(n_out), "cluster_id"
+        )
+        try:
+            return write_snapshot(
+                df,
+                base,
+                note=f"compacted ivf v{v}",
+                fs=rfs,
+                partition_by=["cluster_id"],
+                meta=meta,
+                expected_head=v,
+            )
+        except SnapshotConflictError as e:
+            last = e
+    raise SnapshotConflictError(
+        f"compact_ivf_index kept losing to concurrent writers at {base}"
+    ) from last

@@ -47,7 +47,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bloom_build", "bloom_probe", "bloom_merge"]
+__all__ = [
+    "bloom_build",
+    "bloom_probe",
+    "bloom_merge",
+    "bloom_update_from_changes",
+]
 
 
 def _positions(df: DataFrame, item_col: str, num_bits: int, k: int) -> DataFrame:
@@ -154,3 +159,44 @@ def bloom_probe(
         )
         .drop("__bloom_rid")
     )
+
+
+def bloom_update_from_changes(
+    spark,
+    base: str,
+    key_col: str,
+    words: DataFrame,
+    from_version: int,
+    to_version: int | None = None,
+    num_bits: int = 1 << 22,
+    k: int = 5,
+    fs=None,
+) -> DataFrame:
+    """Maintain a decontamination Bloom filter from the snapshot CDC
+    feed: build a filter over keys ADDED since ``from_version`` and
+    bit-or it into ``words`` — the filter stays current by ingesting
+    per-version increments instead of re-scanning the corpus (the 100
+    TB maintenance shape: the nightly delta is MBs, the corpus is not).
+
+    Only ``added`` keys matter: a ``changed`` key is already set, and
+    Bloom has no delete, so ``removed`` keys linger as extra false
+    positives until the next full rebuild — CONSERVATIVE for
+    decontamination (screening can only over-flag, never miss a
+    benchmark member). Replays are free: re-ingesting the same change
+    range ORs in bits that are already set, so consumption need not be
+    exactly-once — matching snapshot_changes' immutable-range contract.
+
+    ``words`` must have been built with the SAME (num_bits, k); the
+    result is the merged word table (lazy, like every bloom_* op).
+    """
+    from vector_db_setup_spark.sources.snapshot_table import snapshot_changes
+
+    added = (
+        snapshot_changes(
+            spark, base, key_col, from_version, to_version, fs=fs
+        )
+        .filter(F.col("status") == "added")
+        .select(key_col)
+        .distinct()
+    )
+    return bloom_merge(words, bloom_build(added, key_col, num_bits, k))

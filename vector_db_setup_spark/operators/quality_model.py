@@ -50,8 +50,9 @@ def weak_labels(
     standard distillation trick — train only where the teacher is
     confident). Returns (all original columns, label).
 
-    The thresholds come from ``approx_percentile`` (KLL sketch,
-    accuracy 10000 ≈ 0.01% rank error), NOT exact ``percentile``:
+    The thresholds come from ``approx_percentile`` (Spark's
+    Greenwald-Khanna / QuantileSummaries sketch, accuracy 10000 ≈
+    0.01% rank error), NOT exact ``percentile``:
     exact percentile buffers every value of the group in ONE
     aggregation buffer, so the final merge materializes ~every
     distinct quality score on a single reducer — OOM at corpus scale,

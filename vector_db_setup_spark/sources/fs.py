@@ -226,12 +226,30 @@ class HadoopFS:
         # JVM-side and returns byte[], which py4j maps to bytes.
         # Missing path -> FileNotFoundError like LocalFS, so callers'
         # raced-a-concurrent-GC handling (snapshot_table.gc_snapshots)
-        # works identically through either implementation.
+        # works identically through either implementation. The match
+        # is on the JAVA EXCEPTION CLASS (java.io.FileNotFoundException
+        # and its store subclasses like S3A's), NOT a broad
+        # "does not exist" substring — S3A's UnknownStoreException
+        # ("Bucket does not exist") and similar store-level failures
+        # must surface loudly, not be swallowed as a raced GC.
         try:
             stream = self._fs.open(self._jpath(path))
         except Exception as e:
-            msg = str(e).lower()
-            if "filenotfound" in msg or "does not exist" in msg:
+            jexc = getattr(e, "java_exception", None)
+            names: list[str] = []
+            if jexc is not None:
+                try:
+                    k = jexc.getClass()
+                    while k is not None:
+                        names.append(k.getName())
+                        k = k.getSuperclass()
+                except Exception:
+                    pass
+            if not names:
+                # non-py4j fallback (test doubles): class-name token
+                # only, never the free-text message
+                names = [type(e).__name__]
+            if any("FileNotFoundException" in n for n in names):
                 raise FileNotFoundError(path) from e
             raise
         try:

@@ -114,11 +114,73 @@ def committed_versions(spark, base: str, fs=None) -> list[int]:
 
 
 def snapshot_info(spark, base: str, version: int, fs=None) -> dict:
-    """The commit marker's record (version, data dir, rows, note,
+    """The commit marker's record (version, data dir(s), rows, note,
     idempotency_key if any) — one driver-side small-file read."""
     fs = _resolve_fs(spark, base, fs)
     raw = fs.read_file(f"{base}/{COMMITS_DIR}/{_vname(version)}")
     return json.loads(raw.decode() or "{}")
+
+
+def _data_names(info: dict) -> list[str]:
+    """Marker "data" normalized to a list of data-dir names. A plain
+    write commits ONE dir (string); an append commits the head's dirs
+    PLUS its own (list) — a version is the union of its dirs, all
+    immutable, so append never rewrites existing bytes."""
+    d = info.get("data")
+    if d is None:
+        return []
+    return list(d) if isinstance(d, list) else [d]
+
+
+def _stat_jsonable(v):
+    """Min/max values as JSON-stable, ORDER-PRESERVING scalars: native
+    scalars pass through; date/datetime become ISO-8601 strings (which
+    sort identically to the values); anything else str()s — callers
+    should declare stats only on numeric/string/date key columns."""
+    import datetime
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (datetime.date, datetime.datetime)):
+        return v.isoformat()
+    return str(v)
+
+
+def _verify_and_stats(
+    spark, base: str, data_name: str, stats_cols: list[str] | None
+) -> tuple[int, dict | None]:
+    """Read-back verification of a freshly written data dir, fused with
+    per-file min/max stats collection when ``stats_cols`` is declared.
+
+    One job either way: without stats it is the existing full count
+    (touches every footer); with stats the SAME scan groups by
+    ``input_file_name()`` and aggregates count+min+max per file, so
+    verification and stats cost one pass, not two. The stats land in
+    the commit marker (they version WITH the data — a real table
+    format keeps them in manifests for the same reason), and
+    ``read_snapshot(key_between=...)`` prunes files whose [min,max]
+    cannot overlap the requested range before any executor IO."""
+    data_dir = f"{base}/{data_name}"
+    back = spark.read.parquet(data_dir)
+    if not stats_cols:
+        return back.count(), None
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in stats_cols:
+        aggs.append(F.min(c).alias(f"_mn_{c}"))
+        aggs.append(F.max(c).alias(f"_mx_{c}"))
+    rows = back.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
+    n_rows = 0
+    files: dict = {}
+    for r in rows:
+        n_rows += r["_n"]
+        # marker keys are dir-qualified relative paths ("d-xxx/part-…")
+        # so an append's merged stats map spans several dirs cleanly
+        rel = r["_f"].split("/" + data_name + "/", 1)[1]
+        files[f"{data_name}/{rel}"] = {
+            c: [_stat_jsonable(r[f"_mn_{c}"]), _stat_jsonable(r[f"_mx_{c}"])]
+            for c in stats_cols
+        }
+    return n_rows, {"cols": list(stats_cols), "files": files}
 
 
 def _find_idempotent(
@@ -159,6 +221,7 @@ def write_snapshot(
     partition_by: list[str] | None = None,
     meta: dict | None = None,
     expected_head: int | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Land `df` as the next committed version; returns its number.
 
@@ -174,12 +237,30 @@ def write_snapshot(
     marker, so exactly one commits and the other returns its version
     (the loser's data dir becomes an orphan for GC).
 
+    RETENTION BOUND on exactly-once: idempotency keys live in commit
+    MARKERS, so once `gc_snapshots` drops a version beyond its keep
+    window its key is forgotten — a replay arriving LATER than the GC
+    retention window re-lands the batch. Exactly-once therefore holds
+    within the retention window only (the same bounded promise as the
+    reader/writer grace contracts, and as Delta's
+    `appTxn`/retention interplay); size `keep` × GC cadence above the
+    producer's maximum replay horizon.
+
     ``partition_by`` lands a hive-partitioned data dir (partition
     pruning inside a pinned version — the versioned-ANN-index use).
     ``meta`` is an arbitrary small JSON-able dict stored in the marker
     under "meta" (index parameters, centroids, schema notes) — it
     versions WITH the data, which is what makes an index snapshot
     self-describing.
+
+    ``stats_cols`` declares key columns to collect PER-FILE min/max
+    for (numeric/string/date); the stats ride in the marker and let
+    ``read_snapshot(key_between=(col, lo, hi))`` skip files whose
+    range cannot overlap — the poor man's manifest pruning, collected
+    in the same read-back pass that already verifies the dir. Marker
+    size grows with file count × cols; declare stats on keyed tables
+    with bounded file counts (real formats shard stats into manifest
+    FILES once markers would stop being small).
 
     ``expected_head``: optimistic-concurrency guard for DERIVED
     commits (MERGE/read-modify-write). When set, the commit succeeds
@@ -202,8 +283,9 @@ def write_snapshot(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(data_dir)
     # verify BEFORE publishing: the marker must never reference a dir
-    # that can't be read back (full count touches every footer)
-    n_rows = spark.read.parquet(data_dir).count()
+    # that can't be read back (full count touches every footer; fused
+    # with per-file stats collection when declared)
+    n_rows, stats = _verify_and_stats(spark, base, data_name, stats_cols)
     last_err: Exception | None = None
     for _ in range(retries + 1):
         vs = committed_versions(spark, base, fs)
@@ -239,6 +321,12 @@ def write_snapshot(
                 "note": note,
                 **({"meta": meta} if meta is not None else {}),
                 **(
+                    {"partition_by": list(partition_by)}
+                    if partition_by
+                    else {}
+                ),
+                **({"stats": stats} if stats is not None else {}),
+                **(
                     {"idempotency_key": idempotency_key}
                     if idempotency_key is not None
                     else {}
@@ -268,6 +356,159 @@ def write_snapshot(
     ) from last_err
 
 
+def append_snapshot(
+    df: DataFrame,
+    base: str,
+    note: str = "",
+    fs=None,
+    retries: int = 3,
+    idempotency_key: str | None = None,
+    partition_by: list[str] | None = None,
+    meta: dict | None = None,
+    expected_head: int | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Land `df` as an APPEND: the next version = the head's data dirs
+    PLUS one new dir holding only `df`'s rows — no existing byte is
+    rewritten (markers name dir LISTS; dirs stay immutable). This is
+    the incremental-landing primitive: a nightly batch of new vectors/
+    documents commits in time proportional to the BATCH, not the
+    table (`write_snapshot` would rewrite everything; `upsert_snapshot`
+    is copy-on-write for the same reason).
+
+    Protocol: write the new dir (writer-unique, invisible) → verify +
+    optional per-file stats → loop: re-read the HEAD marker, build the
+    combined dir list / row count / merged stats, exclusive-create the
+    next marker. Losing the marker race re-reads the head (the dir
+    list may have grown) and retries with the SAME new dir — appends
+    from concurrent writers therefore serialize but never lose rows,
+    and the per-attempt idempotency recheck carries over verbatim from
+    write_snapshot.
+
+    ``expected_head`` pins the append to one specific head version and
+    raises SnapshotConflictError if it moved — for appends DERIVED
+    from head state (the IVF append assigns vectors with the HEAD
+    marker's centroids; appending that assignment onto a head that was
+    re-trained in between would mix two centroid sets, so the caller
+    must recompute — operators/ann_index.append_to_ivf_index does).
+
+    Guards: the head's hive-partitioning and column set must match
+    (a multi-dir version must read as ONE coherent table); stats merge
+    only when head and append declare the SAME stats cols, else the
+    new marker carries none (absent stats = no pruning, never wrong
+    pruning)."""
+    spark = df.sparkSession
+    fs = _resolve_fs(spark, base, fs)
+    if idempotency_key is not None:
+        v = _find_idempotent(spark, base, fs, idempotency_key)
+        if v is not None:
+            return v
+    data_name = DATA_PREFIX + uuid.uuid4().hex
+    data_dir = f"{base}/{data_name}"
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
+    n_rows, stats = _verify_and_stats(spark, base, data_name, stats_cols)
+    last_err: Exception | None = None
+    for _ in range(retries + 1):
+        vs = committed_versions(spark, base, fs)
+        if idempotency_key is not None:
+            v = _find_idempotent(spark, base, fs, idempotency_key, vs)
+            if v is not None:
+                fs.delete(data_dir, ignore_errors=True)
+                return v
+        head = max(vs, default=0)
+        if expected_head is not None and head != expected_head:
+            fs.delete(data_dir, ignore_errors=True)
+            raise SnapshotConflictError(
+                f"head at {base} is v{head}, expected v{expected_head} — "
+                "a concurrent writer committed; recompute and retry"
+            )
+        if head:
+            head_info = snapshot_info(spark, base, head, fs)
+            head_pb = head_info.get("partition_by") or None
+            want_pb = list(partition_by) if partition_by else None
+            if head_pb != want_pb:
+                fs.delete(data_dir, ignore_errors=True)
+                raise ValueError(
+                    f"append partitioning {want_pb} does not match head "
+                    f"v{head}'s {head_pb} — a version's dirs must share "
+                    "one layout"
+                )
+            head_cols = set(
+                spark.read.parquet(
+                    f"{base}/{_data_names(head_info)[0]}"
+                ).columns
+            )
+            if head_cols != set(df.columns):
+                fs.delete(data_dir, ignore_errors=True)
+                raise ValueError(
+                    f"append columns {sorted(set(df.columns))} do not "
+                    f"match head v{head}'s {sorted(head_cols)} — a "
+                    "multi-dir version must read as one table; use "
+                    "write_snapshot for schema evolution"
+                )
+            names = _data_names(head_info) + [data_name]
+            total_rows = int(head_info.get("rows") or 0) + n_rows
+            head_stats = head_info.get("stats")
+            if (
+                stats is not None
+                and head_stats is not None
+                and sorted(head_stats.get("cols") or [])
+                == sorted(stats["cols"])
+            ):
+                merged_stats = {
+                    "cols": stats["cols"],
+                    "files": {**head_stats["files"], **stats["files"]},
+                }
+            else:
+                merged_stats = None
+        else:
+            names = [data_name]
+            total_rows = n_rows
+            merged_stats = stats
+        n = head + 1
+        marker = json.dumps(
+            {
+                "version": n,
+                "data": names,
+                "rows": total_rows,
+                "note": note,
+                **({"meta": meta} if meta is not None else {}),
+                **(
+                    {"partition_by": list(partition_by)}
+                    if partition_by
+                    else {}
+                ),
+                **(
+                    {"stats": merged_stats}
+                    if merged_stats is not None
+                    else {}
+                ),
+                **(
+                    {"idempotency_key": idempotency_key}
+                    if idempotency_key is not None
+                    else {}
+                ),
+            }
+        )
+        try:
+            fs.create_new(f"{base}/{COMMITS_DIR}/{_vname(n)}", marker.encode())
+            return n
+        except FileExistsError as e:
+            last_err = e
+            if idempotency_key is not None:
+                v = _find_idempotent(spark, base, fs, idempotency_key)
+                if v is not None:
+                    fs.delete(data_dir, ignore_errors=True)
+                    return v
+    fs.delete(data_dir, ignore_errors=True)
+    raise RuntimeError(
+        f"append_snapshot lost the commit race {retries + 1} times at {base}"
+    ) from last_err
+
+
 def current_version(spark, base: str, fs=None) -> int:
     vs = committed_versions(spark, base, fs)
     if not vs:
@@ -276,12 +517,27 @@ def current_version(spark, base: str, fs=None) -> int:
 
 
 def read_snapshot(
-    spark: SparkSession, base: str, version: int | None = None, fs=None
+    spark: SparkSession,
+    base: str,
+    version: int | None = None,
+    fs=None,
+    key_between: tuple | None = None,
 ) -> DataFrame:
     """DataFrame over a committed version (newest by default). The
-    returned frame is PINNED to that version's data directory — later
-    commits and compactions never change what it reads (time travel
-    for free: pass an older committed `version`)."""
+    returned frame is PINNED to that version's data directories —
+    later commits and compactions never change what it reads (time
+    travel for free: pass an older committed `version`). Append-built
+    versions read all their dirs as one table.
+
+    ``key_between=(col, lo, hi)`` returns only rows with col BETWEEN
+    lo AND hi, and — when the version's marker carries per-file stats
+    for ``col`` (``stats_cols`` at write/append time) — SKIPS files
+    whose [min, max] cannot overlap the range BEFORE any executor IO
+    (driver-side marker pruning, the file-level analogue of partition
+    pruning). All-null files prune too (BETWEEN never matches null).
+    Without stats the predicate still applies (row-group pushdown via
+    the parquet reader) — absent stats degrade to a full scan, never
+    to wrong results."""
     fs = _resolve_fs(spark, base, fs)
     v = version if version is not None else current_version(spark, base, fs)
     marker_path = f"{base}/{COMMITS_DIR}/{_vname(v)}"
@@ -291,7 +547,62 @@ def read_snapshot(
             "dirs are not readable by protocol)"
         )
     info = snapshot_info(spark, base, v, fs)
-    return spark.read.parquet(f"{base}/{info['data']}")
+    names = _data_names(info)
+    paths = [f"{base}/{n}" for n in names]
+
+    def _read_all():
+        # Spark refuses several hive-partitioned ROOTS in one read
+        # (CONFLICTING_DIRECTORY_STRUCTURES) — partitioned multi-dir
+        # versions read per-dir and union; Catalyst pushes filters
+        # through Union, so partition pruning still applies per dir.
+        if info.get("partition_by") and len(paths) > 1:
+            dfs = [spark.read.parquet(p) for p in paths]
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d)
+            return out
+        return spark.read.parquet(*paths)
+
+    if key_between is None:
+        return _read_all()
+    col, lo, hi = key_between
+    pred = F.col(col).between(F.lit(lo), F.lit(hi))
+    stats = info.get("stats")
+    if not stats or col not in (stats.get("cols") or []):
+        return _read_all().filter(pred)
+    lo_j, hi_j = _stat_jsonable(lo), _stat_jsonable(hi)
+    keep = []
+    for rel, st in stats["files"].items():
+        mn, mx = st[col]
+        if mn is None or mx is None:
+            continue  # all-null file: no row can satisfy BETWEEN
+        if mx < lo_j or mn > hi_j:
+            continue  # disjoint range: provably no matching row
+        keep.append(rel)
+    if not keep:
+        # empty result with the version's exact schema (filter keeps
+        # analysis consistent with the unpruned form)
+        return _read_all().filter(pred).filter(F.lit(False))
+    pb = info.get("partition_by")
+    if pb:
+        # reading individual FILES under hive dirs loses the partition
+        # columns unless basePath anchors them; group surviving files
+        # by data dir so each read keeps its dir as basePath
+        by_dir: dict[str, list[str]] = {}
+        for rel in keep:
+            by_dir.setdefault(rel.split("/", 1)[0], []).append(rel)
+        parts = [
+            spark.read.option("basePath", f"{base}/{d}").parquet(
+                *[f"{base}/{rel}" for rel in rels]
+            )
+            for d, rels in by_dir.items()
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+    else:
+        out = spark.read.parquet(*[f"{base}/{rel}" for rel in keep])
+    return out.filter(pred)
 
 
 def compact_snapshot(
@@ -323,12 +634,20 @@ def compact_snapshot(
     last: SnapshotConflictError | None = None
     for _ in range(retries + 1):
         v = current_version(spark, base, fs)
-        data_dir = f"{base}/{snapshot_info(spark, base, v, fs)['data']}"
-        total, _n = fs.du_suffix(data_dir, ".parquet")
+        dirs = [
+            f"{base}/{n}"
+            for n in _data_names(snapshot_info(spark, base, v, fs))
+        ]
+        total = sum(fs.du_suffix(d, ".parquet")[0] for d in dirs)
         n_out = max(
             min_files, (total + target_file_bytes - 1) // target_file_bytes
         )
-        df = spark.read.parquet(data_dir).coalesce(int(n_out))
+        # a multi-dir (append-built) head compacts back to ONE dir —
+        # compaction is how append chains get absorbed (read through
+        # read_snapshot so partitioned multi-dir heads union correctly)
+        df = read_snapshot(spark, base, version=v, fs=fs).coalesce(
+            int(n_out)
+        )
         try:
             return write_snapshot(
                 df, base, note=f"compacted v{v}", fs=fs, expected_head=v
@@ -360,6 +679,11 @@ def gc_snapshots(
     - WRITERS: an unreferenced data dir could be an IN-FLIGHT writer
       that hasn't committed its marker yet; the mtime grace (default
       1 h) must exceed the longest plausible snapshot write.
+    - IDEMPOTENT PRODUCERS: dropping a version forgets its
+      idempotency_key, so a replay older than the retention window
+      re-lands its batch — exactly-once holds within the window only
+      (documented on write_snapshot); keep the window longer than the
+      producer's maximum replay horizon.
 
     Deletion order per version: marker FIRST, and the data dir is
     touched ONLY if the marker delete actually succeeded — a refused
@@ -379,7 +703,7 @@ def gc_snapshots(
     kept_refs = set()
     for v in keep_set:
         try:
-            kept_refs.add(snapshot_info(spark, base, v, fs).get("data"))
+            kept_refs.update(_data_names(snapshot_info(spark, base, v, fs)))
         except FileNotFoundError:
             continue  # raced a concurrent GC; nothing left to protect
     # two passes: delete ALL droppable markers first, then delete a
@@ -397,13 +721,13 @@ def gc_snapshots(
         except FileNotFoundError:
             continue  # a concurrent GC already reclaimed this version;
             # aborting here would strand the REST of the run's work
-        data = info.get("data")
+        names = _data_names(info)
         try:
             fs.delete(f"{base}/{COMMITS_DIR}/{_vname(v)}")
         except Exception:
-            failed_refs.add(data)  # marker survived -> dir must too
+            failed_refs.update(names)  # marker survived -> dirs must too
             continue
-        if data:
+        for data in names:
             drop_refs.setdefault(data, []).append(v)
         removed.append(v)
     for data in drop_refs:
@@ -414,7 +738,7 @@ def gc_snapshots(
     referenced = set()
     for v in committed_versions(spark, base, fs):
         try:
-            referenced.add(snapshot_info(spark, base, v, fs).get("data"))
+            referenced.update(_data_names(snapshot_info(spark, base, v, fs)))
         except FileNotFoundError:
             continue  # raced a concurrent GC; next GC gets its orphans
     now = _time.time()
@@ -439,6 +763,7 @@ def upsert_snapshot(
     delete_col: str | None = None,
     fs=None,
     idempotency_key: str | None = None,
+    checkpoint: bool = False,
 ) -> int:
     """MERGE (upsert + optional delete) as a copy-on-write commit:
     next version = current head minus rows whose key appears in
@@ -482,10 +807,38 @@ def upsert_snapshot(
     retry), so it is persisted for the duration of the call: a
     nondeterministic source (a fresh `sample()`, a re-reading stream
     batch) would otherwise commit a merge that differs from the frame
-    the duplicate check validated."""
+    the duplicate check validated.
+
+    DETERMINISM CONTRACT: ``persist()`` is a CACHE, not a barrier —
+    Spark may evict cached blocks under memory pressure and silently
+    RECOMPUTE them from the lineage, so a truly nondeterministic
+    source can still (rarely) commit a frame differing from the one
+    the dup check validated. For such sources pass
+    ``checkpoint=True``: ``localCheckpoint(eager=True)`` truncates the
+    lineage entirely (recompute is impossible; a lost block FAILS the
+    job instead of silently re-drawing), at the cost of an eager
+    materialization up front. Deterministic sources (a parquet read,
+    a seeded transform) don't need it — eviction recomputes the same
+    rows.
+
+    If the caller already persisted ``updates``, that cache is reused
+    and left UNTOUCHED on exit — this call unpersists only what it
+    persisted itself."""
     spark = updates.sparkSession
     fs = _resolve_fs(spark, base, fs)
-    updates = updates.persist()
+    we_persisted = False
+    if checkpoint:
+        # eager localCheckpoint: materializes now and CUTS the lineage,
+        # so every later evaluation reads the checkpointed blocks or
+        # fails loudly — never silently recomputes a nondeterministic
+        # source. (Executor loss can lose localCheckpoint blocks; that
+        # surfaces as a job failure, which is the contract.)
+        updates = updates.localCheckpoint(eager=True)
+    elif updates.storageLevel.useMemory or updates.storageLevel.useDisk:
+        pass  # caller's cache serves the multi-evaluation need
+    else:
+        updates = updates.persist()
+        we_persisted = True
     try:
         n_all, n_distinct = updates.agg(
             F.count(F.lit(1)), F.countDistinct(key_col)
@@ -528,7 +881,8 @@ def upsert_snapshot(
             f"upsert_snapshot kept losing to concurrent writers at {base}"
         ) from last
     finally:
-        updates.unpersist()
+        if we_persisted:
+            updates.unpersist()
 
 
 def snapshot_diff(
@@ -626,6 +980,17 @@ def rollback_snapshot(spark, base: str, to_version: int, fs=None) -> int:
                     {"meta": info["meta"]} if info.get("meta") is not None
                     else {}
                 ),
+                # layout/pruning metadata describes the DATA DIRS, which
+                # the rollback points at verbatim — carry it so the
+                # restored head keeps partition routing and file skipping
+                **(
+                    {"partition_by": info["partition_by"]}
+                    if info.get("partition_by")
+                    else {}
+                ),
+                **(
+                    {"stats": info["stats"]} if info.get("stats") else {}
+                ),
             }
         )
         try:
@@ -633,7 +998,9 @@ def rollback_snapshot(spark, base: str, to_version: int, fs=None) -> int:
         except FileExistsError as e:
             last_err = e
             continue
-        if not fs.exists(f"{base}/{info['data']}"):
+        if not all(
+            fs.exists(f"{base}/{d}") for d in _data_names(info)
+        ):
             # a concurrent GC reclaimed the target's dir in the window
             # between our marker read and this commit — undo the
             # marker (it references nothing) and fail loudly
@@ -647,3 +1014,80 @@ def rollback_snapshot(spark, base: str, to_version: int, fs=None) -> int:
     raise RuntimeError(
         f"rollback_snapshot lost the commit race at {base}"
     ) from last_err
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    base: str,
+    key_col: str,
+    from_version: int,
+    to_version: int | None = None,
+    fs=None,
+) -> DataFrame:
+    """CDC change feed: every per-version increment AFTER
+    ``from_version`` up to ``to_version`` (head by default), as one
+    DataFrame (key, status ∈ added | removed | changed, version) —
+    `version` is the commit that introduced the change. 'unchanged'
+    rows are excluded (a feed carries deltas, not echoes).
+
+    This is the subscription form of ``snapshot_diff``: a maintainer
+    remembers the last version it consumed and periodically asks for
+    everything since — `operators/bloom.bloom_update_from_changes` is
+    the canonical consumer (decontamination-filter maintenance ingests
+    only the `added` keys instead of re-scanning the corpus). Consuming
+    the same range twice yields the same rows (versions are immutable),
+    so downstream application need only be idempotent per (key,
+    version) — Bloom's OR trivially is.
+
+    COST: one full-outer key join per consecutive version pair in the
+    range. Consume incrementally (head-1 → head, one join over two
+    pinned reads) on a schedule; the multi-step form is the catch-up /
+    replay path. Appended versions share unchanged dirs with their
+    parent, but the diff still hashes both sides — a feed cheaper than
+    O(table) per step needs per-file stats diffing, which the marker's
+    dir lists would support later.
+
+    RETENTION: every version in the range must still be committed.
+    A GC'd intermediate version makes per-version attribution
+    impossible, so this raises rather than silently collapsing
+    increments — size the GC keep window to cover the slowest
+    consumer's lag (the same retention contract as idempotency keys).
+    """
+    fs = _resolve_fs(spark, base, fs)
+    vs = committed_versions(spark, base, fs)
+    to_v = to_version if to_version is not None else (vs[-1] if vs else 0)
+    if from_version not in vs:
+        raise ValueError(
+            f"from_version v{from_version} is not committed at {base} "
+            "(never written, or GC'd past the consumer's lag — resync "
+            "with a full read_snapshot + rebuild)"
+        )
+    if to_v not in vs:
+        raise ValueError(f"to_version v{to_v} is not committed at {base}")
+    chain = [v for v in vs if from_version <= v <= to_v]
+    expected = list(range(from_version, to_v + 1))
+    if chain != expected:
+        missing = sorted(set(expected) - set(chain))
+        raise ValueError(
+            f"versions {missing} in ({from_version}, {to_v}] were GC'd — "
+            "per-version change attribution is impossible; resync from a "
+            "full snapshot"
+        )
+    out: DataFrame | None = None
+    for a, b in zip(chain, chain[1:]):
+        step = (
+            snapshot_diff(spark, base, a, b, key_col, fs=fs)
+            .filter(F.col("status") != "unchanged")
+            .withColumn("version", F.lit(b))
+        )
+        out = step if out is None else out.unionByName(step)
+    if out is None:
+        # from == to: an empty feed with the contract schema
+        out = (
+            read_snapshot(spark, base, version=to_v, fs=fs)
+            .select(F.col(key_col))
+            .withColumn("status", F.lit("added"))
+            .withColumn("version", F.lit(to_v))
+            .filter(F.lit(False))
+        )
+    return out
