@@ -65,14 +65,15 @@ _DRIVER_PRIORITY = [
     "doc_length_profile", "doc_count", "doc_sample", "majority_vote",
     "substring_accuracy", "dedup_exact_groups", "leakage_safe_split",
     "minhash_lsh_candidates", "retrieval_eval",
-    "ngram_jaccard_topk", "ngram_jaccard_capped", "doc_repetition",
+    "ngram_jaccard_topk", "ngram_jaccard_capped",
     "benchmark_overlap", "dedup_keepers", "corpus_curation_verdict",
     "semantic_dedup_keepers", "doc_chunking", "context_packing",
     "bm25_scores", "doc_winnow_fingerprints", "doc_pii_scrub",
     "simhash_hamming_topk", "simhash_banded_pairs",
     "embedding_similar_topk", "embedding_bucketed_pairs",
-    "data_quality_report", "lang_id_detect", "lang_stats",
-    "rollup_orders", "count_distinct_custs",
+    "data_quality_report", "lang_id_detect",
+    "rollup_orders", "purchase_attribution", "hashed_bow",
+    "stratified_eval_sample",
     "customers_without_orders", "nation_set_ops",
     "customer_order_windows", "events_tumbling", "events_sessionize",
     "events_json_extract", "event_funnel",
@@ -137,6 +138,20 @@ _DRIVER_PRIORITY = [
 # driver round; the token/F family keeps substring_accuracy +
 # doc_chunking + context_packing driver rows). Both rotated-out
 # queries stay green in the local parity gate.
+#
+# r8 rotation (same contract; VERDICT r7 item 2): IN
+# purchase_attribution (IGNORE-NULLS window attribution — first driver
+# row for the attribution family), hashed_bow (first driver row for
+# the feature-hashing family; exact oracle over the hash expression)
+# and stratified_eval_sample (deterministic per-stratum sampling —
+# first driver row for the sampling family); all three exact-oracled
+# and green in the local parity gate. OUT count_distinct_custs and
+# lang_stats (long-stable aggregate shapes — the agg family keeps
+# pricing_summary + rollup_orders + doc_count driver rows, the lang
+# family keeps lang_id_detect) and doc_repetition (the text-quality
+# family keeps data_quality_report + bm25_scores + doc_chunking +
+# context_packing + doc_pii_scrub driver rows). All three rotated-out
+# queries remain green in the 139-query local gate.
 
 
 def _ordered(d: dict) -> dict:
