@@ -99,6 +99,68 @@ def parse_event_value(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def kafka_source_options(opts: dict) -> dict[str, str]:
+    """Validate + normalize the kafka source options — the exact
+    key/value strings `open_event_stream` sets on the readStream
+    builder, exposed separately so the pass-through contract is
+    testable without (and asserted against a real reader build WITH)
+    the connector jar.
+
+    Contract: bootstrap servers required; exactly one subscription
+    key; `startingOffsets` defaults to "earliest" and `failOnDataLoss`
+    to "true" (fail a fresh job loudly if offsets were aged out rather
+    than silently skipping the gap — a deployment preferring
+    availability overrides to false explicitly); every value
+    stringifies (Spark's option() takes strings)."""
+    opts = dict(opts)
+    if not opts.get("kafka.bootstrap.servers"):
+        raise ValueError(
+            "kafka source requires options['kafka.bootstrap.servers']"
+        )
+    sub_keys = [
+        k for k in ("subscribe", "assign", "subscribePattern") if k in opts
+    ]
+    if len(sub_keys) != 1:
+        raise ValueError(
+            "kafka source requires exactly one of subscribe / assign / "
+            f"subscribePattern (got {sub_keys or 'none'})"
+        )
+    opts.setdefault("startingOffsets", "earliest")
+    opts.setdefault("failOnDataLoss", "true")
+    return {k: str(v) for k, v in opts.items()}
+
+
+def kafka_connector_available(spark: SparkSession) -> bool:
+    """Capability probe for the spark-sql-kafka connector (same
+    pattern as multimodal's codec probes): True when a kafka
+    readStream BUILDS on this session — source construction resolves
+    the DataSource class but contacts no broker (offsets are fetched
+    at query start, not load()). False when the jar is absent
+    (DATA_SOURCE_NOT_FOUND / ClassNotFoundException).
+
+    Launch recipe for a real run (the connector ships with Spark
+    distributions but not with the pip pyspark wheel):
+
+        spark-submit --packages \\
+            org.apache.spark:spark-sql-kafka-0-10_2.13:<spark_version> …
+        export KAFKA_BOOTSTRAP_SERVERS=localhost:9092
+        # one-liner broker: docker run -p 9092:9092 apache/kafka
+
+    tests/test_kafka_e2e.py skip-marks its connector/broker tests on
+    this probe + env var, and runs the full produce → open_event_stream
+    → tumbling-window path when both resolve."""
+    try:
+        (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", "localhost:1")
+            .option("subscribe", "__capability_probe__")
+            .load()
+        )
+        return True
+    except Exception:
+        return False
+
+
 def open_event_stream(spark: SparkSession, source: dict) -> DataFrame:
     """Build a streaming events DataFrame from a transport config.
 
@@ -139,26 +201,9 @@ def open_event_stream(spark: SparkSession, source: dict) -> DataFrame:
         )
 
     if fmt == "kafka":
-        if not opts.get("kafka.bootstrap.servers"):
-            raise ValueError(
-                "kafka source requires options['kafka.bootstrap.servers']"
-            )
-        sub_keys = [
-            k for k in ("subscribe", "assign", "subscribePattern") if k in opts
-        ]
-        if len(sub_keys) != 1:
-            raise ValueError(
-                "kafka source requires exactly one of subscribe / assign / "
-                f"subscribePattern (got {sub_keys or 'none'})"
-            )
-        opts.setdefault("startingOffsets", "earliest")
-        # fail a fresh job loudly if offsets were aged out rather than
-        # silently skipping the gap; an established deployment that
-        # prefers availability can override to false explicitly
-        opts.setdefault("failOnDataLoss", "true")
         reader = spark.readStream.format("kafka")
-        for k, v in opts.items():
-            reader = reader.option(k, str(v))
+        for k, v in kafka_source_options(opts).items():
+            reader = reader.option(k, v)
         return parse_event_value(reader.load(), value_col="value")
 
     if fmt == "rate":
