@@ -636,3 +636,159 @@ def test_upsert_checkpoint_mode(spark, tmp_path):
     updates = spark.createDataFrame([(2, "b"), (3, "c")], "id long, s string")
     v = upsert_snapshot(updates, base, key_col="id", checkpoint=True)
     assert read_snapshot(spark, base, version=v).count() == 3
+
+
+# ------------------------------------------- clustered / z-order landing
+
+
+def test_cluster_by_makes_stats_pruning_effective(spark, tmp_path):
+    """The write-once/read-many trade: without clustering a shuffled
+    table's per-file ranges all span ~everything and a keyed read
+    prunes nothing; cluster_by yields near-disjoint ranges and the
+    same read touches a small fraction of files."""
+    base_u = str(tmp_path / "unclustered")
+    base_c = str(tmp_path / "clustered")
+    df = (
+        spark.range(4000)
+        .select("id", F.md5(F.col("id").cast("string")).alias("p"))
+        .repartition(8)  # hash-shuffled: every file spans ~full range
+    )
+    write_snapshot(df, base_u, stats_cols=["id"])
+    write_snapshot(
+        df, base_c, stats_cols=["id"], cluster_by=["id"], cluster_files=8
+    )
+    narrow = ("id", 1000, 1099)
+    pruned_u = read_snapshot(spark, base_u, key_between=narrow)
+    pruned_c = read_snapshot(spark, base_c, key_between=narrow)
+    assert _rows(pruned_u) == _rows(pruned_c)  # same answer either way
+    n_u = len(pruned_u.inputFiles())
+    n_c = len(pruned_c.inputFiles())
+    assert n_u == 8  # nothing prunable on the shuffled layout
+    assert n_c <= 2  # ~1/8 of the key space -> 1-2 files
+
+
+def test_zordered_snapshot_prunes_on_both_keys(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import (
+        write_snapshot_zordered,
+    )
+
+    base = str(tmp_path / "z")
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.md5(F.col("id").cast("string")).alias("p"),
+    ).repartition(7)
+    write_snapshot_zordered(df, base, "x", "y", n_files=16)
+    info = snapshot_info(spark, base, 1)
+    assert sorted(info["stats"]["cols"]) == ["x", "y"]
+    full = read_snapshot(spark, base)
+    n_all = len(full.inputFiles())
+    for col in ("x", "y"):
+        pruned = read_snapshot(spark, base, key_between=(col, 10, 17))
+        assert len(pruned.inputFiles()) < n_all  # both keys prune
+        assert _rows(pruned) == _rows(
+            full.filter(F.col(col).between(10, 17))
+        )
+    # the clustering key is a layout artifact, not a data column
+    assert "__z" not in full.columns
+
+
+# ------------------------------------------ streaming exactly-once sink
+
+
+def test_snapshot_batch_lander_exactly_once(spark, tmp_path):
+    """The foreachBatch callable replayed with the SAME batch id lands
+    once; distinct ids append; a different producer_id is a different
+    key namespace."""
+    from vector_db_setup_spark.streaming.snapshot_sink import (
+        make_snapshot_batch_lander,
+    )
+
+    base = str(tmp_path / "t")
+    land = make_snapshot_batch_lander(base, producer_id="ingest-a")
+    b0 = _df(spark, 0, 30)
+    v1 = land(b0, 0)
+    assert land(b0, 0) == v1  # replay: same version, no new commit
+    assert committed_versions(spark, base) == [1]
+    v2 = land(_df(spark, 30, 40), 1)
+    assert v2 == 2 and read_snapshot(spark, base).count() == 40
+    assert land(spark.createDataFrame([], b0.schema), 2) is None  # empty
+    assert committed_versions(spark, base) == [1, 2]
+    # another producer's batch 1 is NOT this producer's batch 1
+    land_b = make_snapshot_batch_lander(base, producer_id="ingest-b")
+    v3 = land_b(_df(spark, 40, 45), 1)
+    assert v3 == 3
+
+
+def test_snapshot_sink_end_to_end_stream(spark, tmp_path):
+    """Real stream drive: file-source events drain through the sink
+    with availableNow; the snapshot head equals the batch read of the
+    same fixture, and a checkpoint-preserving RESTART with no new data
+    lands nothing new."""
+    from tests.conftest import SF_SMOKE
+    from vector_db_setup_spark.sources.registry import load_table
+    from vector_db_setup_spark.streaming.events import stream_events
+    from vector_db_setup_spark.streaming.snapshot_sink import snapshot_sink
+
+    base = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    q1 = snapshot_sink(
+        stream_events(spark, SF_SMOKE, max_files_per_trigger=1),
+        base,
+        ckpt,
+        producer_id="events",
+    )
+    q1.awaitTermination(120)
+    want = load_table(spark, SF_SMOKE, "events")
+    got = read_snapshot(spark, base)
+    assert got.count() == want.count()
+    assert sorted(r["event_id"] for r in got.select("event_id").collect()) \
+        == sorted(r["event_id"] for r in want.select("event_id").collect())
+    head_before = current_version(spark, base)
+    # restart from the same checkpoint: backlog already consumed
+    q2 = snapshot_sink(
+        stream_events(spark, SF_SMOKE, max_files_per_trigger=1),
+        base,
+        ckpt,
+        producer_id="events",
+    )
+    q2.awaitTermination(120)
+    assert current_version(spark, base) == head_before
+
+
+def test_snapshot_sink_requires_checkpoint(spark, tmp_path):
+    from tests.conftest import SF_SMOKE
+    from vector_db_setup_spark.streaming.events import stream_events
+    from vector_db_setup_spark.streaming.snapshot_sink import snapshot_sink
+
+    with pytest.raises(ValueError, match="checkpoint"):
+        snapshot_sink(
+            stream_events(spark, SF_SMOKE), str(tmp_path / "t"), ""
+        )
+
+
+def test_compaction_inherits_stats_and_retightens(spark, tmp_path):
+    """An append chain accumulates cross-dir key overlap; compaction
+    must re-collect the same stats cols and re-cluster so the
+    compacted head prunes at least as well — a keyed table never
+    loses file skipping by being compacted."""
+    base = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(0, 1000).repartitionByRange(4, "id"),
+        base,
+        stats_cols=["id"],
+        cluster_by=["id"],
+        cluster_files=4,
+    )
+    append_snapshot(
+        spark.range(1000, 2000).repartition(4),  # unclustered batch
+        base,
+        stats_cols=["id"],
+    )
+    v3 = compact_snapshot(spark, base, target_file_bytes=1, min_files=8)
+    info = snapshot_info(spark, base, v3)
+    assert info["stats"]["cols"] == ["id"]  # inherited + recomputed
+    pruned = read_snapshot(spark, base, key_between=("id", 100, 199))
+    full = read_snapshot(spark, base)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert _rows(pruned) == [(i,) for i in range(100, 200)]

@@ -54,11 +54,20 @@ Marker reads are driver-side ``fs.read_file`` calls (bytes of a tiny
 JSON file) — resolving a version or scanning for an idempotency key
 launches no Spark jobs.
 
+r8 additions, still inside the pointer model: markers may name a LIST
+of dirs (`append_snapshot` — batch-proportional landing; a version is
+the union of its immutable dirs), carry per-file min/max ``stats``
+for declared key columns (`read_snapshot(key_between=...)` file
+skipping, effective when landed with ``cluster_by`` /
+`write_snapshot_zordered`), and the version chain is consumable as a
+CDC feed (`snapshot_changes`).
+
 What this deliberately does NOT have (and where real table formats
-earn their complexity): column-level stats/pruning metadata, partition
+earn their complexity): stats sharded into manifest FILES (ours live
+in the marker — fine while file counts keep markers small), partition
 evolution, row-level deletes, and multi-table transactions. For the
-engine's maintenance story — land, compact, audit, GC under live
-readers — the pointer protocol is sufficient and fully testable.
+engine's maintenance story — land, append, compact, audit, GC under
+live readers — the pointer protocol is sufficient and fully testable.
 
 Reference scope: the reference delegates storage transactionality to
 Postgres (setup.sh); this module is the 100 TB landing story's answer
@@ -222,6 +231,8 @@ def write_snapshot(
     meta: dict | None = None,
     expected_head: int | None = None,
     stats_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
 ) -> int:
     """Land `df` as the next committed version; returns its number.
 
@@ -262,6 +273,17 @@ def write_snapshot(
     with bounded file counts (real formats shard stats into manifest
     FILES once markers would stop being small).
 
+    ``cluster_by`` range-partitions + sorts the data by the given key
+    columns before landing (``cluster_files`` output files; session
+    shuffle-partition count when omitted) — what makes ``stats_cols``
+    on the same keys EFFECTIVE: without clustering every file spans
+    nearly the full key range and nothing prunes; with it the per-file
+    [min,max] are near-disjoint and a key_between read touches
+    ~range/total of the files. One extra shuffle at write time buys
+    every future keyed read its pruning — the write-once/read-many
+    trade every lakehouse table makes. For TWO-key workloads see
+    ``write_snapshot_zordered``.
+
     ``expected_head``: optimistic-concurrency guard for DERIVED
     commits (MERGE/read-modify-write). When set, the commit succeeds
     only as version expected_head+1; if another writer got there
@@ -278,6 +300,12 @@ def write_snapshot(
             return v
     data_name = DATA_PREFIX + uuid.uuid4().hex
     data_dir = f"{base}/{data_name}"
+    if cluster_by:
+        df = (
+            df.repartitionByRange(cluster_files, *cluster_by)
+            if cluster_files
+            else df.repartitionByRange(*cluster_by)
+        ).sortWithinPartitions(*cluster_by)
     writer = df.write.mode("error")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -367,6 +395,8 @@ def append_snapshot(
     meta: dict | None = None,
     expected_head: int | None = None,
     stats_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+    cluster_files: int | None = None,
 ) -> int:
     """Land `df` as an APPEND: the next version = the head's data dirs
     PLUS one new dir holding only `df`'s rows — no existing byte is
@@ -405,6 +435,14 @@ def append_snapshot(
             return v
     data_name = DATA_PREFIX + uuid.uuid4().hex
     data_dir = f"{base}/{data_name}"
+    if cluster_by:
+        # cluster the BATCH (each appended dir is internally clustered;
+        # cross-dir key overlap is what compaction re-tightens)
+        df = (
+            df.repartitionByRange(cluster_files, *cluster_by)
+            if cluster_files
+            else df.repartitionByRange(*cluster_by)
+        ).sortWithinPartitions(*cluster_by)
     writer = df.write.mode("error")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
@@ -629,28 +667,42 @@ def compact_snapshot(
     stale rewrite is abandoned (write_snapshot reclaims its dir) and
     compaction RESTARTS against the new head, up to ``retries`` times;
     a table too hot to compact raises SnapshotConflictError rather
-    than ever re-committing a stale copy under a later number."""
+    than ever re-committing a stale copy under a later number.
+
+    STATS INHERIT: when the head marker carries file-skipping stats,
+    the compacted version re-collects them for the SAME columns and —
+    because append-built heads accumulate cross-dir key overlap —
+    RE-CLUSTERS on those columns, so compaction is also the operation
+    that re-tightens pruning (a keyed table never silently loses its
+    file skipping by being compacted). Heads without stats compact
+    exactly as before."""
     fs = _resolve_fs(spark, base, fs)
     last: SnapshotConflictError | None = None
     for _ in range(retries + 1):
         v = current_version(spark, base, fs)
-        dirs = [
-            f"{base}/{n}"
-            for n in _data_names(snapshot_info(spark, base, v, fs))
-        ]
+        head_info = snapshot_info(spark, base, v, fs)
+        dirs = [f"{base}/{n}" for n in _data_names(head_info)]
         total = sum(fs.du_suffix(d, ".parquet")[0] for d in dirs)
         n_out = max(
             min_files, (total + target_file_bytes - 1) // target_file_bytes
         )
+        inherit = (head_info.get("stats") or {}).get("cols")
         # a multi-dir (append-built) head compacts back to ONE dir —
         # compaction is how append chains get absorbed (read through
         # read_snapshot so partitioned multi-dir heads union correctly)
-        df = read_snapshot(spark, base, version=v, fs=fs).coalesce(
-            int(n_out)
-        )
+        df = read_snapshot(spark, base, version=v, fs=fs)
+        if not inherit:
+            df = df.coalesce(int(n_out))
         try:
             return write_snapshot(
-                df, base, note=f"compacted v{v}", fs=fs, expected_head=v
+                df,
+                base,
+                note=f"compacted v{v}",
+                fs=fs,
+                expected_head=v,
+                stats_cols=inherit,
+                cluster_by=inherit,
+                cluster_files=int(n_out) if inherit else None,
             )
         except SnapshotConflictError as e:
             last = e  # head moved mid-rewrite: recompact the new head
@@ -1091,3 +1143,57 @@ def snapshot_changes(
             .filter(F.lit(False))
         )
     return out
+
+
+def write_snapshot_zordered(
+    df: DataFrame,
+    base: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 8,
+    bits: int = 16,
+    note: str = "",
+    fs=None,
+    **kwargs,
+) -> int:
+    """Two-key clustered landing: sort by the Morton (Z-order) key of
+    (col_a, col_b) across ``n_files`` range partitions, land as a
+    snapshot version with per-file stats on BOTH columns — so
+    ``read_snapshot(key_between=...)`` prunes files for a range on
+    EITHER key. Single-key ``cluster_by`` keeps one column's per-file
+    ranges disjoint but scrambles every other's; the interleaved key
+    keeps both NARROW (neither perfectly disjoint — the classic
+    Z-order trade, measured in SCALE_EXPERIMENTS "Z-order clustering").
+
+    The Z key is computed, clustered on, and DROPPED before landing
+    (a projection after the sort preserves partitioning and row
+    order) — the data carries no layout artifact; the layout lives in
+    the file boundaries and the marker stats, exactly like a lakehouse
+    OPTIMIZE ZORDER BY. Composition of plans/storage.zorder_key with
+    write_snapshot; extra kwargs pass through (meta, idempotency_key,
+    expected_head, ...)."""
+    from vector_db_setup_spark.plans.storage import scale_to_bits, zorder_key
+
+    bounds = df.agg(
+        F.min(col_a).alias("a_lo"), F.max(col_a).alias("a_hi"),
+        F.min(col_b).alias("b_lo"), F.max(col_b).alias("b_hi"),
+    ).first()
+    z = zorder_key(
+        scale_to_bits(col_a, bounds["a_lo"], bounds["a_hi"], bits),
+        scale_to_bits(col_b, bounds["b_lo"], bounds["b_hi"], bits),
+        bits,
+    )
+    clustered = (
+        df.withColumn("__z", z)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    return write_snapshot(
+        clustered,
+        base,
+        note=note or f"zorder({col_a},{col_b})",
+        fs=fs,
+        stats_cols=[col_a, col_b],
+        **kwargs,
+    )

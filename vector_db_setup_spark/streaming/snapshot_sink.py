@@ -1,0 +1,110 @@
+"""Streaming → snapshot table: exactly-once micro-batch landing.
+
+The snapshot table's idempotency-key protocol was designed for
+replayable producers (snapshot_table.py module docstring names
+"a streaming foreachBatch passes its batch id" as the canonical
+case); this module is that wiring. Each micro-batch lands as an
+APPEND commit (batch-proportional — no table rewrite per trigger)
+keyed `"{producer_id}:{batch_id}"`:
+
+- a foreachBatch RE-RUN after a failure (Spark's at-least-once
+  contract) finds its key already committed and short-circuits — no
+  duplicate version, no duplicate rows;
+- two racing replicas of the same batch collide at the marker and
+  exactly one commits (the protocol's twin-landing guarantee, race-
+  tested in tests/test_snapshot_table.py);
+- downstream maintenance subscribes to the versions via
+  `snapshot_changes` / `bloom_update_from_changes` — the CDC feed's
+  producer side.
+
+Exactly-once is bounded by GC retention (keys live in markers): keep
+the snapshot window longer than the stream's maximum replay horizon —
+in practice the checkpoint bounds replays to the last few batches,
+far inside any sane keep window.
+
+Contrast with `streaming/events.incremental_dedup_stream`'s
+`_batch=<id>` dynamic-partition-overwrite landing: that shape is
+self-contained per batch but gives readers no stable snapshot (a
+reader mid-scan sees a partition being overwritten). Landing through
+the commit protocol gives concurrent readers pinned versions, time
+travel per trigger, and the compaction/GC/stats machinery for free.
+
+Reference scope: the reference ingests via one-shot pg_restore
+(setup.sh:73-77); continuous exactly-once landing is part of the
+forward-looking 100 TB story, same as the table format itself.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+def make_snapshot_batch_lander(
+    base: str,
+    producer_id: str = "stream",
+    fs=None,
+    partition_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
+    cluster_by: list[str] | None = None,
+) -> Callable[[DataFrame, int], int | None]:
+    """The foreachBatch callable, exposed separately so its
+    exactly-once behavior is directly testable (call it twice with
+    the same batch_id: one committed version). Empty batches are
+    skipped — an empty trigger must not burn a version number.
+
+    ``producer_id`` namespaces the idempotency keys: two DIFFERENT
+    streams appending to one table must not collide on batch ids
+    (both start at 0). One stream restarted from its checkpoint keeps
+    its id — that continuity is exactly what makes the replay
+    detection work."""
+    from vector_db_setup_spark.sources.snapshot_table import append_snapshot
+
+    def _land(batch_df: DataFrame, batch_id: int) -> int | None:
+        if batch_df.isEmpty():
+            return None
+        return append_snapshot(
+            batch_df,
+            base,
+            note=f"stream {producer_id} batch {batch_id}",
+            fs=fs,
+            idempotency_key=f"{producer_id}:{batch_id}",
+            partition_by=partition_by,
+            stats_cols=stats_cols,
+            cluster_by=cluster_by,
+        )
+
+    return _land
+
+
+def snapshot_sink(
+    stream_df: DataFrame,
+    base: str,
+    checkpoint: str,
+    producer_id: str = "stream",
+    available_now: bool = True,
+    **lander_kwargs,
+):
+    """Start the stream landing into the snapshot table at ``base``.
+    Returns the StreamingQuery. ``checkpoint`` is REQUIRED (same
+    contract as open_event_sink: a sink without one silently replays
+    from scratch on restart); ``available_now=True`` drains the
+    backlog and stops — the batch-refresh shape the tests and the
+    fixture pipelines use; pass False for a continuous trigger."""
+    if not checkpoint:
+        raise ValueError(
+            "snapshot_sink requires a checkpoint location — without it "
+            "a restart replays from scratch (the idempotency keys would "
+            "still dedup inside the GC window, but offsets would not "
+            "advance)"
+        )
+    lander = make_snapshot_batch_lander(
+        base, producer_id=producer_id, **lander_kwargs
+    )
+    writer = stream_df.writeStream.foreachBatch(lander).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
