@@ -364,6 +364,7 @@ def test_parse_event_value_total_function(spark, payloads):
     ops=st.lists(
         st.one_of(
             st.tuples(st.just("write"), st.integers(1, 30)),
+            st.tuples(st.just("append"), st.integers(1, 10)),
             st.tuples(st.just("upsert"), st.integers(0, 9)),
             st.tuples(st.just("compact"), st.just(0)),
             st.tuples(st.just("rollback"), st.just(0)),
@@ -376,12 +377,16 @@ def test_parse_event_value_total_function(spark, payloads):
 @settings(**PROP)
 def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
     """Model-based check of the whole pointer-commit protocol: a random
-    interleaving of write/upsert/compact/gc must keep the table
+    interleaving of write/append/upsert/compact/gc must keep the table
     equivalent to a trivial dict-and-version-list model — head contents
     exact, every surviving version's row count exact, GC'd versions
     unreadable. This is the randomized companion to the targeted
-    race/crash tests."""
+    race/crash tests. Appends (r8) create MULTI-DIR versions, so the
+    random interleavings exercise upsert-over-append (multi-dir head
+    read), compact-of-append-chain, rollback-to-multi-dir-marker, and
+    GC with dirs shared across marker LISTS."""
     from vector_db_setup_spark.sources.snapshot_table import (
+        append_snapshot,
         committed_versions,
         compact_snapshot,
         gc_snapshots,
@@ -396,6 +401,7 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
     versions: dict[int, int] = {}      # committed version -> rowcount
     contents: dict[int, dict] = {}     # committed version -> full dict
     gone: set[int] = set()
+    next_key = 1000                     # fresh keys for appends
 
     def _df(d):
         return spark.createDataFrame(
@@ -407,6 +413,16 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
         if op == "write":
             head = {k: k for k in range(arg)}
             v = write_snapshot(_df(head), base)
+            versions[v] = len(head)
+            contents[v] = dict(head)
+        elif op == "append":
+            # append requires FRESH keys (it never replaces — a reused
+            # key would be a duplicate row, which the dict model can't
+            # express and a keyed table shouldn't hold)
+            batch = {next_key + i: (next_key + i) * 7 for i in range(arg)}
+            next_key += arg
+            head = {**head, **batch}
+            v = append_snapshot(_df(batch), base)
             versions[v] = len(head)
             contents[v] = dict(head)
         elif op == "upsert":
