@@ -1,0 +1,185 @@
+#!/usr/bin/env python3
+"""Runnable end-to-end INCREMENTAL-LAKEHOUSE loop for the r8 surfaces:
+continuous exactly-once landing into the pointer-committed snapshot
+table, keyed reads with marker-stats file skipping, the CDC feed
+maintaining a decontamination Bloom filter, and incremental IVF index
+appends with drift-scheduled rebuilds — the day-2 loop of a corpus
+that only ever grows.
+
+    python3 examples/run_lakehouse_loop.py [sf_dir]
+
+Flow:
+
+  documents ────> staged as 3 files ─> readStream(maxFilesPerTrigger=1)
+  stream ───────> snapshot_sink: each micro-batch = one APPEND commit,
+                  idempotency_key = producer:batch_id (a replayed
+                  batch short-circuits — proven by restarting the
+                  stream from the same checkpoint: zero new commits)
+  head ─────────> compact_snapshot: absorbs the append chain, INHERITS
+                  the stats columns and re-clusters — the keyed read
+                  then prunes files from the marker's min/max BEFORE
+                  any executor IO
+  version chain ─> snapshot_changes (CDC) ─> bloom_update_from_changes:
+                  the decontamination filter ingests only `added` keys
+                  and equals a from-scratch rebuild bit-for-bit
+  embeddings ───> build_ivf_index v1 ─> append_to_ivf_index (assign
+                  ONLY the new batch with the HEAD marker's centroids;
+                  drift_ratio in the marker meta) ─> pinned v1 search
+                  unchanged through the append ─> compact_ivf_index
+
+Every stage prints what it verified; the final marker line is the
+success contract tests/test_examples.py asserts on.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vector_db_setup_spark.operators.ann_index import (
+    append_to_ivf_index,
+    build_ivf_index,
+    compact_ivf_index,
+    search_ivf_index,
+)
+from vector_db_setup_spark.operators.bloom import (
+    bloom_build,
+    bloom_update_from_changes,
+)
+from vector_db_setup_spark.session import get_spark
+from vector_db_setup_spark.sources.registry import load_table
+from vector_db_setup_spark.sources.snapshot_table import (
+    committed_versions,
+    compact_snapshot,
+    current_version,
+    gc_snapshots,
+    read_snapshot,
+    snapshot_info,
+)
+from vector_db_setup_spark.streaming.snapshot_sink import snapshot_sink
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="lakehouse-loop", master="local[4]",
+                      shuffle_partitions=8)
+    work = tempfile.mkdtemp(prefix="lakehouse_loop_")
+    table = f"{work}/docs_table"
+    ckpt = f"{work}/ckpt"
+    stage = f"{work}/incoming"
+
+    # ---- stage the fixture as 3 arrival files (3 micro-batches)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartitionByRange(3, "doc_id").write.parquet(stage)
+    n_docs = docs.count()
+
+    # ---- 1. continuous exactly-once landing
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    snapshot_sink(
+        stream, table, ckpt, producer_id="docs",
+        stats_cols=["doc_id"], cluster_by=["doc_id"],
+    ).awaitTermination(300)
+    vs = committed_versions(spark, table)
+    head_rows = read_snapshot(spark, table).count()
+    assert head_rows == n_docs, (head_rows, n_docs)
+    print(f"[land] {len(vs)} append commits -> {head_rows} docs "
+          f"(versions {vs})")
+
+    # ---- 2. restart from the SAME checkpoint: nothing re-lands
+    stream2 = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    snapshot_sink(
+        stream2, table, ckpt, producer_id="docs",
+        stats_cols=["doc_id"], cluster_by=["doc_id"],
+    ).awaitTermination(300)
+    assert committed_versions(spark, table) == vs
+    print("[land] restart from checkpoint: 0 new commits (exactly-once)")
+
+    # ---- 3. compact: absorb the chain, inherit stats, keyed read prunes
+    v_compact = compact_snapshot(spark, table, target_file_bytes=1,
+                                 min_files=6)
+    lo, hi = n_docs // 3, n_docs // 3 + max(n_docs // 10, 1)
+    pruned = read_snapshot(spark, table, key_between=("doc_id", lo, hi))
+    full = read_snapshot(spark, table)
+    n_p, n_f = len(pruned.inputFiles()), len(full.inputFiles())
+    want = full.filter(F.col("doc_id").between(lo, hi)).count()
+    assert pruned.count() == want
+    assert n_p < n_f, (n_p, n_f)
+    print(f"[compact] v{v_compact}: keyed read doc_id∈[{lo},{hi}] touched "
+          f"{n_p}/{n_f} files, {want} rows exact")
+
+    # ---- 4. CDC -> Bloom maintenance (filter over doc_id keys)
+    v0 = vs[0]
+    base_filter = bloom_build(
+        read_snapshot(spark, table, version=v0).select("doc_id"),
+        "doc_id", num_bits=1 << 16, k=5,
+    )
+    maintained = bloom_update_from_changes(
+        spark, table, "doc_id", base_filter, from_version=v0,
+        num_bits=1 << 16, k=5,
+    )
+    rebuilt = bloom_build(
+        read_snapshot(spark, table).select("doc_id"),
+        "doc_id", num_bits=1 << 16, k=5,
+    )
+    rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert rows(maintained) == rows(rebuilt)
+    print("[cdc] bloom maintained from per-version `added` feed == "
+          "from-scratch rebuild (bit-for-bit)")
+
+    # ---- 5. incremental IVF: append with head centroids, drift metric
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    idx = f"{work}/ivf"
+    v1 = build_ivf_index(emb, idx, k=4, seed=7)
+    q = [0.1] * dim
+    pinned_before = rows(
+        search_ivf_index(spark, idx, q, topk=5, nprobe=4, version=v1)
+    )
+    rng = np.random.default_rng(3)
+    batch = spark.createDataFrame(
+        [(int(10_000 + i), rng.standard_normal(dim).tolist())
+         for i in range(50)],
+        "vec_id long, embedding array<double>",
+    ).select("vec_id", F.col("embedding"), *[
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in emb.schema.fields
+        if f.name not in ("vec_id", "embedding")
+    ])
+    v2 = append_to_ivf_index(batch, idx)
+    meta = snapshot_info(spark, idx, v2)["meta"]
+    assert rows(
+        search_ivf_index(spark, idx, q, topk=5, nprobe=4, version=v1)
+    ) == pinned_before
+    v3 = compact_ivf_index(spark, idx)
+    assert current_version(spark, idx) == v3
+    print(f"[ivf] append v{v2}: +50 vectors with v1 centroids, "
+          f"drift_ratio={meta['drift_ratio']:.2f} "
+          f"rebuild_recommended={meta['rebuild_recommended']}; pinned v1 "
+          f"search unchanged; compacted to v{v3}")
+
+    # ---- 6. retention
+    removed = gc_snapshots(spark, table, keep=2, orphan_min_age_s=0)
+    assert read_snapshot(spark, table).count() == n_docs
+    print(f"[gc] reclaimed versions {removed}; head intact")
+
+    shutil.rmtree(work, ignore_errors=True)
+    print("OK — lakehouse loop (land/replay/compact/cdc/ivf/gc)")
+
+
+if __name__ == "__main__":
+    main()
