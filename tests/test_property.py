@@ -365,6 +365,7 @@ def test_parse_event_value_total_function(spark, payloads):
         st.one_of(
             st.tuples(st.just("write"), st.integers(1, 30)),
             st.tuples(st.just("append"), st.integers(1, 10)),
+            st.tuples(st.just("delete"), st.integers(0, 9)),
             st.tuples(st.just("upsert"), st.integers(0, 9)),
             st.tuples(st.just("compact"), st.just(0)),
             st.tuples(st.just("rollback"), st.just(0)),
@@ -389,6 +390,7 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
         append_snapshot,
         committed_versions,
         compact_snapshot,
+        delete_from_snapshot,
         gc_snapshots,
         read_snapshot,
         rollback_snapshot,
@@ -423,6 +425,17 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
             next_key += arg
             head = {**head, **batch}
             v = append_snapshot(_df(batch), base)
+            versions[v] = len(head)
+            contents[v] = dict(head)
+        elif op == "delete":
+            if not versions:
+                continue
+            # merge-on-read tombstone; deleting an absent key is a
+            # legal zero-row delete commit
+            head = {k: v for k, v in head.items() if k != arg}
+            v = delete_from_snapshot(
+                spark.createDataFrame([(arg,)], "id long"), base, "id"
+            )
             versions[v] = len(head)
             contents[v] = dict(head)
         elif op == "upsert":

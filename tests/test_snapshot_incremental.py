@@ -792,3 +792,169 @@ def test_compaction_inherits_stats_and_retightens(spark, tmp_path):
     full = read_snapshot(spark, base)
     assert len(pruned.inputFiles()) < len(full.inputFiles())
     assert _rows(pruned) == [(i,) for i in range(100, 200)]
+
+
+# ------------------------------------------------- merge-on-read deletes
+
+
+def test_delete_from_snapshot_merge_on_read(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import (
+        delete_from_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 100), base)
+    dirs_before = sorted(
+        d for d in os.listdir(base) if d.startswith(DATA_PREFIX)
+    )
+    keys = spark.createDataFrame([(i,) for i in range(10, 20)], "id long")
+    v2 = delete_from_snapshot(keys, base, "id")
+    assert v2 == 2
+    head = read_snapshot(spark, base)
+    assert head.count() == 90
+    assert not {r["id"] for r in head.collect()} & set(range(10, 20))
+    # pinned v1 untouched; marker rows is the VISIBLE count
+    assert read_snapshot(spark, base, version=1).count() == 100
+    assert snapshot_info(spark, base, 2)["rows"] == 90
+    # data dirs unchanged — only one tiny tombstone dir was added
+    dirs_after = sorted(
+        d for d in os.listdir(base) if d.startswith(DATA_PREFIX)
+    )
+    assert len(dirs_after) == len(dirs_before) + 1
+    assert snapshot_info(spark, base, 2)["data"] == \
+        snapshot_info(spark, base, 1)["data"]
+
+
+def test_delete_stacks_and_compaction_materializes(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import (
+        _delete_entries,
+        delete_from_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 50), base)
+    delete_from_snapshot(
+        spark.createDataFrame([(1,), (2,)], "id long"), base, "id"
+    )
+    delete_from_snapshot(
+        spark.createDataFrame([(3,), (999,)], "id long"), base, "id"
+    )  # 999 absent: deletes zero rows, still commits
+    info = snapshot_info(spark, base, 3)
+    assert len(_delete_entries(info)) == 2
+    assert info["rows"] == 47
+    assert read_snapshot(spark, base).count() == 47
+    v4 = compact_snapshot(spark, base, target_file_bytes=10**9)
+    info4 = snapshot_info(spark, base, v4)
+    assert _delete_entries(info4) == []  # stack cleared
+    assert read_snapshot(spark, base).count() == 47
+    got = {r["id"] for r in read_snapshot(spark, base).select("id").collect()}
+    assert got == set(range(50)) - {1, 2, 3}
+
+
+def test_delete_then_append_guard_and_upsert_reinsert(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import (
+        delete_from_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 30), base)
+    delete_from_snapshot(
+        spark.createDataFrame([(5,)], "id long"), base, "id"
+    )
+    # appending fresh keys is fine, and the tombstone keeps applying
+    append_snapshot(_df(spark, 30, 40), base)
+    head = read_snapshot(spark, base)
+    assert head.count() == 39 and 5 not in {
+        r["id"] for r in head.select("id").collect()
+    }
+    # appending the deleted key is REFUSED loudly (not silently hidden)
+    with pytest.raises(ValueError, match="tombstoned"):
+        append_snapshot(_df(spark, 5, 6), base)
+    # upsert re-inserts it (rewrite clears the stack for its version)
+    upsert_snapshot(
+        spark.createDataFrame(
+            [(5, "back")], "id long, payload string"
+        ),
+        base,
+        key_col="id",
+    )
+    head2 = read_snapshot(spark, base)
+    assert head2.count() == 40
+    assert head2.filter("id = 5").first()["payload"] == "back"
+
+
+def test_delete_composes_with_key_between_and_stats(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import (
+        delete_from_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    write_snapshot(
+        spark.range(400),
+        base,
+        stats_cols=["id"],
+        cluster_by=["id"],
+        cluster_files=8,
+    )
+    delete_from_snapshot(
+        spark.createDataFrame([(110,), (120,)], "id long"), base, "id"
+    )
+    pruned = read_snapshot(spark, base, key_between=("id", 100, 149))
+    assert len(pruned.inputFiles()) < 8  # stats pruning still applies
+    got = sorted(r["id"] for r in pruned.collect())
+    assert got == [i for i in range(100, 150) if i not in (110, 120)]
+
+
+def test_delete_gc_protects_shared_tombstones(spark, tmp_path):
+    """A tombstone dir referenced by surviving markers must outlive the
+    GC of the version that introduced it."""
+    from vector_db_setup_spark.sources.snapshot_table import (
+        delete_from_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 30), base)                       # v1
+    delete_from_snapshot(
+        spark.createDataFrame([(7,)], "id long"), base, "id"
+    )                                                             # v2
+    append_snapshot(_df(spark, 30, 35), base)                     # v3
+    removed = gc_snapshots(spark, base, keep=1, orphan_min_age_s=10**9)
+    assert removed == [1, 2]
+    head = read_snapshot(spark, base)  # v3 still reads its tombstone
+    assert head.count() == 34
+    assert 7 not in {r["id"] for r in head.select("id").collect()}
+
+
+def test_delete_idempotency_and_expected_head(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import (
+        delete_from_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 20), base)
+    k = spark.createDataFrame([(3,)], "id long")
+    v2 = delete_from_snapshot(k, base, "id", idempotency_key="del-1")
+    assert delete_from_snapshot(
+        k, base, "id", idempotency_key="del-1"
+    ) == v2  # replay short-circuits
+    assert committed_versions(spark, base) == [1, 2]
+    with pytest.raises(SnapshotConflictError):
+        delete_from_snapshot(k, base, "id", expected_head=1)
+    with pytest.raises(FileNotFoundError):
+        delete_from_snapshot(k, str(tmp_path / "empty"), "id")
+
+
+def test_delete_survives_rollback(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import (
+        delete_from_snapshot,
+        rollback_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 20), base)                       # v1
+    delete_from_snapshot(
+        spark.createDataFrame([(1,)], "id long"), base, "id"
+    )                                                             # v2
+    write_snapshot(_df(spark, 0, 5), base)                        # v3
+    v4 = rollback_snapshot(spark, base, 2)  # restore the deleted view
+    assert read_snapshot(spark, base, version=v4).count() == 19

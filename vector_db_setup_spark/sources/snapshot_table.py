@@ -62,12 +62,18 @@ skipping, effective when landed with ``cluster_by`` /
 `write_snapshot_zordered`), and the version chain is consumable as a
 CDC feed (`snapshot_changes`).
 
+r8 additions, wave 2: row-level DELETES as merge-on-read tombstones
+(`delete_from_snapshot` — a delete commit references the head's data
+dirs unchanged plus one tiny key dir; reads anti-join the stack;
+compaction materializes and clears it).
+
 What this deliberately does NOT have (and where real table formats
 earn their complexity): stats sharded into manifest FILES (ours live
 in the marker — fine while file counts keep markers small), partition
-evolution, row-level deletes, and multi-table transactions. For the
-engine's maintenance story — land, append, compact, audit, GC under
-live readers — the pointer protocol is sufficient and fully testable.
+evolution, position-based deletes (ours are key-equality), and
+multi-table transactions. For the engine's maintenance story — land,
+append, delete, compact, audit, GC under live readers — the pointer
+protocol is sufficient and fully testable.
 
 Reference scope: the reference delegates storage transactionality to
 Postgres (setup.sh); this module is the 100 TB landing story's answer
@@ -139,6 +145,19 @@ def _data_names(info: dict) -> list[str]:
     if d is None:
         return []
     return list(d) if isinstance(d, list) else [d]
+
+
+def _delete_entries(info: dict) -> list[dict]:
+    """Marker "deletes": stacked tombstone entries [{"dir", "key_col"}]
+    — merge-on-read row-level deletes (delete_from_snapshot)."""
+    return list(info.get("deletes") or [])
+
+
+def _all_dir_names(info: dict) -> list[str]:
+    """Every dir a marker references — data dirs AND tombstone dirs.
+    GC liveness must count both: reclaiming a tombstone dir while any
+    surviving marker lists it would silently RESURRECT deleted rows."""
+    return _data_names(info) + [e["dir"] for e in _delete_entries(info)]
 
 
 def _stat_jsonable(v):
@@ -489,6 +508,32 @@ def append_snapshot(
                 )
             names = _data_names(head_info) + [data_name]
             total_rows = int(head_info.get("rows") or 0) + n_rows
+            head_deletes = _delete_entries(head_info)
+            # tombstones are NOT sequence-scoped (no per-dir ordering in
+            # this format — the simplification vs Delta DVs), so a batch
+            # re-using a deleted key would be silently anti-joined away
+            # on read. Refuse loudly instead: re-inserting a deleted key
+            # is upsert_snapshot's job (its rewrite clears the stack),
+            # or compact first.
+            for e in head_deletes:
+                if e["key_col"] not in df.columns:
+                    continue
+                tomb = spark.read.parquet(f"{base}/{e['dir']}")
+                n_hit = (
+                    spark.read.parquet(data_dir)
+                    .join(tomb, e["key_col"], "left_semi")
+                    .count()
+                )
+                if n_hit:
+                    fs.delete(data_dir, ignore_errors=True)
+                    raise ValueError(
+                        f"append batch contains {n_hit} row(s) whose "
+                        f"{e['key_col']} is tombstoned at {base} — the "
+                        "carried delete would hide them on read; "
+                        "re-insert deleted keys with upsert_snapshot, "
+                        "or compact_snapshot to materialize deletes "
+                        "first"
+                    )
             head_stats = head_info.get("stats")
             if (
                 stats is not None
@@ -505,6 +550,7 @@ def append_snapshot(
         else:
             names = [data_name]
             total_rows = n_rows
+            head_deletes = []
             merged_stats = stats
         n = head + 1
         marker = json.dumps(
@@ -513,6 +559,9 @@ def append_snapshot(
                 "data": names,
                 "rows": total_rows,
                 "note": note,
+                # the head's tombstones keep applying: appending new
+                # rows must not resurrect previously deleted ones
+                **({"deletes": head_deletes} if head_deletes else {}),
                 **({"meta": meta} if meta is not None else {}),
                 **(
                     {"partition_by": list(partition_by)}
@@ -575,7 +624,13 @@ def read_snapshot(
     pruning). All-null files prune too (BETWEEN never matches null).
     Without stats the predicate still applies (row-group pushdown via
     the parquet reader) — absent stats degrade to a full scan, never
-    to wrong results."""
+    to wrong results.
+
+    Versions carrying tombstones (``delete_from_snapshot``) read
+    MERGE-ON-READ: one left_anti join per stacked delete commit,
+    applied after any pruning (deletes only ever remove rows, so stats
+    pruning stays a correct over-approximation). Compaction
+    materializes the deletes and clears the stack."""
     fs = _resolve_fs(spark, base, fs)
     v = version if version is not None else current_version(spark, base, fs)
     marker_path = f"{base}/{COMMITS_DIR}/{_vname(v)}"
@@ -587,6 +642,18 @@ def read_snapshot(
     info = snapshot_info(spark, base, v, fs)
     names = _data_names(info)
     paths = [f"{base}/{n}" for n in names]
+
+    def _apply_deletes(df):
+        # merge-on-read: one anti-join per stacked tombstone entry —
+        # the read-time price of O(batch) deletes; compact_snapshot
+        # materializes and clears the stack (the copy-on-write half of
+        # the same trade Delta DVs / Iceberg delete files make)
+        for e in _delete_entries(info):
+            tomb = spark.read.parquet(f"{base}/{e['dir']}")
+            df = df.join(
+                tomb.select(F.col(e["key_col"])), e["key_col"], "left_anti"
+            )
+        return df
 
     def _read_all():
         # Spark refuses several hive-partitioned ROOTS in one read
@@ -602,12 +669,12 @@ def read_snapshot(
         return spark.read.parquet(*paths)
 
     if key_between is None:
-        return _read_all()
+        return _apply_deletes(_read_all())
     col, lo, hi = key_between
     pred = F.col(col).between(F.lit(lo), F.lit(hi))
     stats = info.get("stats")
     if not stats or col not in (stats.get("cols") or []):
-        return _read_all().filter(pred)
+        return _apply_deletes(_read_all().filter(pred))
     lo_j, hi_j = _stat_jsonable(lo), _stat_jsonable(hi)
     keep = []
     for rel, st in stats["files"].items():
@@ -620,7 +687,7 @@ def read_snapshot(
     if not keep:
         # empty result with the version's exact schema (filter keeps
         # analysis consistent with the unpruned form)
-        return _read_all().filter(pred).filter(F.lit(False))
+        return _apply_deletes(_read_all().filter(pred).filter(F.lit(False)))
     pb = info.get("partition_by")
     if pb:
         # reading individual FILES under hive dirs loses the partition
@@ -640,7 +707,7 @@ def read_snapshot(
             out = out.unionByName(p)
     else:
         out = spark.read.parquet(*[f"{base}/{rel}" for rel in keep])
-    return out.filter(pred)
+    return _apply_deletes(out.filter(pred))
 
 
 def compact_snapshot(
@@ -755,7 +822,9 @@ def gc_snapshots(
     kept_refs = set()
     for v in keep_set:
         try:
-            kept_refs.update(_data_names(snapshot_info(spark, base, v, fs)))
+            kept_refs.update(
+                _all_dir_names(snapshot_info(spark, base, v, fs))
+            )
         except FileNotFoundError:
             continue  # raced a concurrent GC; nothing left to protect
     # two passes: delete ALL droppable markers first, then delete a
@@ -773,7 +842,7 @@ def gc_snapshots(
         except FileNotFoundError:
             continue  # a concurrent GC already reclaimed this version;
             # aborting here would strand the REST of the run's work
-        names = _data_names(info)
+        names = _all_dir_names(info)
         try:
             fs.delete(f"{base}/{COMMITS_DIR}/{_vname(v)}")
         except Exception:
@@ -790,7 +859,9 @@ def gc_snapshots(
     referenced = set()
     for v in committed_versions(spark, base, fs):
         try:
-            referenced.update(_data_names(snapshot_info(spark, base, v, fs)))
+            referenced.update(
+                _all_dir_names(snapshot_info(spark, base, v, fs))
+            )
         except FileNotFoundError:
             continue  # raced a concurrent GC; next GC gets its orphans
     now = _time.time()
@@ -1043,6 +1114,11 @@ def rollback_snapshot(spark, base: str, to_version: int, fs=None) -> int:
                 **(
                     {"stats": info["stats"]} if info.get("stats") else {}
                 ),
+                **(
+                    {"deletes": info["deletes"]}
+                    if info.get("deletes")
+                    else {}
+                ),
             }
         )
         try:
@@ -1051,7 +1127,7 @@ def rollback_snapshot(spark, base: str, to_version: int, fs=None) -> int:
             last_err = e
             continue
         if not all(
-            fs.exists(f"{base}/{d}") for d in _data_names(info)
+            fs.exists(f"{base}/{d}") for d in _all_dir_names(info)
         ):
             # a concurrent GC reclaimed the target's dir in the window
             # between our marker read and this commit — undo the
@@ -1197,3 +1273,127 @@ def write_snapshot_zordered(
         stats_cols=[col_a, col_b],
         **kwargs,
     )
+
+
+def delete_from_snapshot(
+    keys: DataFrame,
+    base: str,
+    key_col: str,
+    fs=None,
+    retries: int = 3,
+    idempotency_key: str | None = None,
+    expected_head: int | None = None,
+) -> int:
+    """Row-level DELETE as a merge-on-read commit: the new version
+    references the head's data dirs UNCHANGED plus one tiny tombstone
+    dir holding the distinct keys — cost proportional to the DELETE
+    SET, not the table (`upsert_snapshot` with a tombstone column is
+    the copy-on-write alternative; at 100 TB a GDPR-style deletion of
+    a few thousand keys must not rewrite the corpus). Readers
+    anti-join the stacked tombstones (one join per delete commit);
+    `compact_snapshot` materializes the deletes and clears the stack —
+    run it when the stack's read-time cost outgrows one rewrite,
+    exactly the Delta deletion-vector / Iceberg delete-file trade,
+    simplified to key-equality deletes.
+
+    Semantics: keys absent from the table delete zero rows (commit
+    still lands — the audit trail records the intent); the marker's
+    ``rows`` is the post-delete VISIBLE count (one anti-count job
+    against the current head). Pinned older versions are untouched.
+    Deletes are not sequence-scoped, so `append_snapshot` REFUSES a
+    batch re-using a tombstoned key (loud, documented there);
+    re-insertion goes through upsert_snapshot, whose rewrite clears
+    the stack for its new version.
+
+    CONCURRENCY: same loop as append — per-attempt idempotency
+    recheck, optional ``expected_head`` pin, head re-read on a lost
+    marker race. GC counts tombstone dirs as references (reclaiming
+    one under a surviving marker would resurrect rows)."""
+    spark = keys.sparkSession
+    fs = _resolve_fs(spark, base, fs)
+    if idempotency_key is not None:
+        v = _find_idempotent(spark, base, fs, idempotency_key)
+        if v is not None:
+            return v
+    tomb_name = DATA_PREFIX + uuid.uuid4().hex
+    tomb_dir = f"{base}/{tomb_name}"
+    keys.select(F.col(key_col)).distinct().write.mode("error").parquet(
+        tomb_dir
+    )
+    tomb = spark.read.parquet(tomb_dir)
+    tomb.count()  # verify readable before any marker references it
+    last_err: Exception | None = None
+    for _ in range(retries + 1):
+        vs = committed_versions(spark, base, fs)
+        if idempotency_key is not None:
+            v = _find_idempotent(spark, base, fs, idempotency_key, vs)
+            if v is not None:
+                fs.delete(tomb_dir, ignore_errors=True)
+                return v
+        head = max(vs, default=0)
+        if expected_head is not None and head != expected_head:
+            fs.delete(tomb_dir, ignore_errors=True)
+            raise SnapshotConflictError(
+                f"head at {base} is v{head}, expected v{expected_head} — "
+                "a concurrent writer committed; recompute and retry"
+            )
+        if not head:
+            fs.delete(tomb_dir, ignore_errors=True)
+            raise FileNotFoundError(
+                f"no committed snapshot at {base} to delete from"
+            )
+        head_info = snapshot_info(spark, base, head, fs)
+        # post-delete visible rows: current visibility minus new hits
+        n_rows = (
+            read_snapshot(spark, base, version=head, fs=fs)
+            .join(tomb, key_col, "left_anti")
+            .count()
+        )
+        entries = _delete_entries(head_info) + [
+            {"dir": tomb_name, "key_col": key_col}
+        ]
+        n = head + 1
+        marker = json.dumps(
+            {
+                "version": n,
+                "data": head_info.get("data"),
+                "rows": n_rows,
+                "note": f"delete on {key_col}",
+                "deletes": entries,
+                **(
+                    {"meta": head_info["meta"]}
+                    if head_info.get("meta") is not None
+                    else {}
+                ),
+                **(
+                    {"partition_by": head_info["partition_by"]}
+                    if head_info.get("partition_by")
+                    else {}
+                ),
+                **(
+                    {"stats": head_info["stats"]}
+                    if head_info.get("stats")
+                    else {}
+                ),
+                **(
+                    {"idempotency_key": idempotency_key}
+                    if idempotency_key is not None
+                    else {}
+                ),
+            }
+        )
+        try:
+            fs.create_new(f"{base}/{COMMITS_DIR}/{_vname(n)}", marker.encode())
+            return n
+        except FileExistsError as e:
+            last_err = e
+            if idempotency_key is not None:
+                v = _find_idempotent(spark, base, fs, idempotency_key)
+                if v is not None:
+                    fs.delete(tomb_dir, ignore_errors=True)
+                    return v
+    fs.delete(tomb_dir, ignore_errors=True)
+    raise RuntimeError(
+        f"delete_from_snapshot lost the commit race {retries + 1} times "
+        f"at {base}"
+    ) from last_err
