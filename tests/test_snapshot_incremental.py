@@ -958,3 +958,28 @@ def test_delete_survives_rollback(spark, tmp_path):
     write_snapshot(_df(spark, 0, 5), base)                        # v3
     v4 = rollback_snapshot(spark, base, 2)  # restore the deleted view
     assert read_snapshot(spark, base, version=v4).count() == 19
+
+
+def test_cdc_feed_sees_tombstone_deletes(spark, tmp_path):
+    """snapshot_changes attributes merge-on-read deletes as `removed`
+    at the delete commit's version (diff reads through the tombstone
+    stack, no special-casing)."""
+    from vector_db_setup_spark.sources.snapshot_table import (
+        delete_from_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, s string"
+        ),
+        base,
+    )
+    delete_from_snapshot(
+        spark.createDataFrame([(2,), (7,)], "id long"), base, "id"
+    )
+    got = {
+        (r["id"], r["version"]): r["status"]
+        for r in snapshot_changes(spark, base, "id", 1).collect()
+    }
+    assert got == {(2, 2): "removed", (7, 2): "removed"}
