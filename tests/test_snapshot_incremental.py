@@ -983,3 +983,75 @@ def test_cdc_feed_sees_tombstone_deletes(spark, tmp_path):
         for r in snapshot_changes(spark, base, "id", 1).collect()
     }
     assert got == {(2, 2): "removed", (7, 2): "removed"}
+
+
+def test_versioned_search_metric_routing(spark, tmp_path):
+    """Full-probe cosine/dot searches over the versioned index equal
+    exact knn_topk at the same metric (the L2-only routing gap closed:
+    probes AND final ranking follow the metric)."""
+    from vector_db_setup_spark.operators.ann_index import (
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from vector_db_setup_spark.operators.knn import knn_topk
+
+    base = str(tmp_path / "ivf")
+    emb = _emb_df(spark, 0, 150)
+    build_ivf_index(emb, base, k=4)
+    q = [0.3] * 8
+    for metric in ("l2", "cosine", "dot"):
+        got = _rows(
+            search_ivf_index(
+                spark, base, q, topk=5, nprobe=4, metric=metric
+            ).select("vec_id", "distance")
+        )
+        want = _rows(
+            knn_topk(emb, "embedding", q, k=5, metric=metric).select(
+                "vec_id", "distance"
+            )
+        )
+        assert got == want, metric
+    with pytest.raises(ValueError, match="unknown metric"):
+        search_ivf_index(spark, base, q, metric="hamming")
+
+
+def test_versioned_batch_search_pinned(spark, tmp_path):
+    """Batch search over a pinned version: full-probe equals per-query
+    exact KNN, and a rebuild mid-flight is invisible to the pinned
+    scan."""
+    from vector_db_setup_spark.operators.ann_index import (
+        build_ivf_index,
+        search_ivf_index_batch,
+    )
+    from vector_db_setup_spark.operators.knn import knn_topk
+
+    base = str(tmp_path / "ivf")
+    emb = _emb_df(spark, 0, 120)
+    v1 = build_ivf_index(emb, base, k=4)
+    queries = spark.createDataFrame(
+        [(i, [0.1 * i] * 8) for i in range(5)],
+        "query_id long, embedding array<double>",
+    )
+    batch = search_ivf_index_batch(
+        spark, base, queries, topk=3, nprobe=4, version=v1
+    )
+    got = {
+        (r["query_id"], r["vec_id"]): round(r["distance"], 6)
+        for r in batch.collect()
+    }
+    want = {}
+    for qrow in queries.collect():
+        for r in knn_topk(
+            emb, "embedding", qrow["embedding"], k=3
+        ).collect():
+            want[(qrow["query_id"], r["vec_id"])] = round(r["distance"], 6)
+    assert got == want
+    # rebuild lands v2; the SAME pinned call still answers from v1
+    build_ivf_index(_emb_df(spark, 0, 200, shift=5.0), base, k=4, seed=9)
+    again = {
+        (r["query_id"], r["vec_id"]): round(r["distance"], 6)
+        for r in search_ivf_index_batch(
+            spark, base, queries, topk=3, nprobe=4, version=v1
+        ).collect()
+    }
+    assert again == got

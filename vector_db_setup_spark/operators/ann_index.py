@@ -85,24 +85,9 @@ def build_ivf_index(
     )
 
 
-def search_ivf_index(
-    spark: SparkSession,
-    base: str,
-    query_vec,
-    topk: int = 10,
-    nprobe: int = 2,
-    id_col: str = "vec_id",
-    version: int | None = None,
-    fs=None,
-) -> DataFrame:
-    """Exact KNN over the nprobe nearest clusters of a PINNED index
-    version. Reads: one marker file (driver), then only the probed
-    `cluster_id=` partitions of that version's dir (partition pruning
-    — plan-asserted in tests). nprobe == k degenerates to exact
-    search over the full version, which is the value-check the tests
-    pin against `knn_topk`."""
-    from vector_db_setup_spark.operators.knn import knn_topk
-
+def _resolve_ivf(spark, base: str, version, fs):
+    """Shared marker resolution: pinned version + validated IVF meta +
+    centroids array. One driver-side small-file read."""
     from vector_db_setup_spark.sources.snapshot_table import current_version
 
     v = version if version is not None else current_version(spark, base, fs)
@@ -120,14 +105,95 @@ def search_ivf_index(
             f"(marker meta: {sorted(meta) or 'none'}); index tables are "
             "refreshed with build_ivf_index, not generic snapshot ops"
         )
-    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    return v, meta, np.asarray(meta["centroids"], dtype=np.float64)
+
+
+def search_ivf_index(
+    spark: SparkSession,
+    base: str,
+    query_vec,
+    topk: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    version: int | None = None,
+    fs=None,
+    metric: str = "l2",
+) -> DataFrame:
+    """Exact KNN over the nprobe nearest clusters of a PINNED index
+    version. Reads: one marker file (driver), then only the probed
+    `cluster_id=` partitions of that version's dir (partition pruning
+    — plan-asserted in tests). nprobe == k degenerates to exact
+    search over the full version, which is the value-check the tests
+    pin against `knn_topk`.
+
+    ``metric`` routes probes AND final ranking: l2 by squared
+    distance, cosine by centroid cosine, dot by centroid inner
+    product (the same cluster-MIPS heuristic as ann.ivf_search, whose
+    r-review fix established that routing by L2 regardless of metric
+    silently searches the wrong clusters; dot recall is softer —
+    centroids average away member norms — raise nprobe accordingly).
+    The index layout is metric-agnostic (KMeans L2 clustering serves
+    all three — the standard IVF arrangement)."""
+    from vector_db_setup_spark.operators.knn import knn_topk
+
+    v, meta, cents = _resolve_ivf(spark, base, version, fs)
     q = np.asarray(query_vec, dtype=np.float64)
-    probe = [int(i) for i in np.argsort(((cents - q) ** 2).sum(axis=1))[:nprobe]]
+    if metric == "l2":
+        score = -(((cents - q) ** 2).sum(axis=1))  # higher = better
+    elif metric == "cosine":
+        cn = np.linalg.norm(cents, axis=1)
+        cn[cn == 0.0] = 1.0
+        qn = np.linalg.norm(q) or 1.0
+        score = (cents @ q) / (cn * qn)
+    elif metric == "dot":
+        score = cents @ q
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+    probe = [int(i) for i in np.argsort(-score)[:nprobe]]
     scan = read_snapshot(spark, base, version=v, fs=fs).filter(
         F.col("cluster_id").isin(probe)
     )
     return knn_topk(
-        scan, meta["vec_col"], query_vec, k=topk, id_col=id_col
+        scan, meta["vec_col"], query_vec, k=topk, id_col=id_col,
+        metric=metric,
+    )
+
+
+def search_ivf_index_batch(
+    spark: SparkSession,
+    base: str,
+    queries: DataFrame,
+    topk: int = 10,
+    nprobe: int = 2,
+    qvec_col: str = "embedding",
+    qid_col: str = "query_id",
+    id_col: str = "vec_id",
+    version: int | None = None,
+    fs=None,
+) -> DataFrame:
+    """Batch ANN search against a PINNED index version: the versioned
+    twin of ann.ivf_search_batch — every query explodes to its nprobe
+    nearest clusters via a codegen argsort over the marker's literal
+    centroid array (no driver round-trip per query), equi-joins the
+    pinned partitioned layout on cluster_id, exact per-pair L2, one
+    window top-k per query. A concurrent rebuild landing a new
+    version is invisible to an in-flight batch (the scan is pinned),
+    which is what makes nightly eval sweeps safe to run during index
+    refresh."""
+    from vector_db_setup_spark.operators.ann import ivf_search_batch
+
+    v, meta, cents = _resolve_ivf(spark, base, version, fs)
+    assigned = read_snapshot(spark, base, version=v, fs=fs)
+    return ivf_search_batch(
+        queries,
+        assigned,
+        cents,
+        k=topk,
+        nprobe=nprobe,
+        vec_col=meta["vec_col"],
+        qvec_col=qvec_col,
+        qid_col=qid_col,
+        id_col=id_col,
     )
 
 
