@@ -1055,3 +1055,35 @@ def test_versioned_batch_search_pinned(spark, tmp_path):
         ).collect()
     }
     assert again == got
+
+
+def test_history_and_timestamp_travel(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import (
+        delete_from_snapshot,
+        snapshot_history,
+        version_as_of,
+    )
+
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 20), base, note="initial")
+    t1 = snapshot_info(spark, base, 1)["created_utc"]
+    append_snapshot(_df(spark, 20, 30), base, note="batch")
+    delete_from_snapshot(
+        spark.createDataFrame([(0,)], "id long"), base, "id"
+    )
+    h = {r["version"]: r for r in snapshot_history(spark, base).collect()}
+    assert set(h) == {1, 2, 3}
+    assert h[1]["note"] == "initial" and h[1]["n_data_dirs"] == 1
+    assert h[2]["n_data_dirs"] == 2 and h[2]["rows"] == 30
+    assert h[3]["n_delete_entries"] == 1 and h[3]["rows"] == 29
+    assert all(
+        h[v]["created_utc"] <= h[v + 1]["created_utc"] for v in (1, 2)
+    )
+    # timestamp travel: as-of v1's commit instant resolves v1
+    assert version_as_of(spark, base, t1) == 1
+    assert version_as_of(spark, base, t1 + 10**6) == 3
+    with pytest.raises(FileNotFoundError):
+        version_as_of(spark, base, t1 - 10**6)
+    assert read_snapshot(
+        spark, base, version=version_as_of(spark, base, t1)
+    ).count() == 20

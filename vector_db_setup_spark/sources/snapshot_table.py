@@ -108,6 +108,17 @@ def _parse_v(name: str) -> int | None:
     return None
 
 
+def _now() -> float:
+    """Commit wall-clock for the marker's created_utc field (audit
+    trail + timestamp time-travel). Clock skew across writers makes
+    created_utc MONOTONIC-ISH, not strictly ordered — version numbers
+    are the ordering truth; as-of resolution treats the timestamp as
+    a label (same caveat Delta documents for timestamp travel)."""
+    import time
+
+    return time.time()
+
+
 def _resolve_fs(spark, base: str, fs):
     if fs is not None:
         return fs
@@ -363,6 +374,7 @@ def write_snapshot(
         marker = json.dumps(
             {
                 "version": n,
+                "created_utc": _now(),
                 "data": data_name,
                 "rows": n_rows,
                 "note": note,
@@ -556,6 +568,7 @@ def append_snapshot(
         marker = json.dumps(
             {
                 "version": n,
+                "created_utc": _now(),
                 "data": names,
                 "rows": total_rows,
                 "note": note,
@@ -1096,6 +1109,7 @@ def rollback_snapshot(spark, base: str, to_version: int, fs=None) -> int:
         marker = json.dumps(
             {
                 "version": n,
+                "created_utc": _now(),
                 "data": info["data"],
                 "rows": info.get("rows"),
                 "note": f"rollback to v{to_version}",
@@ -1356,6 +1370,7 @@ def delete_from_snapshot(
         marker = json.dumps(
             {
                 "version": n,
+                "created_utc": _now(),
                 "data": head_info.get("data"),
                 "rows": n_rows,
                 "note": f"delete on {key_col}",
@@ -1397,3 +1412,65 @@ def delete_from_snapshot(
         f"delete_from_snapshot lost the commit race {retries + 1} times "
         f"at {base}"
     ) from last_err
+
+
+def version_as_of(spark, base: str, ts: float, fs=None) -> int:
+    """Newest committed version whose ``created_utc`` <= ``ts`` —
+    timestamp time-travel resolution (`read_snapshot(version=
+    version_as_of(...))`). Markers predating the created_utc field
+    order by version number alone (treated as arbitrarily old).
+    Raises if the table has no version that early. Caveat (same one
+    Delta documents): created_utc is each writer's wall clock; under
+    clock skew the version NUMBERS are the ordering truth and the
+    timestamp is a best-effort label."""
+    fs = _resolve_fs(spark, base, fs)
+    best = None
+    for v in committed_versions(spark, base, fs):
+        try:
+            info = snapshot_info(spark, base, v, fs)
+        except FileNotFoundError:
+            continue  # raced a concurrent GC
+        created = info.get("created_utc")
+        if created is None or created <= ts:
+            best = v
+    if best is None:
+        raise FileNotFoundError(
+            f"no version at {base} committed at or before ts={ts} "
+            "(earliest surviving commit is newer, or the table is empty)"
+        )
+    return best
+
+
+def snapshot_history(spark: SparkSession, base: str, fs=None) -> DataFrame:
+    """The audit trail as a DataFrame (DESCRIBE HISTORY equivalent):
+    one row per surviving version — version, created_utc, note, rows,
+    n_data_dirs, n_delete_entries, idempotency_key, meta_kind. Driver-
+    side marker reads only (no data scan); versions GC'd mid-listing
+    are skipped, same tolerance as every other marker walker."""
+    rows = []
+    fs = _resolve_fs(spark, base, fs)
+    for v in committed_versions(spark, base, fs):
+        try:
+            info = snapshot_info(spark, base, v, fs)
+        except FileNotFoundError:
+            continue
+        rows.append(
+            (
+                v,
+                float(info["created_utc"])
+                if info.get("created_utc") is not None
+                else None,
+                info.get("note") or "",
+                int(info["rows"]) if info.get("rows") is not None else None,
+                len(_data_names(info)),
+                len(_delete_entries(info)),
+                info.get("idempotency_key"),
+                (info.get("meta") or {}).get("kind"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version int, created_utc double, note string, rows bigint, "
+        "n_data_dirs int, n_delete_entries int, idempotency_key string, "
+        "meta_kind string",
+    )
