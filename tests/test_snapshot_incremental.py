@@ -1087,3 +1087,27 @@ def test_history_and_timestamp_travel(spark, tmp_path):
     assert read_snapshot(
         spark, base, version=version_as_of(spark, base, t1)
     ).count() == 20
+
+
+def test_register_snapshot_view_sql_surface(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import (
+        delete_from_snapshot,
+        register_snapshot_view,
+    )
+
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 50), base)
+    v = register_snapshot_view(spark, base, "docs_v")
+    assert v == 1
+    assert spark.sql("SELECT count(*) n FROM docs_v").first()["n"] == 50
+    # the view is PINNED: later commits are invisible until re-register
+    delete_from_snapshot(
+        spark.createDataFrame([(1,)], "id long"), base, "id"
+    )
+    assert spark.sql("SELECT count(*) n FROM docs_v").first()["n"] == 50
+    v2 = register_snapshot_view(spark, base, "docs_v")
+    assert v2 == 2
+    assert spark.sql("SELECT count(*) n FROM docs_v").first()["n"] == 49
+    with pytest.raises(ValueError, match="not both"):
+        register_snapshot_view(spark, base, "x", version=1, as_of=0.0)
+    spark.catalog.dropTempView("docs_v")

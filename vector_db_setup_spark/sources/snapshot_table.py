@@ -1474,3 +1474,33 @@ def snapshot_history(spark: SparkSession, base: str, fs=None) -> DataFrame:
         "n_data_dirs int, n_delete_entries int, idempotency_key string, "
         "meta_kind string",
     )
+
+
+def register_snapshot_view(
+    spark: SparkSession,
+    base: str,
+    name: str,
+    version: int | None = None,
+    as_of: float | None = None,
+    fs=None,
+) -> int:
+    """Expose a committed version to the SQL surface: creates (or
+    replaces) a temp view ``name`` over the PINNED read — the
+    `spark.sql("SELECT … FROM name")` form of read_snapshot, with the
+    same guarantees (later commits/compactions invisible; tombstones
+    applied). Pass ``version`` for explicit time travel or ``as_of``
+    for timestamp travel (mutually exclusive). Returns the resolved
+    version so callers can log what the view is pinned to — the view
+    does NOT follow the head; re-register to advance (deliberate: a
+    silently-moving view mid-ETL is how two reads of "one table"
+    disagree)."""
+    if version is not None and as_of is not None:
+        raise ValueError("pass version= or as_of=, not both")
+    fs = _resolve_fs(spark, base, fs)
+    if as_of is not None:
+        version = version_as_of(spark, base, as_of, fs)
+    v = version if version is not None else current_version(spark, base, fs)
+    read_snapshot(spark, base, version=v, fs=fs).createOrReplaceTempView(
+        name
+    )
+    return v
