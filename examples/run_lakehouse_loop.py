@@ -172,13 +172,30 @@ def main() -> None:
           f"rebuild_recommended={meta['rebuild_recommended']}; pinned v1 "
           f"search unchanged; compacted to v{v3}")
 
-    # ---- 6. retention
+    # ---- 6. row-level delete (merge-on-read) + audit trail
+    from vector_db_setup_spark.sources.snapshot_table import (
+        delete_from_snapshot,
+        snapshot_history,
+    )
+
+    drop_ids = spark.createDataFrame(
+        [(i,) for i in range(3)], "doc_id long"
+    )
+    v_del = delete_from_snapshot(drop_ids, table, "doc_id")
+    assert read_snapshot(spark, table).count() == n_docs - 3
+    hist = snapshot_history(spark, table)
+    last = hist.orderBy(F.col("version").desc()).first()
+    assert last["version"] == v_del and last["n_delete_entries"] == 1
+    print(f"[delete] v{v_del}: 3 docs tombstoned (dirs untouched); "
+          f"history shows {hist.count()} versions")
+
+    # ---- 7. retention
     removed = gc_snapshots(spark, table, keep=2, orphan_min_age_s=0)
-    assert read_snapshot(spark, table).count() == n_docs
+    assert read_snapshot(spark, table).count() == n_docs - 3
     print(f"[gc] reclaimed versions {removed}; head intact")
 
     shutil.rmtree(work, ignore_errors=True)
-    print("OK — lakehouse loop (land/replay/compact/cdc/ivf/gc)")
+    print("OK — lakehouse loop (land/replay/compact/cdc/ivf/delete/gc)")
 
 
 if __name__ == "__main__":

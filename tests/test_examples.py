@@ -16,7 +16,7 @@ _EXAMPLES = [
     ("examples/run_streaming_curation.py", "OK — all five streaming stages"),
     ("examples/run_bus_operations.py", "OK — bus operations loop"),
     ("examples/run_lakehouse_loop.py",
-     "OK — lakehouse loop (land/replay/compact/cdc/ivf/gc)"),
+     "OK — lakehouse loop (land/replay/compact/cdc/ivf/delete/gc)"),
 ]
 
 

@@ -229,7 +229,13 @@ def _find_idempotent(
     ``versions`` to scan an ALREADY-TAKEN marker listing — the
     exactly-once argument in write_snapshot needs the key check and
     the head allocation to see the SAME listing (a twin visible to one
-    but not the other reopens the double-commit race)."""
+    but not the other reopens the double-commit race).
+
+    COST: a miss reads every surviving marker (driver-side small
+    files) — O(keep window) per keyed commit, so a stream committing
+    thousands of batches sizes the GC keep window to its replay
+    horizon, not to "forever" (the same retention knob that already
+    bounds the exactly-once promise)."""
     if versions is None:
         versions = committed_versions(spark, base, fs)
     for v in reversed(versions):
