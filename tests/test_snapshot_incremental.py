@@ -1111,3 +1111,53 @@ def test_register_snapshot_view_sql_surface(spark, tmp_path):
     with pytest.raises(ValueError, match="not both"):
         register_snapshot_view(spark, base, "x", version=1, as_of=0.0)
     spark.catalog.dropTempView("docs_v")
+
+
+def test_r8_features_through_hadoop_fs(spark, tmp_path):
+    """Append, stats/key_between pruning, delete tombstones, CDC and
+    history through the Hadoop FileSystem API on file:// — the code
+    path an HDFS/S3A deployment runs for the round's new features
+    (marker lists, stats maps and tombstone dirs all resolve through
+    fs.read_file/listdir/create_new like the base protocol)."""
+    from vector_db_setup_spark.sources.fs import HadoopFS
+    from vector_db_setup_spark.sources.snapshot_table import (
+        delete_from_snapshot,
+        snapshot_history,
+    )
+
+    base = f"file://{tmp_path}/t"
+    fs = HadoopFS(spark, base)
+    write_snapshot(
+        spark.range(100),
+        base,
+        fs=fs,
+        stats_cols=["id"],
+        cluster_by=["id"],
+        cluster_files=4,
+    )
+    append_snapshot(
+        spark.range(100, 200).repartitionByRange(4, "id"),
+        base,
+        fs=fs,
+        stats_cols=["id"],
+    )
+    assert read_snapshot(spark, base, fs=fs).count() == 200
+    pruned = read_snapshot(
+        spark, base, fs=fs, key_between=("id", 10, 20)
+    )
+    full = read_snapshot(spark, base, fs=fs)
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    assert pruned.count() == 11
+    delete_from_snapshot(
+        spark.createDataFrame([(10,)], "id long"), base, "id", fs=fs
+    )
+    assert read_snapshot(spark, base, fs=fs).count() == 199
+    feed = snapshot_changes(spark, base, "id", 1, fs=fs)
+    got = {
+        (r["id"], r["version"]): r["status"] for r in feed.collect()
+    }
+    assert got[(10, 3)] == "removed" and got[(150, 2)] == "added"
+    hist = snapshot_history(spark, base, fs=fs)
+    assert hist.count() == 3
+    gc_snapshots(spark, base, keep=2, fs=fs, orphan_min_age_s=0)
+    assert read_snapshot(spark, base, fs=fs).count() == 199
