@@ -1238,3 +1238,34 @@ def test_true_thread_contention_on_commits(spark, tmp_path):
         refs.update(d if isinstance(d, list) else [d])
     dirs = {d for d in os.listdir(base) if d.startswith(DATA_PREFIX)}
     assert dirs == refs  # losers' dirs were re-committed, none leaked
+
+
+def test_compaction_preserves_hive_partitioning(spark, tmp_path):
+    """Compacting a hive-partitioned table must keep the layout (the
+    marker records partition_by; silently flattening would break
+    partition pruning for every later reader)."""
+    base = str(tmp_path / "t")
+    df = spark.range(200).select(
+        "id", (F.col("id") % 4).alias("bucket")
+    )
+    write_snapshot(df, base, partition_by=["bucket"])
+    append_snapshot(
+        spark.range(200, 260).select(
+            "id", (F.col("id") % 4).alias("bucket")
+        ),
+        base,
+        partition_by=["bucket"],
+    )
+    v3 = compact_snapshot(spark, base, target_file_bytes=10**9)
+    info = snapshot_info(spark, base, v3)
+    assert info.get("partition_by") == ["bucket"]
+    # the compacted dir is hive-laid-out on disk and the probe filter
+    # reaches the scan as a partition filter
+    sub = sorted(os.listdir(f"{base}/{info['data']}"))
+    assert [d for d in sub if d.startswith("bucket=")] == [
+        f"bucket={i}" for i in range(4)
+    ]
+    got = read_snapshot(spark, base).filter(F.col("bucket") == 1)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
+    assert read_snapshot(spark, base).count() == 260

@@ -773,11 +773,17 @@ def compact_snapshot(
             min_files, (total + target_file_bytes - 1) // target_file_bytes
         )
         inherit = (head_info.get("stats") or {}).get("cols")
+        # hive layout inherits too: markers record partition_by, and a
+        # compaction that silently flattened the layout would break
+        # every reader relying on partition pruning
+        part_by = head_info.get("partition_by") or None
         # a multi-dir (append-built) head compacts back to ONE dir —
         # compaction is how append chains get absorbed (read through
         # read_snapshot so partitioned multi-dir heads union correctly)
         df = read_snapshot(spark, base, version=v, fs=fs)
-        if not inherit:
+        if part_by and not inherit:
+            df = df.repartition(int(n_out), *part_by)
+        elif not inherit:
             df = df.coalesce(int(n_out))
         try:
             return write_snapshot(
@@ -786,6 +792,7 @@ def compact_snapshot(
                 note=f"compacted v{v}",
                 fs=fs,
                 expected_head=v,
+                partition_by=part_by,
                 stats_cols=inherit,
                 cluster_by=inherit,
                 cluster_files=int(n_out) if inherit else None,
