@@ -65,11 +65,11 @@ _DRIVER_PRIORITY = [
     "doc_length_profile", "doc_count", "doc_sample", "majority_vote",
     "substring_accuracy", "dedup_exact_groups", "leakage_safe_split",
     "minhash_lsh_candidates", "retrieval_eval",
-    "ngram_jaccard_topk", "ngram_jaccard_capped",
+    "ngram_jaccard_topk", "asof_purchase_click",
     "benchmark_overlap", "dedup_keepers", "corpus_curation_verdict",
     "semantic_dedup_keepers", "doc_chunking", "context_packing",
     "bm25_scores", "doc_winnow_fingerprints", "doc_pii_scrub",
-    "simhash_hamming_topk", "simhash_banded_pairs",
+    "simhash_hamming_topk", "range_click_counts",
     "embedding_similar_topk", "embedding_bucketed_pairs",
     "data_quality_report", "lang_id_detect",
     "rollup_orders", "purchase_attribution", "hashed_bow",
@@ -152,6 +152,17 @@ _DRIVER_PRIORITY = [
 # family keeps data_quality_report + bm25_scores + doc_chunking +
 # context_packing + doc_pii_scrub driver rows). All three rotated-out
 # queries remain green in the 139-query local gate.
+#
+# r8 second rotation (same contract): IN asof_purchase_click (the
+# AS-OF join — a canonical custom operator that had never had a
+# driver-side CORRECTNESS row; exact LATERAL-style oracle) and
+# range_click_counts (the RANGE join — same gap, same rationale) —
+# OUT ngram_jaccard_capped (the cap mechanism keeps its planted
+# hot-shingle tests and the ngram family keeps ngram_jaccard_topk's
+# driver row) and simhash_banded_pairs (the simhash family keeps
+# simhash_hamming_topk's driver row and both banded forms stay in the
+# bench extended set + local gate). Both rotated-out queries remain
+# green in the local parity gate.
 
 
 def _ordered(d: dict) -> dict:
