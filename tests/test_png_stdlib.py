@@ -183,3 +183,50 @@ def test_png_decode_through_map_in_pandas(spark):
         want_mean = float(arr[ri][:, ci].mean())
         assert out[i]["out_h"] == 4 and out[i]["out_w"] == 4
         assert abs(out[i]["mean_px"] - want_mean) < 1e-9
+
+
+def test_palette_png_auto_falls_back_to_fake():
+    """Auto mode's capability probe sniffs only the 8-byte magic, but
+    the stdlib decoder covers the 8-bit gray/RGB/RGBA subset. An
+    indexed-color (type 3) PNG — the most common pngcrush/web output —
+    must fall back to the deterministic fake in auto mode instead of
+    failing the executor task; explicit real=True still raises."""
+    from vector_db_setup_spark.multimodal.columns import _pil
+
+    if _pil() is not None:
+        pytest.skip("PIL present: palette PNGs decode real")
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)  # color type 3
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", b"\x00" * 9)
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x01\x00\x01\x00"))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="PIL"):
+        decode_image(png, real=True)
+    auto = decode_image(png)  # no raise: capability gap -> fake
+    fake = decode_image(png, real=False)
+    assert auto.dtype == np.uint8 and auto.ndim == 3 and auto.shape[2] == 3
+    assert (auto == fake).all()  # deterministic, same as explicit fake
+
+
+def test_oversize_png_is_a_capability_gap_not_a_stall():
+    """Average/Paeth defiltering is a per-byte Python loop; a
+    multi-megapixel photo would stall the mapInPandas stage for
+    minutes. The stdlib path bounds itself and auto mode falls back to
+    the fake rather than burning executor CPU."""
+    from vector_db_setup_spark.multimodal.columns import _pil
+
+    ihdr = struct.pack(">IIBBBBB", 3000, 3000, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="pixels"):
+        _decode_png_stdlib(png)
+    if _pil() is None:
+        auto = decode_image(png)
+        assert (auto == decode_image(png, real=False)).all()

@@ -1269,3 +1269,104 @@ def test_compaction_preserves_hive_partitioning(spark, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "bucket" in plan
     assert read_snapshot(spark, base).count() == 260
+
+
+# ------------------------------------------------- r8 review hardening
+
+
+def test_stats_keys_survive_uri_encoded_partition_values(spark, tmp_path):
+    """input_file_name() yields percent-ENCODED URIs; the marker must
+    store the on-disk relative path or a keyed read of a partition
+    value containing a space/percent fails with Path-does-not-exist
+    where the unkeyed read succeeds."""
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, "a b" if i % 2 else "c%d") for i in range(40)],
+        "id long, cat string",
+    )
+    write_snapshot(df, base, partition_by=["cat"], stats_cols=["id"])
+    got = read_snapshot(spark, base, key_between=("id", 5, 15))
+    assert _rows(got) == _rows(df.filter(F.col("id").between(5, 15)))
+
+
+def test_stats_pruning_incomparable_bound_keeps_file(spark, tmp_path):
+    """A bound whose jsonable form is a different Python type than the
+    stored stat (Decimal -> str vs int stats) must NOT crash the read:
+    pruning is an optimization, the row-level BETWEEN decides."""
+    from decimal import Decimal
+
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 100), base, stats_cols=["id"])
+    got = read_snapshot(
+        spark, base, key_between=("id", Decimal("10"), Decimal("20"))
+    )
+    assert sorted(r["id"] for r in got.collect()) == list(range(10, 21))
+
+
+def test_snapshot_changes_reversed_range_raises(spark, tmp_path):
+    """to_version < from_version is a corrupted consumer cursor, not an
+    empty feed — silence here makes a CDC consumer skip versions."""
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 10), base)
+    append_snapshot(_df(spark, 10, 20), base)
+    append_snapshot(_df(spark, 20, 30), base)
+    with pytest.raises(ValueError, match="precedes"):
+        snapshot_changes(spark, base, "id", from_version=3, to_version=1)
+
+
+def test_compact_sizes_output_by_live_rows(spark, tmp_path):
+    """Compacting a mostly-deleted table must size output files from
+    the rows that SURVIVE the tombstone stack, not from on-disk bytes
+    — else a 90%-deleted table lands ~10x too many tiny files."""
+    from vector_db_setup_spark.sources.snapshot_table import (
+        delete_from_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 4000, parts=8), base)
+    delete_from_snapshot(
+        spark.range(0, 3600).select("id"), base, "id"
+    )
+    raw_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fl in os.walk(base)
+        for f in fl
+        if f.endswith(".parquet")
+    )
+    # target sized so the RAW estimate asks for >= 4 files while the
+    # live 10% fits in one
+    v = compact_snapshot(spark, base, target_file_bytes=raw_bytes // 4)
+    from vector_db_setup_spark.sources.snapshot_table import _data_names
+
+    info = snapshot_info(spark, base, v)
+    dirs = _data_names(info)
+    n_files = sum(
+        1
+        for d in dirs
+        for _, _, fl in os.walk(f"{base}/{d}")
+        for f in fl
+        if f.endswith(".parquet")
+    )
+    assert n_files == 1, f"expected 1 compacted file, got {n_files}"
+    got = read_snapshot(spark, base, version=v)
+    assert sorted(r["id"] for r in got.collect()) == list(range(3600, 4000))
+
+
+def test_append_refused_on_any_of_stacked_tombstones(spark, tmp_path):
+    """The fused one-job-per-key-column tombstone probe must still
+    refuse a batch hitting ONLY the second entry of a delete stack."""
+    from vector_db_setup_spark.sources.snapshot_table import (
+        delete_from_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 100), base)
+    delete_from_snapshot(spark.range(0, 5).select("id"), base, "id")
+    delete_from_snapshot(spark.range(50, 55).select("id"), base, "id")
+    with pytest.raises(ValueError, match="tombstoned"):
+        append_snapshot(_df(spark, 52, 60), base)  # hits 2nd entry only
+    # clean batch still lands, and both tombstones keep applying
+    v = append_snapshot(_df(spark, 100, 110), base)
+    got = read_snapshot(spark, base, version=v)
+    ids = sorted(r["id"] for r in got.collect())
+    assert ids == [i for i in range(110) if not (0 <= i < 5 or 50 <= i < 55)]

@@ -63,7 +63,12 @@ def main() -> None:
         name = re.split(r"[\s(]", title.strip())[0]
         if name in qs:
             plan = _capture(qs[name](spark, SF_DIR))
-            new_sec, n = _FENCE.subn(f"```\n{plan}\n```", sec, count=1)
+            # callable replacement: a plan containing backslashes (an
+            # RLIKE pattern like \d+) must not be parsed as a regex
+            # replacement TEMPLATE (re.error: bad escape / mangling)
+            new_sec, n = _FENCE.subn(
+                lambda m: f"```\n{plan}\n```", sec, count=1
+            )
             if n:
                 sec = new_sec
                 n_regen += 1

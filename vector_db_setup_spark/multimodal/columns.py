@@ -74,6 +74,9 @@ def _pil():
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# ceiling for the stdlib decoder (per-byte Python defilter loops for
+# Average/Paeth) — thumbnail/icon scale; larger images need PIL
+_STDLIB_PNG_MAX_PIXELS = 2_000_000
 
 
 def _decode_png_stdlib(payload: bytes) -> np.ndarray | None:
@@ -116,6 +119,17 @@ def _decode_png_stdlib(payload: bytes) -> np.ndarray | None:
             f"stdlib PNG path supports 8-bit gray/RGB/RGBA "
             f"non-interlaced only (got depth={depth} color={color} "
             f"interlace={interlace}); install PIL for the full format"
+        )
+    if w * h > _STDLIB_PNG_MAX_PIXELS:
+        # Average/Paeth defiltering is a per-byte PYTHON loop (the
+        # left-recurrence defeats numpy); a 10MP photo would cost
+        # minutes of executor CPU where PIL takes milliseconds. Bound
+        # the stdlib path to thumbnail-scale images and declare larger
+        # ones a capability gap — auto mode then falls back to the
+        # deterministic fake instead of stalling the mapInPandas stage.
+        raise NotImplementedError(
+            f"stdlib PNG path is bounded to {_STDLIB_PNG_MAX_PIXELS} "
+            f"pixels (got {w}x{h}); install PIL for large images"
         )
     ch = {0: 1, 2: 3, 6: 4}[color]
     raw = zlib.decompress(b"".join(idat))
@@ -182,7 +196,8 @@ def decode_image(payload: bytes, real: bool | None = None) -> np.ndarray:
     """
     img_mod = _pil()
     can_real = img_mod is not None or payload[:8] == _PNG_MAGIC
-    if real is None:
+    auto = real is None
+    if auto:
         real = can_real
     if real:
         if img_mod is not None:
@@ -194,7 +209,17 @@ def decode_image(payload: bytes, real: bool | None = None) -> np.ndarray:
         try:
             arr = _decode_png_stdlib(payload)
         except NotImplementedError:
-            raise
+            # the capability probe only sniffs the 8-byte magic, but the
+            # stdlib decoder covers the 8-bit gray/RGB/RGBA subset — a
+            # palette / 16-bit / interlaced PNG is a CAPABILITY gap, not
+            # a data error. Auto mode promised "real when capable", so
+            # fall back to the deterministic fake instead of failing the
+            # executor task; explicit real=True still raises.
+            if auto:
+                arr = None
+                real = False
+            else:
+                raise
         except Exception as e:
             raise ValueError(
                 f"PNG payload failed decode ({e}) — corrupt image is a "
@@ -203,11 +228,12 @@ def decode_image(payload: bytes, real: bool | None = None) -> np.ndarray:
             ) from e
         if arr is not None:
             return arr
-        raise NotImplementedError(
-            "real image decode for non-PNG formats requires PIL/opencv, "
-            "not available here; pass real=False (or default None) for "
-            "the deterministic fake decode"
-        )
+        if real:
+            raise NotImplementedError(
+                "real image decode for non-PNG formats requires "
+                "PIL/opencv, not available here; pass real=False (or "
+                "default None) for the deterministic fake decode"
+            )
     b = np.frombuffer(payload, dtype=np.uint8)
     if len(b) == 0:
         # deterministic fallback for empty payloads (mirrors the

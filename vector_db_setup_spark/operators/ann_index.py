@@ -262,6 +262,10 @@ def append_to_ivf_index(
         assigned = ivf_assign(
             new_emb, cents, vec_col=vec_col, dist_col="_adist"
         )
+        # persist: the drift agg below and append_snapshot's write both
+        # evaluate this lineage — without a cache an expensive upstream
+        # (a join / feature-extraction stage) runs twice per append
+        assigned.persist()
         batch_mean = assigned.agg(F.avg("_adist")).first()[0]
         base_mean = meta.get("mean_assign_dist")
         drift = (
@@ -293,6 +297,8 @@ def append_to_ivf_index(
             )
         except SnapshotConflictError as e:
             last = e  # head moved (possibly NEW centroids): re-assign
+        finally:
+            assigned.unpersist()
     raise RuntimeError(
         f"append_to_ivf_index kept losing to concurrent writers at {base}"
     ) from last

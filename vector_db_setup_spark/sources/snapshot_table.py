@@ -84,6 +84,7 @@ from __future__ import annotations
 
 import json
 import uuid
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -213,8 +214,12 @@ def _verify_and_stats(
     for r in rows:
         n_rows += r["_n"]
         # marker keys are dir-qualified relative paths ("d-xxx/part-…")
-        # so an append's merged stats map spans several dirs cleanly
-        rel = r["_f"].split("/" + data_name + "/", 1)[1]
+        # so an append's merged stats map spans several dirs cleanly.
+        # input_file_name() yields a percent-ENCODED URI (a hive
+        # partition value with a space lands as "cat=a%20b"), while
+        # read_snapshot joins the stored key onto ``base`` verbatim —
+        # decode here so the marker carries the on-disk path.
+        rel = unquote(r["_f"].split("/" + data_name + "/", 1)[1])
         files[f"{data_name}/{rel}"] = {
             c: [_stat_jsonable(r[f"_mn_{c}"]), _stat_jsonable(r[f"_mx_{c}"])]
             for c in stats_cols
@@ -486,6 +491,12 @@ def append_snapshot(
     writer.parquet(data_dir)
     n_rows, stats = _verify_and_stats(spark, base, data_name, stats_cols)
     last_err: Exception | None = None
+    # hoisted out of the retry loop: the batch dir is immutable, so its
+    # read and any passed tombstone checks stay valid across attempts —
+    # a contended append must not re-scan the batch per attempt
+    batch_df = spark.read.parquet(data_dir)
+    tombs_checked: set[tuple[str, str]] = set()
+    head_cols_cache: dict[int, set] = {}
     for _ in range(retries + 1):
         vs = committed_versions(spark, base, fs)
         if idempotency_key is not None:
@@ -511,11 +522,15 @@ def append_snapshot(
                     f"v{head}'s {head_pb} — a version's dirs must share "
                     "one layout"
                 )
-            head_cols = set(
-                spark.read.parquet(
-                    f"{base}/{_data_names(head_info)[0]}"
-                ).columns
-            )
+            if head not in head_cols_cache:
+                # schema probe memoized per head version (footer read);
+                # a lost marker race re-enters here with a NEW head
+                head_cols_cache[head] = set(
+                    spark.read.parquet(
+                        f"{base}/{_data_names(head_info)[0]}"
+                    ).columns
+                )
+            head_cols = head_cols_cache[head]
             if head_cols != set(df.columns):
                 fs.delete(data_dir, ignore_errors=True)
                 raise ValueError(
@@ -533,25 +548,36 @@ def append_snapshot(
             # on read. Refuse loudly instead: re-inserting a deleted key
             # is upsert_snapshot's job (its rewrite clears the stack),
             # or compact first.
+            # one semi-join count per key column, not per tombstone
+            # entry: tomb dirs sharing a key union into a single probe,
+            # and dirs that passed on a previous attempt are skipped
+            # (tombstone dirs are immutable, so a clean check stays
+            # clean — a 5-deep delete stack under contention costs one
+            # job total, not 5 × attempts)
+            by_key: dict[str, list[str]] = {}
             for e in head_deletes:
                 if e["key_col"] not in df.columns:
                     continue
-                tomb = spark.read.parquet(f"{base}/{e['dir']}")
-                n_hit = (
-                    spark.read.parquet(data_dir)
-                    .join(tomb, e["key_col"], "left_semi")
-                    .count()
-                )
+                if (e["dir"], e["key_col"]) in tombs_checked:
+                    continue
+                by_key.setdefault(e["key_col"], []).append(e["dir"])
+            for key_col, tdirs in by_key.items():
+                tomb = None
+                for d in tdirs:
+                    t = spark.read.parquet(f"{base}/{d}").select(key_col)
+                    tomb = t if tomb is None else tomb.unionByName(t)
+                n_hit = batch_df.join(tomb, key_col, "left_semi").count()
                 if n_hit:
                     fs.delete(data_dir, ignore_errors=True)
                     raise ValueError(
                         f"append batch contains {n_hit} row(s) whose "
-                        f"{e['key_col']} is tombstoned at {base} — the "
+                        f"{key_col} is tombstoned at {base} — the "
                         "carried delete would hide them on read; "
                         "re-insert deleted keys with upsert_snapshot, "
                         "or compact_snapshot to materialize deletes "
                         "first"
                     )
+                tombs_checked.update((d, key_col) for d in tdirs)
             head_stats = head_info.get("stats")
             if (
                 stats is not None
@@ -700,8 +726,16 @@ def read_snapshot(
         mn, mx = st[col]
         if mn is None or mx is None:
             continue  # all-null file: no row can satisfy BETWEEN
-        if mx < lo_j or mn > hi_j:
-            continue  # disjoint range: provably no matching row
+        try:
+            if mx < lo_j or mn > hi_j:
+                continue  # disjoint range: provably no matching row
+        except TypeError:
+            # the caller's bound jsonified to a different Python type
+            # than the stored stat (e.g. Decimal → str vs float stats):
+            # pruning is an OPTIMIZATION, so an incomparable pair keeps
+            # the file and lets the row-level BETWEEN decide — stats
+            # must never make a read crash that works without them
+            pass
         keep.append(rel)
     if not keep:
         # empty result with the version's exact schema (filter keeps
@@ -769,6 +803,17 @@ def compact_snapshot(
         head_info = snapshot_info(spark, base, v, fs)
         dirs = [f"{base}/{n}" for n in _data_names(head_info)]
         total = sum(fs.du_suffix(d, ".parquet")[0] for d in dirs)
+        if _delete_entries(head_info):
+            # on-disk bytes include tombstoned rows the rewrite is about
+            # to drop — a table 90% deleted would otherwise land ~10×
+            # too many (tiny) files, defeating the consolidation this
+            # compaction exists for. Scale by the live fraction: marker
+            # "rows" is the post-delete visible count, and the raw count
+            # is a footer-only metadata read (no data scan).
+            raw = sum(spark.read.parquet(d).count() for d in dirs)
+            live = head_info.get("rows")
+            if raw and live is not None:
+                total = int(total * (int(live) / raw))
         n_out = max(
             min_files, (total + target_file_bytes - 1) // target_file_bytes
         )
@@ -1219,6 +1264,16 @@ def snapshot_changes(
         )
     if to_v not in vs:
         raise ValueError(f"to_version v{to_v} is not committed at {base}")
+    if to_v < from_version:
+        # without this, chain == expected == [] passes the contiguity
+        # check vacuously and the feed returns empty — a consumer with
+        # a corrupted/rolled-back cursor would conclude "no changes"
+        # and permanently skip the versions in between
+        raise ValueError(
+            f"to_version v{to_v} precedes from_version v{from_version} "
+            "— a reversed range signals a corrupted consumer cursor; "
+            "resync from a full snapshot read"
+        )
     chain = [v for v in vs if from_version <= v <= to_v]
     expected = list(range(from_version, to_v + 1))
     if chain != expected:
