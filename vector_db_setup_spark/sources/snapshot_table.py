@@ -253,6 +253,96 @@ def _find_idempotent(
     return None
 
 
+def _commit_loop(
+    spark,
+    base: str,
+    fs,
+    reclaim_dir: str,
+    op_name: str,
+    build_body,
+    retries: int,
+    idempotency_key: str | None,
+    expected_head: int | None,
+) -> int:
+    """THE exactly-once commit protocol — one copy of the reasoning,
+    shared by write_snapshot, append_snapshot and delete_from_snapshot
+    (a protocol fix here lands in every commit path at once; the three
+    paths differ only in what their marker BODY says).
+
+    Loop: list committed markers → re-check ``idempotency_key`` against
+    that SAME listing EVERY attempt — checking only at entry is racy: a
+    same-key twin committing during our (long) parquet write would be
+    visible to the head scan but not to a stale entry-time check, and
+    we'd land the batch a second time under head+1 with no marker
+    collision. With the recheck, any twin visible to the listing
+    short-circuits here, and a twin committing AFTER this listing must
+    allocate the same n we do (allocation is max(committed)+1 over that
+    same listing) — forcing the marker collision the FileExistsError
+    handler below already resolves. Then the ``expected_head`` pin for
+    DERIVED commits (raises SnapshotConflictError if the head moved) →
+    ``build_body(head)`` assembles the marker body against this head
+    (reading head state and validating; an exception aborts the
+    commit) → exclusive-create marker v{head+1}. FileExistsError =
+    lost race: re-list and retry with the SAME already-written dir
+    (the data is never rewritten).
+
+    ``reclaim_dir`` is this writer's own, never-yet-referenced dir:
+    deleted on every abort path (idempotent return, conflict,
+    validation error, terminal race loss) — we KNOW no marker names it
+    because every create_new we issued failed."""
+    last_err: Exception | None = None
+    for _ in range(retries + 1):
+        vs = committed_versions(spark, base, fs)
+        if idempotency_key is not None:
+            v = _find_idempotent(spark, base, fs, idempotency_key, vs)
+            if v is not None:
+                fs.delete(reclaim_dir, ignore_errors=True)
+                return v
+        head = max(vs, default=0)
+        if expected_head is not None and head != expected_head:
+            fs.delete(reclaim_dir, ignore_errors=True)
+            raise SnapshotConflictError(
+                f"head at {base} is v{head}, expected v{expected_head} — "
+                "a concurrent writer committed; recompute and retry"
+            )
+        try:
+            body = build_body(head)
+        except BaseException:
+            fs.delete(reclaim_dir, ignore_errors=True)
+            raise
+        n = head + 1
+        marker = json.dumps(
+            {
+                "version": n,
+                "created_utc": _now(),
+                **body,
+                **(
+                    {"idempotency_key": idempotency_key}
+                    if idempotency_key is not None
+                    else {}
+                ),
+            }
+        )
+        try:
+            fs.create_new(
+                f"{base}/{COMMITS_DIR}/{_vname(n)}", marker.encode()
+            )
+            return n
+        except FileExistsError as e:
+            last_err = e
+            if idempotency_key is not None:
+                v = _find_idempotent(spark, base, fs, idempotency_key)
+                if v is not None:
+                    # a concurrent replica landed our batch; our dir is
+                    # unreferenced (every create_new we issued failed)
+                    fs.delete(reclaim_dir, ignore_errors=True)
+                    return v
+    fs.delete(reclaim_dir, ignore_errors=True)
+    raise RuntimeError(
+        f"{op_name} lost the commit race {retries + 1} times at {base}"
+    ) from last_err
+
+
 class SnapshotConflictError(RuntimeError):
     """Raised by write_snapshot(expected_head=...) when another writer
     committed first: the caller's input was derived from a head that
@@ -355,75 +445,35 @@ def write_snapshot(
     # that can't be read back (full count touches every footer; fused
     # with per-file stats collection when declared)
     n_rows, stats = _verify_and_stats(spark, base, data_name, stats_cols)
-    last_err: Exception | None = None
-    for _ in range(retries + 1):
-        vs = committed_versions(spark, base, fs)
-        if idempotency_key is not None:
-            # re-check the key against the SAME listing the head comes
-            # from, EVERY attempt — checking only at entry is racy: a
-            # same-key twin committing during our (long) parquet write
-            # would be visible to the head scan but not to a stale
-            # entry-time check, and we'd land the batch a second time
-            # under head+1 with no marker collision. With the recheck,
-            # any twin visible to the listing short-circuits here, and
-            # a twin committing AFTER this listing must allocate the
-            # same n we do (allocation is max(committed)+1 over that
-            # same listing) — forcing the marker collision the
-            # FileExistsError handler below already resolves.
-            v = _find_idempotent(spark, base, fs, idempotency_key, vs)
-            if v is not None:
-                fs.delete(data_dir, ignore_errors=True)  # ours, unreferenced
-                return v
-        head = max(vs, default=0)
-        if expected_head is not None and head != expected_head:
-            fs.delete(data_dir, ignore_errors=True)
-            raise SnapshotConflictError(
-                f"head at {base} is v{head}, expected v{expected_head} — "
-                "a concurrent writer committed; recompute and retry"
-            )
-        n = head + 1
-        marker = json.dumps(
-            {
-                "version": n,
-                "created_utc": _now(),
-                "data": data_name,
-                "rows": n_rows,
-                "note": note,
-                **({"meta": meta} if meta is not None else {}),
-                **(
-                    {"partition_by": list(partition_by)}
-                    if partition_by
-                    else {}
-                ),
-                **({"stats": stats} if stats is not None else {}),
-                **(
-                    {"idempotency_key": idempotency_key}
-                    if idempotency_key is not None
-                    else {}
-                ),
-            }
-        )
-        try:
-            fs.create_new(
-                f"{base}/{COMMITS_DIR}/{_vname(n)}", marker.encode()
-            )
-            return n
-        except FileExistsError as e:
-            last_err = e
-            if idempotency_key is not None:
-                v = _find_idempotent(spark, base, fs, idempotency_key)
-                if v is not None:
-                    # a concurrent replica landed our batch; our dir is
-                    # unreferenced (every create_new we issued failed)
-                    fs.delete(data_dir, ignore_errors=True)
-                    return v
-    # terminal failure: reclaim our own (never-referenced) data dir
-    # now rather than waiting out the GC orphan grace — we KNOW no
-    # marker names it because every create_new we issued failed
-    fs.delete(data_dir, ignore_errors=True)
-    raise RuntimeError(
-        f"write_snapshot lost the commit race {retries + 1} times at {base}"
-    ) from last_err
+
+    def _body(head: int) -> dict:
+        # a self-contained snapshot: the body doesn't depend on head
+        # state (re-committing under a later number after a lost race
+        # is correct; expected_head guards the derived-commit case)
+        return {
+            "data": data_name,
+            "rows": n_rows,
+            "note": note,
+            **({"meta": meta} if meta is not None else {}),
+            **(
+                {"partition_by": list(partition_by)}
+                if partition_by
+                else {}
+            ),
+            **({"stats": stats} if stats is not None else {}),
+        }
+
+    return _commit_loop(
+        spark,
+        base,
+        fs,
+        data_dir,
+        "write_snapshot",
+        _body,
+        retries,
+        idempotency_key,
+        expected_head,
+    )
 
 
 def append_snapshot(
@@ -490,33 +540,19 @@ def append_snapshot(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(data_dir)
     n_rows, stats = _verify_and_stats(spark, base, data_name, stats_cols)
-    last_err: Exception | None = None
     # hoisted out of the retry loop: the batch dir is immutable, so its
     # read and any passed tombstone checks stay valid across attempts —
     # a contended append must not re-scan the batch per attempt
     batch_df = spark.read.parquet(data_dir)
     tombs_checked: set[tuple[str, str]] = set()
     head_cols_cache: dict[int, set] = {}
-    for _ in range(retries + 1):
-        vs = committed_versions(spark, base, fs)
-        if idempotency_key is not None:
-            v = _find_idempotent(spark, base, fs, idempotency_key, vs)
-            if v is not None:
-                fs.delete(data_dir, ignore_errors=True)
-                return v
-        head = max(vs, default=0)
-        if expected_head is not None and head != expected_head:
-            fs.delete(data_dir, ignore_errors=True)
-            raise SnapshotConflictError(
-                f"head at {base} is v{head}, expected v{expected_head} — "
-                "a concurrent writer committed; recompute and retry"
-            )
+
+    def _body(head: int) -> dict:
         if head:
             head_info = snapshot_info(spark, base, head, fs)
             head_pb = head_info.get("partition_by") or None
             want_pb = list(partition_by) if partition_by else None
             if head_pb != want_pb:
-                fs.delete(data_dir, ignore_errors=True)
                 raise ValueError(
                     f"append partitioning {want_pb} does not match head "
                     f"v{head}'s {head_pb} — a version's dirs must share "
@@ -532,7 +568,6 @@ def append_snapshot(
                 )
             head_cols = head_cols_cache[head]
             if head_cols != set(df.columns):
-                fs.delete(data_dir, ignore_errors=True)
                 raise ValueError(
                     f"append columns {sorted(set(df.columns))} do not "
                     f"match head v{head}'s {sorted(head_cols)} — a "
@@ -568,7 +603,6 @@ def append_snapshot(
                     tomb = t if tomb is None else tomb.unionByName(t)
                 n_hit = batch_df.join(tomb, key_col, "left_semi").count()
                 if n_hit:
-                    fs.delete(data_dir, ignore_errors=True)
                     raise ValueError(
                         f"append batch contains {n_hit} row(s) whose "
                         f"{key_col} is tombstoned at {base} — the "
@@ -596,49 +630,37 @@ def append_snapshot(
             total_rows = n_rows
             head_deletes = []
             merged_stats = stats
-        n = head + 1
-        marker = json.dumps(
-            {
-                "version": n,
-                "created_utc": _now(),
-                "data": names,
-                "rows": total_rows,
-                "note": note,
-                # the head's tombstones keep applying: appending new
-                # rows must not resurrect previously deleted ones
-                **({"deletes": head_deletes} if head_deletes else {}),
-                **({"meta": meta} if meta is not None else {}),
-                **(
-                    {"partition_by": list(partition_by)}
-                    if partition_by
-                    else {}
-                ),
-                **(
-                    {"stats": merged_stats}
-                    if merged_stats is not None
-                    else {}
-                ),
-                **(
-                    {"idempotency_key": idempotency_key}
-                    if idempotency_key is not None
-                    else {}
-                ),
-            }
-        )
-        try:
-            fs.create_new(f"{base}/{COMMITS_DIR}/{_vname(n)}", marker.encode())
-            return n
-        except FileExistsError as e:
-            last_err = e
-            if idempotency_key is not None:
-                v = _find_idempotent(spark, base, fs, idempotency_key)
-                if v is not None:
-                    fs.delete(data_dir, ignore_errors=True)
-                    return v
-    fs.delete(data_dir, ignore_errors=True)
-    raise RuntimeError(
-        f"append_snapshot lost the commit race {retries + 1} times at {base}"
-    ) from last_err
+        return {
+            "data": names,
+            "rows": total_rows,
+            "note": note,
+            # the head's tombstones keep applying: appending new
+            # rows must not resurrect previously deleted ones
+            **({"deletes": head_deletes} if head_deletes else {}),
+            **({"meta": meta} if meta is not None else {}),
+            **(
+                {"partition_by": list(partition_by)}
+                if partition_by
+                else {}
+            ),
+            **(
+                {"stats": merged_stats}
+                if merged_stats is not None
+                else {}
+            ),
+        }
+
+    return _commit_loop(
+        spark,
+        base,
+        fs,
+        data_dir,
+        "append_snapshot",
+        _body,
+        retries,
+        idempotency_key,
+        expected_head,
+    )
 
 
 def current_version(spark, base: str, fs=None) -> int:
@@ -1404,23 +1426,9 @@ def delete_from_snapshot(
     )
     tomb = spark.read.parquet(tomb_dir)
     tomb.count()  # verify readable before any marker references it
-    last_err: Exception | None = None
-    for _ in range(retries + 1):
-        vs = committed_versions(spark, base, fs)
-        if idempotency_key is not None:
-            v = _find_idempotent(spark, base, fs, idempotency_key, vs)
-            if v is not None:
-                fs.delete(tomb_dir, ignore_errors=True)
-                return v
-        head = max(vs, default=0)
-        if expected_head is not None and head != expected_head:
-            fs.delete(tomb_dir, ignore_errors=True)
-            raise SnapshotConflictError(
-                f"head at {base} is v{head}, expected v{expected_head} — "
-                "a concurrent writer committed; recompute and retry"
-            )
+
+    def _body(head: int) -> dict:
         if not head:
-            fs.delete(tomb_dir, ignore_errors=True)
             raise FileNotFoundError(
                 f"no committed snapshot at {base} to delete from"
             )
@@ -1434,52 +1442,39 @@ def delete_from_snapshot(
         entries = _delete_entries(head_info) + [
             {"dir": tomb_name, "key_col": key_col}
         ]
-        n = head + 1
-        marker = json.dumps(
-            {
-                "version": n,
-                "created_utc": _now(),
-                "data": head_info.get("data"),
-                "rows": n_rows,
-                "note": f"delete on {key_col}",
-                "deletes": entries,
-                **(
-                    {"meta": head_info["meta"]}
-                    if head_info.get("meta") is not None
-                    else {}
-                ),
-                **(
-                    {"partition_by": head_info["partition_by"]}
-                    if head_info.get("partition_by")
-                    else {}
-                ),
-                **(
-                    {"stats": head_info["stats"]}
-                    if head_info.get("stats")
-                    else {}
-                ),
-                **(
-                    {"idempotency_key": idempotency_key}
-                    if idempotency_key is not None
-                    else {}
-                ),
-            }
-        )
-        try:
-            fs.create_new(f"{base}/{COMMITS_DIR}/{_vname(n)}", marker.encode())
-            return n
-        except FileExistsError as e:
-            last_err = e
-            if idempotency_key is not None:
-                v = _find_idempotent(spark, base, fs, idempotency_key)
-                if v is not None:
-                    fs.delete(tomb_dir, ignore_errors=True)
-                    return v
-    fs.delete(tomb_dir, ignore_errors=True)
-    raise RuntimeError(
-        f"delete_from_snapshot lost the commit race {retries + 1} times "
-        f"at {base}"
-    ) from last_err
+        return {
+            "data": head_info.get("data"),
+            "rows": n_rows,
+            "note": f"delete on {key_col}",
+            "deletes": entries,
+            **(
+                {"meta": head_info["meta"]}
+                if head_info.get("meta") is not None
+                else {}
+            ),
+            **(
+                {"partition_by": head_info["partition_by"]}
+                if head_info.get("partition_by")
+                else {}
+            ),
+            **(
+                {"stats": head_info["stats"]}
+                if head_info.get("stats")
+                else {}
+            ),
+        }
+
+    return _commit_loop(
+        spark,
+        base,
+        fs,
+        tomb_dir,
+        "delete_from_snapshot",
+        _body,
+        retries,
+        idempotency_key,
+        expected_head,
+    )
 
 
 def version_as_of(spark, base: str, ts: float, fs=None) -> int:
