@@ -1,0 +1,187 @@
+"""Commit-log subscription (streaming/commit_log.py): the snapshot
+table's _commits dir consumed as a Structured Streaming file source —
+exactly-once delivery of commit rows, the version-from-filename
+torn-read contract, and the Bloom maintainer whose state is itself a
+snapshot table (maintained == rebuilt, replay no-op, geometry guard)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_setup_spark.operators.bloom import bloom_build
+from vector_db_setup_spark.sources.snapshot_table import (
+    COMMITS_DIR,
+    append_snapshot,
+    current_version,
+    read_snapshot,
+    snapshot_info,
+    write_snapshot,
+)
+from vector_db_setup_spark.streaming.commit_log import (
+    maintain_bloom_from_commits,
+    stream_snapshot_commits,
+)
+
+NB, K = 1 << 16, 3
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        "id", F.md5(F.col("id").cast("string")).alias("payload")
+    )
+
+
+def _drain(spark, base, ckpt, **opts):
+    rows = []
+    q = (
+        stream_snapshot_commits(spark, base, **opts)
+        .writeStream.foreachBatch(
+            lambda df, bid: rows.extend(df.collect())
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows
+
+
+def test_stream_delivers_commit_rows_exactly_once(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 50), base, note="first")
+    append_snapshot(_df(spark, 50, 80), base, note="second")
+    ckpt = str(tmp_path / "ck")
+    rows = _drain(spark, base, ckpt)
+    got = sorted((r["version"], r["note"], r["rows"]) for r in rows)
+    assert got == [(1, "first", 50), (2, "second", 80)]
+    # marker_json carries the raw marker for richer consumers
+    assert all('"version"' in r["marker_json"] for r in rows)
+    # same checkpoint, no new commits -> nothing redelivered
+    assert _drain(spark, base, ckpt) == []
+    # a third commit arrives alone on the next drain
+    append_snapshot(_df(spark, 80, 90), base, note="third")
+    rows3 = _drain(spark, base, ckpt)
+    assert [(r["version"], r["note"]) for r in rows3] == [(3, "third")]
+
+
+def test_marker_appears_atomically_with_content(spark, tmp_path):
+    """Spark file sources DROP zero-byte files without redelivery, so
+    a marker that became visible before its bytes would vanish from
+    the subscription forever. LocalFS.create_new therefore claims the
+    name via temp-write + link: the marker appears fully written or
+    not at all, and a crash before the claim leaves only a hidden
+    temp that neither the version listing nor the stream can see."""
+    from vector_db_setup_spark.sources.fs import LocalFS
+    from vector_db_setup_spark.sources.snapshot_table import (
+        committed_versions,
+    )
+
+    base = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10), base, note="ok")
+    cdir = os.path.join(base, COMMITS_DIR)
+
+    # crash between temp-write and claim: no marker, hidden junk only
+    class CrashBeforeLink(LocalFS):
+        def create_new(self, path, data=b""):
+            d, name = os.path.split(path)
+            with open(os.path.join(d, f".{name}.crashed.tmp"), "xb") as f:
+                f.write(data)
+            raise RuntimeError("died before claiming the name")
+
+    with pytest.raises(RuntimeError, match="died before"):
+        CrashBeforeLink().create_new(
+            os.path.join(cdir, "v00000002"), b'{"version": 2}'
+        )
+    assert committed_versions(spark, base) == [1]
+    rows = _drain(spark, base, str(tmp_path / "ck"))
+    assert [(r["version"], r["note"]) for r in rows] == [(1, "ok")]
+    # every delivered marker arrived with its full bytes
+    assert all(r["rows"] is not None for r in rows)
+    # the real create_new left no temp behind
+    assert [n for n in os.listdir(cdir) if n.endswith(".tmp")] == [
+        ".v00000002.crashed.tmp"
+    ]
+
+
+def test_bloom_maintainer_matches_full_rebuild(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    state = str(tmp_path / "bloom")
+    ckpt = str(tmp_path / "ck")
+    write_snapshot(_df(spark, 0, 60), base)
+    # bootstrap drain: filter over everything visible at first head
+    maintain_bloom_from_commits(
+        spark, base, "id", state, ckpt, num_bits=NB, k=K
+    )
+    v1 = current_version(spark, state)
+    assert snapshot_info(spark, state, v1)["meta"]["through_version"] == 1
+    # two more commits, one drain: increments only
+    append_snapshot(_df(spark, 60, 75), base)
+    append_snapshot(_df(spark, 75, 90), base)
+    maintain_bloom_from_commits(
+        spark, base, "id", state, ckpt, num_bits=NB, k=K
+    )
+    head = current_version(spark, state)
+    meta = snapshot_info(spark, state, head)["meta"]
+    assert meta["through_version"] == 3
+    maintained = {
+        (r["idx"], r["word"])
+        for r in read_snapshot(spark, state).collect()
+    }
+    rebuilt = {
+        (r["idx"], r["word"])
+        for r in bloom_build(
+            read_snapshot(spark, base).select("id").distinct(),
+            "id",
+            NB,
+            K,
+        ).collect()
+    }
+    assert maintained == rebuilt
+
+
+def test_maintainer_replay_is_noop(spark, tmp_path):
+    """Losing the stream checkpoint replays every commit; the state
+    table's through_version cursor absorbs the replay without a new
+    state commit."""
+    base = str(tmp_path / "tbl")
+    state = str(tmp_path / "bloom")
+    ckpt = str(tmp_path / "ck")
+    write_snapshot(_df(spark, 0, 30), base)
+    append_snapshot(_df(spark, 30, 40), base)
+    maintain_bloom_from_commits(
+        spark, base, "id", state, ckpt, num_bits=NB, k=K
+    )
+    head = current_version(spark, state)
+    shutil.rmtree(ckpt)
+    maintain_bloom_from_commits(
+        spark, base, "id", state, ckpt, num_bits=NB, k=K
+    )
+    assert current_version(spark, state) == head
+
+
+def test_maintainer_refuses_geometry_change(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    state = str(tmp_path / "bloom")
+    write_snapshot(_df(spark, 0, 20), base)
+    maintain_bloom_from_commits(
+        spark, base, "id", state, str(tmp_path / "ck1"), num_bits=NB, k=K
+    )
+    append_snapshot(_df(spark, 20, 30), base)
+    from pyspark.errors.exceptions.base import StreamingQueryException
+
+    with pytest.raises(
+        (ValueError, StreamingQueryException), match="geometry"
+    ):
+        maintain_bloom_from_commits(
+            spark,
+            base,
+            "id",
+            state,
+            str(tmp_path / "ck2"),
+            num_bits=NB,
+            k=K + 1,
+        )

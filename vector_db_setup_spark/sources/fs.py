@@ -57,6 +57,7 @@ from __future__ import annotations
 import os
 import re
 import shutil
+import uuid
 
 
 class LocalFS:
@@ -100,9 +101,28 @@ class LocalFS:
         return total, n
 
     def create_new(self, path: str, data: bytes = b"") -> None:
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "xb") as f:  # 'x' = exclusive create
+        # Atomic in NAME AND CONTENT: write a hidden temp in the same
+        # dir, then claim the final name with link(2) — EEXIST if
+        # present, and the file appears with its full bytes or not at
+        # all. A bare open('xb')+write would expose a zero-byte window
+        # that (a) readers could observe as a torn marker and (b)
+        # Spark's file sources would list, skip (they drop empty
+        # files), and never redeliver — silently losing the commit
+        # from any _commits subscription. The dot prefix keeps the
+        # temp invisible to listdir-based version parsing and to
+        # Spark's hidden-file filter; a crash between write and link
+        # leaves only that invisible temp, never a claimed name.
+        d, name = os.path.split(path)
+        os.makedirs(d, exist_ok=True)
+        tmp = os.path.join(d, f".{name}.{os.getpid()}.{uuid.uuid4().hex}.tmp")
+        with open(tmp, "xb") as f:
             f.write(data)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        finally:
+            os.remove(tmp)
 
     def mtime(self, path: str) -> float:
         return os.path.getmtime(path)
@@ -197,6 +217,19 @@ class HadoopFS:
         # commit path (the same requirement Delta's S3 LogStore
         # documents). snapshot_table's whole protocol rests on this
         # one primitive being atomic; see its module docstring.
+        #
+        # Content-visibility caveat (HDFS): the NAME is claimed at
+        # create() but the BYTES become visible at close(), so a
+        # reader listing in that window sees a zero-byte marker — and
+        # Spark file sources drop empty files, so a _commits
+        # subscription (streaming/commit_log.py) can skip that marker
+        # permanently. Dense version numbering makes cursor-based
+        # consumers absorb the skip at the next commit; LocalFS avoids
+        # the window entirely (temp-write + link). A rename-based
+        # two-phase here would NOT fix it portably: Hadoop rename
+        # overwrites silently on RawLocalFileSystem and is
+        # check-then-act on S3A, which would trade a benign torn
+        # window for a lost-commit race on the claim itself.
         p = self._jpath(path)
         if self._fs.exists(p):
             raise FileExistsError(f"create_new target {path} already exists")
