@@ -193,7 +193,12 @@ def bloom_update_from_changes(
 
     added = (
         snapshot_changes(
-            spark, base, key_col, from_version, to_version, fs=fs
+            # columns=[]: key-presence-only feed — 'added' detection
+            # needs no value hashing (cheaper on wide documents) and
+            # survives merge_schema boundaries, where a full-column
+            # diff would refuse the asymmetric version pair
+            spark, base, key_col, from_version, to_version, fs=fs,
+            columns=[],
         )
         .filter(F.col("status") == "added")
         .select(key_col)

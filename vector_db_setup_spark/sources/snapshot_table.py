@@ -489,6 +489,7 @@ def append_snapshot(
     stats_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Land `df` as an APPEND: the next version = the head's data dirs
     PLUS one new dir holding only `df`'s rows — no existing byte is
@@ -518,7 +519,20 @@ def append_snapshot(
     (a multi-dir version must read as ONE coherent table); stats merge
     only when head and append declare the SAME stats cols, else the
     new marker carries none (absent stats = no pruning, never wrong
-    pruning)."""
+    pruning).
+
+    SCHEMA EVOLUTION: ``merge_schema=True`` lets the batch add or omit
+    columns relative to the head. Same-name columns must keep the SAME
+    type (strict — no silent widening; a type change is a rewrite, use
+    write_snapshot). The committed marker is stamped
+    ``schema_merged``, which switches reads of that version to
+    parquet's footer-merging union schema (absent columns read as
+    null) — the stamp rides every derived marker (append chains,
+    deletes, rollbacks) until ``compact_snapshot``'s single-dir
+    rewrite makes the layout homogeneous again. Caveats of a merged
+    lineage: ``upsert_snapshot`` updates must still match the merged
+    schema, and ``snapshot_diff`` refuses asymmetric version pairs
+    unless given an explicit common projection (``columns=``)."""
     spark = df.sparkSession
     fs = _resolve_fs(spark, base, fs)
     if idempotency_key is not None:
@@ -544,8 +558,9 @@ def append_snapshot(
     # read and any passed tombstone checks stay valid across attempts —
     # a contended append must not re-scan the batch per attempt
     batch_df = spark.read.parquet(data_dir)
+    batch_types = dict(batch_df.dtypes)
     tombs_checked: set[tuple[str, str]] = set()
-    head_cols_cache: dict[int, set] = {}
+    head_types_cache: dict[int, dict] = {}
 
     def _body(head: int) -> dict:
         if head:
@@ -558,21 +573,43 @@ def append_snapshot(
                     f"v{head}'s {head_pb} — a version's dirs must share "
                     "one layout"
                 )
-            if head not in head_cols_cache:
-                # schema probe memoized per head version (footer read);
-                # a lost marker race re-enters here with a NEW head
-                head_cols_cache[head] = set(
-                    spark.read.parquet(
-                        f"{base}/{_data_names(head_info)[0]}"
-                    ).columns
-                )
-            head_cols = head_cols_cache[head]
-            if head_cols != set(df.columns):
+            if head not in head_types_cache:
+                # schema probe memoized per head version (footer reads,
+                # one per dir — dirs of a merged lineage differ, so the
+                # probe is the UNION of their schemas); a lost marker
+                # race re-enters here with a NEW head
+                merged: dict[str, str] = {}
+                for name in _data_names(head_info):
+                    merged.update(
+                        dict(spark.read.parquet(f"{base}/{name}").dtypes)
+                    )
+                head_types_cache[head] = merged
+            head_types = head_types_cache[head]
+            schema_merged = bool(head_info.get("schema_merged"))
+            if set(head_types) != set(batch_types):
+                if not merge_schema:
+                    raise ValueError(
+                        f"append columns {sorted(batch_types)} do not "
+                        f"match head v{head}'s {sorted(head_types)} — a "
+                        "multi-dir version must read as one table; pass "
+                        "merge_schema=True to evolve (add/omit columns) "
+                        "or use write_snapshot to rewrite"
+                    )
+                schema_merged = True
+            conflicts = {
+                c: (head_types[c], batch_types[c])
+                for c in set(head_types) & set(batch_types)
+                if head_types[c] != batch_types[c]
+            }
+            if conflicts:
+                # never mergeable, whatever the flag: parquet's union
+                # schema refuses same-name type changes at read time,
+                # so committing one would poison every read of the
+                # lineage — fail at the commit instead
                 raise ValueError(
-                    f"append columns {sorted(set(df.columns))} do not "
-                    f"match head v{head}'s {sorted(head_cols)} — a "
-                    "multi-dir version must read as one table; use "
-                    "write_snapshot for schema evolution"
+                    f"append changes column type(s) {conflicts} vs head "
+                    f"v{head} — a type change is a rewrite "
+                    "(write_snapshot), not an evolution"
                 )
             names = _data_names(head_info) + [data_name]
             total_rows = int(head_info.get("rows") or 0) + n_rows
@@ -630,9 +667,11 @@ def append_snapshot(
             total_rows = n_rows
             head_deletes = []
             merged_stats = stats
+            schema_merged = False
         return {
             "data": names,
             "rows": total_rows,
+            **({"schema_merged": True} if schema_merged else {}),
             "note": note,
             # the head's tombstones keep applying: appending new
             # rows must not resurrect previously deleted ones
@@ -722,18 +761,34 @@ def read_snapshot(
             )
         return df
 
+    # a schema_merged lineage holds dirs with DIFFERENT (union-
+    # compatible) schemas: reads must merge footers instead of
+    # trusting the first file's schema, and per-dir unions must
+    # null-fill the columns a dir predates. Costs one footer read per
+    # file at planning, so only flagged versions pay it.
+    evolved = bool(info.get("schema_merged"))
+
+    def _rd():
+        r = spark.read
+        return r.option("mergeSchema", "true") if evolved else r
+
+    def _union(dfs):
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=evolved)
+        return out
+
     def _read_all():
         # Spark refuses several hive-partitioned ROOTS in one read
         # (CONFLICTING_DIRECTORY_STRUCTURES) — partitioned multi-dir
         # versions read per-dir and union; Catalyst pushes filters
         # through Union, so partition pruning still applies per dir.
+        # (each dir is internally homogeneous — written by one commit —
+        # so the per-dir reads stay footer-cheap and the union does
+        # the evolved null-filling)
         if info.get("partition_by") and len(paths) > 1:
-            dfs = [spark.read.parquet(p) for p in paths]
-            out = dfs[0]
-            for d in dfs[1:]:
-                out = out.unionByName(d)
-            return out
-        return spark.read.parquet(*paths)
+            return _union([spark.read.parquet(p) for p in paths])
+        return _rd().parquet(*paths)
 
     if key_between is None:
         return _apply_deletes(_read_all())
@@ -777,11 +832,9 @@ def read_snapshot(
             )
             for d, rels in by_dir.items()
         ]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+        out = _union(parts)
     else:
-        out = spark.read.parquet(*[f"{base}/{rel}" for rel in keep])
+        out = _rd().parquet(*[f"{base}/{rel}" for rel in keep])
     return _apply_deletes(out.filter(pred))
 
 
@@ -1108,6 +1161,7 @@ def snapshot_diff(
     v_to: int,
     key_col: str,
     fs=None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """What changed between two committed versions: one FULL OUTER join
     on the key between two pinned reads → (key, status ∈ added |
@@ -1116,20 +1170,38 @@ def snapshot_diff(
     landing); here the versions are already materialized, so the diff
     is pure join — time-travel makes change-data-capture a query.
 
-    Guards: refuses schema-asymmetric versions (this module supports
-    per-version schema evolution, and hashing only one side's columns
-    would report added-column changes as 'unchanged' — diff the
-    common projection explicitly if that's what you mean) and refuses
-    duplicate keys on either side (a full-outer join would multiply
-    them into contradictory status rows; same convention as
-    upsert_snapshot's duplicate check)."""
+    ``columns`` names the value columns the diff COMPARES (the key is
+    always the join key). With it, schema-asymmetric version pairs —
+    a merge_schema append boundary — diff cleanly over the declared
+    projection, and 'changed' means "changed in these columns"; both
+    versions must carry them. Without it, every shared column counts
+    and asymmetric pairs are refused (hashing only one side's columns
+    would report added-column changes as 'unchanged').
+
+    Guards: refuses duplicate keys on either side (a full-outer join
+    would multiply them into contradictory status rows; same
+    convention as upsert_snapshot's duplicate check)."""
     a = read_snapshot(spark, base, version=v_from, fs=fs)
     b = read_snapshot(spark, base, version=v_to, fs=fs)
-    if sorted(a.columns) != sorted(b.columns):
+    if columns is not None:
+        proj = [key_col] + [c for c in columns if c != key_col]
+        missing = [
+            c
+            for c in proj
+            if c not in a.columns or c not in b.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"diff columns {missing} absent from v{v_from} or "
+                f"v{v_to} — a projected diff needs its columns on "
+                "both sides"
+            )
+        a, b = a.select(*proj), b.select(*proj)
+    elif sorted(a.columns) != sorted(b.columns):
         raise ValueError(
             f"versions differ in schema (v{v_from}: {sorted(a.columns)} "
-            f"vs v{v_to}: {sorted(b.columns)}) — select a common "
-            "projection from each read_snapshot and diff that instead"
+            f"vs v{v_to}: {sorted(b.columns)}) — pass columns=[...] to "
+            "diff a declared common projection"
         )
     for side, df in (("v_from", a), ("v_to", b)):
         n_all, n_dist = df.agg(
@@ -1194,6 +1266,11 @@ def rollback_snapshot(spark, base: str, to_version: int, fs=None) -> int:
                 "rows": info.get("rows"),
                 "note": f"rollback to v{to_version}",
                 **(
+                    {"schema_merged": True}
+                    if info.get("schema_merged")
+                    else {}
+                ),
+                **(
                     {"meta": info["meta"]} if info.get("meta") is not None
                     else {}
                 ),
@@ -1245,12 +1322,18 @@ def snapshot_changes(
     from_version: int,
     to_version: int | None = None,
     fs=None,
+    columns: list[str] | None = None,
 ) -> DataFrame:
     """CDC change feed: every per-version increment AFTER
     ``from_version`` up to ``to_version`` (head by default), as one
     DataFrame (key, status ∈ added | removed | changed, version) —
     `version` is the commit that introduced the change. 'unchanged'
     rows are excluded (a feed carries deltas, not echoes).
+
+    ``columns`` passes through to each step's ``snapshot_diff`` — []
+    gives a key-presence-only feed (added/removed, no content-change
+    detection) that stays valid across merge_schema boundaries and
+    skips hashing wide rows; None compares every shared column.
 
     This is the subscription form of ``snapshot_diff``: a maintainer
     remembers the last version it consumed and periodically asks for
@@ -1308,7 +1391,7 @@ def snapshot_changes(
     out: DataFrame | None = None
     for a, b in zip(chain, chain[1:]):
         step = (
-            snapshot_diff(spark, base, a, b, key_col, fs=fs)
+            snapshot_diff(spark, base, a, b, key_col, fs=fs, columns=columns)
             .filter(F.col("status") != "unchanged")
             .withColumn("version", F.lit(b))
         )
@@ -1447,6 +1530,13 @@ def delete_from_snapshot(
             "rows": n_rows,
             "note": f"delete on {key_col}",
             "deletes": entries,
+            # points at the head's dirs verbatim, so their schema
+            # heterogeneity rides along
+            **(
+                {"schema_merged": True}
+                if head_info.get("schema_merged")
+                else {}
+            ),
             **(
                 {"meta": head_info["meta"]}
                 if head_info.get("meta") is not None
