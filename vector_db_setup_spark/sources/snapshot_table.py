@@ -364,8 +364,13 @@ def write_snapshot(
     stats_cols: list[str] | None = None,
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
+    _op: str = "write",
 ) -> int:
     """Land `df` as the next committed version; returns its number.
+
+    ``_op`` is internal: derived commit paths (compact/upsert) stamp
+    their operation into the marker so history is auditable and the
+    CDC fast paths can classify steps without guessing from notes.
 
     Protocol: write parquet ONCE to a writer-unique data dir
     (`d-<token>` — no other writer can touch it) → verify the dir
@@ -451,6 +456,7 @@ def write_snapshot(
         # state (re-committing under a later number after a lost race
         # is correct; expected_head guards the derived-commit case)
         return {
+            "op": _op,
             "data": data_name,
             "rows": n_rows,
             "note": note,
@@ -669,6 +675,7 @@ def append_snapshot(
             merged_stats = stats
             schema_merged = False
         return {
+            "op": "append",
             "data": names,
             "rows": total_rows,
             **({"schema_merged": True} if schema_merged else {}),
@@ -910,6 +917,7 @@ def compact_snapshot(
                 df,
                 base,
                 note=f"compacted v{v}",
+                _op="compact",
                 fs=fs,
                 expected_head=v,
                 partition_by=part_by,
@@ -1140,6 +1148,7 @@ def upsert_snapshot(
                     merged,
                     base,
                     note=f"upsert on {key_col}",
+                    _op="upsert",
                     fs=fs,
                     idempotency_key=idempotency_key,
                     expected_head=head_v,
@@ -1262,6 +1271,7 @@ def rollback_snapshot(spark, base: str, to_version: int, fs=None) -> int:
             {
                 "version": n,
                 "created_utc": _now(),
+                "op": "rollback",
                 "data": info["data"],
                 "rows": info.get("rows"),
                 "note": f"rollback to v{to_version}",
@@ -1315,6 +1325,108 @@ def rollback_snapshot(spark, base: str, to_version: int, fs=None) -> int:
     ) from last_err
 
 
+def _fast_step(
+    spark, base: str, a: int, b: int, key_col: str, fs
+) -> DataFrame | None:
+    """O(batch) change attribution for one version step (a → b), or
+    None when only the full diff can answer. Classified from the
+    marker's ``op`` + structural comparison of its dir/tombstone
+    lists — never from notes:
+
+    - compact: derived with ``expected_head``, so content is
+      logically identical → empty step, NOTHING is read.
+    - append extending a's dirs with unchanged tombstones: the added
+      keys ARE the new dirs' key column — read only the batch dirs,
+      plus one column-pruned broadcast-ish semi-join against a's keys
+      (required for equivalence: an appended pre-existing key makes
+      the keyed diff undefined, which the full diff detects by its
+      duplicate guard — the fast path must refuse it too, and the
+      check doubles as proof the rows are 'added', not 'changed').
+    - delete extending a's tombstones with unchanged dirs: removed
+      keys = a's visible rows semi-joined with the new tombstone dirs
+      (column-pruned: only the CDC key and the tombstone key are
+      scanned; tombstoned-but-absent keys correctly report nothing).
+
+    write/upsert/rollback (and pre-``op`` markers) rewrite or re-point
+    content arbitrarily → None, full diff. Every fast form avoids the
+    full-outer shuffle and the all-column value hash of the table —
+    the difference between O(table) and O(batch + key-column scan)
+    per increment at 100 TB."""
+    ia = snapshot_info(spark, base, a, fs)
+    ib = snapshot_info(spark, base, b, fs)
+    op = ib.get("op")
+
+    def _empty():
+        return (
+            read_snapshot(spark, base, version=b, fs=fs)
+            .select(F.col(key_col))
+            .withColumn("status", F.lit("added"))
+            .filter(F.lit(False))
+        )
+
+    if op == "compact":
+        return _empty()
+    da, db = _data_names(ia), _data_names(ib)
+    ea, eb = _delete_entries(ia), _delete_entries(ib)
+    if (
+        op == "append"
+        and ea == eb
+        and len(db) > len(da)
+        and db[: len(da)] == da
+    ):
+        added = None
+        for name in db[len(da):]:
+            d = spark.read.parquet(f"{base}/{name}")
+            if key_col not in d.columns:
+                return None  # evolved batch without the key: full diff
+            d = d.select(F.col(key_col))
+            added = d if added is None else added.unionByName(d)
+        n_all, n_dist = added.agg(
+            F.count(F.lit(1)), F.countDistinct(key_col)
+        ).first()
+        if n_all != n_dist:
+            raise ValueError(
+                f"appended batch at v{b} holds duplicate {key_col} "
+                f"values ({n_all} rows, {n_dist} distinct) — a keyed "
+                "diff is undefined"
+            )
+        prior = read_snapshot(spark, base, version=a, fs=fs)
+        if key_col not in prior.columns:
+            return None
+        n_dup = added.join(
+            prior.select(F.col(key_col)), key_col, "left_semi"
+        ).count()
+        if n_dup:
+            raise ValueError(
+                f"appended batch at v{b} re-lands {n_dup} key(s) "
+                f"already present in v{a} — a keyed diff is undefined "
+                "(re-landing keys is upsert_snapshot's job)"
+            )
+        return added.withColumn("status", F.lit("added"))
+    if (
+        op == "delete"
+        and da == db
+        and len(eb) > len(ea)
+        and eb[: len(ea)] == ea
+    ):
+        vis = read_snapshot(spark, base, version=a, fs=fs)
+        removed = None
+        for e in eb[len(ea):]:
+            if e["key_col"] not in vis.columns or key_col not in vis.columns:
+                return None
+            tomb = spark.read.parquet(f"{base}/{e['dir']}").select(
+                F.col(e["key_col"])
+            )
+            hit = vis.join(tomb, e["key_col"], "left_semi").select(
+                F.col(key_col)
+            )
+            removed = (
+                hit if removed is None else removed.unionByName(hit)
+            )
+        return removed.withColumn("status", F.lit("removed"))
+    return None
+
+
 def snapshot_changes(
     spark: SparkSession,
     base: str,
@@ -1323,6 +1435,7 @@ def snapshot_changes(
     to_version: int | None = None,
     fs=None,
     columns: list[str] | None = None,
+    fast: bool = True,
 ) -> DataFrame:
     """CDC change feed: every per-version increment AFTER
     ``from_version`` up to ``to_version`` (head by default), as one
@@ -1344,13 +1457,14 @@ def snapshot_changes(
     so downstream application need only be idempotent per (key,
     version) — Bloom's OR trivially is.
 
-    COST: one full-outer key join per consecutive version pair in the
-    range. Consume incrementally (head-1 → head, one join over two
-    pinned reads) on a schedule; the multi-step form is the catch-up /
-    replay path. Appended versions share unchanged dirs with their
-    parent, but the diff still hashes both sides — a feed cheaper than
-    O(table) per step needs per-file stats diffing, which the marker's
-    dir lists would support later.
+    COST: with ``fast`` (default), steps whose markers prove their
+    structure are attributed WITHOUT the full diff — appends read only
+    their batch dirs (plus a column-pruned key semi-join that enforces
+    the no-duplicate-keys contract), deletes scan two key columns,
+    compactions are free. Only write/upsert/rollback steps (and
+    markers predating the ``op`` field) pay the full-outer key join
+    with value hashing. ``fast=False`` forces the full diff on every
+    step — the equivalence oracle the tests pin fast against.
 
     RETENTION: every version in the range must still be committed.
     A GC'd intermediate version makes per-version attribution
@@ -1390,11 +1504,12 @@ def snapshot_changes(
         )
     out: DataFrame | None = None
     for a, b in zip(chain, chain[1:]):
-        step = (
-            snapshot_diff(spark, base, a, b, key_col, fs=fs, columns=columns)
-            .filter(F.col("status") != "unchanged")
-            .withColumn("version", F.lit(b))
-        )
+        step = _fast_step(spark, base, a, b, key_col, fs) if fast else None
+        if step is None:
+            step = snapshot_diff(
+                spark, base, a, b, key_col, fs=fs, columns=columns
+            ).filter(F.col("status") != "unchanged")
+        step = step.withColumn("version", F.lit(b))
         out = step if out is None else out.unionByName(step)
     if out is None:
         # from == to: an empty feed with the contract schema
@@ -1526,6 +1641,7 @@ def delete_from_snapshot(
             {"dir": tomb_name, "key_col": key_col}
         ]
         return {
+            "op": "delete",
             "data": head_info.get("data"),
             "rows": n_rows,
             "note": f"delete on {key_col}",
