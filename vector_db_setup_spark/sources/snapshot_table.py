@@ -1390,9 +1390,25 @@ def _fast_step(
                 f"values ({n_all} rows, {n_dist} distinct) — a keyed "
                 "diff is undefined"
             )
-        prior = read_snapshot(spark, base, version=a, fs=fs)
-        if key_col not in prior.columns:
+        if key_col not in read_snapshot(
+            spark, base, version=a, fs=fs
+        ).columns:
             return None
+        # the guard only needs prior keys INSIDE the batch's key range
+        # (a key outside it cannot collide) — expressing that as a
+        # key_between read makes the marker's file-skipping stats pay
+        # here too: a range-clustered table checks a monotone append
+        # against ZERO prior files instead of scanning its key column
+        bmin, bmax = added.agg(F.min(key_col), F.max(key_col)).first()
+        if bmin is None:
+            return added.withColumn("status", F.lit("added"))
+        prior = read_snapshot(
+            spark,
+            base,
+            version=a,
+            fs=fs,
+            key_between=(key_col, bmin, bmax),
+        )
         n_dup = added.join(
             prior.select(F.col(key_col)), key_col, "left_semi"
         ).count()
