@@ -19,9 +19,12 @@ Flow:
                   the stats columns and re-clusters — the keyed read
                   then prunes files from the marker's min/max BEFORE
                   any executor IO
-  version chain ─> snapshot_changes (CDC) ─> bloom_update_from_changes:
-                  the decontamination filter ingests only `added` keys
-                  and equals a from-scratch rebuild bit-for-bit
+  _commits dir ──> maintain_bloom_from_commits: the commit log IS a
+                  streaming source — the decontamination filter
+                  SUBSCRIBES, its state rides its own snapshot table,
+                  and a schema-evolving (merge_schema) batch flows
+                  through the key-presence CDC feed; the filter equals
+                  a from-scratch rebuild bit-for-bit
   embeddings ───> build_ivf_index v1 ─> append_to_ivf_index (assign
                   ONLY the new batch with the HEAD marker's centroids;
                   drift_ratio in the marker meta) ─> pinned v1 search
@@ -49,10 +52,7 @@ from vector_db_setup_spark.operators.ann_index import (
     compact_ivf_index,
     search_ivf_index,
 )
-from vector_db_setup_spark.operators.bloom import (
-    bloom_build,
-    bloom_update_from_changes,
-)
+from vector_db_setup_spark.operators.bloom import bloom_build
 from vector_db_setup_spark.session import get_spark
 from vector_db_setup_spark.sources.registry import load_table
 from vector_db_setup_spark.sources.snapshot_table import (
@@ -122,26 +122,60 @@ def main() -> None:
     print(f"[compact] v{v_compact}: keyed read doc_id∈[{lo},{hi}] touched "
           f"{n_p}/{n_f} files, {want} rows exact")
 
-    # ---- 4. CDC -> Bloom maintenance (filter over doc_id keys)
-    v0 = vs[0]
-    base_filter = bloom_build(
-        read_snapshot(spark, table, version=v0).select("doc_id"),
-        "doc_id", num_bits=1 << 16, k=5,
+    # ---- 4. CDC as a SUBSCRIPTION: the _commits dir is itself a
+    # streaming source; the Bloom maintainer's state is a snapshot
+    # table whose marker meta carries its consumed-through cursor
+    from vector_db_setup_spark.sources.snapshot_table import (
+        append_snapshot,
     )
-    maintained = bloom_update_from_changes(
-        spark, table, "doc_id", base_filter, from_version=v0,
-        num_bits=1 << 16, k=5,
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_bloom_from_commits,
     )
+
+    state = f"{work}/bloom_state"
+    ck_bloom = f"{work}/ck_bloom"
+    maintain_bloom_from_commits(
+        spark, table, "doc_id", state, ck_bloom, num_bits=1 << 16, k=5
+    )
+    thru = snapshot_info(spark, state, current_version(spark, state))[
+        "meta"
+    ]["through_version"]
+    assert thru == current_version(spark, table)
+    print(f"[cdc] commit-log subscription bootstrapped the bloom state "
+          f"through v{thru} (exactly-once via stream checkpoint + "
+          "idempotent state commits)")
+
+    # ---- 5. schema evolution: a tagged batch lands with a NEW column,
+    # old rows null-fill; the re-drained subscription ingests only the
+    # increment (key-presence CDC is evolution-proof)
+    tagged = (
+        docs.select("doc_id", "text")
+        .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000))
+        .withColumn("ingest_tag", F.lit("wave-2"))
+        .limit(25)
+    )
+    v_evo = append_snapshot(
+        tagged, table, merge_schema=True, stats_cols=["doc_id"],
+        cluster_by=["doc_id"],
+    )
+    head_df = read_snapshot(spark, table)
+    assert "ingest_tag" in head_df.columns
+    assert head_df.filter(F.col("ingest_tag").isNull()).count() == n_docs
+    maintain_bloom_from_commits(
+        spark, table, "doc_id", state, ck_bloom, num_bits=1 << 16, k=5
+    )
+    maintained = read_snapshot(spark, state)
     rebuilt = bloom_build(
         read_snapshot(spark, table).select("doc_id"),
         "doc_id", num_bits=1 << 16, k=5,
     )
     rows = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
     assert rows(maintained) == rows(rebuilt)
-    print("[cdc] bloom maintained from per-version `added` feed == "
+    print(f"[evolve] v{v_evo}: +25 tagged docs (merge_schema; "
+          f"{n_docs} old rows null-fill); re-drained subscription == "
           "from-scratch rebuild (bit-for-bit)")
 
-    # ---- 5. incremental IVF: append with head centroids, drift metric
+    # ---- 6. incremental IVF: append with head centroids, drift metric
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.first()["embedding"])
     idx = f"{work}/ivf"
@@ -155,7 +189,15 @@ def main() -> None:
         [(int(10_000 + i), rng.standard_normal(dim).tolist())
          for i in range(50)],
         "vec_id long, embedding array<double>",
-    ).select("vec_id", F.col("embedding"), *[
+        # cast to the index's element type: append_snapshot's type
+        # guard (rightly) refuses landing double vectors into a float
+        # index — mixed-type dirs would poison the lineage's reads
+    ).select(
+        "vec_id",
+        F.col("embedding").cast(
+            emb.schema["embedding"].dataType
+        ).alias("embedding"),
+        *[
         F.lit(None).cast(f.dataType).alias(f.name)
         for f in emb.schema.fields
         if f.name not in ("vec_id", "embedding")
@@ -172,7 +214,7 @@ def main() -> None:
           f"rebuild_recommended={meta['rebuild_recommended']}; pinned v1 "
           f"search unchanged; compacted to v{v3}")
 
-    # ---- 6. row-level delete (merge-on-read) + audit trail
+    # ---- 7. row-level delete (merge-on-read) + audit trail
     from vector_db_setup_spark.sources.snapshot_table import (
         delete_from_snapshot,
         snapshot_history,
@@ -182,16 +224,16 @@ def main() -> None:
         [(i,) for i in range(3)], "doc_id long"
     )
     v_del = delete_from_snapshot(drop_ids, table, "doc_id")
-    assert read_snapshot(spark, table).count() == n_docs - 3
+    assert read_snapshot(spark, table).count() == n_docs + 25 - 3
     hist = snapshot_history(spark, table)
     last = hist.orderBy(F.col("version").desc()).first()
     assert last["version"] == v_del and last["n_delete_entries"] == 1
     print(f"[delete] v{v_del}: 3 docs tombstoned (dirs untouched); "
           f"history shows {hist.count()} versions")
 
-    # ---- 7. retention
+    # ---- 8. retention
     removed = gc_snapshots(spark, table, keep=2, orphan_min_age_s=0)
-    assert read_snapshot(spark, table).count() == n_docs - 3
+    assert read_snapshot(spark, table).count() == n_docs + 25 - 3
     print(f"[gc] reclaimed versions {removed}; head intact")
 
     shutil.rmtree(work, ignore_errors=True)
