@@ -365,6 +365,7 @@ def test_parse_event_value_total_function(spark, payloads):
         st.one_of(
             st.tuples(st.just("write"), st.integers(1, 30)),
             st.tuples(st.just("append"), st.integers(1, 10)),
+            st.tuples(st.just("evolve"), st.integers(1, 5)),
             st.tuples(st.just("delete"), st.integers(0, 9)),
             st.tuples(st.just("upsert"), st.integers(0, 9)),
             st.tuples(st.just("compact"), st.just(0)),
@@ -378,14 +379,18 @@ def test_parse_event_value_total_function(spark, payloads):
 @settings(**PROP)
 def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
     """Model-based check of the whole pointer-commit protocol: a random
-    interleaving of write/append/upsert/compact/gc must keep the table
-    equivalent to a trivial dict-and-version-list model — head contents
-    exact, every surviving version's row count exact, GC'd versions
-    unreadable. This is the randomized companion to the targeted
-    race/crash tests. Appends (r8) create MULTI-DIR versions, so the
-    random interleavings exercise upsert-over-append (multi-dir head
-    read), compact-of-append-chain, rollback-to-multi-dir-marker, and
-    GC with dirs shared across marker LISTS."""
+    interleaving of write/append/evolve/upsert/compact/gc must keep the
+    table equivalent to a trivial dict-and-version-list model — head
+    contents exact, every surviving version's row count exact, GC'd
+    versions unreadable. This is the randomized companion to the
+    targeted race/crash tests. Appends (r8) create MULTI-DIR versions,
+    so the random interleavings exercise upsert-over-append (multi-dir
+    head read), compact-of-append-chain, rollback-to-multi-dir-marker,
+    and GC with dirs shared across marker LISTS. `evolve` appends a
+    batch carrying an extra `tag` column via merge_schema (old rows
+    null-fill; later writes/rollbacks may narrow the schema again),
+    and each example ends by pinning the FAST CDC attribution equal to
+    the full-diff oracle over the surviving contiguous version chain."""
     from vector_db_setup_spark.sources.snapshot_table import (
         append_snapshot,
         committed_versions,
@@ -394,39 +399,69 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
         gc_snapshots,
         read_snapshot,
         rollback_snapshot,
+        snapshot_changes,
         upsert_snapshot,
         write_snapshot,
     )
 
     base = str(tmp_path_factory.mktemp("model") / "t")
-    head: dict[int, int] = {}          # key -> val (the logical table)
+    # key -> (val, tag); tag is None until an evolve touches the row
+    head: dict[int, tuple] = {}
     versions: dict[int, int] = {}      # committed version -> rowcount
     contents: dict[int, dict] = {}     # committed version -> full dict
+    shape: dict[int, bool] = {}        # committed version -> has tag?
     gone: set[int] = set()
+    evolved = False                    # does the CURRENT schema carry tag?
     next_key = 1000                     # fresh keys for appends
 
-    def _df(d):
+    def _df(d, with_tag):
+        if with_tag:
+            rows = [(k, v, t) for k, (v, t) in sorted(d.items())]
+            return spark.createDataFrame(
+                rows or [(None, None, None)],
+                "id long, val long, tag string",
+            ).filter(F.col("id").isNotNull())
+        rows = [(k, v) for k, (v, _) in sorted(d.items())]
         return spark.createDataFrame(
-            [(k, v) for k, v in sorted(d.items())] or [(None, None)],
-            "id long, val long",
+            rows or [(None, None)], "id long, val long"
         ).filter(F.col("id").isNotNull())
+
+    def _commit(v):
+        versions[v] = len(head)
+        contents[v] = dict(head)
+        shape[v] = evolved
 
     for op, arg in ops:
         if op == "write":
-            head = {k: k for k in range(arg)}
-            v = write_snapshot(_df(head), base)
-            versions[v] = len(head)
-            contents[v] = dict(head)
+            head = {k: (k, None) for k in range(arg)}
+            evolved = False  # a rewrite narrows the schema again
+            v = write_snapshot(_df(head, False), base)
+            _commit(v)
         elif op == "append":
             # append requires FRESH keys (it never replaces — a reused
             # key would be a duplicate row, which the dict model can't
-            # express and a keyed table shouldn't hold)
-            batch = {next_key + i: (next_key + i) * 7 for i in range(arg)}
+            # express and a keyed table shouldn't hold); an evolved
+            # table's batches must carry the union schema
+            batch = {
+                next_key + i: ((next_key + i) * 7, None)
+                for i in range(arg)
+            }
             next_key += arg
             head = {**head, **batch}
-            v = append_snapshot(_df(batch), base)
-            versions[v] = len(head)
-            contents[v] = dict(head)
+            v = append_snapshot(_df(batch, evolved), base)
+            _commit(v)
+        elif op == "evolve":
+            batch = {
+                next_key + i: ((next_key + i) * 7, f"t{next_key + i}")
+                for i in range(arg)
+            }
+            next_key += arg
+            head = {**head, **batch}
+            v = append_snapshot(
+                _df(batch, True), base, merge_schema=True
+            )
+            evolved = True
+            _commit(v)
         elif op == "delete":
             if not versions:
                 continue
@@ -436,32 +471,31 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
             v = delete_from_snapshot(
                 spark.createDataFrame([(arg,)], "id long"), base, "id"
             )
-            versions[v] = len(head)
-            contents[v] = dict(head)
+            _commit(v)
         elif op == "upsert":
             if not versions:
                 continue
             head = dict(head)
-            head[arg] = arg * 100
+            head[arg] = (arg * 100, None)
             v = upsert_snapshot(
-                _df({arg: arg * 100}), base, key_col="id"
+                _df({arg: (arg * 100, None)}, evolved),
+                base,
+                key_col="id",
             )
-            versions[v] = len(head)
-            contents[v] = dict(head)
+            _commit(v)
         elif op == "compact":
             if not versions:
                 continue
             v = compact_snapshot(spark, base)
-            versions[v] = len(head)
-            contents[v] = dict(head)
+            _commit(v)
         elif op == "rollback":
             if not versions:
                 continue
             target = sorted(versions)[0]  # oldest surviving
             head = dict(contents[target])
+            evolved = shape[target]  # schema follows the restored dirs
             v = rollback_snapshot(spark, base, target)
-            versions[v] = len(head)
-            contents[v] = dict(head)
+            _commit(v)
         elif op == "gc":
             if not versions:
                 continue
@@ -473,9 +507,11 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
         live = committed_versions(spark, base)
         assert live == sorted(versions), (live, versions)
         if versions:
+            hdf = read_snapshot(spark, base)
+            has_tag = "tag" in hdf.columns
             got = {
-                r["id"]: r["val"]
-                for r in read_snapshot(spark, base).collect()
+                r["id"]: (r["val"], r["tag"] if has_tag else None)
+                for r in hdf.collect()
             }
             assert got == head, (got, head)
             for v, n in versions.items():
@@ -486,3 +522,22 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
                 raise AssertionError(f"GC'd version {v} still readable")
             except FileNotFoundError:
                 pass
+    # fast CDC == full-diff oracle over the surviving contiguous chain
+    # (key-presence feed: valid across evolution boundaries)
+    vs_live = sorted(versions)
+    start = vs_live[0] if vs_live else 0
+    for i in range(len(vs_live) - 1, 0, -1):
+        if vs_live[i] - vs_live[i - 1] > 1:
+            start = vs_live[i]
+            break
+    if vs_live and vs_live[-1] > start:
+        def _feed(fast):
+            return {
+                tuple(r)
+                for r in snapshot_changes(
+                    spark, base, "id", from_version=start,
+                    columns=[], fast=fast,
+                ).collect()
+            }
+
+        assert _feed(True) == _feed(False)
