@@ -185,3 +185,106 @@ def test_maintainer_refuses_geometry_change(spark, tmp_path):
             num_bits=NB,
             k=K + 1,
         )
+
+
+# ---- IVF index subscription ------------------------------------------
+
+import numpy as np
+
+from vector_db_setup_spark.sources.snapshot_table import (
+    committed_versions,
+    delete_from_snapshot,
+    upsert_snapshot,
+)
+from vector_db_setup_spark.streaming.commit_log import (
+    maintain_ivf_from_commits,
+)
+
+
+def _emb(spark, lo, hi, dim=8):
+    rng = np.random.default_rng(100 + lo)
+    rows = [
+        (int(i), rng.standard_normal(dim).tolist())
+        for i in range(lo, hi)
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def _ids(spark, base):
+    return sorted(
+        r["vec_id"] for r in read_snapshot(spark, base).collect()
+    )
+
+
+def test_ivf_subscription_bootstrap_append_delete(spark, tmp_path):
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ck")
+    write_snapshot(_emb(spark, 0, 60), src)
+    maintain_ivf_from_commits(
+        spark, src, idx, ckpt, key_col="vec_id", k=4, seed=7
+    )
+    meta = snapshot_info(spark, idx, current_version(spark, idx))["meta"]
+    assert meta["kind"] == "ivf"
+    assert meta["source_appended_through"] == 1
+    assert _ids(spark, idx) == list(range(60))
+
+    # two source commits, one drain: appended delta + tombstoned keys
+    append_snapshot(_emb(spark, 60, 80), src)
+    delete_from_snapshot(
+        spark.range(0, 5).select(F.col("id").alias("vec_id")),
+        src,
+        key_col="vec_id",
+    )
+    maintain_ivf_from_commits(
+        spark, src, idx, ckpt, key_col="vec_id", k=4, seed=7
+    )
+    assert _ids(spark, idx) == _ids(spark, src) == list(range(5, 80))
+    meta2 = snapshot_info(spark, idx, current_version(spark, idx))[
+        "meta"
+    ]
+    assert meta2["source_appended_through"] == 3
+    assert meta2["source_deleted_through"] == 3
+    # the index's own keys survived the delete commit's meta merge
+    assert meta2["kind"] == "ivf" and "centroids" in meta2
+    # appended rows were assigned with the BOOTSTRAP centroids
+    assert meta2["centroids"] == meta["centroids"]
+
+
+def test_ivf_subscription_replay_is_noop(spark, tmp_path):
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ck")
+    write_snapshot(_emb(spark, 0, 40), src)
+    append_snapshot(_emb(spark, 40, 50), src)
+    maintain_ivf_from_commits(
+        spark, src, idx, ckpt, key_col="vec_id", k=4, seed=7
+    )
+    head = current_version(spark, idx)
+    shutil.rmtree(ckpt)
+    maintain_ivf_from_commits(
+        spark, src, idx, ckpt, key_col="vec_id", k=4, seed=7
+    )
+    assert current_version(spark, idx) == head
+    assert committed_versions(spark, idx) == list(range(1, head + 1))
+
+
+def test_ivf_subscription_refuses_rewrite_steps(spark, tmp_path):
+    from pyspark.errors.exceptions.base import StreamingQueryException
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    write_snapshot(_emb(spark, 0, 30), src)
+    maintain_ivf_from_commits(
+        spark, src, idx, str(tmp_path / "ck1"), key_col="vec_id", k=4
+    )
+    upsert_snapshot(_emb(spark, 3, 5), src, key_col="vec_id")
+    with pytest.raises(
+        (ValueError, StreamingQueryException), match="rebuild"
+    ):
+        maintain_ivf_from_commits(
+            spark, src, idx, str(tmp_path / "ck2"), key_col="vec_id",
+            k=4,
+        )

@@ -47,8 +47,11 @@ def build_ivf_index(
     vec_col: str = "embedding",
     fs=None,
     idempotency_key: str | None = None,
+    extra_meta: dict | None = None,
 ) -> int:
     """Train + assign + land one index version; returns its number.
+    ``extra_meta`` merges into the marker meta (maintainer cursors,
+    audit fields) without touching the index's own keys.
 
     Offline batch shape: seeded KMeans (deterministic per data+seed),
     map-stage assignment, one partitioned write, one commit. The
@@ -81,6 +84,7 @@ def build_ivf_index(
             "mean_assign_dist": (
                 float(mean_d) if mean_d is not None else None
             ),
+            **(extra_meta or {}),
         },
     )
 
@@ -204,6 +208,7 @@ def append_to_ivf_index(
     idempotency_key: str | None = None,
     rebuild_drift_ratio: float = 1.5,
     retries: int = 3,
+    extra_meta: dict | None = None,
 ) -> int:
     """Incrementally maintain the index: assign ONLY the new vectors
     using the HEAD marker's centroids and append them into the same
@@ -283,6 +288,7 @@ def append_to_ivf_index(
             "rebuild_recommended": bool(
                 drift is not None and drift > rebuild_drift_ratio
             ),
+            **(extra_meta or {}),
         }
         try:
             return append_snapshot(

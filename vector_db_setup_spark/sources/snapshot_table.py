@@ -1601,6 +1601,7 @@ def delete_from_snapshot(
     retries: int = 3,
     idempotency_key: str | None = None,
     expected_head: int | None = None,
+    meta_update: dict | None = None,
 ) -> int:
     """Row-level DELETE as a merge-on-read commit: the new version
     references the head's data dirs UNCHANGED plus one tiny tombstone
@@ -1662,6 +1663,9 @@ def delete_from_snapshot(
             "rows": n_rows,
             "note": f"delete on {key_col}",
             "deletes": entries,
+            # meta carries forward (an index's centroids must survive
+            # a delete commit); meta_update lets a maintainer stamp
+            # cursor/audit fields WITHOUT clobbering what rides along
             # points at the head's dirs verbatim, so their schema
             # heterogeneity rides along
             **(
@@ -1670,9 +1674,13 @@ def delete_from_snapshot(
                 else {}
             ),
             **(
-                {"meta": head_info["meta"]}
-                if head_info.get("meta") is not None
-                else {}
+                {"meta": {**(head_info.get("meta") or {}), **meta_update}}
+                if meta_update
+                else (
+                    {"meta": head_info["meta"]}
+                    if head_info.get("meta") is not None
+                    else {}
+                )
             ),
             **(
                 {"partition_by": head_info["partition_by"]}

@@ -247,3 +247,168 @@ def maintain_bloom_from_commits(
     )
     if available_now:
         q.awaitTermination()
+
+
+def maintain_ivf_from_commits(
+    spark: SparkSession,
+    source_base: str,
+    index_base: str,
+    checkpoint_dir: str,
+    key_col: str = "vec_id",
+    k: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    fs=None,
+    available_now: bool = True,
+    rebuild_drift_ratio: float = 1.5,
+    **reader_options,
+) -> None:
+    """Keep an IVF index current by subscribing it to its SOURCE
+    table's commit log: the first drain builds the index from the
+    observed head (`build_ivf_index`), every later batch of commits
+    feeds ONLY the delta through — added keys are assigned with the
+    head centroids and appended (`append_to_ivf_index`, recording the
+    drift metric), removed keys become a tombstone commit on the index
+    — so nightly index maintenance costs O(delta), with the rebuild
+    decision surfaced as data (``rebuild_recommended`` in the index
+    marker), not taken implicitly.
+
+    SOURCE SHAPE CONTRACT: the source range must be append/delete/
+    compact commits only (the corpus shape — the key-presence feed
+    cannot see an upsert's in-place embedding rewrite, and silently
+    keeping stale vectors indexed would decay recall invisibly). A
+    write/upsert/rollback step in the range raises: rebuild the index
+    and restart the subscription from a fresh checkpoint.
+
+    CRASH SAFETY without cross-commit atomicity: a batch lands as TWO
+    index commits (append, then delete), each stamping its OWN cursor
+    into the index marker meta (``source_appended_through`` /
+    ``source_deleted_through``, via extra_meta / meta_update — the
+    delete commit's meta merge keeps the centroids riding). A replay
+    after a crash between them redoes only the missing half, and the
+    per-commit idempotency keys absorb an exact replay of either.
+    """
+    from vector_db_setup_spark.operators.ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+    from vector_db_setup_spark.sources import snapshot_table as st
+
+    def _apply(s: SparkSession, through_v: int) -> None:
+        vs_idx = st.committed_versions(s, index_base)
+        if not vs_idx:
+            src = st.read_snapshot(
+                s, source_base, version=through_v, fs=fs
+            )
+            build_ivf_index(
+                src,
+                index_base,
+                k=k,
+                seed=seed,
+                vec_col=vec_col,
+                fs=fs,
+                idempotency_key=f"bootstrap:{through_v}",
+                extra_meta={
+                    "source_base": source_base,
+                    "source_appended_through": through_v,
+                    "source_deleted_through": through_v,
+                },
+            )
+            return
+        meta = (
+            st.snapshot_info(s, index_base, max(vs_idx), fs).get("meta")
+            or {}
+        )
+        app_thru = meta.get("source_appended_through")
+        del_thru = meta.get("source_deleted_through")
+        if app_thru is None or del_thru is None:
+            raise ValueError(
+                f"index at {index_base} carries no subscription cursor "
+                "— it was not built by maintain_ivf_from_commits; "
+                "rebuild through this maintainer (fresh index_base) to "
+                "subscribe it"
+            )
+        app_thru, del_thru = int(app_thru), int(del_thru)
+        if through_v <= min(app_thru, del_thru):
+            return  # replayed batch; both halves already applied
+        for v in range(min(app_thru, del_thru) + 1, through_v + 1):
+            op = st.snapshot_info(s, source_base, v, fs).get("op")
+            if op not in ("append", "delete", "compact"):
+                raise ValueError(
+                    f"source commit v{v} is op={op!r} — the key-presence "
+                    "feed cannot attribute content rewrites to vectors; "
+                    "rebuild the index (build_ivf_index) and restart the "
+                    "subscription from a fresh checkpoint"
+                )
+        if app_thru < through_v:
+            added = (
+                st.snapshot_changes(
+                    s,
+                    source_base,
+                    key_col,
+                    from_version=app_thru,
+                    to_version=through_v,
+                    fs=fs,
+                    columns=[],
+                )
+                .filter(F.col("status") == "added")
+                .select(key_col)
+            )
+            new_vecs = st.read_snapshot(
+                s, source_base, version=through_v, fs=fs
+            ).join(added, key_col, "left_semi")
+            if new_vecs.limit(1).count():
+                append_to_ivf_index(
+                    new_vecs,
+                    index_base,
+                    fs=fs,
+                    idempotency_key=f"append-through:{through_v}",
+                    rebuild_drift_ratio=rebuild_drift_ratio,
+                    extra_meta={
+                        "source_appended_through": through_v,
+                        "source_deleted_through": del_thru,
+                    },
+                )
+            # an added-empty range still needs its cursor advanced —
+            # ride it on the delete commit below, or on a no-op meta
+            # bump via the delete path when nothing was removed either
+        if del_thru < through_v:
+            removed = (
+                st.snapshot_changes(
+                    s,
+                    source_base,
+                    key_col,
+                    from_version=del_thru,
+                    to_version=through_v,
+                    fs=fs,
+                    columns=[],
+                )
+                .filter(F.col("status") == "removed")
+                .select(key_col)
+                .distinct()
+            )
+            if removed.limit(1).count():
+                st.delete_from_snapshot(
+                    removed,
+                    index_base,
+                    key_col=key_col,
+                    fs=fs,
+                    idempotency_key=f"delete-through:{through_v}",
+                    meta_update={
+                        "source_appended_through": max(
+                            app_thru, through_v
+                        ),
+                        "source_deleted_through": through_v,
+                    },
+                )
+
+    q = foreach_new_versions(
+        spark,
+        source_base,
+        _apply,
+        checkpoint_dir,
+        available_now=available_now,
+        **reader_options,
+    )
+    if available_now:
+        q.awaitTermination()
