@@ -212,3 +212,50 @@ def test_bloom_maintainer_survives_evolution_boundary(
     assert {
         (r["idx"], r["word"]) for r in maintained.collect()
     } == {(r["idx"], r["word"]) for r in rebuilt.collect()}
+
+
+def test_key_in_point_lookup_prunes_files(spark, tmp_path):
+    """key_in=(col, values): file skipping for batches of key probes —
+    each value is a degenerate range; only files whose [min,max] could
+    hold a probed value are read."""
+    base = str(tmp_path / "t")
+    write_snapshot(
+        _v1(spark, 0, 400),
+        base,
+        stats_cols=["id"],
+        cluster_by=["id"],
+        cluster_files=8,
+    )
+    got = read_snapshot(spark, base, key_in=("id", [7, 363]))
+    assert sorted(r["id"] for r in got.collect()) == [7, 363]
+    full = read_snapshot(spark, base)
+    # two probes landing in two distinct files out of 8
+    assert len(got.inputFiles()) == 2 < len(full.inputFiles())
+    # absent values return empty, exact schema
+    none = read_snapshot(spark, base, key_in=("id", [100000]))
+    assert none.count() == 0 and none.columns == full.columns
+    # without stats: same rows, no pruning, never wrong
+    base2 = str(tmp_path / "t2")
+    write_snapshot(_v1(spark, 0, 400), base2)
+    got2 = read_snapshot(spark, base2, key_in=("id", [7, 363]))
+    assert sorted(r["id"] for r in got2.collect()) == [7, 363]
+    with pytest.raises(ValueError, match="not both"):
+        read_snapshot(
+            spark, base, key_between=("id", 0, 5), key_in=("id", [1])
+        )
+
+
+def test_key_in_respects_tombstones(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_snapshot(
+        _v1(spark, 0, 100),
+        base,
+        stats_cols=["id"],
+        cluster_by=["id"],
+        cluster_files=4,
+    )
+    delete_from_snapshot(
+        spark.range(7, 8).select("id"), base, key_col="id"
+    )
+    got = read_snapshot(spark, base, key_in=("id", [7, 50]))
+    assert sorted(r["id"] for r in got.collect()) == [50]

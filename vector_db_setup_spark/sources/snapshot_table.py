@@ -722,6 +722,7 @@ def read_snapshot(
     version: int | None = None,
     fs=None,
     key_between: tuple | None = None,
+    key_in: tuple | None = None,
 ) -> DataFrame:
     """DataFrame over a committed version (newest by default). The
     returned frame is PINNED to that version's data directories —
@@ -738,6 +739,12 @@ def read_snapshot(
     Without stats the predicate still applies (row-group pushdown via
     the parquet reader) — absent stats degrade to a full scan, never
     to wrong results.
+
+    ``key_in=(col, values)`` is the point-lookup form: rows whose col
+    is IN the (small) value list, skipping files whose [min, max]
+    contains NONE of the values — a batch of key probes against a
+    clustered table touches only the files that could hold them.
+    Mutually exclusive with ``key_between``.
 
     Versions carrying tombstones (``delete_from_snapshot``) read
     MERGE-ON-READ: one left_anti join per stacked delete commit,
@@ -797,30 +804,51 @@ def read_snapshot(
             return _union([spark.read.parquet(p) for p in paths])
         return _rd().parquet(*paths)
 
-    if key_between is None:
+    if key_between is None and key_in is None:
         return _apply_deletes(_read_all())
-    col, lo, hi = key_between
-    pred = F.col(col).between(F.lit(lo), F.lit(hi))
+    if key_between is not None and key_in is not None:
+        raise ValueError(
+            "pass key_between OR key_in, not both — compose further "
+            "predicates with .filter() on the returned frame"
+        )
+    if key_between is not None:
+        col, lo, hi = key_between
+        pred = F.col(col).between(F.lit(lo), F.lit(hi))
+        bounds = [(_stat_jsonable(lo), _stat_jsonable(hi))]
+    else:
+        col, values = key_in
+        values = list(values)
+        pred = F.col(col).isin(values)
+        # each probe value is a degenerate [v, v] range; a file
+        # survives if ANY value falls inside its [min, max]
+        bounds = [
+            (_stat_jsonable(x), _stat_jsonable(x)) for x in values
+        ]
     stats = info.get("stats")
     if not stats or col not in (stats.get("cols") or []):
         return _apply_deletes(_read_all().filter(pred))
-    lo_j, hi_j = _stat_jsonable(lo), _stat_jsonable(hi)
     keep = []
     for rel, st in stats["files"].items():
         mn, mx = st[col]
         if mn is None or mx is None:
-            continue  # all-null file: no row can satisfy BETWEEN
-        try:
-            if mx < lo_j or mn > hi_j:
-                continue  # disjoint range: provably no matching row
-        except TypeError:
-            # the caller's bound jsonified to a different Python type
-            # than the stored stat (e.g. Decimal → str vs float stats):
-            # pruning is an OPTIMIZATION, so an incomparable pair keeps
-            # the file and lets the row-level BETWEEN decide — stats
-            # must never make a read crash that works without them
-            pass
-        keep.append(rel)
+            continue  # all-null file: IN/BETWEEN never match null
+        hit = False
+        for lo_j, hi_j in bounds:
+            try:
+                if not (mx < lo_j or mn > hi_j):
+                    hit = True  # this range MAY overlap the file
+                    break
+            except TypeError:
+                # the caller's bound jsonified to a different Python
+                # type than the stored stat (e.g. Decimal → str vs
+                # float stats): pruning is an OPTIMIZATION, so an
+                # incomparable pair keeps the file and lets the
+                # row-level predicate decide — stats must never make
+                # a read crash that works without them
+                hit = True
+                break
+        if hit:
+            keep.append(rel)
     if not keep:
         # empty result with the version's exact schema (filter keeps
         # analysis consistent with the unpruned form)
