@@ -1076,6 +1076,11 @@ def test_history_and_timestamp_travel(spark, tmp_path):
     assert h[1]["note"] == "initial" and h[1]["n_data_dirs"] == 1
     assert h[2]["n_data_dirs"] == 2 and h[2]["rows"] == 30
     assert h[3]["n_delete_entries"] == 1 and h[3]["rows"] == 29
+    assert [h[v]["op"] for v in (1, 2, 3)] == [
+        "write",
+        "append",
+        "delete",
+    ]
     assert all(
         h[v]["created_utc"] <= h[v + 1]["created_utc"] for v in (1, 2)
     )

@@ -1764,8 +1764,8 @@ def version_as_of(spark, base: str, ts: float, fs=None) -> int:
 
 def snapshot_history(spark: SparkSession, base: str, fs=None) -> DataFrame:
     """The audit trail as a DataFrame (DESCRIBE HISTORY equivalent):
-    one row per surviving version — version, created_utc, note, rows,
-    n_data_dirs, n_delete_entries, idempotency_key, meta_kind. Driver-
+    one row per surviving version — version, created_utc, op, note,
+    rows, n_data_dirs, n_delete_entries, idempotency_key, meta_kind. Driver-
     side marker reads only (no data scan); versions GC'd mid-listing
     are skipped, same tolerance as every other marker walker."""
     rows = []
@@ -1781,6 +1781,7 @@ def snapshot_history(spark: SparkSession, base: str, fs=None) -> DataFrame:
                 float(info["created_utc"])
                 if info.get("created_utc") is not None
                 else None,
+                info.get("op"),
                 info.get("note") or "",
                 int(info["rows"]) if info.get("rows") is not None else None,
                 len(_data_names(info)),
@@ -1791,7 +1792,8 @@ def snapshot_history(spark: SparkSession, base: str, fs=None) -> DataFrame:
         )
     return spark.createDataFrame(
         rows,
-        "version int, created_utc double, note string, rows bigint, "
+        "version int, created_utc double, op string, note string, "
+        "rows bigint, "
         "n_data_dirs int, n_delete_entries int, idempotency_key string, "
         "meta_kind string",
     )
