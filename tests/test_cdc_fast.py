@@ -145,3 +145,26 @@ def test_rollback_step_uses_full_diff(spark, tmp_path):
     fast = _feed(spark, base, fast=True)
     assert fast == _feed(spark, base, fast=False)
     assert {(i, "removed", 3) for i in range(10, 15)} <= fast
+
+
+def test_fast_delete_refuses_duplicate_removed_keys(spark, tmp_path):
+    """Removing rows that share a CDC key would double-deliver
+    'removed' to consumers — the fast path must refuse like the full
+    diff does (the full diff refuses ANY duplicate in the pair; the
+    fast step guards the rows it emits)."""
+    base = str(tmp_path / "t")
+    dup = spark.createDataFrame(
+        [(7, "a"), (7, "b"), (8, "c")], "id long, payload string"
+    )
+    write_snapshot(dup, base)
+    delete_from_snapshot(
+        spark.createDataFrame([(7,)], "id long"), base, key_col="id"
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        snapshot_changes(
+            spark, base, "id", from_version=1, fast=True
+        ).collect()
+    with pytest.raises(ValueError, match="duplicate"):
+        snapshot_changes(
+            spark, base, "id", from_version=1, fast=False
+        ).collect()

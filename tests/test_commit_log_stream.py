@@ -288,3 +288,70 @@ def test_ivf_subscription_refuses_rewrite_steps(spark, tmp_path):
             spark, src, idx, str(tmp_path / "ck2"), key_col="vec_id",
             k=4,
         )
+
+
+def test_ivf_cursors_advance_on_one_sided_workloads(spark, tmp_path):
+    """Append-only (or delete-only) workloads must advance BOTH
+    cursors: a stuck opposite-side cursor would make every drain
+    re-scan from bootstrap and kill the subscription once GC reclaims
+    any version above it."""
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ck")
+    write_snapshot(_emb(spark, 0, 40), src)
+    maintain_ivf_from_commits(
+        spark, src, idx, ckpt, key_col="vec_id", k=4, seed=7
+    )
+    # append-only batch
+    append_snapshot(_emb(spark, 40, 50), src)
+    maintain_ivf_from_commits(
+        spark, src, idx, ckpt, key_col="vec_id", k=4, seed=7
+    )
+    meta = snapshot_info(spark, idx, current_version(spark, idx))["meta"]
+    assert meta["source_appended_through"] == 2
+    assert meta["source_deleted_through"] == 2
+    # delete-only batch
+    delete_from_snapshot(
+        spark.range(0, 3).select(F.col("id").alias("vec_id")),
+        src,
+        key_col="vec_id",
+    )
+    maintain_ivf_from_commits(
+        spark, src, idx, ckpt, key_col="vec_id", k=4, seed=7
+    )
+    meta = snapshot_info(spark, idx, current_version(spark, idx))["meta"]
+    assert meta["source_appended_through"] == 3
+    assert meta["source_deleted_through"] == 3
+    assert _ids(spark, idx) == list(range(3, 50))
+
+
+def test_bloom_maintainer_refuses_foreign_state_table(spark, tmp_path):
+    from pyspark.errors.exceptions.base import StreamingQueryException
+
+    base = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    write_snapshot(_df(spark, 0, 10), base)
+    write_snapshot(_df(spark, 0, 5), state)  # not a maintainer state
+    with pytest.raises(
+        (ValueError, StreamingQueryException), match="through_version"
+    ):
+        maintain_bloom_from_commits(
+            spark, base, "id", state, str(tmp_path / "ck"),
+            num_bits=NB, k=K,
+        )
+
+
+def test_continuous_mode_returns_query_handle(spark, tmp_path):
+    base = str(tmp_path / "tbl")
+    state = str(tmp_path / "state")
+    write_snapshot(_df(spark, 0, 10), base)
+    q = maintain_bloom_from_commits(
+        spark, base, "id", state, str(tmp_path / "ck"),
+        num_bits=NB, k=K, available_now=False,
+    )
+    try:
+        assert q is not None and hasattr(q, "stop")
+        q.processAllAvailable()
+        assert current_version(spark, state) == 1
+    finally:
+        q.stop()

@@ -580,12 +580,20 @@ def append_snapshot(
                     "one layout"
                 )
             if head not in head_types_cache:
-                # schema probe memoized per head version (footer reads,
-                # one per dir — dirs of a merged lineage differ, so the
-                # probe is the UNION of their schemas); a lost marker
-                # race re-enters here with a NEW head
+                # schema probe memoized per head version; a lost marker
+                # race re-enters here with a NEW head. Unflagged heads
+                # are homogeneous BY CONSTRUCTION (this very guard), so
+                # one footer read suffices — only a schema_merged
+                # lineage pays one read per dir to assemble the UNION
+                # of its schemas (an N-append chain must not cost O(N)
+                # footer reads per append in the common case)
+                probe_dirs = (
+                    _data_names(head_info)
+                    if head_info.get("schema_merged")
+                    else _data_names(head_info)[:1]
+                )
                 merged: dict[str, str] = {}
-                for name in _data_names(head_info):
+                for name in probe_dirs:
                     merged.update(
                         dict(spark.read.parquet(f"{base}/{name}").dtypes)
                     )
@@ -1467,6 +1475,21 @@ def _fast_step(
             removed = (
                 hit if removed is None else removed.unionByName(hit)
             )
+        # the emitted rows must honor the same one-row-per-key contract
+        # the full diff enforces: duplicate CDC keys among the REMOVED
+        # rows would double-deliver to consumers. (Duplicates the
+        # delete doesn't touch stay this step's blind spot — the full
+        # diff would refuse the whole version pair; checking that here
+        # would cost the O(table) scan this path exists to avoid.)
+        n_all, n_dist = removed.agg(
+            F.count(F.lit(1)), F.countDistinct(key_col)
+        ).first()
+        if n_all != n_dist:
+            raise ValueError(
+                f"delete at v{b} removes rows with duplicate {key_col} "
+                f"values ({n_all} rows, {n_dist} distinct) — a keyed "
+                "diff is undefined"
+            )
         return removed.withColumn("status", F.lit("removed"))
     return None
 
@@ -1509,6 +1532,13 @@ def snapshot_changes(
     markers predating the ``op`` field) pay the full-outer key join
     with value hashing. ``fast=False`` forces the full diff on every
     step — the equivalence oracle the tests pin fast against.
+
+    EAGERNESS: fast attribution runs its structural guards (duplicate
+    checks, the key-range probe) as Spark jobs AT CALL TIME, so the
+    call blocks for the guard work and raises contract violations
+    immediately; ``fast=False`` builds a fully lazy plan that costs
+    nothing until an action. A feed built only for its schema should
+    pass fast=False.
 
     RETENTION: every version in the range must still be committed.
     A GC'd intermediate version makes per-version attribution

@@ -161,7 +161,7 @@ def maintain_bloom_from_commits(
     fs=None,
     available_now: bool = True,
     **reader_options,
-) -> None:
+):
     """Keep a decontamination Bloom filter current by SUBSCRIBING it to
     ``base``'s commit log: each micro-batch of new commits ingests only
     the keys ADDED since the filter's last consumed version
@@ -178,8 +178,10 @@ def maintain_bloom_from_commits(
     shape (nightly delta is MBs; the corpus is not re-scanned).
 
     Blocks until the drain finishes when ``available_now`` (the
-    maintenance-job form); otherwise returns immediately with the
-    query running.
+    maintenance-job form); otherwise returns the running
+    StreamingQuery so the caller can stop()/awaitTermination()/
+    monitor it — a continuous subscription whose handle is dropped
+    can fail silently while looking healthy.
     """
     from vector_db_setup_spark.operators.bloom import (
         bloom_build,
@@ -188,10 +190,19 @@ def maintain_bloom_from_commits(
     from vector_db_setup_spark.sources import snapshot_table as st
 
     def _apply(s: SparkSession, through_v: int) -> None:
+        # state_base ops resolve their fs from the PATH — `fs` names
+        # the SOURCE table's filesystem, and the state may live on a
+        # different one
         vs = st.committed_versions(s, state_base)
         if vs:
             info = st.snapshot_info(s, state_base, max(vs))
             meta = info.get("meta") or {}
+            if "through_version" not in meta:
+                raise ValueError(
+                    f"state at {state_base} carries no through_version "
+                    "cursor — it was not written by "
+                    "maintain_bloom_from_commits; use a fresh state_base"
+                )
             last = int(meta["through_version"])
             if (meta.get("num_bits"), meta.get("k")) != (num_bits, k):
                 raise ValueError(
@@ -206,7 +217,7 @@ def maintain_bloom_from_commits(
                 s,
                 base,
                 key_col,
-                st.read_snapshot(s, state_base, version=max(vs), fs=fs),
+                st.read_snapshot(s, state_base, version=max(vs)),
                 from_version=last,
                 to_version=through_v,
                 num_bits=num_bits,
@@ -234,7 +245,6 @@ def maintain_bloom_from_commits(
                 "source": base,
                 "key_col": key_col,
             },
-            fs=fs,
         )
 
     q = foreach_new_versions(
@@ -247,6 +257,8 @@ def maintain_bloom_from_commits(
     )
     if available_now:
         q.awaitTermination()
+        return None
+    return q
 
 
 def maintain_ivf_from_commits(
@@ -262,7 +274,7 @@ def maintain_ivf_from_commits(
     available_now: bool = True,
     rebuild_drift_ratio: float = 1.5,
     **reader_options,
-) -> None:
+):
     """Keep an IVF index current by subscribing it to its SOURCE
     table's commit log: the first drain builds the index from the
     observed head (`build_ivf_index`), every later batch of commits
@@ -280,13 +292,22 @@ def maintain_ivf_from_commits(
     write/upsert/rollback step in the range raises: rebuild the index
     and restart the subscription from a fresh checkpoint.
 
-    CRASH SAFETY without cross-commit atomicity: a batch lands as TWO
-    index commits (append, then delete), each stamping its OWN cursor
-    into the index marker meta (``source_appended_through`` /
-    ``source_deleted_through``, via extra_meta / meta_update — the
-    delete commit's meta merge keeps the centroids riding). A replay
-    after a crash between them redoes only the missing half, and the
+    CRASH SAFETY without cross-commit atomicity: a batch may land as
+    TWO index commits, each stamping cursors into the index marker
+    meta (``source_appended_through`` / ``source_deleted_through``,
+    via extra_meta / meta_update — the delete commit's meta merge
+    keeps the centroids riding). Both feeds' emptiness is evaluated
+    FIRST, then deletes commit before appends, and the LAST commit of
+    the batch stamps BOTH cursors to the batch head — so an
+    append-only workload's delete cursor (and vice versa) advances
+    with every batch instead of sticking at bootstrap, which would
+    otherwise make each drain re-scan from the stuck cursor and die
+    permanently once GC reclaimed any version above it. A crash
+    between the two commits redoes only the missing half, and the
     per-commit idempotency keys absorb an exact replay of either.
+    ``fs`` names the SOURCE table's filesystem; index_base ops resolve
+    theirs from the path. Returns None after draining when
+    ``available_now``, else the running StreamingQuery.
     """
     from vector_db_setup_spark.operators.ann_index import (
         append_to_ivf_index,
@@ -306,7 +327,6 @@ def maintain_ivf_from_commits(
                 k=k,
                 seed=seed,
                 vec_col=vec_col,
-                fs=fs,
                 idempotency_key=f"bootstrap:{through_v}",
                 extra_meta={
                     "source_base": source_base,
@@ -316,7 +336,7 @@ def maintain_ivf_from_commits(
             )
             return
         meta = (
-            st.snapshot_info(s, index_base, max(vs_idx), fs).get("meta")
+            st.snapshot_info(s, index_base, max(vs_idx)).get("meta")
             or {}
         )
         app_thru = meta.get("source_appended_through")
@@ -340,67 +360,69 @@ def maintain_ivf_from_commits(
                     "rebuild the index (build_ivf_index) and restart the "
                     "subscription from a fresh checkpoint"
                 )
+        def _feed(from_v):
+            return st.snapshot_changes(
+                s,
+                source_base,
+                key_col,
+                from_version=from_v,
+                to_version=through_v,
+                fs=fs,
+                columns=[],
+            )
+
+        new_vecs = None
         if app_thru < through_v:
             added = (
-                st.snapshot_changes(
-                    s,
-                    source_base,
-                    key_col,
-                    from_version=app_thru,
-                    to_version=through_v,
-                    fs=fs,
-                    columns=[],
-                )
+                _feed(app_thru)
                 .filter(F.col("status") == "added")
                 .select(key_col)
             )
             new_vecs = st.read_snapshot(
                 s, source_base, version=through_v, fs=fs
             ).join(added, key_col, "left_semi")
-            if new_vecs.limit(1).count():
-                append_to_ivf_index(
-                    new_vecs,
-                    index_base,
-                    fs=fs,
-                    idempotency_key=f"append-through:{through_v}",
-                    rebuild_drift_ratio=rebuild_drift_ratio,
-                    extra_meta={
-                        "source_appended_through": through_v,
-                        "source_deleted_through": del_thru,
-                    },
-                )
-            # an added-empty range still needs its cursor advanced —
-            # ride it on the delete commit below, or on a no-op meta
-            # bump via the delete path when nothing was removed either
+            if not new_vecs.limit(1).count():
+                new_vecs = None
+        removed = None
         if del_thru < through_v:
             removed = (
-                st.snapshot_changes(
-                    s,
-                    source_base,
-                    key_col,
-                    from_version=del_thru,
-                    to_version=through_v,
-                    fs=fs,
-                    columns=[],
-                )
+                _feed(del_thru)
                 .filter(F.col("status") == "removed")
                 .select(key_col)
                 .distinct()
             )
-            if removed.limit(1).count():
-                st.delete_from_snapshot(
-                    removed,
-                    index_base,
-                    key_col=key_col,
-                    fs=fs,
-                    idempotency_key=f"delete-through:{through_v}",
-                    meta_update={
-                        "source_appended_through": max(
-                            app_thru, through_v
-                        ),
-                        "source_deleted_through": through_v,
-                    },
-                )
+            if not removed.limit(1).count():
+                removed = None
+        # deletes first; the batch's LAST commit stamps BOTH cursors
+        # (an empty half is vacuously applied through the batch head,
+        # and by delete-before-append ordering the delete half is
+        # always complete by the time the append commit stamps it)
+        if removed is not None:
+            st.delete_from_snapshot(
+                removed,
+                index_base,
+                key_col=key_col,
+                idempotency_key=f"delete-through:{through_v}",
+                meta_update={
+                    "source_deleted_through": through_v,
+                    **(
+                        {"source_appended_through": through_v}
+                        if new_vecs is None
+                        else {}
+                    ),
+                },
+            )
+        if new_vecs is not None:
+            append_to_ivf_index(
+                new_vecs,
+                index_base,
+                idempotency_key=f"append-through:{through_v}",
+                rebuild_drift_ratio=rebuild_drift_ratio,
+                extra_meta={
+                    "source_appended_through": through_v,
+                    "source_deleted_through": through_v,
+                },
+            )
 
     q = foreach_new_versions(
         spark,
@@ -412,3 +434,5 @@ def maintain_ivf_from_commits(
     )
     if available_now:
         q.awaitTermination()
+        return None
+    return q
