@@ -259,3 +259,39 @@ def test_key_in_respects_tombstones(spark, tmp_path):
     )
     got = read_snapshot(spark, base, key_in=("id", [7, 50]))
     assert sorted(r["id"] for r in got.collect()) == [50]
+
+
+def test_compact_if_fires_only_past_thresholds(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import compact_if
+
+    base = str(tmp_path / "t")
+    write_snapshot(_v1(spark, 0, 20), base)
+    append_snapshot(_v1(spark, 20, 30), base)
+    # 2 dirs, 0 tombstones: within budget -> no-op
+    assert (
+        compact_if(spark, base, max_data_dirs=4, max_delete_entries=2)
+        is None
+    )
+    assert current_version(spark, base) == 2
+    append_snapshot(_v1(spark, 30, 35), base)
+    append_snapshot(_v1(spark, 35, 40), base)
+    append_snapshot(_v1(spark, 40, 45), base)
+    # 5 dirs > 4: compacts to one dir
+    v = compact_if(spark, base, max_data_dirs=4, max_delete_entries=2)
+    assert v == 6
+    info = snapshot_info(spark, base, v)
+    assert isinstance(info["data"], str) or len(info["data"]) == 1
+    assert read_snapshot(spark, base).count() == 45
+    # tombstone-stack trigger
+    for i in range(3):
+        delete_from_snapshot(
+            spark.range(i, i + 1).select("id"), base, key_col="id"
+        )
+    assert (
+        compact_if(spark, base, max_data_dirs=4, max_delete_entries=4)
+        is None
+    )
+    v2 = compact_if(spark, base, max_data_dirs=4, max_delete_entries=2)
+    assert v2 is not None
+    assert read_snapshot(spark, base).count() == 42
+    assert not snapshot_info(spark, base, v2).get("deletes")

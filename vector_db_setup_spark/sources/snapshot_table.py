@@ -969,6 +969,47 @@ def compact_snapshot(
     ) from last
 
 
+def compact_if(
+    spark: SparkSession,
+    base: str,
+    max_data_dirs: int = 16,
+    max_delete_entries: int = 8,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 1,
+    fs=None,
+) -> int | None:
+    """Policy wrapper for the maintenance loop: compact the head ONLY
+    when the merge-on-read debt crossed a threshold — more than
+    ``max_data_dirs`` dirs in the marker's list (each head read pays a
+    per-dir union) or more than ``max_delete_entries`` stacked
+    tombstone commits (each read pays an anti-join per entry). Returns
+    the new version, or None when the head is within budget — so a
+    scheduler (or a commit-log subscriber) can call it after every
+    batch and compaction happens exactly when the read tax says it
+    should, not on a blind cadence. Threshold rationale: the measured
+    append-chain read tax (SCALE_EXPERIMENTS) grows linearly with
+    dir count; 16 dirs ≈ the point where the union overhead exceeds a
+    compacted read's cost at fixture scale — tune per deployment.
+
+    The decision reads ONE marker; the compaction itself carries
+    compact_snapshot's full conflict handling (expected_head,
+    recompact-on-conflict)."""
+    fs = _resolve_fs(spark, base, fs)
+    info = snapshot_info(spark, base, current_version(spark, base, fs), fs)
+    if (
+        len(_data_names(info)) <= max_data_dirs
+        and len(_delete_entries(info)) <= max_delete_entries
+    ):
+        return None
+    return compact_snapshot(
+        spark,
+        base,
+        target_file_bytes=target_file_bytes,
+        min_files=min_files,
+        fs=fs,
+    )
+
+
 def gc_snapshots(
     spark,
     base: str,
