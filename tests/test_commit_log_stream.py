@@ -355,3 +355,24 @@ def test_continuous_mode_returns_query_handle(spark, tmp_path):
         assert current_version(spark, state) == 1
     finally:
         q.stop()
+
+
+def test_gc_sweeps_aged_crashed_marker_temps(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import gc_snapshots
+
+    base = str(tmp_path / "tbl")
+    write_snapshot(_df(spark, 0, 10), base)
+    write_snapshot(_df(spark, 0, 12), base)
+    write_snapshot(_df(spark, 0, 14), base)
+    cdir = os.path.join(base, COMMITS_DIR)
+    old = os.path.join(cdir, ".v00000004.dead.tmp")
+    young = os.path.join(cdir, ".v00000005.inflight.tmp")
+    for p in (old, young):
+        with open(p, "wb") as f:
+            f.write(b"partial")
+    os.utime(old, (1, 1))  # ancient
+    gc_snapshots(spark, base, keep=2, orphan_min_age_s=3600)
+    names = set(os.listdir(cdir))
+    assert ".v00000004.dead.tmp" not in names   # aged junk swept
+    assert ".v00000005.inflight.tmp" in names   # grace protects it
+    assert current_version(spark, base) == 3

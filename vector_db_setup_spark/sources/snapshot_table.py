@@ -1107,6 +1107,21 @@ def gc_snapshots(
         if age >= orphan_min_age_s:
             fs.delete(f"{base}/{name}", ignore_errors=True)
             orphans.append(name)
+    # crashed create_new attempts leave hidden `.{name}.*.tmp` files in
+    # _commits (LocalFS writes temp-then-link for atomic marker
+    # visibility); they are invisible to every reader, but sweep aged
+    # ones so a crashy producer doesn't accrete junk forever. The same
+    # mtime grace protects an in-flight writer between temp-write and
+    # link.
+    for name in fs.listdir(f"{base}/{COMMITS_DIR}"):
+        if not (name.startswith(".") and name.endswith(".tmp")):
+            continue
+        tmp_path = f"{base}/{COMMITS_DIR}/{name}"
+        try:
+            if now - fs.mtime(tmp_path) >= orphan_min_age_s:
+                fs.delete(tmp_path, ignore_errors=True)
+        except Exception:
+            continue  # raced the writer's own unlink; nothing to do
     return sorted(removed)
 
 
