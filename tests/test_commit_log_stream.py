@@ -376,3 +376,26 @@ def test_gc_sweeps_aged_crashed_marker_temps(spark, tmp_path):
     assert ".v00000004.dead.tmp" not in names   # aged junk swept
     assert ".v00000005.inflight.tmp" in names   # grace protects it
     assert current_version(spark, base) == 3
+
+
+def test_ivf_subscription_survives_source_schema_evolution(
+    spark, tmp_path
+):
+    """A merge_schema-evolved source batch carries columns the index
+    never indexed — the maintainer projects appends to the INDEX's
+    schema instead of letting the index's append guard refuse them."""
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ck")
+    write_snapshot(_emb(spark, 0, 40), src)
+    maintain_ivf_from_commits(
+        spark, src, idx, ckpt, key_col="vec_id", k=4, seed=7
+    )
+    evolved = _emb(spark, 40, 55).withColumn("lang", F.lit("en"))
+    append_snapshot(evolved, src, merge_schema=True)
+    maintain_ivf_from_commits(
+        spark, src, idx, ckpt, key_col="vec_id", k=4, seed=7
+    )
+    assert _ids(spark, idx) == list(range(55))
+    # the index schema stayed what the bootstrap indexed
+    assert "lang" not in read_snapshot(spark, idx).columns

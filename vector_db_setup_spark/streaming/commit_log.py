@@ -381,6 +381,18 @@ def maintain_ivf_from_commits(
             new_vecs = st.read_snapshot(
                 s, source_base, version=through_v, fs=fs
             ).join(added, key_col, "left_semi")
+            # project to the INDEX's own schema: a merge_schema-evolved
+            # source carries columns the index never indexed, and the
+            # index's append guard would (rightly) refuse them; the
+            # index's columns are always a subset of the source's union
+            # schema, so the projection exists (dropped source columns
+            # null-fill through the evolved read)
+            idx_cols = [
+                c
+                for c in st.read_snapshot(s, index_base).columns
+                if c != "cluster_id"
+            ]
+            new_vecs = new_vecs.select(*idx_cols)
             if not new_vecs.limit(1).count():
                 new_vecs = None
         removed = None
