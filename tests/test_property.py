@@ -541,3 +541,62 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
             }
 
         assert _feed(True) == _feed(False)
+
+
+@given(
+    n_rows=st.integers(50, 300),
+    n_files=st.integers(1, 6),
+    probes=st.lists(st.integers(-50, 400), min_size=1, max_size=6),
+    lo=st.integers(-50, 350),
+    width=st.integers(0, 120),
+    clustered=st.booleans(),
+)
+@settings(**PROP)
+def test_pruned_reads_match_filter_oracle(
+    spark, tmp_path_factory, n_rows, n_files, probes, lo, width, clustered
+):
+    """Stats-pruned reads (key_between / key_in) must return EXACTLY
+    what an unpruned filter returns, for random layouts (clustered or
+    shuffled), random file counts, and probe sets that straddle, miss,
+    and duplicate the key domain — pruning is an optimization, never
+    a semantics change."""
+    from vector_db_setup_spark.sources.snapshot_table import (
+        read_snapshot,
+        write_snapshot,
+    )
+
+    base = str(tmp_path_factory.mktemp("prune") / "t")
+    df = spark.range(0, n_rows).select(
+        "id", (F.col("id") * 3 % 97).alias("val")
+    )
+    kw = (
+        {"cluster_by": ["id"], "cluster_files": n_files}
+        if clustered
+        else {}
+    )
+    write_snapshot(
+        df.repartition(n_files), base, stats_cols=["id"], **kw
+    )
+    full = read_snapshot(spark, base)
+    hi = lo + width
+    got_b = sorted(
+        tuple(r)
+        for r in read_snapshot(
+            spark, base, key_between=("id", lo, hi)
+        ).collect()
+    )
+    want_b = sorted(
+        tuple(r)
+        for r in full.filter(F.col("id").between(lo, hi)).collect()
+    )
+    assert got_b == want_b
+    got_i = sorted(
+        tuple(r)
+        for r in read_snapshot(
+            spark, base, key_in=("id", probes)
+        ).collect()
+    )
+    want_i = sorted(
+        tuple(r) for r in full.filter(F.col("id").isin(probes)).collect()
+    )
+    assert got_i == want_i
