@@ -110,7 +110,10 @@ def main() -> None:
     print("[land] restart from checkpoint: 0 new commits (exactly-once)")
 
     # ---- 3. compact: absorb the chain, inherit stats, keyed read prunes
-    v_compact = compact_snapshot(spark, table, target_file_bytes=1,
+    # small target so the demo yields MULTIPLE files to prune across,
+    # but never one-file-per-row (a byte-sized target at a bigger sf
+    # would write thousands of single-row files)
+    v_compact = compact_snapshot(spark, table, target_file_bytes=64 << 10,
                                  min_files=6)
     lo, hi = n_docs // 3, n_docs // 3 + max(n_docs // 10, 1)
     pruned = read_snapshot(spark, table, key_between=("doc_id", lo, hi))
