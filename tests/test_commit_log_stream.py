@@ -399,3 +399,59 @@ def test_ivf_subscription_survives_source_schema_evolution(
     assert _ids(spark, idx) == list(range(55))
     # the index schema stayed what the bootstrap indexed
     assert "lang" not in read_snapshot(spark, idx).columns
+
+
+def test_maintainers_correct_under_one_marker_per_batch(spark, tmp_path):
+    """maxFilesPerTrigger=1 chops the catch-up into one-commit batches
+    — the dense-version cursor logic must land the same final state as
+    a single-batch drain, committing at most one state version per
+    batch and never reprocessing."""
+    base = str(tmp_path / "tbl")
+    state = str(tmp_path / "bloom")
+    ckpt = str(tmp_path / "ck")
+    write_snapshot(_df(spark, 0, 20), base)
+    for i in range(1, 6):
+        append_snapshot(_df(spark, 20 * i, 20 * (i + 1)), base)
+    maintain_bloom_from_commits(
+        spark, base, "id", state, ckpt, num_bits=NB, k=K,
+        maxFilesPerTrigger=1,
+    )
+    metas = [
+        snapshot_info(spark, state, v)["meta"]["through_version"]
+        for v in committed_versions(spark, state)
+    ]
+    assert metas == sorted(set(metas))  # monotone, no duplicates
+    assert metas[-1] == 6
+    maintained = {
+        (r["idx"], r["word"])
+        for r in read_snapshot(spark, state).collect()
+    }
+    rebuilt = {
+        (r["idx"], r["word"])
+        for r in bloom_build(
+            read_snapshot(spark, base).select("id").distinct(),
+            "id", NB, K,
+        ).collect()
+    }
+    assert maintained == rebuilt
+
+
+def test_ivf_maintainer_under_one_marker_per_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    write_snapshot(_emb(spark, 0, 30), src)
+    append_snapshot(_emb(spark, 30, 40), src)
+    delete_from_snapshot(
+        spark.range(0, 4).select(F.col("id").alias("vec_id")),
+        src,
+        key_col="vec_id",
+    )
+    append_snapshot(_emb(spark, 40, 45), src)
+    maintain_ivf_from_commits(
+        spark, src, idx, str(tmp_path / "ck"), key_col="vec_id",
+        k=4, seed=7, maxFilesPerTrigger=1,
+    )
+    assert _ids(spark, idx) == _ids(spark, src) == list(range(4, 45))
+    meta = snapshot_info(spark, idx, current_version(spark, idx))["meta"]
+    assert meta["source_appended_through"] == 4
+    assert meta["source_deleted_through"] == 4
