@@ -455,3 +455,36 @@ def test_ivf_maintainer_under_one_marker_per_batch(spark, tmp_path):
     meta = snapshot_info(spark, idx, current_version(spark, idx))["meta"]
     assert meta["source_appended_through"] == 4
     assert meta["source_deleted_through"] == 4
+
+
+def test_subscription_over_hadoop_file_scheme(spark, tmp_path):
+    """file:// base routes marker writes through the Hadoop
+    FileSystem API (the torn-content window documented there) and the
+    stream/maintainer path handling must survive the scheme prefix."""
+    base = f"file://{tmp_path}/tbl"
+    state = f"file://{tmp_path}/bloom"
+    write_snapshot(_df(spark, 0, 25), base)
+    append_snapshot(_df(spark, 25, 40), base)
+    rows = _drain(spark, base, str(tmp_path / "ck0"))
+    # batch-internal row order is not guaranteed (maintainers use the
+    # batch max, not the order)
+    assert sorted((r["version"], r["rows"]) for r in rows) == [
+        (1, 25),
+        (2, 40),
+    ]
+    maintain_bloom_from_commits(
+        spark, base, "id", state, str(tmp_path / "ck1"),
+        num_bits=NB, k=K,
+    )
+    maintained = {
+        (r["idx"], r["word"])
+        for r in read_snapshot(spark, state).collect()
+    }
+    rebuilt = {
+        (r["idx"], r["word"])
+        for r in bloom_build(
+            read_snapshot(spark, base).select("id").distinct(),
+            "id", NB, K,
+        ).collect()
+    }
+    assert maintained == rebuilt
