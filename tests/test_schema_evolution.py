@@ -295,3 +295,41 @@ def test_compact_if_fires_only_past_thresholds(spark, tmp_path):
     assert v2 is not None
     assert read_snapshot(spark, base).count() == 42
     assert not snapshot_info(spark, base, v2).get("deletes")
+
+
+def test_upsert_merge_schema_evolves_by_rewrite(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import (
+        upsert_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    write_snapshot(_v1(spark, 0, 10), base)
+    # updates carry a NEW column: old rows null-fill, and the rewrite
+    # materializes the union schema with NO schema_merged lineage
+    v = upsert_snapshot(
+        _v2(spark, 5, 12), base, key_col="id", merge_schema=True
+    )
+    info = snapshot_info(spark, base, v)
+    assert "schema_merged" not in info
+    df = read_snapshot(spark, base)
+    assert set(df.columns) == {"id", "payload", "lang"}
+    assert df.count() == 12
+    assert df.filter(F.col("lang").isNull()).count() == 5
+    # updates OMITTING a column null-fill the other way
+    v2 = upsert_snapshot(
+        _v1(spark, 0, 2).select("id"),
+        base,
+        key_col="id",
+        merge_schema=True,
+    )
+    df2 = read_snapshot(spark, base, version=v2)
+    assert df2.filter(
+        F.col("id").isin([0, 1]) & F.col("payload").isNull()
+    ).count() == 2
+    # without the flag, mismatched updates still fail
+    with pytest.raises(Exception):
+        upsert_snapshot(
+            _v1(spark, 0, 2).withColumn("extra", F.lit(1)),
+            base,
+            key_col="id",
+        )

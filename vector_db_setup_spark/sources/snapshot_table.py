@@ -1133,6 +1133,7 @@ def upsert_snapshot(
     fs=None,
     idempotency_key: str | None = None,
     checkpoint: bool = False,
+    merge_schema: bool = False,
 ) -> int:
     """MERGE (upsert + optional delete) as a copy-on-write commit:
     next version = current head minus rows whose key appears in
@@ -1230,8 +1231,14 @@ def upsert_snapshot(
             if head_v:
                 head = read_snapshot(spark, base, version=head_v, fs=fs)
                 keys = updates.select(key_col).distinct()
+                # merge_schema: updates may add or omit columns vs the
+                # head (null-fill both ways) — the rewrite materializes
+                # the union schema, so unlike append there is no
+                # lingering schema_merged lineage to stamp. Without the
+                # flag, a column mismatch fails the unionByName with
+                # Spark's error (schema match is the contract).
                 merged = head.join(keys, key_col, "left_anti").unionByName(
-                    new_rows
+                    new_rows, allowMissingColumns=merge_schema
                 )
             else:
                 merged = new_rows
