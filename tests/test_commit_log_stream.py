@@ -488,3 +488,130 @@ def test_subscription_over_hadoop_file_scheme(spark, tmp_path):
         ).collect()
     }
     assert maintained == rebuilt
+
+
+# ---- incremental aggregate (materialized view) subscription -----------
+
+from vector_db_setup_spark.streaming.commit_log import (
+    maintain_agg_from_commits,
+)
+
+
+def _docs(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+        (F.col("id") % 7 + 1).alias("n_tokens"),
+    )
+
+
+def _rebuilt_agg(spark, base):
+    return {
+        (r["lang"], r["cnt"], r["total"])
+        for r in read_snapshot(spark, base)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_tokens").alias("total"),
+        )
+        .collect()
+    }
+
+
+def test_agg_maintainer_matches_rebuild_through_add_and_delete(
+    spark, tmp_path
+):
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ck")
+    write_snapshot(_docs(spark, 0, 60), src)
+    maintain_agg_from_commits(
+        spark, src, state, ckpt, group_col="lang", key_col="doc_id",
+        sum_col="n_tokens",
+    )
+    append_snapshot(_docs(spark, 60, 90), src)
+    delete_from_snapshot(
+        spark.range(0, 10).select(F.col("id").alias("doc_id")),
+        src,
+        key_col="doc_id",
+    )
+    maintain_agg_from_commits(
+        spark, src, state, ckpt, group_col="lang", key_col="doc_id",
+        sum_col="n_tokens",
+    )
+    got = {
+        (r["lang"], r["cnt"], r["total"])
+        for r in read_snapshot(spark, state).collect()
+    }
+    assert got == _rebuilt_agg(spark, src)
+    meta = snapshot_info(spark, state, current_version(spark, state))[
+        "meta"
+    ]
+    assert meta["through_version"] == 3
+    # replay after checkpoint loss: no new state commit
+    head = current_version(spark, state)
+    shutil.rmtree(ckpt)
+    maintain_agg_from_commits(
+        spark, src, state, ckpt, group_col="lang", key_col="doc_id",
+        sum_col="n_tokens",
+    )
+    assert current_version(spark, state) == head
+
+
+def test_agg_maintainer_drops_emptied_groups_and_guards_shape(
+    spark, tmp_path
+):
+    from pyspark.errors.exceptions.base import StreamingQueryException
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ck")
+    # only doc_id 0 and 3 are 'en'... make a tiny group and empty it
+    write_snapshot(_docs(spark, 0, 6), src)
+    maintain_agg_from_commits(
+        spark, src, state, ckpt, group_col="lang", key_col="doc_id"
+    )
+    delete_from_snapshot(
+        spark.createDataFrame([(0,), (3,)], "doc_id long"),
+        src,
+        key_col="doc_id",
+    )
+    maintain_agg_from_commits(
+        spark, src, state, ckpt, group_col="lang", key_col="doc_id"
+    )
+    langs = {
+        r["lang"] for r in read_snapshot(spark, state).collect()
+    }
+    assert "en" not in langs and langs == {"de", "fr"}
+    # shape change refused
+    append_snapshot(_docs(spark, 6, 9), src)
+    with pytest.raises(
+        (ValueError, StreamingQueryException), match="shape"
+    ):
+        maintain_agg_from_commits(
+            spark, src, state, str(tmp_path / "ck2"),
+            group_col="lang", key_col="doc_id", sum_col="n_tokens",
+        )
+
+
+def test_agg_maintainer_refuses_rewrite_steps(spark, tmp_path):
+    from pyspark.errors.exceptions.base import StreamingQueryException
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "agg")
+    write_snapshot(_docs(spark, 0, 10), src)
+    maintain_agg_from_commits(
+        spark, src, state, str(tmp_path / "ck"),
+        group_col="lang", key_col="doc_id",
+    )
+    upsert_snapshot(_docs(spark, 2, 4), src, key_col="doc_id")
+    with pytest.raises(
+        (ValueError, StreamingQueryException), match="rebuild"
+    ):
+        maintain_agg_from_commits(
+            spark, src, state, str(tmp_path / "ck2"),
+            group_col="lang", key_col="doc_id",
+        )

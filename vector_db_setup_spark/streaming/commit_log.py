@@ -448,3 +448,167 @@ def maintain_ivf_from_commits(
         q.awaitTermination()
         return None
     return q
+
+
+def maintain_agg_from_commits(
+    spark: SparkSession,
+    source_base: str,
+    state_base: str,
+    checkpoint_dir: str,
+    group_col: str,
+    key_col: str,
+    sum_col: str | None = None,
+    fs=None,
+    available_now: bool = True,
+    **reader_options,
+):
+    """Incremental materialized-view maintenance off the commit log:
+    keep a per-``group_col`` COUNT (and optional SUM of ``sum_col``)
+    table current by merging per-batch DELTAS instead of re-scanning
+    the corpus — added rows contribute +1/+value, removed rows
+    -1/-value (count/sum are self-inverse under deletion; a MAX-style
+    aggregate is not maintainable this way and needs a rebuild). The
+    classic IVM shape for corpus statistics: language mix, source
+    mix, per-shard token totals.
+
+    State rides a snapshot table (`group_col`, `cnt`, optional `total`)
+    with the consumed-through cursor in its marker meta; replays
+    short-circuit exactly like the Bloom maintainer. Groups whose
+    count reaches zero are dropped from the state (a group is facts,
+    not schema). Source contract: append/delete/compact steps only —
+    a write/upsert/rollback rewrites content invisibly to the
+    key-presence feed, so it raises with a rebuild instruction.
+
+    Removed rows' group/value are fetched from the PREVIOUS version's
+    pinned read (the rows are gone from the head but immutable in the
+    old dirs — time travel is what makes deletion-aware IVM a query).
+    Cost per drain: the delta reads + one state-sized merge (the state
+    is one row per group — small); never a corpus scan after
+    bootstrap."""
+    from vector_db_setup_spark.sources import snapshot_table as st
+
+    def _agg(df):
+        aggs = [F.count(F.lit(1)).alias("cnt")]
+        if sum_col is not None:
+            aggs.append(F.sum(sum_col).alias("total"))
+        return df.groupBy(group_col).agg(*aggs)
+
+    def _apply(s: SparkSession, through_v: int) -> None:
+        vs = st.committed_versions(s, state_base)
+        if not vs:
+            state = _agg(
+                st.read_snapshot(s, source_base, version=through_v, fs=fs)
+            )
+            st.write_snapshot(
+                state,
+                state_base,
+                note=f"agg over {source_base} through v{through_v}",
+                idempotency_key=f"through:{through_v}",
+                meta={
+                    "through_version": through_v,
+                    "group_col": group_col,
+                    "key_col": key_col,
+                    **({"sum_col": sum_col} if sum_col else {}),
+                },
+            )
+            return
+        meta = st.snapshot_info(s, state_base, max(vs)).get("meta") or {}
+        if "through_version" not in meta:
+            raise ValueError(
+                f"state at {state_base} carries no through_version "
+                "cursor — not written by maintain_agg_from_commits; "
+                "use a fresh state_base"
+            )
+        if (meta.get("group_col"), meta.get("sum_col")) != (
+            group_col,
+            sum_col,
+        ):
+            raise ValueError(
+                f"state at {state_base} aggregates "
+                f"({meta.get('group_col')}, sum={meta.get('sum_col')}) "
+                "— an aggregate cannot change shape incrementally; use "
+                "a fresh state_base"
+            )
+        last = int(meta["through_version"])
+        if through_v <= last:
+            return  # replayed batch
+        for v in range(last + 1, through_v + 1):
+            op = st.snapshot_info(s, source_base, v, fs).get("op")
+            if op not in ("append", "delete", "compact"):
+                raise ValueError(
+                    f"source commit v{v} is op={op!r} — a content "
+                    "rewrite is invisible to the key-presence feed; "
+                    "rebuild the aggregate and restart the subscription"
+                )
+        feed = st.snapshot_changes(
+            s,
+            source_base,
+            key_col,
+            from_version=last,
+            to_version=through_v,
+            fs=fs,
+            columns=[],
+        )
+        head_rows = st.read_snapshot(
+            s, source_base, version=through_v, fs=fs
+        )
+        added_delta = _agg(
+            head_rows.join(
+                feed.filter(F.col("status") == "added").select(key_col),
+                key_col,
+                "left_semi",
+            )
+        )
+        prev_rows = st.read_snapshot(s, source_base, version=last, fs=fs)
+        removed_delta = _agg(
+            prev_rows.join(
+                feed.filter(F.col("status") == "removed").select(
+                    key_col
+                ),
+                key_col,
+                "left_semi",
+            )
+        ).select(
+            group_col,
+            (-F.col("cnt")).alias("cnt"),
+            *(
+                [(-F.col("total")).alias("total")]
+                if sum_col is not None
+                else []
+            ),
+        )
+        state = st.read_snapshot(s, state_base, version=max(vs))
+        merged = (
+            state.unionByName(added_delta)
+            .unionByName(removed_delta)
+            .groupBy(group_col)
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                *(
+                    [F.sum("total").alias("total")]
+                    if sum_col is not None
+                    else []
+                ),
+            )
+            .filter(F.col("cnt") > 0)
+        )
+        st.write_snapshot(
+            merged,
+            state_base,
+            note=f"agg over {source_base} through v{through_v}",
+            idempotency_key=f"through:{through_v}",
+            meta={**meta, "through_version": through_v},
+        )
+
+    q = foreach_new_versions(
+        spark,
+        source_base,
+        _apply,
+        checkpoint_dir,
+        available_now=available_now,
+        **reader_options,
+    )
+    if available_now:
+        q.awaitTermination()
+        return None
+    return q
