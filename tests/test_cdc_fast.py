@@ -93,7 +93,7 @@ def test_fast_refuses_relanded_key_like_the_full_diff(spark, tmp_path):
     base = str(tmp_path / "t")
     write_snapshot(_df(spark, 0, 10), base)
     append_snapshot(_df(spark, 5, 15), base)  # 5..9 re-landed
-    with pytest.raises(ValueError, match="re-lands"):
+    with pytest.raises(ValueError, match="re-land"):
         snapshot_changes(
             spark, base, "id", from_version=1, fast=True
         ).collect()
@@ -167,4 +167,27 @@ def test_fast_delete_refuses_duplicate_removed_keys(spark, tmp_path):
     with pytest.raises(ValueError, match="duplicate"):
         snapshot_changes(
             spark, base, "id", from_version=1, fast=False
+        ).collect()
+
+
+def test_consecutive_append_run_coalesces_with_exact_versions(
+    spark, tmp_path
+):
+    """A catch-up over N consecutive appends is attributed in ONE pass
+    — per-version attribution must still be exact, equal to the
+    full-diff oracle, and the guards still fire across the run."""
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 10), base)
+    for i in range(1, 6):
+        append_snapshot(_df(spark, 10 * i, 10 * (i + 1)), base)
+    fast = _feed(spark, base, fast=True)
+    assert fast == _feed(spark, base, fast=False)
+    assert fast == {
+        (k, "added", 1 + k // 10) for k in range(10, 60)
+    }
+    # a re-landed key anywhere in the run still raises
+    append_snapshot(_df(spark, 5, 8), base)  # also an append step
+    with pytest.raises(ValueError, match="re-land"):
+        snapshot_changes(
+            spark, base, "id", from_version=1, fast=True
         ).collect()

@@ -1557,6 +1557,71 @@ def _fast_step(
     return None
 
 
+def _fast_append_run(
+    spark,
+    base: str,
+    infos: dict,
+    v_from: int,
+    v_to: int,
+    key_col: str,
+    fs,
+) -> DataFrame | None:
+    """Attribute a CONSECUTIVE run of append steps (v_from → v_to, every
+    step append-shaped with unchanged tombstones) in one pass: union
+    each version's new dirs tagged with its version, guard duplicates
+    WITHIN the run and against v_from's keys (range-pruned) once.
+    Returns None when any new dir lacks the key column (evolved batch —
+    fall back to per-step handling)."""
+    added = None
+    for v in range(v_from + 1, v_to + 1):
+        prev_names = set(_data_names(infos[v - 1]))
+        for name in _data_names(infos[v]):
+            if name in prev_names:
+                continue
+            d = spark.read.parquet(f"{base}/{name}")
+            if key_col not in d.columns:
+                return None
+            d = d.select(F.col(key_col)).withColumn(
+                "version", F.lit(v)
+            )
+            added = d if added is None else added.unionByName(d)
+    if added is None:
+        return None
+    n_all, n_dist = added.agg(
+        F.count(F.lit(1)), F.countDistinct(key_col)
+    ).first()
+    if n_all != n_dist:
+        raise ValueError(
+            f"appends in (v{v_from}, v{v_to}] land duplicate {key_col} "
+            f"values ({n_all} rows, {n_dist} distinct) — a keyed diff "
+            "is undefined"
+        )
+    if key_col not in read_snapshot(spark, base, version=v_from, fs=fs).columns:
+        return None
+    bmin, bmax = added.agg(F.min(key_col), F.max(key_col)).first()
+    if bmin is not None:
+        prior = read_snapshot(
+            spark,
+            base,
+            version=v_from,
+            fs=fs,
+            key_between=(key_col, bmin, bmax),
+        )
+        n_dup = added.join(
+            prior.select(F.col(key_col)), key_col, "left_semi"
+        ).count()
+        if n_dup:
+            raise ValueError(
+                f"appends in (v{v_from}, v{v_to}] re-land {n_dup} "
+                f"key(s) already present in v{v_from} — a keyed diff "
+                "is undefined (re-landing keys is upsert_snapshot's "
+                "job)"
+            )
+    return added.select(
+        F.col(key_col), F.lit("added").alias("status"), F.col("version")
+    )
+
+
 def snapshot_changes(
     spark: SparkSession,
     base: str,
@@ -1640,7 +1705,41 @@ def snapshot_changes(
             "full snapshot"
         )
     out: DataFrame | None = None
-    for a, b in zip(chain, chain[1:]):
+    steps = list(zip(chain, chain[1:]))
+    infos = (
+        {v: snapshot_info(spark, base, v, fs) for v in chain}
+        if fast
+        else {}
+    )
+
+    def _is_append_step(a, b):
+        ia, ib = infos[a], infos[b]
+        da, db = _data_names(ia), _data_names(ib)
+        return (
+            ib.get("op") == "append"
+            and _delete_entries(ia) == _delete_entries(ib)
+            and len(db) > len(da)
+            and db[: len(da)] == da
+        )
+
+    i = 0
+    while i < len(steps):
+        a, b = steps[i]
+        if fast and _is_append_step(a, b):
+            # coalesce the whole CONSECUTIVE append run into ONE
+            # attribution pass: a catch-up over N nightly appends must
+            # cost one union + one duplicate guard, not N sequential
+            # driver-blocking guard jobs
+            j = i
+            while j + 1 < len(steps) and _is_append_step(*steps[j + 1]):
+                j += 1
+            run = _fast_append_run(
+                spark, base, infos, a, steps[j][1], key_col, fs
+            )
+            if run is not None:
+                out = run if out is None else out.unionByName(run)
+                i = j + 1
+                continue
         step = _fast_step(spark, base, a, b, key_col, fs) if fast else None
         if step is None:
             step = snapshot_diff(
@@ -1648,6 +1747,7 @@ def snapshot_changes(
             ).filter(F.col("status") != "unchanged")
         step = step.withColumn("version", F.lit(b))
         out = step if out is None else out.unionByName(step)
+        i += 1
     if out is None:
         # from == to: an empty feed with the contract schema
         out = (
