@@ -1425,7 +1425,7 @@ def rollback_snapshot(spark, base: str, to_version: int, fs=None) -> int:
 
 
 def _fast_step(
-    spark, base: str, a: int, b: int, key_col: str, fs
+    spark, base: str, a: int, b: int, key_col: str, fs, infos=None
 ) -> DataFrame | None:
     """O(batch) change attribution for one version step (a → b), or
     None when only the full diff can answer. Classified from the
@@ -1451,8 +1451,8 @@ def _fast_step(
     full-outer shuffle and the all-column value hash of the table —
     the difference between O(table) and O(batch + key-column scan)
     per increment at 100 TB."""
-    ia = snapshot_info(spark, base, a, fs)
-    ib = snapshot_info(spark, base, b, fs)
+    ia = (infos or {}).get(a) or snapshot_info(spark, base, a, fs)
+    ib = (infos or {}).get(b) or snapshot_info(spark, base, b, fs)
     op = ib.get("op")
 
     def _empty():
@@ -1740,7 +1740,11 @@ def snapshot_changes(
                 out = run if out is None else out.unionByName(run)
                 i = j + 1
                 continue
-        step = _fast_step(spark, base, a, b, key_col, fs) if fast else None
+        step = (
+            _fast_step(spark, base, a, b, key_col, fs, infos)
+            if fast
+            else None
+        )
         if step is None:
             step = snapshot_diff(
                 spark, base, a, b, key_col, fs=fs, columns=columns
