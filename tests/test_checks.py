@@ -1,0 +1,116 @@
+"""CHECK constraints on the snapshot table: declared at write (name ->
+SQL boolean expr), enforced on the landed frame BEFORE the marker
+commits, enforced on every append batch against the HEAD's checks, and
+carried by every derived commit (delete/rollback/compact/upsert) until
+a fresh write re-declares or drops them."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_setup_spark.sources.snapshot_table import (
+    append_snapshot,
+    compact_snapshot,
+    committed_versions,
+    current_version,
+    delete_from_snapshot,
+    read_snapshot,
+    rollback_snapshot,
+    snapshot_info,
+    upsert_snapshot,
+    write_snapshot,
+)
+
+CHECKS = {"id_nonneg": "id >= 0", "payload_present": "payload IS NOT NULL"}
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        "id", F.md5(F.col("id").cast("string")).alias("payload")
+    )
+
+
+def test_write_rejects_violating_batch_and_reclaims(spark, tmp_path):
+    base = str(tmp_path / "t")
+    bad = spark.createDataFrame(
+        [(1, "a"), (-2, "b"), (-3, None)], "id long, payload string"
+    )
+    with pytest.raises(ValueError, match="id_nonneg.*2|2.*id_nonneg"):
+        write_snapshot(bad, base, checks=CHECKS)
+    # nothing committed, and the violating dir was reclaimed
+    assert committed_versions(spark, base) == []
+    assert [
+        n for n in os.listdir(base) if not n.startswith("_")
+    ] == [] or not os.path.isdir(base)
+
+
+def test_append_enforces_head_checks_and_carries_them(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 10), base, checks=CHECKS)
+    v2 = append_snapshot(_df(spark, 10, 15), base)
+    assert snapshot_info(spark, base, v2)["checks"] == CHECKS
+    bad = spark.createDataFrame([(99, None)], "id long, payload string")
+    with pytest.raises(ValueError, match="payload_present"):
+        append_snapshot(bad, base)
+    assert current_version(spark, base) == v2
+    assert read_snapshot(spark, base).count() == 15
+
+
+def test_checks_ride_delete_rollback_compact_upsert(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 10), base, checks=CHECKS)
+    v_del = delete_from_snapshot(
+        spark.range(0, 2).select("id"), base, key_col="id"
+    )
+    assert snapshot_info(spark, base, v_del)["checks"] == CHECKS
+    v_up = upsert_snapshot(_df(spark, 3, 5), base, key_col="id")
+    assert snapshot_info(spark, base, v_up)["checks"] == CHECKS
+    v_cp = compact_snapshot(spark, base)
+    assert snapshot_info(spark, base, v_cp)["checks"] == CHECKS
+    v_rb = rollback_snapshot(spark, base, to_version=v_del)
+    assert snapshot_info(spark, base, v_rb)["checks"] == CHECKS
+    # still enforced after the whole derived chain
+    bad = spark.createDataFrame([(-1, "x")], "id long, payload string")
+    with pytest.raises(ValueError, match="id_nonneg"):
+        append_snapshot(bad, base)
+    # a fresh write DROPS them (re-declaration is explicit)
+    write_snapshot(_df(spark, 0, 3), base)
+    assert "checks" not in snapshot_info(
+        spark, base, current_version(spark, base)
+    )
+    append_snapshot(bad, base)  # no gate anymore
+
+
+def test_unevaluable_check_fails_loudly(spark, tmp_path):
+    """A gate that cannot be evaluated (references a column the frame
+    lacks) must refuse the commit, never pass silently."""
+    base = str(tmp_path / "t")
+    with pytest.raises(ValueError, match="cannot be evaluated"):
+        write_snapshot(
+            _df(spark, 0, 5),
+            base,
+            checks={"lang_set": "lang IS NOT NULL"},
+        )
+    assert committed_versions(spark, base) == []
+    # and an evolved append missing a checked column refuses too
+    write_snapshot(
+        _df(spark, 0, 5).withColumn("lang", F.lit("en")),
+        base,
+        checks={"lang_set": "lang IS NOT NULL"},
+    )
+    with pytest.raises(ValueError, match="cannot be evaluated"):
+        append_snapshot(_df(spark, 5, 8), base, merge_schema=True)
+
+
+def test_violating_upsert_refused(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 5), base, checks=CHECKS)
+    bad = spark.createDataFrame([(2, None)], "id long, payload string")
+    with pytest.raises(ValueError, match="payload_present"):
+        upsert_snapshot(bad, base, key_col="id")
+    assert read_snapshot(spark, base).filter(
+        F.col("payload").isNull()
+    ).count() == 0

@@ -253,6 +253,41 @@ def _find_idempotent(
     return None
 
 
+def _enforce_checks(
+    spark, base: str, data_name: str, checks: dict, what: str
+) -> None:
+    """Validate every declared CHECK (name -> SQL boolean expression)
+    against a freshly landed dir — ONE aggregate pass counting
+    violations for all checks together. Raises with per-check counts;
+    the caller reclaims the dir. A check referencing a column the
+    batch lacks fails LOUDLY (an unevaluable gate must never pass
+    silently)."""
+    if not checks:
+        return
+    back = spark.read.parquet(f"{base}/{data_name}")
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(expr), F.lit(False)), 1).otherwise(0)
+        ).alias(name)
+        for name, expr in checks.items()
+    ]
+    try:
+        row = back.agg(*aggs).first()
+    except Exception as e:
+        raise ValueError(
+            f"{what}: declared check(s) {sorted(checks)} cannot be "
+            f"evaluated against the batch (schema mismatch? original "
+            f"error: {e})"
+        ) from e
+    bad = {name: int(row[name]) for name in checks if row[name]}
+    if bad:
+        raise ValueError(
+            f"{what}: CHECK constraint violation(s) {bad} (rows "
+            f"failing each named predicate) — the batch was NOT "
+            "committed"
+        )
+
+
 def _commit_loop(
     spark,
     base: str,
@@ -365,12 +400,22 @@ def write_snapshot(
     cluster_by: list[str] | None = None,
     cluster_files: int | None = None,
     _op: str = "write",
+    checks: dict | None = None,
 ) -> int:
     """Land `df` as the next committed version; returns its number.
 
     ``_op`` is internal: derived commit paths (compact/upsert) stamp
     their operation into the marker so history is auditable and the
     CDC fast paths can classify steps without guessing from notes.
+
+    ``checks`` declares CHECK constraints (name -> SQL boolean
+    expression, e.g. {"id_not_null": "id IS NOT NULL"}): the landed
+    frame is validated BEFORE the marker commits (violations reclaim
+    the dir and raise with per-check counts), the checks ride in the
+    marker, and every later ``append_snapshot`` batch is validated
+    against the HEAD's checks — a data-quality gate that versions
+    WITH the table. Deletes/rollbacks/compactions carry them;
+    re-declare (or drop) via a fresh write_snapshot.
 
     Protocol: write parquet ONCE to a writer-unique data dir
     (`d-<token>` — no other writer can touch it) → verify the dir
@@ -450,6 +495,12 @@ def write_snapshot(
     # that can't be read back (full count touches every footer; fused
     # with per-file stats collection when declared)
     n_rows, stats = _verify_and_stats(spark, base, data_name, stats_cols)
+    if checks:
+        try:
+            _enforce_checks(spark, base, data_name, checks, "write_snapshot")
+        except BaseException:
+            fs.delete(data_dir, ignore_errors=True)
+            raise
 
     def _body(head: int) -> dict:
         # a self-contained snapshot: the body doesn't depend on head
@@ -460,6 +511,7 @@ def write_snapshot(
             "data": data_name,
             "rows": n_rows,
             "note": note,
+            **({"checks": checks} if checks else {}),
             **({"meta": meta} if meta is not None else {}),
             **(
                 {"partition_by": list(partition_by)}
@@ -566,6 +618,7 @@ def append_snapshot(
     batch_df = spark.read.parquet(data_dir)
     batch_types = dict(batch_df.dtypes)
     tombs_checked: set[tuple[str, str]] = set()
+    checks_validated: set[int] = set()
     head_types_cache: dict[int, dict] = {}
 
     def _body(head: int) -> dict:
@@ -625,6 +678,16 @@ def append_snapshot(
                     f"v{head} — a type change is a rewrite "
                     "(write_snapshot), not an evolution"
                 )
+            head_checks = head_info.get("checks") or {}
+            if head_checks and head not in checks_validated:
+                # the head's data-quality gate applies to every batch;
+                # validated ONCE per head version (the batch dir is
+                # immutable, so a clean check stays clean across
+                # marker-race retries against the same head)
+                _enforce_checks(
+                    spark, base, data_name, head_checks, "append_snapshot"
+                )
+                checks_validated.add(head)
             names = _data_names(head_info) + [data_name]
             total_rows = int(head_info.get("rows") or 0) + n_rows
             head_deletes = _delete_entries(head_info)
@@ -682,10 +745,12 @@ def append_snapshot(
             head_deletes = []
             merged_stats = stats
             schema_merged = False
+            head_checks = {}
         return {
             "op": "append",
             "data": names,
             "rows": total_rows,
+            **({"checks": head_checks} if head_checks else {}),
             **({"schema_merged": True} if schema_merged else {}),
             "note": note,
             # the head's tombstones keep applying: appending new
@@ -954,6 +1019,7 @@ def compact_snapshot(
                 base,
                 note=f"compacted v{v}",
                 _op="compact",
+                checks=head_info.get("checks"),
                 fs=fs,
                 expected_head=v,
                 partition_by=part_by,
@@ -1228,6 +1294,11 @@ def upsert_snapshot(
         for _ in range(4):
             vs = committed_versions(spark, base, fs)
             head_v = vs[-1] if vs else 0
+            head_checks = (
+                snapshot_info(spark, base, head_v, fs).get("checks")
+                if head_v
+                else None
+            )
             if head_v:
                 head = read_snapshot(spark, base, version=head_v, fs=fs)
                 keys = updates.select(key_col).distinct()
@@ -1248,6 +1319,7 @@ def upsert_snapshot(
                     base,
                     note=f"upsert on {key_col}",
                     _op="upsert",
+                    checks=head_checks,
                     fs=fs,
                     idempotency_key=idempotency_key,
                     expected_head=head_v,
@@ -1374,6 +1446,11 @@ def rollback_snapshot(spark, base: str, to_version: int, fs=None) -> int:
                 "data": info["data"],
                 "rows": info.get("rows"),
                 "note": f"rollback to v{to_version}",
+                **(
+                    {"checks": info["checks"]}
+                    if info.get("checks")
+                    else {}
+                ),
                 **(
                     {"schema_merged": True}
                     if info.get("schema_merged")
@@ -1888,6 +1965,11 @@ def delete_from_snapshot(
             "rows": n_rows,
             "note": f"delete on {key_col}",
             "deletes": entries,
+            **(
+                {"checks": head_info["checks"]}
+                if head_info.get("checks")
+                else {}
+            ),
             # meta carries forward (an index's centroids must survive
             # a delete commit); meta_update lets a maintainer stamp
             # cursor/audit fields WITHOUT clobbering what rides along
