@@ -114,3 +114,38 @@ def test_violating_upsert_refused(spark, tmp_path):
     assert read_snapshot(spark, base).filter(
         F.col("payload").isNull()
     ).count() == 0
+
+
+def test_gc_keep_age_protects_young_versions(spark, tmp_path):
+    """keep_age_s composes with keep: a version survives if among the
+    newest `keep` OR younger than the window — retention contracts
+    are clocks, not counts."""
+    import json
+
+    from vector_db_setup_spark.sources.snapshot_table import (
+        COMMITS_DIR,
+        gc_snapshots,
+    )
+
+    base = str(tmp_path / "t")
+    for i in range(1, 6):
+        write_snapshot(_df(spark, 0, 10 + i), base, note=f"v{i}")
+    # age v1 and v2 artificially (rewrite their markers' created_utc)
+    for v in (1, 2):
+        mp = os.path.join(base, COMMITS_DIR, f"v{v:08d}")
+        body = json.loads(open(mp).read())
+        body["created_utc"] = 1000.0  # 1970, well past any window
+        os.remove(mp)
+        with open(mp, "w") as f:
+            f.write(json.dumps(body))
+    removed = gc_snapshots(
+        spark, base, keep=1, orphan_min_age_s=0, keep_age_s=3600
+    )
+    # only the ARTIFICIALLY AGED versions fell; 3 and 4 are young even
+    # though keep=1 alone would have dropped them
+    assert removed == [1, 2]
+    assert committed_versions(spark, base) == [3, 4, 5]
+    assert read_snapshot(spark, base).count() == 15
+    # without the age floor, keep=1 reclaims everything but the head
+    removed2 = gc_snapshots(spark, base, keep=1, orphan_min_age_s=0)
+    assert removed2 == [3, 4]

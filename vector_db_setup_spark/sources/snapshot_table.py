@@ -1082,9 +1082,20 @@ def gc_snapshots(
     keep: int = 2,
     fs=None,
     orphan_min_age_s: float = 3600.0,
+    keep_age_s: float | None = None,
 ) -> list[int]:
     """Reclaim old committed versions (keeping the newest `keep`) and
     unreferenced orphan data dirs older than ``orphan_min_age_s``.
+
+    ``keep_age_s`` adds a TIME floor: versions whose marker
+    ``created_utc`` is within the window survive regardless of count —
+    the natural form for every retention contract this module states
+    (reader pin duration, idempotent-replay horizon, CDC consumer
+    lag are all clocks, not counts). The protections COMPOSE: a
+    version survives if it is among the newest ``keep`` OR younger
+    than ``keep_age_s``. Markers lacking created_utc are treated as
+    young (never age-reclaimed — absence of evidence must not delete
+    data).
     Returns the removed version numbers.
 
     Grace contracts (both the same class of promise Iceberg's
@@ -1112,6 +1123,17 @@ def gc_snapshots(
     fs = _resolve_fs(spark, base, fs)
     committed = committed_versions(spark, base, fs)
     drop = committed[:-keep] if keep > 0 else committed
+    if keep_age_s is not None and drop:
+        cutoff = _time.time() - keep_age_s
+        aged = []
+        for v in drop:
+            try:
+                ts = snapshot_info(spark, base, v, fs).get("created_utc")
+            except FileNotFoundError:
+                continue  # raced a concurrent GC
+            if ts is not None and float(ts) < cutoff:
+                aged.append(v)
+        drop = aged
     keep_set = [v for v in committed if v not in drop]
     # data dirs named by SURVIVING markers must not be touched even
     # when a dropped version also names them — zero-copy rollback
