@@ -149,3 +149,41 @@ def test_gc_keep_age_protects_young_versions(spark, tmp_path):
     # without the age floor, keep=1 reclaims everything but the head
     removed2 = gc_snapshots(spark, base, keep=1, orphan_min_age_s=0)
     assert removed2 == [3, 4]
+
+
+def test_tags_pin_resolve_and_survive_gc(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import (
+        delete_tag,
+        gc_snapshots,
+        list_tags,
+        tag_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    for i in range(1, 6):
+        write_snapshot(_df(spark, 0, 10 + i), base)
+    assert tag_snapshot(spark, base, "train-2026-08", version=2) == 2
+    assert list_tags(spark, base) == {"train-2026-08": 2}
+    got = read_snapshot(spark, base, tag="train-2026-08")
+    assert got.count() == 12
+    # immutable: re-tagging the same name refuses
+    with pytest.raises(FileExistsError, match="immutable"):
+        tag_snapshot(spark, base, "train-2026-08", version=4)
+    # GC keeps the tagged version alive past the keep window
+    removed = gc_snapshots(spark, base, keep=1, orphan_min_age_s=0)
+    assert 2 not in removed and sorted(removed) == [1, 3, 4]
+    assert read_snapshot(spark, base, tag="train-2026-08").count() == 12
+    # deleting the tag releases it to the NEXT gc
+    delete_tag(spark, base, "train-2026-08")
+    assert list_tags(spark, base) == {}
+    removed2 = gc_snapshots(spark, base, keep=1, orphan_min_age_s=0)
+    assert removed2 == [2]
+    with pytest.raises(Exception):
+        read_snapshot(spark, base, tag="train-2026-08")
+    # guards: bad name, untagged resolve, version+tag together
+    with pytest.raises(ValueError, match="tag name"):
+        tag_snapshot(spark, base, ".hidden")
+    with pytest.raises(ValueError, match="not both"):
+        read_snapshot(spark, base, version=5, tag="x")
+    with pytest.raises(FileNotFoundError):
+        tag_snapshot(spark, base, "gone", version=1)  # GC'd version

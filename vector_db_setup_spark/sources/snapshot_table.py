@@ -83,6 +83,7 @@ to "what replaces BEGIN/COMMIT on a data lake".
 from __future__ import annotations
 
 import json
+import re
 import uuid
 from urllib.parse import unquote
 
@@ -90,6 +91,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 COMMITS_DIR = "_commits"
+TAGS_DIR = "_tags"
 DATA_PREFIX = "d-"
 _V_PREFIX = "v"
 _V_DIGITS = 8
@@ -796,6 +798,7 @@ def read_snapshot(
     fs=None,
     key_between: tuple | None = None,
     key_in: tuple | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """DataFrame over a committed version (newest by default). The
     returned frame is PINNED to that version's data directories —
@@ -825,6 +828,10 @@ def read_snapshot(
     pruning stays a correct over-approximation). Compaction
     materializes the deletes and clears the stack."""
     fs = _resolve_fs(spark, base, fs)
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version OR tag, not both")
+        version = resolve_tag(spark, base, tag, fs)
     v = version if version is not None else current_version(spark, base, fs)
     marker_path = f"{base}/{COMMITS_DIR}/{_vname(v)}"
     if not fs.exists(marker_path):
@@ -1134,6 +1141,11 @@ def gc_snapshots(
             if ts is not None and float(ts) < cutoff:
                 aged.append(v)
         drop = aged
+    # tagged versions are PINNED: provenance tags must survive any
+    # count/age policy until explicitly deleted
+    tagged = set(list_tags(spark, base, fs).values())
+    if tagged:
+        drop = [v for v in drop if v not in tagged]
     keep_set = [v for v in committed if v not in drop]
     # data dirs named by SURVIVING markers must not be touched even
     # when a dropped version also names them — zero-copy rollback
@@ -2061,6 +2073,75 @@ def version_as_of(spark, base: str, ts: float, fs=None) -> int:
             "(earliest surviving commit is newer, or the table is empty)"
         )
     return best
+
+
+_TAG_NAME_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9._-]*$")
+
+
+def tag_snapshot(
+    spark, base: str, name: str, version: int | None = None, fs=None
+) -> int:
+    """Pin a committed version under a NAME (``_tags/{name}`` — one
+    tiny exclusive-created file): `read_snapshot(tag=...)` resolves it
+    and `gc_snapshots` PROTECTS it (the tagged version and its dirs
+    survive any keep/keep_age policy until the tag is deleted). The
+    training-provenance primitive: tag the exact corpus version a
+    model consumed and retention can never silently reclaim it.
+
+    Tags are IMMUTABLE (exclusive create, same primitive as commit
+    markers — no last-write-wins retarget races); re-pointing is an
+    explicit `delete_tag` + re-tag. Returns the pinned version."""
+    if not _TAG_NAME_RE.match(name):
+        raise ValueError(
+            f"tag name {name!r} must match [A-Za-z0-9][A-Za-z0-9._-]* "
+            "(it becomes a filename)"
+        )
+    fs = _resolve_fs(spark, base, fs)
+    v = version if version is not None else current_version(spark, base, fs)
+    if not fs.exists(f"{base}/{COMMITS_DIR}/{_vname(v)}"):
+        raise FileNotFoundError(
+            f"cannot tag v{v} at {base}: not committed (or GC'd)"
+        )
+    body = json.dumps({"version": v, "created_utc": _now()})
+    try:
+        fs.create_new(f"{base}/{TAGS_DIR}/{name}", body.encode())
+    except FileExistsError:
+        cur = resolve_tag(spark, base, name, fs)
+        raise FileExistsError(
+            f"tag {name!r} already pins v{cur} at {base} — tags are "
+            "immutable; delete_tag first to re-point"
+        ) from None
+    return v
+
+
+def resolve_tag(spark, base: str, name: str, fs=None) -> int:
+    fs = _resolve_fs(spark, base, fs)
+    raw = fs.read_file(f"{base}/{TAGS_DIR}/{name}")
+    return int(json.loads(raw.decode())["version"])
+
+
+def delete_tag(spark, base: str, name: str, fs=None) -> None:
+    """Remove the pin; the version becomes reclaimable by the normal
+    retention policy at the NEXT gc (nothing is deleted here)."""
+    fs = _resolve_fs(spark, base, fs)
+    path = f"{base}/{TAGS_DIR}/{name}"
+    if not fs.exists(path):
+        raise FileNotFoundError(f"no tag {name!r} at {base}")
+    fs.delete(path)
+
+
+def list_tags(spark, base: str, fs=None) -> dict:
+    """{name: version} for every tag (driver-side small reads)."""
+    fs = _resolve_fs(spark, base, fs)
+    out = {}
+    for name in fs.listdir(f"{base}/{TAGS_DIR}"):
+        if name.startswith("."):
+            continue  # crash-orphan temp from an interrupted create
+        try:
+            out[name] = resolve_tag(spark, base, name, fs)
+        except Exception:
+            continue  # raced a concurrent delete_tag
+    return out
 
 
 def snapshot_history(spark: SparkSession, base: str, fs=None) -> DataFrame:
