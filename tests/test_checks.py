@@ -187,3 +187,20 @@ def test_tags_pin_resolve_and_survive_gc(spark, tmp_path):
         read_snapshot(spark, base, version=5, tag="x")
     with pytest.raises(FileNotFoundError):
         tag_snapshot(spark, base, "gone", version=1)  # GC'd version
+
+
+def test_register_view_by_tag(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import (
+        register_snapshot_view,
+        tag_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, 0, 7), base)
+    tag_snapshot(spark, base, "gold")
+    write_snapshot(_df(spark, 0, 50), base)  # head moves on
+    v = register_snapshot_view(spark, base, "gold_docs", tag="gold")
+    assert v == 1
+    assert spark.sql("SELECT count(*) n FROM gold_docs").first()["n"] == 7
+    with pytest.raises(ValueError, match="ONE of"):
+        register_snapshot_view(spark, base, "x", version=1, tag="gold")

@@ -2188,22 +2188,26 @@ def register_snapshot_view(
     version: int | None = None,
     as_of: float | None = None,
     fs=None,
+    tag: str | None = None,
 ) -> int:
     """Expose a committed version to the SQL surface: creates (or
     replaces) a temp view ``name`` over the PINNED read — the
     `spark.sql("SELECT … FROM name")` form of read_snapshot, with the
     same guarantees (later commits/compactions invisible; tombstones
-    applied). Pass ``version`` for explicit time travel or ``as_of``
-    for timestamp travel (mutually exclusive). Returns the resolved
+    applied). Pass ``version`` for explicit time travel, ``as_of``
+    for timestamp travel, or ``tag`` for a provenance pin (mutually
+    exclusive). Returns the resolved
     version so callers can log what the view is pinned to — the view
     does NOT follow the head; re-register to advance (deliberate: a
     silently-moving view mid-ETL is how two reads of "one table"
     disagree)."""
-    if version is not None and as_of is not None:
-        raise ValueError("pass version= or as_of=, not both")
+    if sum(x is not None for x in (version, as_of, tag)) > 1:
+        raise ValueError("pass ONE of version= / as_of= / tag=")
     fs = _resolve_fs(spark, base, fs)
     if as_of is not None:
         version = version_as_of(spark, base, as_of, fs)
+    if tag is not None:
+        version = resolve_tag(spark, base, tag, fs)
     v = version if version is not None else current_version(spark, base, fs)
     read_snapshot(spark, base, version=v, fs=fs).createOrReplaceTempView(
         name
