@@ -1113,7 +1113,7 @@ def test_register_snapshot_view_sql_surface(spark, tmp_path):
     v2 = register_snapshot_view(spark, base, "docs_v")
     assert v2 == 2
     assert spark.sql("SELECT count(*) n FROM docs_v").first()["n"] == 49
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="ONE of"):
         register_snapshot_view(spark, base, "x", version=1, as_of=0.0)
     spark.catalog.dropTempView("docs_v")
 
