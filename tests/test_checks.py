@@ -204,3 +204,90 @@ def test_register_view_by_tag(spark, tmp_path):
     assert spark.sql("SELECT count(*) n FROM gold_docs").first()["n"] == 7
     with pytest.raises(ValueError, match="ONE of"):
         register_snapshot_view(spark, base, "x", version=1, tag="gold")
+
+
+def test_null_predicate_passes_like_sql_check(spark, tmp_path):
+    """SQL CHECK semantics: unknown (NULL) is not a violation — only a
+    definite FALSE refuses the batch."""
+    base = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, 10), (2, None)], "id long, score long"
+    )
+    write_snapshot(df, base, checks={"score_pos": "score > 0"})  # OK
+    assert read_snapshot(spark, base).count() == 2
+    bad = spark.createDataFrame([(3, -5)], "id long, score long")
+    with pytest.raises(ValueError, match="score_pos"):
+        append_snapshot(bad, base)
+    # NULL-passes applies to null VALUES; a batch omitting the checked
+    # column ENTIRELY still refuses (unevaluable gate — a producer
+    # dropping a gated column is a schema bug, not an unknown)
+    with pytest.raises(ValueError, match="cannot be evaluated"):
+        append_snapshot(
+            spark.createDataFrame([(4,)], "id long"), base,
+            merge_schema=True,
+        )
+    # null VALUE in the gated column passes through the same gate
+    append_snapshot(
+        spark.createDataFrame([(4, None)], "id long, score long"),
+        base,
+    )
+    assert read_snapshot(spark, base).count() == 3
+
+
+def test_compact_if_on_empty_table_returns_none(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import compact_if
+
+    assert compact_if(spark, str(tmp_path / "never_landed")) is None
+
+
+def test_gc_aborts_on_unreadable_tag(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import (
+        TAGS_DIR,
+        gc_snapshots,
+    )
+
+    base = str(tmp_path / "t")
+    for i in range(3):
+        write_snapshot(_df(spark, 0, 10 + i), base)
+    os.makedirs(os.path.join(base, TAGS_DIR), exist_ok=True)
+    with open(os.path.join(base, TAGS_DIR, "torn"), "wb") as f:
+        f.write(b"")  # exists but unparseable (in-flight create shape)
+    with pytest.raises(RuntimeError, match="unreadable"):
+        gc_snapshots(spark, base, keep=1, orphan_min_age_s=0)
+    # nothing was reclaimed while the pin was unreadable
+    assert committed_versions(spark, base) == [1, 2, 3]
+
+
+def test_gc_resurrects_marker_tagged_mid_run(spark, tmp_path):
+    """A tag created between GC's protection scan and its marker
+    deletes pins a version GC already dropped — the post-delete
+    recheck must resurrect the marker before any data dir is touched."""
+    from vector_db_setup_spark.sources.fs import LocalFS
+    from vector_db_setup_spark.sources.snapshot_table import (
+        gc_snapshots,
+        list_tags,
+        tag_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    for i in range(3):
+        write_snapshot(_df(spark, 0, 10 + i), base)
+
+    class TagAfterScan(LocalFS):
+        def __init__(self):
+            self.fired = False
+
+        def delete(self, path, ignore_errors=False):
+            if "_commits/v00000001" in path and not self.fired:
+                self.fired = True
+                # rival tags v1 AFTER the protection scan passed it by
+                tag_snapshot(spark, base, "late", version=1)
+            super().delete(path, ignore_errors=ignore_errors)
+
+    removed = gc_snapshots(
+        spark, base, keep=1, orphan_min_age_s=0, fs=TagAfterScan()
+    )
+    assert 1 not in removed
+    assert list_tags(spark, base) == {"late": 1}
+    assert read_snapshot(spark, base, tag="late").count() == 10
+    assert 1 in committed_versions(spark, base)

@@ -255,26 +255,27 @@ def _find_idempotent(
     return None
 
 
-def _enforce_checks(
-    spark, base: str, data_name: str, checks: dict, what: str
-) -> None:
+def _enforce_checks_df(df: DataFrame, checks: dict, what: str) -> None:
     """Validate every declared CHECK (name -> SQL boolean expression)
-    against a freshly landed dir — ONE aggregate pass counting
-    violations for all checks together. Raises with per-check counts;
-    the caller reclaims the dir. A check referencing a column the
-    batch lacks fails LOUDLY (an unevaluable gate must never pass
-    silently)."""
+    against a frame — ONE aggregate pass counting violations for all
+    checks together. SQL CHECK semantics: a predicate evaluating to
+    NULL (unknown) PASSES — only a definite FALSE is a violation
+    (matching standard CHECK constraints, and letting merge_schema's
+    null-filled columns through gates on columns a batch legitimately
+    omits; write the predicate as `x IS NOT NULL AND ...` to reject
+    unknowns). Raises with per-check counts; the caller reclaims any
+    landed dir. A check referencing a column the frame lacks fails
+    LOUDLY (an unevaluable gate must never pass silently)."""
     if not checks:
         return
-    back = spark.read.parquet(f"{base}/{data_name}")
     aggs = [
         F.sum(
-            F.when(~F.coalesce(F.expr(expr), F.lit(False)), 1).otherwise(0)
+            F.when(F.expr(expr).eqNullSafe(F.lit(False)), 1).otherwise(0)
         ).alias(name)
         for name, expr in checks.items()
     ]
     try:
-        row = back.agg(*aggs).first()
+        row = df.agg(*aggs).first()
     except Exception as e:
         raise ValueError(
             f"{what}: declared check(s) {sorted(checks)} cannot be "
@@ -287,6 +288,15 @@ def _enforce_checks(
             f"{what}: CHECK constraint violation(s) {bad} (rows "
             f"failing each named predicate) — the batch was NOT "
             "committed"
+        )
+
+
+def _enforce_checks(
+    spark, base: str, data_name: str, checks: dict, what: str
+) -> None:
+    if checks:
+        _enforce_checks_df(
+            spark.read.parquet(f"{base}/{data_name}"), checks, what
         )
 
 
@@ -403,6 +413,7 @@ def write_snapshot(
     cluster_files: int | None = None,
     _op: str = "write",
     checks: dict | None = None,
+    _checks_prevalidated: bool = False,
 ) -> int:
     """Land `df` as the next committed version; returns its number.
 
@@ -416,8 +427,11 @@ def write_snapshot(
     the dir and raise with per-check counts), the checks ride in the
     marker, and every later ``append_snapshot`` batch is validated
     against the HEAD's checks — a data-quality gate that versions
-    WITH the table. Deletes/rollbacks/compactions carry them;
-    re-declare (or drop) via a fresh write_snapshot.
+    WITH the table. SQL CHECK semantics: NULL (unknown) passes; only
+    a definite FALSE violates — write ``x IS NOT NULL AND ...`` to
+    reject unknowns. Deletes/rollbacks/compactions carry them
+    (derived rewrites skip re-validation — their rows already passed
+    the same gate); re-declare (or drop) via a fresh write_snapshot.
 
     Protocol: write parquet ONCE to a writer-unique data dir
     (`d-<token>` — no other writer can touch it) → verify the dir
@@ -497,7 +511,12 @@ def write_snapshot(
     # that can't be read back (full count touches every footer; fused
     # with per-file stats collection when declared)
     n_rows, stats = _verify_and_stats(spark, base, data_name, stats_cols)
-    if checks:
+    if checks and not _checks_prevalidated:
+        # derived rewrites (compact; upsert validates just its update
+        # rows) skip this — every surviving row already passed the
+        # SAME gate at its original commit, and re-aggregating the
+        # whole table would tax each compaction O(table) for zero new
+        # information
         try:
             _enforce_checks(spark, base, data_name, checks, "write_snapshot")
         except BaseException:
@@ -1027,6 +1046,7 @@ def compact_snapshot(
                 note=f"compacted v{v}",
                 _op="compact",
                 checks=head_info.get("checks"),
+                _checks_prevalidated=True,
                 fs=fs,
                 expected_head=v,
                 partition_by=part_by,
@@ -1068,7 +1088,10 @@ def compact_if(
     compact_snapshot's full conflict handling (expected_head,
     recompact-on-conflict)."""
     fs = _resolve_fs(spark, base, fs)
-    info = snapshot_info(spark, base, current_version(spark, base, fs), fs)
+    vs = committed_versions(spark, base, fs)
+    if not vs:
+        return None  # nothing landed yet — a blind scheduler may poll
+    info = snapshot_info(spark, base, vs[-1], fs)
     if (
         len(_data_names(info)) <= max_data_dirs
         and len(_delete_entries(info)) <= max_delete_entries
@@ -1143,7 +1166,7 @@ def gc_snapshots(
         drop = aged
     # tagged versions are PINNED: provenance tags must survive any
     # count/age policy until explicitly deleted
-    tagged = set(list_tags(spark, base, fs).values())
+    tagged = _tags_strict(spark, base, fs)
     if tagged:
         drop = [v for v in drop if v not in tagged]
     keep_set = [v for v in committed if v not in drop]
@@ -1167,9 +1190,11 @@ def gc_snapshots(
     removed = []
     drop_refs: dict = {}
     failed_refs = set()
+    raw_markers: dict = {}
     for v in drop:
         try:
-            info = snapshot_info(spark, base, v, fs)  # read BEFORE deleting
+            raw = fs.read_file(f"{base}/{COMMITS_DIR}/{_vname(v)}")
+            info = json.loads(raw.decode() or "{}")  # read BEFORE deleting
         except FileNotFoundError:
             continue  # a concurrent GC already reclaimed this version;
             # aborting here would strand the REST of the run's work
@@ -1179,9 +1204,21 @@ def gc_snapshots(
         except Exception:
             failed_refs.update(names)  # marker survived -> dirs must too
             continue
+        raw_markers[v] = (raw, names)
         for data in names:
             drop_refs.setdefault(data, []).append(v)
         removed.append(v)
+    # TOCTOU closure: a tag created AFTER the protection scan could pin
+    # a version whose marker we just deleted. Markers are tiny and we
+    # hold their exact bytes, so re-list tags and RESURRECT any pinned
+    # marker before any data dir is touched — the tagger sees a fully
+    # intact version, and the race costs one extra listing per GC.
+    late_tags = _tags_strict(spark, base, fs) & set(removed)
+    for v in sorted(late_tags):
+        raw, names = raw_markers[v]
+        fs.create_new(f"{base}/{COMMITS_DIR}/{_vname(v)}", raw)
+        failed_refs.update(names)  # its dirs are live again
+        removed.remove(v)
     for data in drop_refs:
         if data not in kept_refs and data not in failed_refs:
             fs.delete(f"{base}/{data}", ignore_errors=True)
@@ -1213,15 +1250,16 @@ def gc_snapshots(
     # ones so a crashy producer doesn't accrete junk forever. The same
     # mtime grace protects an in-flight writer between temp-write and
     # link.
-    for name in fs.listdir(f"{base}/{COMMITS_DIR}"):
-        if not (name.startswith(".") and name.endswith(".tmp")):
-            continue
-        tmp_path = f"{base}/{COMMITS_DIR}/{name}"
-        try:
-            if now - fs.mtime(tmp_path) >= orphan_min_age_s:
-                fs.delete(tmp_path, ignore_errors=True)
-        except Exception:
-            continue  # raced the writer's own unlink; nothing to do
+    for sub in (COMMITS_DIR, TAGS_DIR):
+        for name in fs.listdir(f"{base}/{sub}"):
+            if not (name.startswith(".") and name.endswith(".tmp")):
+                continue
+            tmp_path = f"{base}/{sub}/{name}"
+            try:
+                if now - fs.mtime(tmp_path) >= orphan_min_age_s:
+                    fs.delete(tmp_path, ignore_errors=True)
+            except Exception:
+                continue  # raced the writer's own unlink; nothing to do
     return sorted(removed)
 
 
@@ -1333,6 +1371,10 @@ def upsert_snapshot(
                 if head_v
                 else None
             )
+            if head_checks:
+                # only the INCOMING rows need the gate — surviving head
+                # rows passed it at their own commits
+                _enforce_checks_df(new_rows, head_checks, "upsert_snapshot")
             if head_v:
                 head = read_snapshot(spark, base, version=head_v, fs=fs)
                 keys = updates.select(key_col).distinct()
@@ -1354,6 +1396,7 @@ def upsert_snapshot(
                     note=f"upsert on {key_col}",
                     _op="upsert",
                     checks=head_checks,
+                    _checks_prevalidated=True,
                     fs=fs,
                     idempotency_key=idempotency_key,
                     expected_head=head_v,
@@ -1683,7 +1726,10 @@ def _fast_append_run(
     WITHIN the run and against v_from's keys (range-pruned) once.
     Returns None when any new dir lacks the key column (evolved batch —
     fall back to per-step handling)."""
-    added = None
+    # schema pre-scan FIRST (footer reads only): bail before paying
+    # any guard JOB when an evolved dir lacks the key — and check the
+    # base the same way
+    per_version: list = []
     for v in range(v_from + 1, v_to + 1):
         prev_names = set(_data_names(infos[v - 1]))
         for name in _data_names(infos[v]):
@@ -1692,12 +1738,15 @@ def _fast_append_run(
             d = spark.read.parquet(f"{base}/{name}")
             if key_col not in d.columns:
                 return None
-            d = d.select(F.col(key_col)).withColumn(
-                "version", F.lit(v)
-            )
-            added = d if added is None else added.unionByName(d)
-    if added is None:
+            per_version.append((v, d))
+    if not per_version:
         return None
+    if key_col not in read_snapshot(spark, base, version=v_from, fs=fs).columns:
+        return None
+    added = None
+    for v, d in per_version:
+        d = d.select(F.col(key_col)).withColumn("version", F.lit(v))
+        added = d if added is None else added.unionByName(d)
     n_all, n_dist = added.agg(
         F.count(F.lit(1)), F.countDistinct(key_col)
     ).first()
@@ -1707,8 +1756,6 @@ def _fast_append_run(
             f"values ({n_all} rows, {n_dist} distinct) — a keyed diff "
             "is undefined"
         )
-    if key_col not in read_snapshot(spark, base, version=v_from, fs=fs).columns:
-        return None
     bmin, bmax = added.agg(F.min(key_col), F.max(key_col)).first()
     if bmin is not None:
         prior = read_snapshot(
@@ -1851,6 +1898,21 @@ def snapshot_changes(
                 out = run if out is None else out.unionByName(run)
                 i = j + 1
                 continue
+            # an evolved batch broke the run: attribute the run's
+            # steps INDIVIDUALLY (full diff where needed) and skip
+            # past it — re-attempting shorter runs inside it would
+            # re-probe the same dirs O(run²) times
+            for a2, b2 in steps[i : j + 1]:
+                step = _fast_step(spark, base, a2, b2, key_col, fs, infos)
+                if step is None:
+                    step = snapshot_diff(
+                        spark, base, a2, b2, key_col, fs=fs,
+                        columns=columns,
+                    ).filter(F.col("status") != "unchanged")
+                step = step.withColumn("version", F.lit(b2))
+                out = step if out is None else out.unionByName(step)
+            i = j + 1
+            continue
         step = (
             _fast_step(spark, base, a, b, key_col, fs, infos)
             if fast
@@ -2131,7 +2193,10 @@ def delete_tag(spark, base: str, name: str, fs=None) -> None:
 
 
 def list_tags(spark, base: str, fs=None) -> dict:
-    """{name: version} for every tag (driver-side small reads)."""
+    """{name: version} for every tag (driver-side small reads).
+    Lenient listing form: a tag deleted mid-listing is skipped.
+    GC uses `_tags_strict` instead — protection decisions must not
+    silently drop a tag that merely failed to READ."""
     fs = _resolve_fs(spark, base, fs)
     out = {}
     for name in fs.listdir(f"{base}/{TAGS_DIR}"):
@@ -2139,8 +2204,31 @@ def list_tags(spark, base: str, fs=None) -> dict:
             continue  # crash-orphan temp from an interrupted create
         try:
             out[name] = resolve_tag(spark, base, name, fs)
-        except Exception:
+        except FileNotFoundError:
             continue  # raced a concurrent delete_tag
+    return out
+
+
+def _tags_strict(spark, base: str, fs) -> set:
+    """Tagged versions for RETENTION decisions: a tag that exists but
+    cannot be read/parsed (transient IO error, or the zero-byte
+    visibility window HadoopFS documents for in-flight creates) makes
+    GC FAIL rather than reclaim — an unreadable pin protects by
+    aborting, never by being forgotten."""
+    out = set()
+    for name in fs.listdir(f"{base}/{TAGS_DIR}"):
+        if name.startswith("."):
+            continue
+        try:
+            out.add(resolve_tag(spark, base, name, fs))
+        except FileNotFoundError:
+            continue  # deleted concurrently: a real release
+        except Exception as e:
+            raise RuntimeError(
+                f"tag {name!r} at {base} exists but cannot be read "
+                f"({e}) — refusing to GC versions while a pin is "
+                "unreadable; retry when the tag is intact"
+            ) from e
     return out
 
 
