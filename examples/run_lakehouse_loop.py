@@ -234,10 +234,24 @@ def main() -> None:
     print(f"[delete] v{v_del}: 3 docs tombstoned (dirs untouched); "
           f"history shows {hist.count()} versions")
 
-    # ---- 8. retention
+    # ---- 8. provenance tag + retention: the tag pins the exact
+    # corpus a training run consumed; GC protects it through any
+    # keep policy until the tag is deleted
+    from vector_db_setup_spark.sources.snapshot_table import (
+        list_tags,
+        tag_snapshot,
+    )
+
+    v_tag = tag_snapshot(spark, table, "train-run-001", version=v_evo)
     removed = gc_snapshots(spark, table, keep=2, orphan_min_age_s=0)
+    assert v_tag not in removed
+    assert read_snapshot(spark, table, tag="train-run-001").count() == (
+        n_docs + 25
+    )
     assert read_snapshot(spark, table).count() == n_docs + 25 - 3
-    print(f"[gc] reclaimed versions {removed}; head intact")
+    print(f"[gc] reclaimed versions {removed}; tag "
+          f"{list_tags(spark, table)} pinned v{v_tag} through it; "
+          "head intact")
 
     shutil.rmtree(work, ignore_errors=True)
     print("OK — lakehouse loop (land/replay/compact/cdc/ivf/delete/gc)")
