@@ -2179,7 +2179,18 @@ def tag_snapshot(
 def resolve_tag(spark, base: str, name: str, fs=None) -> int:
     fs = _resolve_fs(spark, base, fs)
     raw = fs.read_file(f"{base}/{TAGS_DIR}/{name}")
-    return int(json.loads(raw.decode())["version"])
+    try:
+        return int(json.loads(raw.decode())["version"])
+    except (ValueError, KeyError) as e:
+        # distinguishable from FileNotFoundError: the pin EXISTS but
+        # its bytes aren't valid yet/anymore (HDFS in-flight create
+        # window, or corruption) — callers must not treat this as
+        # "no tag"
+        raise RuntimeError(
+            f"tag {name!r} at {base} exists but is unreadable "
+            f"({raw[:50]!r}) — an in-flight create (retry) or "
+            "corruption"
+        ) from e
 
 
 def delete_tag(spark, base: str, name: str, fs=None) -> None:
