@@ -1,0 +1,194 @@
+"""Day-2 operations measured (r8): a sustained mixed-commit workload
+against one snapshot table with the full maintenance loop attached —
+the steady-state behavior a table actually lives in, not a
+single-operation microbenchmark.
+
+Workload: land 50k docs, then 30 commits (appends of 1k with stats +
+clustering, periodic key deletes), draining the Bloom + COUNT/SUM
+subscriptions and running threshold compaction (`compact_if`) every 10
+commits, with a provenance tag pinned mid-history and age-floor GC at
+the end. Reports per-phase walls and verifies at the end:
+
+  - bloom state SUPERSET of rebuilt-from-scratch filter (removed
+    keys linger by design — Bloom has no delete; conservative for
+    decontamination) and no false negatives on live keys
+  - agg state == rebuilt groupBy
+  - tagged version readable after GC; newer-than-floor versions kept
+  - head read wall before vs after the last compaction
+
+Run:  python experiments/day2_operations.py
+(~3 min on local[32]; deterministic.) Results recorded in
+SCALE_EXPERIMENTS.md "Day-2 operations".
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F
+
+from vector_db_setup_spark.operators.bloom import bloom_build
+from vector_db_setup_spark.session import get_spark
+from vector_db_setup_spark.sources.snapshot_table import (
+    append_snapshot,
+    compact_if,
+    committed_versions,
+    current_version,
+    delete_from_snapshot,
+    gc_snapshots,
+    read_snapshot,
+    snapshot_info,
+    tag_snapshot,
+    write_snapshot,
+)
+from vector_db_setup_spark.streaming.commit_log import (
+    maintain_agg_from_commits,
+    maintain_bloom_from_commits,
+)
+
+NB, K = 1 << 20, 5
+
+
+def _docs(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("text"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+        (F.col("id") % 97 + 10).alias("n_tokens"),
+    )
+
+
+def main():
+    spark = get_spark(
+        app_name="day2-ops",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=32,
+    )
+    root = "/tmp/day2_ops_exp"
+    shutil.rmtree(root, ignore_errors=True)
+    base = f"{root}/docs"
+    bloom_state, agg_state = f"{root}/bloom", f"{root}/agg"
+    kw = dict(stats_cols=["doc_id"], cluster_by=["doc_id"])
+
+    t0 = time.perf_counter()
+    write_snapshot(
+        _docs(spark, 0, 50_000).repartition(8), base,
+        checks={"doc_id_nonneg": "doc_id >= 0"}, **kw,
+    )
+    print(f"initial_land_50k_s        {time.perf_counter() - t0:7.3f}")
+
+    def drain():
+        t = time.perf_counter()
+        maintain_bloom_from_commits(
+            spark, base, "doc_id", bloom_state, f"{root}/ck_b",
+            num_bits=NB, k=K,
+        )
+        tb = time.perf_counter() - t
+        t = time.perf_counter()
+        maintain_agg_from_commits(
+            spark, base, agg_state, f"{root}/ck_a",
+            group_col="lang", key_col="doc_id", sum_col="n_tokens",
+        )
+        return tb, time.perf_counter() - t
+
+    tb, ta = drain()
+    print(f"bootstrap_drains_s        {tb:7.3f} bloom  {ta:7.3f} agg")
+
+    nxt = [50_000]
+    n_commits = 0
+    compactions = 0
+    t_commits = t_drains = t_compacts = 0.0
+    for round_i in range(3):
+        for j in range(10):
+            t = time.perf_counter()
+            if j % 5 == 4:  # every 5th commit: a key-range delete
+                lo = round_i * 400
+                delete_from_snapshot(
+                    spark.range(lo, lo + 200).select(
+                        F.col("id").alias("doc_id")
+                    ),
+                    base,
+                    key_col="doc_id",
+                )
+            else:
+                append_snapshot(
+                    _docs(spark, nxt[0], nxt[0] + 1_000), base, **kw
+                )
+                nxt[0] += 1_000
+            t_commits += time.perf_counter() - t
+            n_commits += 1
+        if round_i == 1:
+            tag_snapshot(spark, base, "train-mid", fs=None)
+        tb, ta = drain()
+        t_drains += tb + ta
+        t = time.perf_counter()
+        if compact_if(
+            spark, base, max_data_dirs=8, max_delete_entries=3,
+            target_file_bytes=256 << 10,
+        ):
+            compactions += 1
+        t_compacts += time.perf_counter() - t
+    print(f"mixed_commits_s           {t_commits:7.3f}  ({n_commits} commits, "
+          f"{t_commits / n_commits:.3f} s each)")
+    print(f"incremental_drains_s      {t_drains:7.3f}  (3 rounds x 2 maintainers)")
+    print(f"compact_if_s              {t_compacts:7.3f}  ({compactions} fired)")
+
+    # ---- end-state verification
+    maintained = {
+        r["idx"]: r["word"]
+        for r in read_snapshot(spark, bloom_state).collect()
+    }
+    rebuilt = {
+        r["idx"]: r["word"]
+        for r in bloom_build(
+            read_snapshot(spark, base).select("doc_id").distinct(),
+            "doc_id", NB, K,
+        ).collect()
+    }
+    # deletes linger in the filter (no Bloom delete): maintained must
+    # SET every bit the rebuilt filter sets (no false negatives), and
+    # may set more
+    superset = all(
+        idx in maintained and (maintained[idx] | w) == maintained[idx]
+        for idx, w in rebuilt.items()
+    )
+    agg_got = {
+        tuple(r) for r in read_snapshot(spark, agg_state).collect()
+    }
+    agg_want = {
+        tuple(r)
+        for r in read_snapshot(spark, base)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("n_tokens").alias("total"))
+        .collect()
+    }
+    t = time.perf_counter()
+    head_files = len(read_snapshot(spark, base).inputFiles())
+    read_snapshot(spark, base).count()
+    head_read_s = time.perf_counter() - t
+    removed = gc_snapshots(
+        spark, base, keep=2, orphan_min_age_s=0, keep_age_s=86400
+    )
+    tagged_ok = read_snapshot(spark, base, tag="train-mid").count()
+    print(f"bloom_superset_of_rebuilt {superset} "
+          f"(lingering delete bits: {len(maintained) - len(rebuilt)} words)")
+    print(f"agg_state == rebuilt      {agg_got == agg_want}")
+    print(f"head_read_s               {head_read_s:7.3f}  ({head_files} files)")
+    print(f"gc_removed                {len(removed)} versions "
+          f"(age floor kept the rest); tagged read: {tagged_ok} rows")
+    print(f"versions_alive            {len(committed_versions(spark, base))}")
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
