@@ -40,11 +40,9 @@ from vector_db_setup_spark.sources.snapshot_table import (
     append_snapshot,
     compact_if,
     committed_versions,
-    current_version,
     delete_from_snapshot,
     gc_snapshots,
     read_snapshot,
-    snapshot_info,
     tag_snapshot,
     write_snapshot,
 )
