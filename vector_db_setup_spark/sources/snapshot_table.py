@@ -1818,6 +1818,10 @@ def snapshot_changes(
     markers predating the ``op`` field) pay the full-outer key join
     with value hashing. ``fast=False`` forces the full diff on every
     step — the equivalence oracle the tests pin fast against.
+    (Consecutive DELETE steps still attribute per-step — two
+    key-column scans each; coalescing them like append runs would
+    save re-scans only in delete-storm catch-ups, a shape deferred
+    until it shows up in practice.)
 
     EAGERNESS: fast attribution runs its structural guards (duplicate
     checks, the key-range probe) as Spark jobs AT CALL TIME, so the
