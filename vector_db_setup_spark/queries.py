@@ -6632,3 +6632,48 @@ def user_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_agg("user_id", F.lit(12))
         ).alias("est_users")
     )
+
+
+@register(
+    "mixture_weights_temperature",
+    """
+    WITH m AS (
+      SELECT lang, count(*) AS n_docs, sum(n_chars) AS mass
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs,
+           round(pow(mass, 0.7) / sum(pow(mass, 0.7)) OVER (), 6)
+             AS weight
+    FROM m
+    """,
+)
+def mixture_weights_temperature(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data-mixing weights by temperature sampling: per-language
+    sampling probability ∝ (char mass)^α with α=0.7 — the standard
+    α-smoothed multilingual mix (upweights low-resource groups
+    relative to proportional sampling; α=1 is proportional, α=0 is
+    uniform). The training-pipeline operator that decides how much of
+    each source/language a run consumes.
+
+    Shape at 100 TB: one map-side-combined groupBy reduces the corpus
+    to ≤|groups| rows, and the normalizing window runs over that tiny
+    aggregate, not the corpus — the whole-frame window is safe
+    BECAUSE it sits above the aggregation (never window raw rows this
+    way)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("mass"),
+    )
+    w_raw = F.pow(F.col("mass"), F.lit(0.7))
+    return m.select(
+        "lang",
+        "n_docs",
+        F.round(
+            w_raw / F.sum(w_raw).over(Window.partitionBy()), 6
+        ).alias("weight"),
+    )
