@@ -191,3 +191,31 @@ def test_consecutive_append_run_coalesces_with_exact_versions(
         snapshot_changes(
             spark, base, "id", from_version=1, fast=True
         ).collect()
+
+
+def test_fast_cdc_on_partitioned_table(spark, tmp_path):
+    """Fast attribution must hold when the table is hive-partitioned —
+    batch dirs read back with their partition columns, including when
+    the CDC key IS the partition column."""
+    base = str(tmp_path / "t")
+    part = lambda lo, hi: _df(spark, lo, hi).withColumn(  # noqa: E731
+        "bucket", (F.col("id") % 3).cast("int")
+    )
+    write_snapshot(part(0, 30), base, partition_by=["bucket"])
+    append_snapshot(part(30, 45), base, partition_by=["bucket"])
+    delete_from_snapshot(
+        spark.range(0, 4).select("id"), base, key_col="id"
+    )
+    fast = _feed(spark, base, fast=True)
+    assert fast == _feed(spark, base, fast=False)
+    assert {(i, "added", 2) for i in range(30, 45)} <= fast
+    # CDC keyed on the PARTITION column: bucket repeats across rows,
+    # so the keyed diff is undefined — BOTH paths must refuse
+    with pytest.raises(ValueError, match="duplicate|re-land"):
+        snapshot_changes(
+            spark, base, "bucket", from_version=1, fast=True
+        ).collect()
+    with pytest.raises(ValueError, match="duplicate"):
+        snapshot_changes(
+            spark, base, "bucket", from_version=1, fast=False
+        ).collect()

@@ -333,3 +333,37 @@ def test_upsert_merge_schema_evolves_by_rewrite(spark, tmp_path):
             base,
             key_col="id",
         )
+
+
+def test_partitioned_evolved_stats_key_in_composition(spark, tmp_path):
+    """The whole read stack at once: hive partitioning + merge_schema
+    evolution + marker stats + key_in point lookups — pruned results
+    must equal the unpruned filter, with partition columns and
+    null-filled evolved columns intact."""
+    base = str(tmp_path / "t")
+    p1 = _v1(spark, 0, 120).withColumn(
+        "bucket", (F.col("id") % 2).cast("int")
+    )
+    write_snapshot(
+        p1, base, partition_by=["bucket"], stats_cols=["id"],
+        cluster_by=["id"], cluster_files=4,
+    )
+    p2 = _v2(spark, 120, 200).withColumn(
+        "bucket", (F.col("id") % 2).cast("int")
+    )
+    append_snapshot(
+        p2, base, partition_by=["bucket"], stats_cols=["id"],
+        cluster_by=["id"], cluster_files=4, merge_schema=True,
+    )
+    full = read_snapshot(spark, base)
+    got = read_snapshot(spark, base, key_in=("id", [7, 150, 9999]))
+    want = sorted(
+        tuple(r) for r in full.filter(F.col("id").isin([7, 150])).collect()
+    )
+    assert sorted(tuple(r) for r in got.collect()) == want
+    assert set(got.columns) == {"id", "payload", "lang", "bucket"}
+    # ranged read across the evolution boundary
+    got2 = read_snapshot(spark, base, key_between=("id", 100, 140))
+    assert got2.count() == 41
+    assert got2.filter(F.col("lang").isNull()).count() == 20
+    assert len(got2.inputFiles()) < len(full.inputFiles())
