@@ -615,3 +615,68 @@ def test_agg_maintainer_refuses_rewrite_steps(spark, tmp_path):
             spark, src, state, str(tmp_path / "ck2"),
             group_col="lang", key_col="doc_id",
         )
+
+
+def test_thread_contention_appends_with_gate_and_tags(spark, tmp_path):
+    """Real concurrency over the r8 surface: 4 threads x 3 APPEND
+    commits (fresh key ranges, CHECK gate declared at the base write)
+    racing the marker create, while the main thread tags mid-storm.
+    Every batch must land exactly once under a distinct version, the
+    gate must ride every marker, and a catch-up CDC drain must
+    attribute every appended key exactly once."""
+    import threading
+
+    from vector_db_setup_spark.sources.snapshot_table import (
+        list_tags,
+        snapshot_changes,
+        tag_snapshot,
+    )
+
+    base = str(tmp_path / "t")
+    write_snapshot(
+        _df(spark, 0, 10), base, checks={"id_nonneg": "id >= 0"}
+    )
+    errors: list[Exception] = []
+    lock = threading.Lock()
+
+    def appender(tid: int) -> None:
+        try:
+            for j in range(3):
+                lo = 1000 * (tid + 1) + 100 * j
+                append_snapshot(
+                    _df(spark, lo, lo + 20),
+                    base,
+                    note=f"t{tid}-{j}",
+                    retries=40,
+                )
+        except Exception as e:  # pragma: no cover
+            with lock:
+                errors.append(e)
+
+    threads = [
+        threading.Thread(target=appender, args=(i,)) for i in range(4)
+    ]
+    for t in threads:
+        t.start()
+    tag_snapshot(spark, base, "mid-storm")  # races the appends
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    vs = committed_versions(spark, base)
+    assert vs == list(range(1, 14))  # base + 12 appends, all distinct
+    head = read_snapshot(spark, base)
+    assert head.count() == 10 + 12 * 20
+    # the gate rode every marker through the contention
+    for v in vs:
+        assert snapshot_info(spark, base, v)["checks"] == {
+            "id_nonneg": "id >= 0"
+        }
+    # the tag resolved to SOME committed version and still reads
+    (tv,) = list_tags(spark, base).values()
+    assert read_snapshot(spark, base, tag="mid-storm").count() >= 10
+    # catch-up CDC attributes every appended key exactly once
+    feed = snapshot_changes(
+        spark, base, "id", from_version=1, columns=[]
+    ).collect()
+    added = [r["id"] for r in feed if r["status"] == "added"]
+    assert len(added) == len(set(added)) == 240
