@@ -6677,3 +6677,46 @@ def mixture_weights_temperature(
             w_raw / F.sum(w_raw).over(Window.partitionBy()), 6
         ).alias("weight"),
     )
+
+
+@register(
+    "mixture_epochs_at_budget",
+    """
+    WITH m AS (
+      SELECT lang, count(*) AS n_docs, sum(n_chars) AS mass
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs,
+           round(pow(mass, 0.7) / sum(pow(mass, 0.7)) OVER (), 6)
+             AS weight,
+           round(1e8 * (pow(mass, 0.7) / sum(pow(mass, 0.7)) OVER ())
+                 / mass, 6) AS epochs
+    FROM m
+    """,
+)
+def mixture_epochs_at_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The mixing decision made concrete: at a 1e8-char training
+    budget under the α=0.7 temperature mix, how many EPOCHS of each
+    language does the run consume (budget × weight / group mass)?
+    This is the number reviewed before a run — epochs ≫ 1 on a
+    low-resource group means the mix will repeat that data heavily
+    (memorization/contamination risk), the direct consequence of the
+    α chosen in `mixture_weights_temperature`."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    m = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("mass"),
+    )
+    w = F.pow(F.col("mass"), F.lit(0.7)) / F.sum(
+        F.pow(F.col("mass"), F.lit(0.7))
+    ).over(Window.partitionBy())
+    return m.select(
+        "lang",
+        "n_docs",
+        F.round(w, 6).alias("weight"),
+        F.round(F.lit(1e8) * w / F.col("mass"), 6).alias("epochs"),
+    )
