@@ -92,9 +92,19 @@ from pyspark.sql import functions as F
 
 COMMITS_DIR = "_commits"
 TAGS_DIR = "_tags"
+CKPTS_DIR = "_ckpts"
 DATA_PREFIX = "d-"
 _V_PREFIX = "v"
 _V_DIGITS = 8
+_CKPT_PREFIX = "ckpt-v"
+# roll the marker infos into a checkpoint every N commits (the
+# Delta-log pattern): marker WALKERS (history, as-of, idempotency
+# misses, CDC info fetches, GC protection scans) read one checkpoint
+# file + only the markers newer than it, instead of one small read
+# per surviving version — the difference between O(new) and
+# O(versions) driver IO per operation on a table taking a commit a
+# minute for a year
+CHECKPOINT_EVERY = 25
 
 
 def _vname(n: int) -> str:
@@ -148,6 +158,92 @@ def snapshot_info(spark, base: str, version: int, fs=None) -> dict:
     fs = _resolve_fs(spark, base, fs)
     raw = fs.read_file(f"{base}/{COMMITS_DIR}/{_vname(version)}")
     return json.loads(raw.decode() or "{}")
+
+
+def _ckpt_name(v: int) -> str:
+    return f"{_CKPT_PREFIX}{v:0{_V_DIGITS}d}"
+
+
+def _latest_checkpoint(fs, base: str) -> dict | None:
+    """Newest readable commit-log checkpoint at ``base``, or None.
+    A checkpoint is a CACHE of immutable marker bodies — unreadable/
+    corrupt ones degrade to absent (walkers fall back to per-marker
+    reads), never to an error: losing the cache must never break the
+    table."""
+    best = None
+    for name in fs.listdir(f"{base}/{CKPTS_DIR}"):
+        if (
+            name.startswith(_CKPT_PREFIX)
+            and name[len(_CKPT_PREFIX):].isdigit()
+        ):
+            v = int(name[len(_CKPT_PREFIX):])
+            best = v if best is None or v > best else best
+    if best is None:
+        return None
+    try:
+        raw = fs.read_file(f"{base}/{CKPTS_DIR}/{_ckpt_name(best)}")
+        ck = json.loads(raw.decode() or "{}")
+    except Exception:
+        return None
+    if not isinstance(ck.get("infos"), dict):
+        return None
+    return ck
+
+
+def _infos_for(
+    spark, base: str, versions, fs, strict: bool = False
+) -> dict:
+    """Marker infos for ``versions`` — {version: info} — served from
+    the newest checkpoint where possible (ONE small read covers every
+    version the checkpoint holds; markers are immutable, so a
+    checkpoint entry is always exact) and from per-marker reads above
+    or outside it. ``strict=False`` skips versions GC'd mid-walk
+    (every marker walker's tolerance); strict propagates the
+    FileNotFoundError."""
+    versions = list(versions)
+    ck = _latest_checkpoint(fs, base) if versions else None
+    ck_infos = (ck or {}).get("infos") or {}
+    out = {}
+    for v in versions:
+        info = ck_infos.get(str(v))
+        if info is None:
+            try:
+                info = snapshot_info(spark, base, v, fs)
+            except FileNotFoundError:
+                if strict:
+                    raise
+                continue
+        out[v] = info
+    return out
+
+
+def write_commit_checkpoint(spark, base: str, fs=None) -> int | None:
+    """Roll every surviving marker's body into ``_ckpts/ckpt-v{head}``
+    (exclusive create; immutable once written). Walkers then pay one
+    checkpoint read + one read per post-checkpoint marker instead of
+    one per version. Written automatically every ``CHECKPOINT_EVERY``
+    commits by the commit loop (best-effort — a checkpoint is a cache,
+    so a failed write never fails the commit); call directly to force
+    one. Builds FROM the previous checkpoint, so checkpointing itself
+    is O(new markers), not O(versions). Returns the checkpointed head
+    (None on an empty table)."""
+    fs = _resolve_fs(spark, base, fs)
+    vs = committed_versions(spark, base, fs)
+    if not vs:
+        return None
+    head = vs[-1]
+    path = f"{base}/{CKPTS_DIR}/{_ckpt_name(head)}"
+    if fs.exists(path):
+        return head
+    infos = _infos_for(spark, base, vs, fs)
+    body = json.dumps(
+        {"version": head, "infos": {str(v): infos[v] for v in infos}}
+    )
+    try:
+        fs.create_new(path, body.encode())
+    except FileExistsError:
+        pass  # a concurrent committer checkpointed the same head
+    return head
 
 
 def _data_names(info: dict) -> list[str]:
@@ -238,18 +334,24 @@ def _find_idempotent(
     the head allocation to see the SAME listing (a twin visible to one
     but not the other reopens the double-commit race).
 
-    COST: a miss reads every surviving marker (driver-side small
-    files) — O(keep window) per keyed commit, so a stream committing
-    thousands of batches sizes the GC keep window to its replay
-    horizon, not to "forever" (the same retention knob that already
-    bounds the exactly-once promise)."""
+    COST: a miss walks every surviving marker — but through the
+    commit-log checkpoint where one exists (one checkpoint read + one
+    read per post-checkpoint marker), so the per-keyed-commit price is
+    O(commits since checkpoint), not O(keep window). Size the GC keep
+    window to the producer's replay horizon regardless (the retention
+    knob that bounds the exactly-once promise)."""
     if versions is None:
         versions = committed_versions(spark, base, fs)
+    ck_infos = (
+        (_latest_checkpoint(fs, base) or {}).get("infos") or {}
+    )
     for v in reversed(versions):
-        try:
-            info = snapshot_info(spark, base, v, fs)
-        except FileNotFoundError:
-            continue  # raced a concurrent GC of an old version
+        info = ck_infos.get(str(v))
+        if info is None:
+            try:
+                info = snapshot_info(spark, base, v, fs)
+            except FileNotFoundError:
+                continue  # raced a concurrent GC of an old version
         if info.get("idempotency_key") == key:
             return v
     return None
@@ -374,6 +476,14 @@ def _commit_loop(
             fs.create_new(
                 f"{base}/{COMMITS_DIR}/{_vname(n)}", marker.encode()
             )
+            if n % CHECKPOINT_EVERY == 0:
+                # roll up the log every N commits — best-effort: the
+                # checkpoint is a cache, so its failure never fails an
+                # already-acknowledged commit
+                try:
+                    write_commit_checkpoint(spark, base, fs)
+                except Exception:
+                    pass
             return n
         except FileExistsError as e:
             last_err = e
@@ -1156,11 +1266,9 @@ def gc_snapshots(
     if keep_age_s is not None and drop:
         cutoff = _time.time() - keep_age_s
         aged = []
-        for v in drop:
-            try:
-                ts = snapshot_info(spark, base, v, fs).get("created_utc")
-            except FileNotFoundError:
-                continue  # raced a concurrent GC
+        drop_infos = _infos_for(spark, base, drop, fs)
+        for v, info in sorted(drop_infos.items()):
+            ts = info.get("created_utc")
             if ts is not None and float(ts) < cutoff:
                 aged.append(v)
         drop = aged
@@ -1174,13 +1282,8 @@ def gc_snapshots(
     # when a dropped version also names them — zero-copy rollback
     # commits a NEW marker over an OLD dir, so dirs can be shared
     kept_refs = set()
-    for v in keep_set:
-        try:
-            kept_refs.update(
-                _all_dir_names(snapshot_info(spark, base, v, fs))
-            )
-        except FileNotFoundError:
-            continue  # raced a concurrent GC; nothing left to protect
+    for info in _infos_for(spark, base, keep_set, fs).values():
+        kept_refs.update(_all_dir_names(info))
     # two passes: delete ALL droppable markers first, then delete a
     # data dir only if every dropped marker naming it actually went
     # AND no kept marker names it — with zero-copy rollback a dir can
@@ -1225,13 +1328,10 @@ def gc_snapshots(
     # orphan data dirs: not referenced by ANY surviving marker, old
     # enough that no in-flight writer can still be producing them
     referenced = set()
-    for v in committed_versions(spark, base, fs):
-        try:
-            referenced.update(
-                _all_dir_names(snapshot_info(spark, base, v, fs))
-            )
-        except FileNotFoundError:
-            continue  # raced a concurrent GC; next GC gets its orphans
+    for info in _infos_for(
+        spark, base, committed_versions(spark, base, fs), fs
+    ).values():
+        referenced.update(_all_dir_names(info))
     now = _time.time()
     orphans = []
     for name in fs.listdir(base):
@@ -1250,7 +1350,7 @@ def gc_snapshots(
     # ones so a crashy producer doesn't accrete junk forever. The same
     # mtime grace protects an in-flight writer between temp-write and
     # link.
-    for sub in (COMMITS_DIR, TAGS_DIR):
+    for sub in (COMMITS_DIR, TAGS_DIR, CKPTS_DIR):
         for name in fs.listdir(f"{base}/{sub}"):
             if not (name.startswith(".") and name.endswith(".tmp")):
                 continue
@@ -1260,7 +1360,117 @@ def gc_snapshots(
                     fs.delete(tmp_path, ignore_errors=True)
             except Exception:
                 continue  # raced the writer's own unlink; nothing to do
+    # superseded checkpoints: keep the newest two (the newest, plus one
+    # for a walker that listed just before a fresh one landed); a
+    # checkpoint is pure cache, so reclaiming old ones can never lose
+    # table state — and entries for versions GC'd above are harmless
+    # (walkers intersect with the live marker listing)
+    cks = sorted(
+        n
+        for n in fs.listdir(f"{base}/{CKPTS_DIR}")
+        if n.startswith(_CKPT_PREFIX)
+        and n[len(_CKPT_PREFIX):].isdigit()
+    )
+    for name in cks[:-2]:
+        fs.delete(f"{base}/{CKPTS_DIR}/{name}", ignore_errors=True)
     return sorted(removed)
+
+
+def subscriber_cursor(spark, state_base: str, fs=None) -> int | None:
+    """The consumed-through source version of a commit-log maintainer's
+    state table (`streaming/commit_log.py` writers stamp it into their
+    marker meta): ``through_version`` for the Bloom/agg maintainers,
+    min(source_appended_through, source_deleted_through) for the IVF
+    maintainer. None when the state table has no commits yet (an
+    unbootstrapped subscriber needs no history — its first drain reads
+    the head). Raises when the newest marker carries no cursor at all:
+    that's not a maintainer state, and guessing would let GC break a
+    real subscriber silently."""
+    fs2 = _resolve_fs(spark, state_base, fs)
+    vs = committed_versions(spark, state_base, fs2)
+    if not vs:
+        return None
+    meta = snapshot_info(spark, state_base, vs[-1], fs2).get("meta") or {}
+    if "through_version" in meta:
+        return int(meta["through_version"])
+    app, del_ = (
+        meta.get("source_appended_through"),
+        meta.get("source_deleted_through"),
+    )
+    if app is not None and del_ is not None:
+        return min(int(app), int(del_))
+    raise ValueError(
+        f"state at {state_base} carries no subscription cursor in its "
+        "newest marker meta — not a commit-log maintainer state; a "
+        "retention policy cannot infer its lag"
+    )
+
+
+def gc_with_retention_policy(
+    spark,
+    base: str,
+    keep: int = 2,
+    keep_age_s: float | None = None,
+    subscriber_states: list[str] | None = None,
+    orphan_min_age_s: float = 3600.0,
+    fs=None,
+) -> dict:
+    """The day-2 retention entry point: compose `gc_snapshots`'s count
+    and age floors with the SLOWEST-CONSUMER contract the CDC feed
+    states (`snapshot_changes` RETENTION note) — enforced by code, not
+    operator discipline. ``subscriber_states`` names the maintainer
+    state tables subscribed to ``base`` (Bloom/agg/IVF maintainers in
+    `streaming/commit_log.py`); their consumed-through cursors are
+    read from their own marker meta, and every version a lagging
+    subscriber still needs for catch-up (cursor → head, inclusive —
+    `snapshot_changes(from_version=cursor)` requires the cursor
+    version itself to survive) is protected by WIDENING the keep
+    count. Tagged versions stay pinned as in plain GC.
+
+    REFUSES (raises, reclaiming nothing) when a subscriber's cursor
+    already points below the oldest surviving version — that
+    subscriber is broken NOW (its next drain would raise), and running
+    retention on top would destroy the evidence; resync it from a full
+    read + rebuild first.
+
+    Returns {"removed": [...], "effective_keep": n,
+    "subscriber_cursors": {state_base: cursor}} so the maintenance job
+    can log WHY versions survived."""
+    fs = _resolve_fs(spark, base, fs)
+    vs = committed_versions(spark, base, fs)
+    cursors: dict = {}
+    eff_keep = keep
+    if subscriber_states and vs:
+        head, oldest = vs[-1], vs[0]
+        for sb in subscriber_states:
+            cur = subscriber_cursor(spark, sb)
+            cursors[sb] = cur
+            if cur is None:
+                continue  # unbootstrapped: first drain reads the head
+            if cur < oldest:
+                raise ValueError(
+                    f"subscriber at {sb} consumed through v{cur}, but "
+                    f"the oldest surviving version at {base} is "
+                    f"v{oldest} — the subscriber is already broken; "
+                    "resync it (full read + rebuild) before running "
+                    "retention"
+                )
+            # keep cursor..head inclusive: the catch-up feed needs
+            # from_version itself committed
+            eff_keep = max(eff_keep, head - cur + 1)
+    removed = gc_snapshots(
+        spark,
+        base,
+        keep=eff_keep,
+        fs=fs,
+        orphan_min_age_s=orphan_min_age_s,
+        keep_age_s=keep_age_s,
+    )
+    return {
+        "removed": removed,
+        "effective_keep": eff_keep,
+        "subscriber_cursors": cursors,
+    }
 
 
 def upsert_snapshot(
@@ -1578,8 +1788,18 @@ def rollback_snapshot(spark, base: str, to_version: int, fs=None) -> int:
     ) from last_err
 
 
+def _snapshot_columns(spark, base: str, version: int, fs) -> list[str]:
+    """Schema-only probe of a pinned version: planning reads one
+    parquet footer, never row data. A separate named helper so tests
+    can assert the fast CDC paths touch a version's DATA only through
+    pruned (key_between/key_in) reads — every bare read_snapshot call
+    they make is this schema check."""
+    return read_snapshot(spark, base, version=version, fs=fs).columns
+
+
 def _fast_step(
-    spark, base: str, a: int, b: int, key_col: str, fs, infos=None
+    spark, base: str, a: int, b: int, key_col: str, fs, infos=None,
+    carry: list[str] | None = None,
 ) -> DataFrame | None:
     """O(batch) change attribution for one version step (a → b), or
     None when only the full diff can answer. Classified from the
@@ -1600,11 +1820,21 @@ def _fast_step(
       (column-pruned: only the CDC key and the tombstone key are
       scanned; tombstoned-but-absent keys correctly report nothing).
 
+    ``carry`` names value columns to PROJECT into the emitted rows:
+    appends carry them straight from the batch dirs (still O(batch) —
+    this is what lets a downstream maintainer consume values without
+    re-scanning the head table); deletes carry the pre-image from
+    version a's matched rows, read through a ``key_between`` probe
+    over the tombstone's key range so file-skipping stats prune the
+    fetch. A batch/version lacking a carry column falls back to the
+    full diff (None), which null-fills through the evolved read.
+
     write/upsert/rollback (and pre-``op`` markers) rewrite or re-point
     content arbitrarily → None, full diff. Every fast form avoids the
     full-outer shuffle and the all-column value hash of the table —
     the difference between O(table) and O(batch + key-column scan)
     per increment at 100 TB."""
+    carry = carry or []
     ia = (infos or {}).get(a) or snapshot_info(spark, base, a, fs)
     ib = (infos or {}).get(b) or snapshot_info(spark, base, b, fs)
     op = ib.get("op")
@@ -1612,7 +1842,7 @@ def _fast_step(
     def _empty():
         return (
             read_snapshot(spark, base, version=b, fs=fs)
-            .select(F.col(key_col))
+            .select(F.col(key_col), *[F.col(c) for c in carry])
             .withColumn("status", F.lit("added"))
             .filter(F.lit(False))
         )
@@ -1630,9 +1860,11 @@ def _fast_step(
         added = None
         for name in db[len(da):]:
             d = spark.read.parquet(f"{base}/{name}")
-            if key_col not in d.columns:
+            if key_col not in d.columns or any(
+                c not in d.columns for c in carry
+            ):
                 return None  # evolved batch without the key: full diff
-            d = d.select(F.col(key_col))
+            d = d.select(F.col(key_col), *[F.col(c) for c in carry])
             added = d if added is None else added.unionByName(d)
         n_all, n_dist = added.agg(
             F.count(F.lit(1)), F.countDistinct(key_col)
@@ -1643,9 +1875,7 @@ def _fast_step(
                 f"values ({n_all} rows, {n_dist} distinct) — a keyed "
                 "diff is undefined"
             )
-        if key_col not in read_snapshot(
-            spark, base, version=a, fs=fs
-        ).columns:
+        if key_col not in _snapshot_columns(spark, base, a, fs):
             return None
         # the guard only needs prior keys INSIDE the batch's key range
         # (a key outside it cannot collide) — expressing that as a
@@ -1678,20 +1908,42 @@ def _fast_step(
         and len(eb) > len(ea)
         and eb[: len(ea)] == ea
     ):
-        vis = read_snapshot(spark, base, version=a, fs=fs)
+        vis_cols = _snapshot_columns(spark, base, a, fs)
         removed = None
         for e in eb[len(ea):]:
-            if e["key_col"] not in vis.columns or key_col not in vis.columns:
+            if (
+                e["key_col"] not in vis_cols
+                or key_col not in vis_cols
+                or any(c not in vis_cols for c in carry)
+            ):
                 return None
             tomb = spark.read.parquet(f"{base}/{e['dir']}").select(
                 F.col(e["key_col"])
             )
+            # pre-image fetch pruned to the tombstone's key range: the
+            # tombstone dir is tiny (one aggregate), and on a clustered
+            # table the key_between read touches only the files that
+            # could hold the victims instead of scanning version a
+            t_lo, t_hi = tomb.agg(
+                F.min(e["key_col"]), F.max(e["key_col"])
+            ).first()
+            if t_lo is None:
+                continue  # empty tombstone removes nothing
+            vis = read_snapshot(
+                spark,
+                base,
+                version=a,
+                fs=fs,
+                key_between=(e["key_col"], t_lo, t_hi),
+            )
             hit = vis.join(tomb, e["key_col"], "left_semi").select(
-                F.col(key_col)
+                F.col(key_col), *[F.col(c) for c in carry]
             )
             removed = (
                 hit if removed is None else removed.unionByName(hit)
             )
+        if removed is None:
+            return _empty()
         # the emitted rows must honor the same one-row-per-key contract
         # the full diff enforces: duplicate CDC keys among the REMOVED
         # rows would double-deliver to consumers. (Duplicates the
@@ -1719,13 +1971,16 @@ def _fast_append_run(
     v_to: int,
     key_col: str,
     fs,
+    carry: list[str] | None = None,
 ) -> DataFrame | None:
     """Attribute a CONSECUTIVE run of append steps (v_from → v_to, every
     step append-shaped with unchanged tombstones) in one pass: union
     each version's new dirs tagged with its version, guard duplicates
     WITHIN the run and against v_from's keys (range-pruned) once.
-    Returns None when any new dir lacks the key column (evolved batch —
-    fall back to per-step handling)."""
+    ``carry`` columns project straight from the batch dirs (O(batch)).
+    Returns None when any new dir lacks the key or a carry column
+    (evolved batch — fall back to per-step handling)."""
+    carry = carry or []
     # schema pre-scan FIRST (footer reads only): bail before paying
     # any guard JOB when an evolved dir lacks the key — and check the
     # base the same way
@@ -1736,16 +1991,20 @@ def _fast_append_run(
             if name in prev_names:
                 continue
             d = spark.read.parquet(f"{base}/{name}")
-            if key_col not in d.columns:
+            if key_col not in d.columns or any(
+                c not in d.columns for c in carry
+            ):
                 return None
             per_version.append((v, d))
     if not per_version:
         return None
-    if key_col not in read_snapshot(spark, base, version=v_from, fs=fs).columns:
+    if key_col not in _snapshot_columns(spark, base, v_from, fs):
         return None
     added = None
     for v, d in per_version:
-        d = d.select(F.col(key_col)).withColumn("version", F.lit(v))
+        d = d.select(
+            F.col(key_col), *[F.col(c) for c in carry]
+        ).withColumn("version", F.lit(v))
         added = d if added is None else added.unionByName(d)
     n_all, n_dist = added.agg(
         F.count(F.lit(1)), F.countDistinct(key_col)
@@ -1776,7 +2035,119 @@ def _fast_append_run(
                 "job)"
             )
     return added.select(
-        F.col(key_col), F.lit("added").alias("status"), F.col("version")
+        F.col(key_col),
+        *[F.col(c) for c in carry],
+        F.lit("added").alias("status"),
+        F.col("version"),
+    )
+
+
+def _fast_delete_run(
+    spark,
+    base: str,
+    infos: dict,
+    v_from: int,
+    v_to: int,
+    key_col: str,
+    fs,
+    carry: list[str] | None = None,
+) -> DataFrame | None:
+    """Attribute a CONSECUTIVE run of delete steps (every step
+    delete-shaped: data dirs unchanged, tombstone stack extended) in
+    ONE pass over version v_from's visible rows instead of one
+    key-column scan per step — the delete-storm catch-up shape.
+
+    Correctness: every step in the run only ever removes rows visible
+    at v_from (delete steps add no rows), and a row tombstoned by
+    several versions belongs to the EARLIEST one (by then it is no
+    longer visible to the later step). So: left-join v_from's rows
+    against each new tombstone entry tagged with its version, take
+    LEAST() of the hit versions per row, and keep the hit rows — one
+    scan, N tiny (broadcast-sized) tombstone joins. The per-step
+    one-row-per-CDC-key guard is preserved exactly: duplicates are
+    checked per VERSION group, matching what per-step attribution
+    enforces. Returns None when a tombstone/CDC/carry column is
+    missing from v_from's schema (per-step handling decides)."""
+    carry = carry or []
+    entries: list = []  # (version, tombstone entry)
+    for v in range(v_from + 1, v_to + 1):
+        prev = _delete_entries(infos[v - 1])
+        for e in _delete_entries(infos[v])[len(prev):]:
+            entries.append((v, e))
+    if not entries:
+        return None
+    vis_cols = _snapshot_columns(spark, base, v_from, fs)
+    need = {key_col, *carry, *(e["key_col"] for _, e in entries)}
+    if any(c not in vis_cols for c in need):
+        return None
+    # prune the single visible-rows scan when every tombstone keys on
+    # the SAME column: the union of the tombstones' key ranges bounds
+    # every possible victim, so file-skipping stats apply once for the
+    # whole run (mixed key columns skip pruning, never correctness)
+    tomb_key_cols = {e["key_col"] for _, e in entries}
+    tombs = []
+    lo = hi = None
+    for v, e in entries:
+        t = (
+            spark.read.parquet(f"{base}/{e['dir']}")
+            .select(F.col(e["key_col"]))
+            .distinct()
+        )
+        if len(tomb_key_cols) == 1:
+            t_lo, t_hi = t.agg(
+                F.min(e["key_col"]), F.max(e["key_col"])
+            ).first()
+            if t_lo is not None:
+                lo = t_lo if lo is None or t_lo < lo else lo
+                hi = t_hi if hi is None or t_hi > hi else hi
+        tombs.append((v, e["key_col"], t))
+    if len(tomb_key_cols) == 1 and lo is not None:
+        vis = read_snapshot(
+            spark,
+            base,
+            version=v_from,
+            fs=fs,
+            key_between=(next(iter(tomb_key_cols)), lo, hi),
+        )
+    else:
+        vis = read_snapshot(spark, base, version=v_from, fs=fs)
+    hit_cols = []
+    for i, (v, tkey, t) in enumerate(tombs):
+        flag = f"__hit_{i}"
+        vis = vis.join(
+            t.withColumn(flag, F.lit(v)), tkey, "left"
+        )
+        hit_cols.append(flag)
+    version = F.least(*[F.col(c) for c in hit_cols]) if len(
+        hit_cols
+    ) > 1 else F.col(hit_cols[0])
+    removed = (
+        vis.withColumn("version", version)
+        .filter(F.col("version").isNotNull())
+        .select(F.col(key_col), *[F.col(c) for c in carry], "version")
+    )
+    # same contract the per-step path enforces, applied per version
+    # group: duplicate CDC keys among one step's removed rows would
+    # double-deliver 'removed' to consumers
+    for r in (
+        removed.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(key_col).alias("d"),
+        )
+        .collect()
+    ):
+        if r["n"] != r["d"]:
+            raise ValueError(
+                f"delete at v{r['version']} removes rows with duplicate "
+                f"{key_col} values ({r['n']} rows, {r['d']} distinct) — "
+                "a keyed diff is undefined"
+            )
+    return removed.select(
+        F.col(key_col),
+        *[F.col(c) for c in carry],
+        F.lit("removed").alias("status"),
+        F.col("version"),
     )
 
 
@@ -1789,6 +2160,8 @@ def snapshot_changes(
     fs=None,
     columns: list[str] | None = None,
     fast: bool = True,
+    carry_columns: list[str] | None = None,
+    allowed_ops: tuple | list | None = None,
 ) -> DataFrame:
     """CDC change feed: every per-version increment AFTER
     ``from_version`` up to ``to_version`` (head by default), as one
@@ -1800,6 +2173,28 @@ def snapshot_changes(
     gives a key-presence-only feed (added/removed, no content-change
     detection) that stays valid across merge_schema boundaries and
     skips hashing wide rows; None compares every shared column.
+
+    ``carry_columns`` PROJECTS value columns into the feed rows —
+    (key, *carry, status, version). Image semantics follow the status:
+    'added'/'changed' rows carry the post-image (appends read it from
+    their batch dirs — still O(batch), which is what lets an
+    incremental maintainer aggregate/append from the feed itself
+    instead of re-scanning the head table per drain); 'removed' rows
+    carry the PRE-image from the prior version (deletes fetch it
+    through a key_between probe bounded by the tombstone's key range,
+    so file-skipping stats prune the fetch). Full-diff steps join the
+    images back from the pinned version reads — those steps
+    (write/upsert/rollback) already cost O(table), so the join-back
+    adds no new asymptotics.
+
+    ``allowed_ops`` restricts the range to the named marker ops
+    (e.g. ("append", "delete", "compact")) and raises on anything
+    else — the contract a key-presence consumer needs: a write/upsert/
+    rollback rewrites content invisibly to it, so the consumer must
+    rebuild its derived state and restart its subscription rather than
+    silently go stale. Validated against the marker infos this call
+    already fetches — no extra reads. Pre-``op`` markers count as
+    "write".
 
     This is the subscription form of ``snapshot_diff``: a maintainer
     remembers the last version it consumed and periodically asks for
@@ -1818,10 +2213,9 @@ def snapshot_changes(
     markers predating the ``op`` field) pay the full-outer key join
     with value hashing. ``fast=False`` forces the full diff on every
     step — the equivalence oracle the tests pin fast against.
-    (Consecutive DELETE steps still attribute per-step — two
-    key-column scans each; coalescing them like append runs would
-    save re-scans only in delete-storm catch-ups, a shape deferred
-    until it shows up in practice.)
+    Consecutive append runs AND consecutive delete runs each coalesce
+    into one attribution pass (one duplicate guard / one visible-rows
+    scan per run instead of per step) — the catch-up shapes.
 
     EAGERNESS: fast attribution runs its structural guards (duplicate
     checks, the key-range probe) as Spark jobs AT CALL TIME, so the
@@ -1866,13 +2260,69 @@ def snapshot_changes(
             "per-version change attribution is impossible; resync from a "
             "full snapshot"
         )
+    carry = [
+        c
+        for c in (carry_columns or [])
+        if c != key_col
+    ]
+    if any(c in ("status", "version") for c in carry):
+        raise ValueError(
+            "carry_columns cannot include 'status' or 'version' — those "
+            "names are the feed's own contract columns"
+        )
     out: DataFrame | None = None
     steps = list(zip(chain, chain[1:]))
     infos = (
-        {v: snapshot_info(spark, base, v, fs) for v in chain}
-        if fast
+        _infos_for(spark, base, chain, fs, strict=True)
+        if fast or allowed_ops is not None
         else {}
     )
+    if allowed_ops is not None:
+        for _, b in steps:
+            op = infos[b].get("op", "write")
+            if op not in allowed_ops:
+                raise ValueError(
+                    f"source commit v{b} is op={op!r}, outside "
+                    f"allowed_ops {tuple(allowed_ops)} — a content "
+                    "rewrite is invisible to a key-presence feed; "
+                    "rebuild the derived state and restart its "
+                    "subscription from a fresh checkpoint"
+                )
+
+    def _full_step(a, b):
+        # write/upsert/rollback (or fast=False): the O(table) diff;
+        # with carry, join the images back from the pinned version
+        # reads — removed rows take the pre-image from a, added/
+        # changed the post-image from b (no new asymptotics: the diff
+        # itself already scanned both versions)
+        step = snapshot_diff(
+            spark, base, a, b, key_col, fs=fs, columns=columns
+        ).filter(F.col("status") != "unchanged")
+        if not carry:
+            return step
+        a_df = read_snapshot(spark, base, version=a, fs=fs)
+        b_df = read_snapshot(spark, base, version=b, fs=fs)
+        missing = [
+            c
+            for c in carry
+            if c not in a_df.columns or c not in b_df.columns
+        ]
+        if missing:
+            raise ValueError(
+                f"carry_columns {missing} absent from v{a} or v{b} — "
+                "a projected feed needs its columns on both sides of "
+                "every full-diff step"
+            )
+        proj = [key_col] + carry
+        post = step.filter(F.col("status") != "removed").join(
+            b_df.select(*proj), key_col, "left"
+        )
+        pre = step.filter(F.col("status") == "removed").join(
+            a_df.select(*proj), key_col, "left"
+        )
+        return post.unionByName(pre).select(
+            F.col(key_col), *[F.col(c) for c in carry], F.col("status")
+        )
 
     def _is_append_step(a, b):
         ia, ib = infos[a], infos[b]
@@ -1882,6 +2332,16 @@ def snapshot_changes(
             and _delete_entries(ia) == _delete_entries(ib)
             and len(db) > len(da)
             and db[: len(da)] == da
+        )
+
+    def _is_delete_step(a, b):
+        ia, ib = infos[a], infos[b]
+        ea, eb = _delete_entries(ia), _delete_entries(ib)
+        return (
+            ib.get("op") == "delete"
+            and _data_names(ia) == _data_names(ib)
+            and len(eb) > len(ea)
+            and eb[: len(ea)] == ea
         )
 
     i = 0
@@ -1896,7 +2356,8 @@ def snapshot_changes(
             while j + 1 < len(steps) and _is_append_step(*steps[j + 1]):
                 j += 1
             run = _fast_append_run(
-                spark, base, infos, a, steps[j][1], key_col, fs
+                spark, base, infos, a, steps[j][1], key_col, fs,
+                carry=carry,
             )
             if run is not None:
                 out = run if out is None else out.unionByName(run)
@@ -1907,25 +2368,40 @@ def snapshot_changes(
             # past it — re-attempting shorter runs inside it would
             # re-probe the same dirs O(run²) times
             for a2, b2 in steps[i : j + 1]:
-                step = _fast_step(spark, base, a2, b2, key_col, fs, infos)
+                step = _fast_step(
+                    spark, base, a2, b2, key_col, fs, infos, carry=carry
+                )
                 if step is None:
-                    step = snapshot_diff(
-                        spark, base, a2, b2, key_col, fs=fs,
-                        columns=columns,
-                    ).filter(F.col("status") != "unchanged")
+                    step = _full_step(a2, b2)
                 step = step.withColumn("version", F.lit(b2))
                 out = step if out is None else out.unionByName(step)
             i = j + 1
             continue
+        if fast and _is_delete_step(a, b):
+            # coalesce CONSECUTIVE delete steps the same way: a
+            # delete-storm catch-up pays ONE visible-rows scan (range-
+            # pruned) instead of two key-column scans per step
+            j = i
+            while j + 1 < len(steps) and _is_delete_step(*steps[j + 1]):
+                j += 1
+            if j > i:
+                run = _fast_delete_run(
+                    spark, base, infos, a, steps[j][1], key_col, fs,
+                    carry=carry,
+                )
+                if run is not None:
+                    out = run if out is None else out.unionByName(run)
+                    i = j + 1
+                    continue
+            # single delete step (or a column gap broke the run):
+            # per-step attribution below handles each
         step = (
-            _fast_step(spark, base, a, b, key_col, fs, infos)
+            _fast_step(spark, base, a, b, key_col, fs, infos, carry=carry)
             if fast
             else None
         )
         if step is None:
-            step = snapshot_diff(
-                spark, base, a, b, key_col, fs=fs, columns=columns
-            ).filter(F.col("status") != "unchanged")
+            step = _full_step(a, b)
         step = step.withColumn("version", F.lit(b))
         out = step if out is None else out.unionByName(step)
         i += 1
@@ -1933,7 +2409,7 @@ def snapshot_changes(
         # from == to: an empty feed with the contract schema
         out = (
             read_snapshot(spark, base, version=to_v, fs=fs)
-            .select(F.col(key_col))
+            .select(F.col(key_col), *[F.col(c) for c in carry])
             .withColumn("status", F.lit("added"))
             .withColumn("version", F.lit(to_v))
             .filter(F.lit(False))
@@ -2125,11 +2601,10 @@ def version_as_of(spark, base: str, ts: float, fs=None) -> int:
     timestamp is a best-effort label."""
     fs = _resolve_fs(spark, base, fs)
     best = None
-    for v in committed_versions(spark, base, fs):
-        try:
-            info = snapshot_info(spark, base, v, fs)
-        except FileNotFoundError:
-            continue  # raced a concurrent GC
+    infos = _infos_for(
+        spark, base, committed_versions(spark, base, fs), fs
+    )
+    for v, info in sorted(infos.items()):
         created = info.get("created_utc")
         if created is None or created <= ts:
             best = v
@@ -2255,11 +2730,10 @@ def snapshot_history(spark: SparkSession, base: str, fs=None) -> DataFrame:
     are skipped, same tolerance as every other marker walker."""
     rows = []
     fs = _resolve_fs(spark, base, fs)
-    for v in committed_versions(spark, base, fs):
-        try:
-            info = snapshot_info(spark, base, v, fs)
-        except FileNotFoundError:
-            continue
+    infos = _infos_for(
+        spark, base, committed_versions(spark, base, fs), fs
+    )
+    for v, info in sorted(infos.items()):
         rows.append(
             (
                 v,

@@ -351,16 +351,12 @@ def maintain_ivf_from_commits(
         app_thru, del_thru = int(app_thru), int(del_thru)
         if through_v <= min(app_thru, del_thru):
             return  # replayed batch; both halves already applied
-        for v in range(min(app_thru, del_thru) + 1, through_v + 1):
-            op = st.snapshot_info(s, source_base, v, fs).get("op")
-            if op not in ("append", "delete", "compact"):
-                raise ValueError(
-                    f"source commit v{v} is op={op!r} — the key-presence "
-                    "feed cannot attribute content rewrites to vectors; "
-                    "rebuild the index (build_ivf_index) and restart the "
-                    "subscription from a fresh checkpoint"
-                )
-        def _feed(from_v):
+        # the op contract is validated by the feed itself (allowed_ops
+        # checks the marker infos snapshot_changes already fetches —
+        # one read per version per drain, not two)
+        _OPS = ("append", "delete", "compact")
+
+        def _feed(from_v, carry=None):
             return st.snapshot_changes(
                 s,
                 source_base,
@@ -369,30 +365,33 @@ def maintain_ivf_from_commits(
                 to_version=through_v,
                 fs=fs,
                 columns=[],
+                carry_columns=carry,
+                allowed_ops=_OPS,
             )
 
+        # the INDEX's own schema names what each added row must carry:
+        # a merge_schema-evolved source lands columns the index never
+        # indexed, and the index's append guard would (rightly) refuse
+        # them; the index's columns are always a subset of the source's
+        # union schema, so the projection exists (an evolved batch
+        # missing one falls back to the full-diff join, which
+        # null-fills through the evolved read)
+        idx_cols = [
+            c
+            for c in st.read_snapshot(s, index_base).columns
+            if c != "cluster_id"
+        ]
         new_vecs = None
         if app_thru < through_v:
-            added = (
-                _feed(app_thru)
+            # added vectors come OUT OF THE FEED (the append batch dirs
+            # carry the embedding column) — never a head-table scan:
+            # at 100 TB an append of 1k vectors must not re-read the
+            # corpus's widest column per drain
+            new_vecs = (
+                _feed(app_thru, carry=[c for c in idx_cols if c != key_col])
                 .filter(F.col("status") == "added")
-                .select(key_col)
+                .select(*idx_cols)
             )
-            new_vecs = st.read_snapshot(
-                s, source_base, version=through_v, fs=fs
-            ).join(added, key_col, "left_semi")
-            # project to the INDEX's own schema: a merge_schema-evolved
-            # source carries columns the index never indexed, and the
-            # index's append guard would (rightly) refuse them; the
-            # index's columns are always a subset of the source's union
-            # schema, so the projection exists (dropped source columns
-            # null-fill through the evolved read)
-            idx_cols = [
-                c
-                for c in st.read_snapshot(s, index_base).columns
-                if c != "cluster_id"
-            ]
-            new_vecs = new_vecs.select(*idx_cols)
             if not new_vecs.limit(1).count():
                 new_vecs = None
         removed = None
@@ -479,12 +478,14 @@ def maintain_agg_from_commits(
     a write/upsert/rollback rewrites content invisibly to the
     key-presence feed, so it raises with a rebuild instruction.
 
-    Removed rows' group/value are fetched from the PREVIOUS version's
-    pinned read (the rows are gone from the head but immutable in the
-    old dirs — time travel is what makes deletion-aware IVM a query).
-    Cost per drain: the delta reads + one state-sized merge (the state
-    is one row per group — small); never a corpus scan after
-    bootstrap."""
+    Group/value columns ride the CDC feed itself (``carry_columns``):
+    added rows carry them from their append batch dirs, removed rows
+    carry the PRE-image, fetched from the prior version through a
+    key_between probe bounded by the tombstone's key range (time
+    travel + stats pruning are what make deletion-aware IVM a
+    delta-sized query). Cost per drain: the batch-dir reads + the
+    pruned pre-image probe + one state-sized merge (the state is one
+    row per group — small); never a corpus scan after bootstrap."""
     from vector_db_setup_spark.sources import snapshot_table as st
 
     def _agg(df):
@@ -532,14 +533,11 @@ def maintain_agg_from_commits(
         last = int(meta["through_version"])
         if through_v <= last:
             return  # replayed batch
-        for v in range(last + 1, through_v + 1):
-            op = st.snapshot_info(s, source_base, v, fs).get("op")
-            if op not in ("append", "delete", "compact"):
-                raise ValueError(
-                    f"source commit v{v} is op={op!r} — a content "
-                    "rewrite is invisible to the key-presence feed; "
-                    "rebuild the aggregate and restart the subscription"
-                )
+        # group/value columns ride the feed itself: appends carry them
+        # from their batch dirs, deletes carry the pre-image through a
+        # stats-pruned key_between probe — never a corpus re-scan after
+        # bootstrap, and the op contract (allowed_ops) is validated
+        # against the marker infos the feed already fetches
         feed = st.snapshot_changes(
             s,
             source_base,
@@ -548,26 +546,13 @@ def maintain_agg_from_commits(
             to_version=through_v,
             fs=fs,
             columns=[],
+            carry_columns=[group_col]
+            + ([sum_col] if sum_col is not None else []),
+            allowed_ops=("append", "delete", "compact"),
         )
-        head_rows = st.read_snapshot(
-            s, source_base, version=through_v, fs=fs
-        )
-        added_delta = _agg(
-            head_rows.join(
-                feed.filter(F.col("status") == "added").select(key_col),
-                key_col,
-                "left_semi",
-            )
-        )
-        prev_rows = st.read_snapshot(s, source_base, version=last, fs=fs)
+        added_delta = _agg(feed.filter(F.col("status") == "added"))
         removed_delta = _agg(
-            prev_rows.join(
-                feed.filter(F.col("status") == "removed").select(
-                    key_col
-                ),
-                key_col,
-                "left_semi",
-            )
+            feed.filter(F.col("status") == "removed")
         ).select(
             group_col,
             (-F.col("cnt")).alias("cnt"),
