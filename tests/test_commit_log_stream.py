@@ -680,3 +680,96 @@ def test_thread_contention_appends_with_gate_and_tags(spark, tmp_path):
     ).collect()
     added = [r["id"] for r in feed if r["status"] == "added"]
     assert len(added) == len(set(added)) == 240
+
+
+def test_agg_maintainer_on_rewrite_rebuild_self_heals(spark, tmp_path):
+    """on_rewrite="rebuild": a content-rewrite step in the range makes
+    the maintainer re-aggregate the batch head instead of raising —
+    the cursor advances past the rewrite and later drains go back to
+    incremental."""
+    from vector_db_setup_spark.sources.snapshot_table import (
+        upsert_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "agg")
+    ck = str(tmp_path / "ck")
+    write_snapshot(_docs(spark, 0, 30), src)
+    maintain_agg_from_commits(
+        spark, src, state, ck,
+        group_col="lang", key_col="doc_id", sum_col="n_tokens",
+    )
+    upsert_snapshot(
+        _docs(spark, 2, 4).withColumn("n_tokens", F.lit(99)),
+        src,
+        key_col="doc_id",
+    )
+    append_snapshot(_docs(spark, 30, 45), src)
+    maintain_agg_from_commits(
+        spark, src, state, ck,
+        group_col="lang", key_col="doc_id", sum_col="n_tokens",
+        on_rewrite="rebuild",
+    )
+    def _maintained(b):
+        return {
+            (r["lang"], r["cnt"], r["total"])
+            for r in read_snapshot(spark, b).collect()
+        }
+
+    assert _maintained(state) == _rebuilt_agg(spark, src)
+    # and the subscription is healthy again: the next append drains
+    # incrementally (default on_rewrite raises if it weren't)
+    append_snapshot(_docs(spark, 45, 60), src)
+    maintain_agg_from_commits(
+        spark, src, state, ck,
+        group_col="lang", key_col="doc_id", sum_col="n_tokens",
+    )
+    assert _maintained(state) == _rebuilt_agg(spark, src)
+
+
+def test_ivf_maintainer_on_rewrite_rebuild_self_heals(spark, tmp_path):
+    from vector_db_setup_spark.operators.ann_index import (
+        search_ivf_index,
+    )
+    from vector_db_setup_spark.sources.snapshot_table import (
+        snapshot_info as sinfo,
+        upsert_snapshot,
+    )
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ck = str(tmp_path / "ck")
+    write_snapshot(_emb(spark, 0, 40), src)
+    maintain_ivf_from_commits(
+        spark, src, idx, ck, key_col="vec_id", k=4, seed=7
+    )
+    upsert_snapshot(_emb(spark, 3, 5), src, key_col="vec_id")
+    maintain_ivf_from_commits(
+        spark, src, idx, ck, key_col="vec_id", k=4, seed=7,
+        on_rewrite="rebuild",
+    )
+    head = current_version(spark, idx)
+    meta = sinfo(spark, idx, head)["meta"]
+    assert meta["source_appended_through"] == 2
+    assert meta["source_deleted_through"] == 2
+    # the rebuilt index indexes the REWRITTEN vectors exactly
+    idx_rows = {
+        (r["vec_id"], tuple(round(x, 9) for x in r["embedding"]))
+        for r in read_snapshot(spark, idx)
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    src_rows = {
+        (r["vec_id"], tuple(round(x, 9) for x in r["embedding"]))
+        for r in read_snapshot(spark, src).collect()
+    }
+    assert idx_rows == src_rows
+    # and incremental maintenance resumes on the rebuilt index
+    append_snapshot(_emb(spark, 40, 55), src)
+    maintain_ivf_from_commits(
+        spark, src, idx, ck, key_col="vec_id", k=4, seed=7
+    )
+    hits = search_ivf_index(
+        spark, idx, [0.0] * 8, topk=100, nprobe=4
+    )
+    assert hits.count() == 55

@@ -66,15 +66,16 @@ _DRIVER_PRIORITY = [
     "substring_accuracy", "dedup_exact_groups", "leakage_safe_split",
     "minhash_lsh_candidates", "retrieval_eval",
     "ngram_jaccard_topk", "asof_purchase_click",
-    "benchmark_overlap", "dedup_keepers", "corpus_curation_verdict",
+    "dedup_keepers", "corpus_curation_verdict",
     "semantic_dedup_keepers", "doc_chunking", "context_packing",
     "bm25_scores", "doc_winnow_fingerprints", "doc_pii_scrub",
     "simhash_hamming_topk", "range_click_counts",
-    "embedding_similar_topk", "embedding_bucketed_pairs",
+    "embedding_similar_topk", "rrf_fusion",
     "data_quality_report", "lang_id_detect",
     "rollup_orders", "purchase_attribution", "hashed_bow",
     "stratified_eval_sample",
-    "customers_without_orders", "nation_set_ops",
+    "mixture_weights_temperature", "mixture_epochs_at_budget",
+    "nation_set_ops",
     "customer_order_windows", "events_tumbling", "events_sessionize",
     "events_json_extract", "event_funnel",
     "benchmark_overlap_bloom",
@@ -163,6 +164,21 @@ _DRIVER_PRIORITY = [
 # simhash_hamming_topk's driver row and both banded forms stay in the
 # bench extended set + local gate). Both rotated-out queries remain
 # green in the local parity gate.
+#
+# r9 rotation (same contract; VERDICT r8 item 3): IN
+# mixture_weights_temperature + mixture_epochs_at_budget (the r8
+# data-mixing family — exact-oracled, zero driver rows until now) and
+# rrf_fusion (first driver row for the rank-fusion family; exact
+# reciprocal-rank oracle) — OUT customers_without_orders (the join
+# family keeps top_customers + asof_purchase_click +
+# range_click_counts driver rows; the anti-join shape stays green in
+# the local gate and the 22-shape TPC-H set), embedding_bucketed_pairs
+# (the similarity family keeps embedding_similar_topk +
+# semantic_dedup_keepers driver rows) and benchmark_overlap (the
+# contamination family keeps benchmark_overlap_bloom +
+# leakage_safe_split driver rows). All three rotated-out queries
+# remain green in the local parity gate; never rotate out a failing
+# query.
 
 
 def _ordered(d: dict) -> dict:

@@ -273,6 +273,7 @@ def maintain_ivf_from_commits(
     fs=None,
     available_now: bool = True,
     rebuild_drift_ratio: float = 1.5,
+    on_rewrite: str = "raise",
     **reader_options,
 ):
     """Keep an IVF index current by subscribing it to its SOURCE
@@ -289,8 +290,11 @@ def maintain_ivf_from_commits(
     compact commits only (the corpus shape — the key-presence feed
     cannot see an upsert's in-place embedding rewrite, and silently
     keeping stale vectors indexed would decay recall invisibly). A
-    write/upsert/rollback step in the range raises: rebuild the index
-    and restart the subscription from a fresh checkpoint.
+    write/upsert/rollback step in the range raises by default;
+    ``on_rewrite="rebuild"`` instead retrains the index from a full
+    pinned read of the batch head and re-stamps both cursors — the
+    subscription self-heals at the cost of one O(corpus) rebuild,
+    which is the only correct response to a content rewrite anyway.
 
     CRASH SAFETY without cross-commit atomicity: a batch may land as
     TWO index commits, each stamping cursors into the index marker
@@ -381,29 +385,55 @@ def maintain_ivf_from_commits(
             for c in st.read_snapshot(s, index_base).columns
             if c != "cluster_id"
         ]
-        new_vecs = None
-        if app_thru < through_v:
-            # added vectors come OUT OF THE FEED (the append batch dirs
-            # carry the embedding column) — never a head-table scan:
-            # at 100 TB an append of 1k vectors must not re-read the
-            # corpus's widest column per drain
-            new_vecs = (
-                _feed(app_thru, carry=[c for c in idx_cols if c != key_col])
-                .filter(F.col("status") == "added")
-                .select(*idx_cols)
+        try:
+            new_vecs = None
+            if app_thru < through_v:
+                # added vectors come OUT OF THE FEED (the append batch
+                # dirs carry the embedding column) — never a head-table
+                # scan: at 100 TB an append of 1k vectors must not
+                # re-read the corpus's widest column per drain
+                new_vecs = (
+                    _feed(
+                        app_thru,
+                        carry=[c for c in idx_cols if c != key_col],
+                    )
+                    .filter(F.col("status") == "added")
+                    .select(*idx_cols)
+                )
+                if not new_vecs.limit(1).count():
+                    new_vecs = None
+            removed = None
+            if del_thru < through_v:
+                removed = (
+                    _feed(del_thru)
+                    .filter(F.col("status") == "removed")
+                    .select(key_col)
+                    .distinct()
+                )
+                if not removed.limit(1).count():
+                    removed = None
+        except ValueError as e:
+            if on_rewrite != "rebuild" or "allowed_ops" not in str(e):
+                raise
+            # self-heal: a content rewrite invalidates the increments —
+            # retrain from the batch head and re-stamp both cursors
+            # (one O(corpus) rebuild, exactly what the raise would have
+            # told the operator to do by hand)
+            build_ivf_index(
+                st.read_snapshot(s, source_base, version=through_v, fs=fs)
+                .select(*idx_cols),
+                index_base,
+                k=k,
+                seed=seed,
+                vec_col=vec_col,
+                idempotency_key=f"rebuild:{through_v}",
+                extra_meta={
+                    "source_base": source_base,
+                    "source_appended_through": through_v,
+                    "source_deleted_through": through_v,
+                },
             )
-            if not new_vecs.limit(1).count():
-                new_vecs = None
-        removed = None
-        if del_thru < through_v:
-            removed = (
-                _feed(del_thru)
-                .filter(F.col("status") == "removed")
-                .select(key_col)
-                .distinct()
-            )
-            if not removed.limit(1).count():
-                removed = None
+            return
         # deletes first; the batch's LAST commit stamps BOTH cursors
         # (an empty half is vacuously applied through the batch head,
         # and by delete-before-append ordering the delete half is
@@ -459,6 +489,7 @@ def maintain_agg_from_commits(
     sum_col: str | None = None,
     fs=None,
     available_now: bool = True,
+    on_rewrite: str = "raise",
     **reader_options,
 ):
     """Incremental materialized-view maintenance off the commit log:
@@ -476,7 +507,12 @@ def maintain_agg_from_commits(
     count reaches zero are dropped from the state (a group is facts,
     not schema). Source contract: append/delete/compact steps only —
     a write/upsert/rollback rewrites content invisibly to the
-    key-presence feed, so it raises with a rebuild instruction.
+    key-presence feed, so it raises with a rebuild instruction by
+    default; ``on_rewrite="rebuild"`` self-heals by re-aggregating a
+    full pinned read of the batch head instead (one O(corpus) pass —
+    the same work the raise demands by hand, and the ONLY correct
+    response for non-invertible aggregates like MAX/MIN, which this
+    maintainer refuses to maintain incrementally by design).
 
     Group/value columns ride the CDC feed itself (``carry_columns``):
     added rows carry them from their append batch dirs, removed rows
@@ -538,18 +574,39 @@ def maintain_agg_from_commits(
         # stats-pruned key_between probe — never a corpus re-scan after
         # bootstrap, and the op contract (allowed_ops) is validated
         # against the marker infos the feed already fetches
-        feed = st.snapshot_changes(
-            s,
-            source_base,
-            key_col,
-            from_version=last,
-            to_version=through_v,
-            fs=fs,
-            columns=[],
-            carry_columns=[group_col]
-            + ([sum_col] if sum_col is not None else []),
-            allowed_ops=("append", "delete", "compact"),
-        )
+        try:
+            feed = st.snapshot_changes(
+                s,
+                source_base,
+                key_col,
+                from_version=last,
+                to_version=through_v,
+                fs=fs,
+                columns=[],
+                carry_columns=[group_col]
+                + ([sum_col] if sum_col is not None else []),
+                allowed_ops=("append", "delete", "compact"),
+            )
+        except ValueError as e:
+            if on_rewrite != "rebuild" or "allowed_ops" not in str(e):
+                raise
+            # self-heal: re-aggregate the batch head in full and
+            # advance the cursor past the rewrite
+            st.write_snapshot(
+                _agg(
+                    st.read_snapshot(
+                        s, source_base, version=through_v, fs=fs
+                    )
+                ),
+                state_base,
+                note=(
+                    f"agg over {source_base} REBUILT through "
+                    f"v{through_v} (content rewrite in range)"
+                ),
+                idempotency_key=f"through:{through_v}",
+                meta={**meta, "through_version": through_v},
+            )
+            return
         added_delta = _agg(feed.filter(F.col("status") == "added"))
         removed_delta = _agg(
             feed.filter(F.col("status") == "removed")
