@@ -59,7 +59,6 @@ from vector_db_setup_spark.sources.snapshot_table import (
     committed_versions,
     compact_snapshot,
     current_version,
-    gc_snapshots,
     read_snapshot,
     snapshot_info,
 )
@@ -243,13 +242,28 @@ def main() -> None:
     )
 
     v_tag = tag_snapshot(spark, table, "train-run-001", version=v_evo)
-    removed = gc_snapshots(spark, table, keep=2, orphan_min_age_s=0)
+    # gc_with_retention_policy is the day-2 entry point: it reads the
+    # bloom subscriber's consumed-through cursor from its own state
+    # table and WIDENS keep so a lagging consumer's catch-up range
+    # survives — the slowest-consumer contract enforced by code, not
+    # by remembering to size keep by hand
+    from vector_db_setup_spark.sources.snapshot_table import (
+        gc_with_retention_policy,
+    )
+
+    report = gc_with_retention_policy(
+        spark, table, keep=2, subscriber_states=[state],
+        orphan_min_age_s=0,
+    )
+    removed = report["removed"]
     assert v_tag not in removed
     assert read_snapshot(spark, table, tag="train-run-001").count() == (
         n_docs + 25
     )
     assert read_snapshot(spark, table).count() == n_docs + 25 - 3
-    print(f"[gc] reclaimed versions {removed}; tag "
+    print(f"[gc] retention policy reclaimed versions {removed} "
+          f"(effective_keep={report['effective_keep']}, subscriber "
+          f"cursors {report['subscriber_cursors']}); tag "
           f"{list_tags(spark, table)} pinned v{v_tag} through it; "
           "head intact")
 

@@ -206,3 +206,34 @@ def test_gc_keeps_newest_two_checkpoints_and_stays_correct(
     from vector_db_setup_spark.sources.snapshot_table import read_snapshot
 
     assert read_snapshot(spark, base).count() == 60
+
+
+def test_keep0_reset_discards_old_generation_checkpoints(
+    spark, tmp_path
+):
+    """A keep=0 GC empties the table; the next commit REUSES version
+    1 — an old-generation checkpoint would serve a stale marker body
+    for the reused number, so GC must discard every checkpoint newer
+    than the surviving head (here: all of them)."""
+    base = str(tmp_path / "t")
+    df = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        "id", F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    write_snapshot(df(0, 10), base)
+    append_snapshot(df(10, 20), base)
+    write_commit_checkpoint(spark, base)
+    gc_snapshots(spark, base, keep=0, orphan_min_age_s=0.0)
+    assert committed_versions(spark, base) == []
+    assert LocalFS().listdir(
+        f"{base}/{CKPTS_DIR}"
+    ) == []  # poison removed
+    # the table regrows from v1 with fresh content; walkers must see
+    # the NEW generation's bodies
+    write_snapshot(df(100, 130), base, note="gen2")
+    hist = snapshot_history(spark, base).collect()
+    assert [(r["version"], r["note"], r["rows"]) for r in hist] == [
+        (1, "gen2", 30)
+    ]
+    from vector_db_setup_spark.sources.snapshot_table import read_snapshot
+
+    assert read_snapshot(spark, base).count() == 30

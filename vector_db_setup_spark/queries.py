@@ -1539,7 +1539,11 @@ def embedding_similar_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_setup_spark.operators.similarity import cosine_topk_pairs_grid
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_topk_pairs_grid(emb, k=20, n_blocks=4)
+    # n_blocks auto-sizes from the corpus count: task count grows with
+    # the corpus (the r9 sf10 run measured a fixed B=4 leaving most of
+    # the cluster idle on 200k vectors — exponent 1.49 from
+    # underutilized quadratic work; auto-B restores full parallelism)
+    pairs = cosine_topk_pairs_grid(emb, k=20)
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

@@ -1364,14 +1364,25 @@ def gc_snapshots(
     # for a walker that listed just before a fresh one landed); a
     # checkpoint is pure cache, so reclaiming old ones can never lose
     # table state — and entries for versions GC'd above are harmless
-    # (walkers intersect with the live marker listing)
+    # (walkers intersect with the live marker listing). EXCEPTION: a
+    # checkpoint NEWER than the surviving head is poison, not cache —
+    # a keep=0 GC empties the table, the next commit reuses version 1,
+    # and an old-generation checkpoint would serve a stale body for
+    # the reused number; such checkpoints are deleted unconditionally.
+    head_now = max(committed_versions(spark, base, fs), default=0)
     cks = sorted(
         n
         for n in fs.listdir(f"{base}/{CKPTS_DIR}")
         if n.startswith(_CKPT_PREFIX)
         and n[len(_CKPT_PREFIX):].isdigit()
     )
-    for name in cks[:-2]:
+    live_cks = []
+    for name in cks:
+        if int(name[len(_CKPT_PREFIX):]) > head_now:
+            fs.delete(f"{base}/{CKPTS_DIR}/{name}", ignore_errors=True)
+        else:
+            live_cks.append(name)
+    for name in live_cks[:-2]:
         fs.delete(f"{base}/{CKPTS_DIR}/{name}", ignore_errors=True)
     return sorted(removed)
 
