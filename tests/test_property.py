@@ -371,6 +371,7 @@ def test_parse_event_value_total_function(spark, payloads):
             st.tuples(st.just("compact"), st.just(0)),
             st.tuples(st.just("rollback"), st.just(0)),
             st.tuples(st.just("gc"), st.integers(1, 3)),
+            st.tuples(st.just("ckpt"), st.just(0)),
         ),
         min_size=1,
         max_size=5,
@@ -390,7 +391,12 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
     batch carrying an extra `tag` column via merge_schema (old rows
     null-fill; later writes/rollbacks may narrow the schema again),
     and each example ends by pinning the FAST CDC attribution equal to
-    the full-diff oracle over the surviving contiguous version chain."""
+    the full-diff oracle over the surviving contiguous version chain —
+    both the key-presence feed and the carry_columns VALUE feed.
+    `ckpt` rolls a commit-log checkpoint mid-interleaving: a pure
+    cache, so every invariant and both feeds must be unchanged by it
+    (and GC after it exercises checkpoint-aware protection scans +
+    stale-checkpoint reclamation)."""
     from vector_db_setup_spark.sources.snapshot_table import (
         append_snapshot,
         committed_versions,
@@ -401,6 +407,7 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
         rollback_snapshot,
         snapshot_changes,
         upsert_snapshot,
+        write_commit_checkpoint,
         write_snapshot,
     )
 
@@ -503,6 +510,11 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
             for r in removed:
                 gone.add(r)
                 versions.pop(r, None)
+        elif op == "ckpt":
+            if not versions:
+                continue
+            write_commit_checkpoint(spark, base)  # cache only: no
+            # observable change to any invariant below
         # invariants after EVERY op
         live = committed_versions(spark, base)
         assert live == sorted(versions), (live, versions)
@@ -531,16 +543,20 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
             start = vs_live[i]
             break
     if vs_live and vs_live[-1] > start:
-        def _feed(fast):
+        def _feed(fast, carry=None):
             return {
                 tuple(r)
                 for r in snapshot_changes(
                     spark, base, "id", from_version=start,
-                    columns=[], fast=fast,
+                    columns=[], fast=fast, carry_columns=carry,
                 ).collect()
             }
 
         assert _feed(True) == _feed(False)
+        # the VALUE feed too: post-images for added/changed rows,
+        # per-step pre-images for removed rows ("val" survives every
+        # schema shape this model produces)
+        assert _feed(True, carry=["val"]) == _feed(False, carry=["val"])
 
 
 @given(
