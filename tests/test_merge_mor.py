@@ -1,0 +1,216 @@
+"""O(batch) merge-on-read MERGE (merge_snapshot): one commit = head
+dirs + one batch dir + one tombstone SCOPED to the prior dirs, so
+readers drop old images while the new images pass — pinned equal to
+the copy-on-write upsert's dict semantics, correct under repeated
+merges, composed with deletes/appends/compaction/pruning/CDC, and
+refusing the two unsound shapes (resurrect-after-delete, duplicate
+batch keys)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vector_db_setup_spark.sources.snapshot_table import (
+    append_snapshot,
+    compact_snapshot,
+    current_version,
+    delete_from_snapshot,
+    gc_snapshots,
+    merge_snapshot,
+    read_snapshot,
+    snapshot_changes,
+    snapshot_info,
+    write_snapshot,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, val string")
+
+
+def _visible(spark, base, version=None):
+    return {
+        (r["id"], r["val"])
+        for r in read_snapshot(spark, base, version=version).collect()
+    }
+
+
+def test_merge_upserts_and_inserts_in_one_obatch_commit(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_snapshot(
+        _df(spark, [(i, f"v{i}") for i in range(10)]), base
+    )  # v1
+    v2 = merge_snapshot(
+        _df(spark, [(3, "NEW3"), (7, "NEW7"), (100, "NEW100")]),
+        base,
+        key_col="id",
+    )
+    expect = {(i, f"v{i}") for i in range(10) if i not in (3, 7)} | {
+        (3, "NEW3"), (7, "NEW7"), (100, "NEW100"),
+    }
+    assert _visible(spark, base) == expect
+    # O(batch) structure: head dir untouched, ONE new dir, ONE scoped
+    # tombstone; rows field = post-merge visible count
+    info = snapshot_info(spark, base, v2)
+    assert info["op"] == "merge"
+    assert len(info["data"]) == 2
+    assert len(info["deletes"]) == 1 and info["deletes"][0]["seq"] == 1
+    assert info["rows"] == 11
+    # the pinned old version is untouched
+    assert _visible(spark, base, version=1) == {
+        (i, f"v{i}") for i in range(10)
+    }
+
+
+def test_repeated_merges_stack_correctly(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, [(1, "a"), (2, "b")]), base)
+    merge_snapshot(_df(spark, [(1, "a2"), (3, "c")]), base, key_col="id")
+    merge_snapshot(_df(spark, [(1, "a3"), (2, "b2")]), base, key_col="id")
+    merge_snapshot(_df(spark, [(3, "c2")]), base, key_col="id")
+    assert _visible(spark, base) == {(1, "a3"), (2, "b2"), (3, "c2")}
+    # dict-model equivalence with the copy-on-write upsert
+    from vector_db_setup_spark.sources.snapshot_table import (
+        upsert_snapshot,
+    )
+
+    base2 = str(tmp_path / "t2")
+    write_snapshot(_df(spark, [(1, "a"), (2, "b")]), base2)
+    upsert_snapshot(_df(spark, [(1, "a2"), (3, "c")]), base2, key_col="id")
+    upsert_snapshot(
+        _df(spark, [(1, "a3"), (2, "b2")]), base2, key_col="id"
+    )
+    upsert_snapshot(_df(spark, [(3, "c2")]), base2, key_col="id")
+    assert _visible(spark, base) == _visible(spark, base2)
+
+
+def test_merge_composes_with_delete_append_compact(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, [(i, f"v{i}") for i in range(6)]), base)
+    merge_snapshot(_df(spark, [(2, "m2"), (9, "m9")]), base, key_col="id")
+    # a LATER unscoped delete kills a merged image too
+    delete_from_snapshot(
+        spark.createDataFrame([(2,)], "id long"), base, key_col="id"
+    )
+    # appends after a merge carry the stack; fresh keys land fine
+    append_snapshot(_df(spark, [(20, "x20")]), base)
+    expect = (
+        {(i, f"v{i}") for i in range(6) if i != 2}
+        | {(9, "m9"), (20, "x20")}
+    )
+    assert _visible(spark, base) == expect
+    # ...and appending a MERGED (visible) key is refused as a duplicate
+    with pytest.raises(ValueError, match="tombstoned"):
+        append_snapshot(_df(spark, [(9, "dup")]), base)
+    # compaction materializes the whole stack and clears it
+    v = compact_snapshot(spark, base)
+    info = snapshot_info(spark, base, v)
+    assert not info.get("deletes")
+    assert len(info["data"]) == 1 if isinstance(info["data"], list) else True
+    assert _visible(spark, base) == expect
+    # old versions reclaim cleanly with scoped tombstone dirs tracked
+    gc_snapshots(spark, base, keep=1, orphan_min_age_s=0.0)
+    assert _visible(spark, base) == expect
+
+
+def test_merge_refuses_resurrecting_deleted_key_and_dup_batch(
+    spark, tmp_path
+):
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, [(1, "a"), (2, "b")]), base)
+    delete_from_snapshot(
+        spark.createDataFrame([(1,)], "id long"), base, key_col="id"
+    )
+    with pytest.raises(ValueError, match="unscoped"):
+        merge_snapshot(_df(spark, [(1, "back")]), base, key_col="id")
+    with pytest.raises(ValueError, match="duplicate"):
+        merge_snapshot(
+            _df(spark, [(5, "x"), (5, "y")]), base, key_col="id"
+        )
+    # refusals committed nothing and leaked no readable state
+    assert _visible(spark, base) == {(2, "b")}
+    assert current_version(spark, base) == 2
+
+
+def test_merge_pruned_reads_stay_exact(spark, tmp_path):
+    """key_between over a merge-bearing stats table: the scoped
+    assembly must prune per dir without losing the merge dir's files
+    or resurrecting overwritten images."""
+    base = str(tmp_path / "t")
+    df = spark.range(0, 400).select(
+        "id", F.md5(F.col("id").cast("string")).alias("val")
+    )
+    write_snapshot(df, base, stats_cols=["id"], cluster_by=["id"],
+                   cluster_files=4)
+    upd = spark.createDataFrame(
+        [(5, "m5"), (150, "m150"), (999, "m999")], "id long, val string"
+    )
+    merge_snapshot(upd, base, key_col="id")
+    got = {
+        (r["id"], r["val"])
+        for r in read_snapshot(
+            spark, base, key_between=("id", 0, 200)
+        ).collect()
+    }
+    oracle = {
+        (r["id"], r["val"])
+        for r in read_snapshot(spark, base).collect()
+        if 0 <= r["id"] <= 200
+    }
+    assert got == oracle
+    assert (5, "m5") in got and (150, "m150") in got
+    assert (999, "m999") not in got
+    # the merged-row point lookup prunes and still sees the NEW image
+    hit = read_snapshot(spark, base, key_in=("id", [5])).collect()
+    assert [(r["id"], r["val"]) for r in hit] == [(5, "m5")]
+
+
+def test_merge_cdc_full_diff_attributes_exactly(spark, tmp_path):
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), base)
+    merge_snapshot(_df(spark, [(2, "B"), (4, "d")]), base, key_col="id")
+    append_snapshot(_df(spark, [(5, "e")]), base)
+    for fast in (True, False):
+        feed = {
+            tuple(r)
+            for r in snapshot_changes(
+                spark, base, "id", from_version=1, fast=fast,
+                carry_columns=["val"],
+            ).collect()
+        }
+        assert feed == {
+            (2, "B", "changed", 2),
+            (4, "d", "added", 2),
+            (5, "e", "added", 3),
+        }
+    # maintainers treat a merge as the content rewrite it is
+    with pytest.raises(ValueError, match="rebuild"):
+        snapshot_changes(
+            spark, base, "id", from_version=1,
+            allowed_ops=("append", "delete", "compact"),
+        )
+
+
+def test_merge_idempotency_and_expected_head(spark, tmp_path):
+    from vector_db_setup_spark.sources.snapshot_table import (
+        SnapshotConflictError,
+    )
+
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, [(1, "a")]), base)
+    v = merge_snapshot(
+        _df(spark, [(1, "a2")]), base, key_col="id",
+        idempotency_key="batch:1",
+    )
+    assert merge_snapshot(
+        _df(spark, [(1, "a2")]), base, key_col="id",
+        idempotency_key="batch:1",
+    ) == v
+    assert current_version(spark, base) == v
+    with pytest.raises(SnapshotConflictError):
+        merge_snapshot(
+            _df(spark, [(1, "a3")]), base, key_col="id",
+            expected_head=v - 1,
+        )
+    assert _visible(spark, base) == {(1, "a2")}

@@ -368,6 +368,7 @@ def test_parse_event_value_total_function(spark, payloads):
             st.tuples(st.just("evolve"), st.integers(1, 5)),
             st.tuples(st.just("delete"), st.integers(0, 9)),
             st.tuples(st.just("upsert"), st.integers(0, 9)),
+            st.tuples(st.just("merge"), st.integers(0, 9)),
             st.tuples(st.just("compact"), st.just(0)),
             st.tuples(st.just("rollback"), st.just(0)),
             st.tuples(st.just("gc"), st.integers(1, 3)),
@@ -381,7 +382,8 @@ def test_parse_event_value_total_function(spark, payloads):
 def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
     """Model-based check of the whole pointer-commit protocol: a random
     interleaving of write/append/evolve/upsert/compact/gc must keep the
-    table equivalent to a trivial dict-and-version-list model — head
+    table equivalent to a trivial dict-and-version-list model (merge =
+    O(batch) merge-on-read upsert with seq-scoped tombstones) — head
     contents exact, every surviving version's row count exact, GC'd
     versions unreadable. This is the randomized companion to the
     targeted race/crash tests. Appends (r8) create MULTI-DIR versions,
@@ -403,6 +405,7 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
         compact_snapshot,
         delete_from_snapshot,
         gc_snapshots,
+        merge_snapshot,
         read_snapshot,
         rollback_snapshot,
         snapshot_changes,
@@ -489,6 +492,25 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
                 base,
                 key_col="id",
             )
+            _commit(v)
+        elif op == "merge":
+            if not versions:
+                continue
+            try:
+                v = merge_snapshot(
+                    _df({arg: (arg * 1000, None)}, evolved),
+                    base,
+                    key_col="id",
+                )
+            except ValueError:
+                # legitimate refusals (unscoped-tombstoned key from an
+                # earlier delete; schema_merged lineage): a refused
+                # merge must commit NOTHING — dedicated tests pin the
+                # refusal rules themselves
+                assert committed_versions(spark, base) == sorted(versions)
+                continue
+            head = dict(head)
+            head[arg] = (arg * 1000, None)
             _commit(v)
         elif op == "compact":
             if not versions:

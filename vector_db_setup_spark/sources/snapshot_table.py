@@ -972,16 +972,25 @@ def read_snapshot(
     names = _data_names(info)
     paths = [f"{base}/{n}" for n in names]
 
+    entries = _delete_entries(info)
+    scoped = [e for e in entries if "seq" in e]
+
+    def _tomb(e):
+        return spark.read.parquet(f"{base}/{e['dir']}").select(
+            F.col(e["key_col"])
+        )
+
     def _apply_deletes(df):
         # merge-on-read: one anti-join per stacked tombstone entry —
         # the read-time price of O(batch) deletes; compact_snapshot
         # materializes and clears the stack (the copy-on-write half of
-        # the same trade Delta DVs / Iceberg delete files make)
-        for e in _delete_entries(info):
-            tomb = spark.read.parquet(f"{base}/{e['dir']}")
-            df = df.join(
-                tomb.select(F.col(e["key_col"])), e["key_col"], "left_anti"
-            )
+        # the same trade Delta DVs / Iceberg delete files make).
+        # Entries carrying "seq" (merge_snapshot) are handled by the
+        # scoped assembly below, never here.
+        for e in entries:
+            if "seq" in e:
+                continue
+            df = df.join(_tomb(e), e["key_col"], "left_anti")
         return df
 
     # a schema_merged lineage holds dirs with DIFFERENT (union-
@@ -1013,7 +1022,49 @@ def read_snapshot(
             return _union([spark.read.parquet(p) for p in paths])
         return _rd().parquet(*paths)
 
+    def _assemble_scoped(dir_frames):
+        """Sequence-scoped merge-on-read: a tombstone entry with
+        ``seq`` applies ONLY to the first ``seq`` data dirs — the dirs
+        that existed when its merge committed — so the batch dir the
+        SAME commit added (carrying the keys' new images) is never
+        anti-joined away. Progressive assembly: union dirs up to each
+        entry's seq boundary, apply its anti-join, continue.
+        ``dir_frames`` aligns with the marker's dir order (None = a
+        dir fully pruned away). Plain (unscoped) delete entries apply
+        to everything afterwards via _apply_deletes — correct because
+        merge_snapshot refuses batch keys that any unscoped tombstone
+        covers, so an unscoped anti-join can never hide a merged
+        image."""
+        out = None
+        pos = 0
+        for e in sorted(scoped, key=lambda x: int(x["seq"])):
+            s = min(int(e["seq"]), len(dir_frames))
+            for d in dir_frames[pos:s]:
+                if d is not None:
+                    out = d if out is None else out.unionByName(
+                        d, allowMissingColumns=evolved
+                    )
+            pos = s
+            if out is not None:
+                out = out.join(_tomb(e), e["key_col"], "left_anti")
+        for d in dir_frames[pos:]:
+            if d is not None:
+                out = d if out is None else out.unionByName(
+                    d, allowMissingColumns=evolved
+                )
+        return out
+
     if key_between is None and key_in is None:
+        if scoped:
+            frames = [
+                (
+                    spark.read.parquet(f"{base}/{n}")
+                    if info.get("partition_by")
+                    else _rd().parquet(f"{base}/{n}")
+                )
+                for n in names
+            ]
+            return _apply_deletes(_assemble_scoped(frames))
         return _apply_deletes(_read_all())
     if key_between is not None and key_in is not None:
         raise ValueError(
@@ -1063,13 +1114,39 @@ def read_snapshot(
         # analysis consistent with the unpruned form)
         return _apply_deletes(_read_all().filter(pred).filter(F.lit(False)))
     pb = info.get("partition_by")
+    by_dir: dict[str, list[str]] = {}
+    for rel in keep:
+        by_dir.setdefault(rel.split("/", 1)[0], []).append(rel)
+    if scoped:
+        # scoped tombstones bind to DIR POSITIONS, so the pruned read
+        # assembles per-dir (None where pruning dropped a whole dir)
+        # through the same progressive algorithm; the row predicate
+        # composes afterwards (anti-joins and filters commute)
+        frames = []
+        for n in names:
+            rels = by_dir.get(n)
+            if not rels:
+                frames.append(None)
+            elif pb:
+                frames.append(
+                    spark.read.option("basePath", f"{base}/{n}").parquet(
+                        *[f"{base}/{rel}" for rel in rels]
+                    )
+                )
+            else:
+                frames.append(
+                    _rd().parquet(*[f"{base}/{rel}" for rel in rels])
+                )
+        out = _assemble_scoped(frames)
+        if out is None:
+            return _apply_deletes(
+                _read_all().filter(pred).filter(F.lit(False))
+            )
+        return _apply_deletes(out.filter(pred))
     if pb:
         # reading individual FILES under hive dirs loses the partition
         # columns unless basePath anchors them; group surviving files
         # by data dir so each read keeps its dir as basePath
-        by_dir: dict[str, list[str]] = {}
-        for rel in keep:
-            by_dir.setdefault(rel.split("/", 1)[0], []).append(rel)
         parts = [
             spark.read.option("basePath", f"{base}/{d}").parquet(
                 *[f"{base}/{rel}" for rel in rels]
@@ -1840,8 +1917,8 @@ def _fast_step(
     fetch. A batch/version lacking a carry column falls back to the
     full diff (None), which null-fills through the evolved read.
 
-    write/upsert/rollback (and pre-``op`` markers) rewrite or re-point
-    content arbitrarily → None, full diff. Every fast form avoids the
+    write/upsert/merge/rollback (and pre-``op`` markers) rewrite or
+    re-point content per key → None, full diff. Every fast form avoids the
     full-outer shuffle and the all-column value hash of the table —
     the difference between O(table) and O(batch + key-column scan)
     per increment at 100 TB."""
@@ -2195,8 +2272,8 @@ def snapshot_changes(
     through a key_between probe bounded by the tombstone's key range,
     so file-skipping stats prune the fetch). Full-diff steps join the
     images back from the pinned version reads — those steps
-    (write/upsert/rollback) already cost O(table), so the join-back
-    adds no new asymptotics.
+    (write/upsert/merge/rollback) already cost O(table) to attribute,
+    so the join-back adds no new asymptotics.
 
     ``allowed_ops`` restricts the range to the named marker ops
     (e.g. ("append", "delete", "compact")) and raises on anything
@@ -2599,6 +2676,205 @@ def delete_from_snapshot(
         idempotency_key,
         expected_head,
     )
+
+
+def merge_snapshot(
+    updates: DataFrame,
+    base: str,
+    key_col: str,
+    note: str = "",
+    fs=None,
+    retries: int = 3,
+    idempotency_key: str | None = None,
+    expected_head: int | None = None,
+) -> int:
+    """MERGE (upsert) as ONE merge-on-read commit — cost proportional
+    to the BATCH, not the table: the new version references the head's
+    data dirs unchanged PLUS one new dir holding the update rows, and
+    one tombstone of the update keys SCOPED (``seq``) to the prior
+    dirs only — readers anti-join old images away while the new dir's
+    rows pass untouched. This closes the cost-table gap the format
+    spec documented: ``upsert_snapshot`` is the O(table) copy-on-write
+    MERGE; this is the O(batch) sibling, the same trade Delta deletion
+    vectors / Iceberg equality-deletes with sequence numbers make.
+    Each merge adds one read-time anti-join; ``compact_snapshot``
+    materializes the whole stack (and ``compact_if`` decides when the
+    read tax has outgrown one rewrite).
+
+    Semantics: rows whose ``key_col`` exists become the update's image
+    (upsert); new keys insert. The batch must hold DISTINCT keys.
+    Repeated merges of the same key stack correctly (each scoped
+    tombstone covers every EARLIER dir, never its own batch or later
+    ones). Two refusals keep the stack sound:
+
+    - a batch key covered by an UNSCOPED tombstone (a plain
+      ``delete_from_snapshot``) is refused — unscoped entries apply to
+      every dir including future ones, so the re-inserted image would
+      be silently hidden on read; resurrect deleted keys through
+      ``upsert_snapshot`` (its rewrite clears the stack) or compact
+      first. (Scoped tombstones never cover later dirs, so
+      merge-after-merge needs no such check.)
+    - the batch schema/partitioning must match the head exactly — a
+      merge is an in-place image replacement, not an evolution (use
+      append_snapshot(merge_schema=True) + delete for that shape).
+
+    CDC/maintainers: the marker's op is ``merge`` — a content rewrite,
+    so the fast CDC paths hand it to the full diff (which attributes
+    changed/added rows exactly) and ``allowed_ops`` consumers raise or
+    self-heal (``on_rewrite="rebuild"``) rather than silently missing
+    the rewritten images. Stats: the new dir's per-file min/max merge
+    into the head's (same contract as append)."""
+    spark = updates.sparkSession
+    fs = _resolve_fs(spark, base, fs)
+    if idempotency_key is not None:
+        v = _find_idempotent(spark, base, fs, idempotency_key)
+        if v is not None:
+            return v
+    n_all, n_dist = updates.agg(
+        F.count(F.lit(1)), F.countDistinct(key_col)
+    ).first()
+    if n_all != n_dist:
+        raise ValueError(
+            f"merge batch holds duplicate {key_col} values ({n_all} "
+            f"rows, {n_dist} distinct) — a keyed MERGE is undefined"
+        )
+    data_name = DATA_PREFIX + uuid.uuid4().hex
+    data_dir = f"{base}/{data_name}"
+    tomb_name = DATA_PREFIX + uuid.uuid4().hex
+    tomb_dir = f"{base}/{tomb_name}"
+    updates.write.mode("error").parquet(data_dir)
+    batch_df = spark.read.parquet(data_dir)
+    spark.read.parquet(data_dir).select(F.col(key_col)).distinct().write.mode(
+        "error"
+    ).parquet(tomb_dir)
+    tomb = spark.read.parquet(tomb_dir)
+    tomb.count()  # verify readable before any marker references it
+    batch_types = dict(batch_df.dtypes)
+    n_rows = batch_df.count()
+    batch_stats_cache: dict = {}
+
+    def _cleanup():
+        fs.delete(tomb_dir, ignore_errors=True)
+
+    def _body(head: int) -> dict:
+        if not head:
+            raise FileNotFoundError(
+                f"no committed snapshot at {base} to merge into — "
+                "land the table with write_snapshot first"
+            )
+        head_info = snapshot_info(spark, base, head, fs)
+        head_names = _data_names(head_info)
+        head_types = dict(
+            spark.read.parquet(f"{base}/{head_names[0]}").dtypes
+        )
+        if head_info.get("schema_merged") or head_types != batch_types:
+            raise ValueError(
+                "merge batch schema must match the head exactly "
+                f"(head v{head}: {sorted(head_types.items())} vs batch "
+                f"{sorted(batch_types.items())}; schema_merged lineages "
+                "must compact first) — a merge replaces row images "
+                "in place, it does not evolve schema"
+            )
+        if head_info.get("partition_by"):
+            raise ValueError(
+                "merge_snapshot does not support hive-partitioned "
+                "tables yet — use upsert_snapshot (copy-on-write)"
+            )
+        head_entries = _delete_entries(head_info)
+        for e in head_entries:
+            if "seq" in e:
+                continue  # scoped: never covers this commit's new dir
+            n_hit = batch_df.join(
+                spark.read.parquet(f"{base}/{e['dir']}").select(
+                    F.col(e["key_col"])
+                ),
+                e["key_col"],
+                "left_semi",
+            ).count() if e["key_col"] in batch_df.columns else 0
+            if n_hit:
+                raise ValueError(
+                    f"merge batch contains {n_hit} row(s) whose "
+                    f"{e['key_col']} is tombstoned (unscoped) at {base} "
+                    "— the carried delete would hide the merged image "
+                    "on read; re-insert deleted keys with "
+                    "upsert_snapshot, or compact_snapshot first"
+                )
+        head_checks = head_info.get("checks") or {}
+        if head_checks:
+            _enforce_checks(
+                spark, base, data_name, head_checks, "merge_snapshot"
+            )
+        # visible rows: head's count minus overwritten + the batch
+        n_over = (
+            read_snapshot(spark, base, version=head, fs=fs)
+            .join(tomb, key_col, "left_semi")
+            .count()
+        )
+        entries = head_entries + [
+            {
+                "dir": tomb_name,
+                "key_col": key_col,
+                "seq": len(head_names),
+            }
+        ]
+        head_stats = head_info.get("stats")
+        merged_stats = None
+        if head_stats:
+            # the pruned-read path keeps ONLY files listed in the
+            # stats map, so a stats-bearing head REQUIRES stats for
+            # the new dir too (its files would otherwise silently
+            # vanish from key_between reads) — collect on the head's
+            # columns (schema equality guarantees they exist); cached
+            # per column set across marker-race retries (the dir is
+            # immutable)
+            cols = tuple(sorted(head_stats.get("cols") or []))
+            if cols not in batch_stats_cache:
+                _, st = _verify_and_stats(
+                    spark, base, data_name, list(cols)
+                )
+                batch_stats_cache[cols] = st
+            merged_stats = {
+                "cols": head_stats["cols"],
+                "files": {
+                    **head_stats["files"],
+                    **batch_stats_cache[cols]["files"],
+                },
+            }
+        return {
+            "op": "merge",
+            "data": head_names + [data_name],
+            "rows": int(head_info.get("rows") or 0) - n_over + n_rows,
+            "note": note or f"merge on {key_col}",
+            "deletes": entries,
+            **({"checks": head_checks} if head_checks else {}),
+            **(
+                {"meta": head_info["meta"]}
+                if head_info.get("meta") is not None
+                else {}
+            ),
+            **({"stats": merged_stats} if merged_stats else {}),
+        }
+
+    try:
+        v = _commit_loop(
+            spark,
+            base,
+            fs,
+            data_dir,
+            "merge_snapshot",
+            _body,
+            retries,
+            idempotency_key,
+            expected_head,
+        )
+    except BaseException:
+        _cleanup()
+        raise
+    # an idempotent short-circuit (twin already committed) reclaims
+    # data_dir inside the loop but knows nothing of OUR tombstone dir
+    if tomb_name not in _all_dir_names(snapshot_info(spark, base, v, fs)):
+        _cleanup()
+    return v
 
 
 def version_as_of(spark, base: str, ts: float, fs=None) -> int:
