@@ -4714,9 +4714,15 @@ def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # threshold on the ROUNDED cosine (6 dp, the repo-wide comparison
     # precision): the raw GEMM and DuckDB's list_cosine_similarity can
     # disagree in the last ulp, and an unrounded boundary edge would
-    # cascade through the closure into keeper mismatches
+    # cascade through the closure into keeper mismatches. min_cosine
+    # pushes a SAFE under-bound of that rounded threshold INTO the
+    # GEMM kernel (every x with round(x,6) >= 0.88 has x >= 0.8799995
+    # > 0.879999), so a bucket emits only plausible edges instead of
+    # all m²/2 pairs — without it the r9 sf10 sweep drove one bucket's
+    # output batch past the Arrow allocator (the kernel's GEMM memory
+    # is chunk-bounded; its OUTPUT was not).
     edges = (
-        cosine_pairs_bucketed(emb, _NEARDUP_PLANES)
+        cosine_pairs_bucketed(emb, _NEARDUP_PLANES, min_cosine=0.879999)
         .filter(F.round("cosine", 6) >= 0.88)
         .select("id_a", "id_b")
     )
