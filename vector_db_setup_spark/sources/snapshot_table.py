@@ -2687,6 +2687,7 @@ def merge_snapshot(
     retries: int = 3,
     idempotency_key: str | None = None,
     expected_head: int | None = None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """MERGE (upsert) as ONE merge-on-read commit — cost proportional
     to the BATCH, not the table: the new version references the head's
@@ -2717,6 +2718,10 @@ def merge_snapshot(
     - the batch schema/partitioning must match the head exactly — a
       merge is an in-place image replacement, not an evolution (use
       append_snapshot(merge_schema=True) + delete for that shape).
+      ``partition_by`` must restate a hive-partitioned head's layout
+      (same contract as append_snapshot); an update MAY move a row
+      across partitions — the tombstone is keyed, not
+      partition-scoped, so the old image dies wherever it lives.
 
     CDC/maintainers: the marker's op is ``merge`` — a content rewrite,
     so the fast CDC paths hand it to the full diff (which attributes
@@ -2742,7 +2747,10 @@ def merge_snapshot(
     data_dir = f"{base}/{data_name}"
     tomb_name = DATA_PREFIX + uuid.uuid4().hex
     tomb_dir = f"{base}/{tomb_name}"
-    updates.write.mode("error").parquet(data_dir)
+    writer = updates.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(data_dir)
     batch_df = spark.read.parquet(data_dir)
     spark.read.parquet(data_dir).select(F.col(key_col)).distinct().write.mode(
         "error"
@@ -2775,10 +2783,13 @@ def merge_snapshot(
                 "must compact first) — a merge replaces row images "
                 "in place, it does not evolve schema"
             )
-        if head_info.get("partition_by"):
+        head_pb = head_info.get("partition_by") or None
+        want_pb = list(partition_by) if partition_by else None
+        if head_pb != want_pb:
             raise ValueError(
-                "merge_snapshot does not support hive-partitioned "
-                "tables yet — use upsert_snapshot (copy-on-write)"
+                f"merge partitioning {want_pb} does not match head "
+                f"v{head}'s {head_pb} — a version's dirs must share "
+                "one layout (same contract as append_snapshot)"
             )
         head_entries = _delete_entries(head_info)
         for e in head_entries:
@@ -2852,6 +2863,11 @@ def merge_snapshot(
                 if head_info.get("meta") is not None
                 else {}
             ),
+            # layout rides the marker (the next append/merge validates
+            # against it; compaction inherits it) — dropping it here
+            # would let an unpartitioned batch silently join a
+            # partitioned lineage one commit later
+            **({"partition_by": head_pb} if head_pb else {}),
             **({"stats": merged_stats} if merged_stats else {}),
         }
 
