@@ -266,3 +266,86 @@ def test_merge_on_partitioned_table_with_partition_move(spark, tmp_path):
     # layout mismatch refused
     with pytest.raises(ValueError, match="partitioning"):
         merge_snapshot(upd, base, key_col="id")
+
+
+def test_merge_fast_cdc_matches_oracle_in_all_forms(spark, tmp_path):
+    """The r9 fast merge-step attribution: batch dir + one pruned
+    pre-image probe, pinned equal to the full diff across the compare
+    forms — including a re-landed IDENTICAL row (excluded, exactly
+    like the oracle's 'unchanged') and the key-presence feed (an
+    overwritten key's presence did not change)."""
+    base = str(tmp_path / "t")
+    write_snapshot(
+        _df(spark, [(1, "a"), (2, "b"), (3, "c")]), base,
+    )
+    # 2 -> rewritten, 3 -> IDENTICAL re-land, 9 -> new
+    merge_snapshot(
+        _df(spark, [(2, "B"), (3, "c"), (9, "i")]), base, key_col="id"
+    )
+    for kw in (
+        {},                             # compare all columns
+        {"columns": ["val"]},           # explicit projection
+        {"carry_columns": ["val"]},     # projected values
+    ):
+        fast = {
+            tuple(r)
+            for r in snapshot_changes(
+                spark, base, "id", from_version=1, fast=True, **kw
+            ).collect()
+        }
+        slow = {
+            tuple(r)
+            for r in snapshot_changes(
+                spark, base, "id", from_version=1, fast=False, **kw
+            ).collect()
+        }
+        assert fast == slow, kw
+        keys = {(r[0], r[-2]) for r in fast}
+        assert keys == {(2, "changed"), (9, "added")}, kw
+    # key-presence form: only the new key appears
+    kp = {
+        (r["id"], r["status"])
+        for r in snapshot_changes(
+            spark, base, "id", from_version=1, columns=[]
+        ).collect()
+    }
+    assert kp == {(9, "added")}
+    assert kp == {
+        (r["id"], r["status"])
+        for r in snapshot_changes(
+            spark, base, "id", from_version=1, columns=[], fast=False
+        ).collect()
+    }
+
+
+def test_merge_fast_cdc_plan_skips_corpus_and_hash_join(spark, tmp_path):
+    """Plan assert: the fast merge step's returned frame reads the
+    batch dir + (stats-pruned) prior files only and never builds the
+    full-outer hash join; on a clustered table with a disjoint-range
+    batch the prior probe prunes to zero files."""
+    base = str(tmp_path / "t")
+    df = spark.range(0, 1000).select(
+        "id", F.md5(F.col("id").cast("string")).alias("val")
+    )
+    write_snapshot(df, base, stats_cols=["id"], cluster_by=["id"],
+                   cluster_files=4)
+    merge_snapshot(
+        spark.createDataFrame(
+            [(5000 + i, f"m{i}") for i in range(50)], "id long, val string"
+        ),
+        base,
+        key_col="id",
+    )
+    feed = snapshot_changes(spark, base, "id", from_version=1)
+    plan = feed._jdf.queryExecution().executedPlan().toString()
+    assert "FullOuter" not in plan
+    from vector_db_setup_spark.sources.snapshot_table import (
+        snapshot_info as sinfo,
+    )
+
+    m_dir = sinfo(spark, base, 2)["data"][-1]
+    files = feed.inputFiles()
+    assert files and all(f"/{m_dir}/" in f for f in files), files
+    assert {(r["id"], r["status"]) for r in feed.collect()} == {
+        (5000 + i, "added") for i in range(50)
+    }

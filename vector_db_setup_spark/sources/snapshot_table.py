@@ -1888,6 +1888,7 @@ def _snapshot_columns(spark, base: str, version: int, fs) -> list[str]:
 def _fast_step(
     spark, base: str, a: int, b: int, key_col: str, fs, infos=None,
     carry: list[str] | None = None,
+    columns: list[str] | None = None,
 ) -> DataFrame | None:
     """O(batch) change attribution for one version step (a → b), or
     None when only the full diff can answer. Classified from the
@@ -1907,18 +1908,29 @@ def _fast_step(
       keys = a's visible rows semi-joined with the new tombstone dirs
       (column-pruned: only the CDC key and the tombstone key are
       scanned; tombstoned-but-absent keys correctly report nothing).
+    - merge extending a's dirs by ONE batch dir and the stack by ONE
+      seq-scoped entry (merge_snapshot's exact shape): the batch dir
+      holds every candidate row — a range-pruned probe of version a
+      splits it into 'added' (key absent before) and overlap, and
+      overlap rows hash-compare against their pre-images over the
+      ``columns`` projection so re-landed identical content stays
+      'unchanged' (excluded) EXACTLY like the full-diff oracle;
+      ``columns=[]`` (key-presence) emits only the added keys, since
+      an overwritten key's presence did not change. Costs the batch
+      dir + one pruned probe, never the corpus.
 
     ``carry`` names value columns to PROJECT into the emitted rows:
-    appends carry them straight from the batch dirs (still O(batch) —
-    this is what lets a downstream maintainer consume values without
-    re-scanning the head table); deletes carry the pre-image from
-    version a's matched rows, read through a ``key_between`` probe
-    over the tombstone's key range so file-skipping stats prune the
-    fetch. A batch/version lacking a carry column falls back to the
-    full diff (None), which null-fills through the evolved read.
+    appends/merges carry them straight from the batch dirs (still
+    O(batch) — this is what lets a downstream maintainer consume
+    values without re-scanning the head table); deletes carry the
+    pre-image from version a's matched rows, read through a
+    ``key_between`` probe over the tombstone's key range so
+    file-skipping stats prune the fetch. A batch/version lacking a
+    carry column falls back to the full diff (None), which null-fills
+    through the evolved read.
 
-    write/upsert/merge/rollback (and pre-``op`` markers) rewrite or
-    re-point content per key → None, full diff. Every fast form avoids the
+    write/upsert/rollback (and pre-``op`` markers) rewrite or re-point
+    content arbitrarily → None, full diff. Every fast form avoids the
     full-outer shuffle and the all-column value hash of the table —
     the difference between O(table) and O(batch + key-column scan)
     per increment at 100 TB."""
@@ -2048,6 +2060,82 @@ def _fast_step(
                 "diff is undefined"
             )
         return removed.withColumn("status", F.lit("removed"))
+    if (
+        op == "merge"
+        and not ib.get("schema_merged")
+        and len(db) == len(da) + 1
+        and db[: len(da)] == da
+        and len(eb) == len(ea) + 1
+        and eb[: len(ea)] == ea
+        and int(eb[-1].get("seq", -1)) == len(da)
+    ):
+        m_dir = db[-1]
+        batch = spark.read.parquet(f"{base}/{m_dir}")
+        if key_col not in batch.columns or any(
+            c not in batch.columns for c in carry
+        ):
+            return None
+        compare = (
+            [c for c in batch.columns if c != key_col]
+            if columns is None
+            else [c for c in columns if c != key_col]
+        )
+        if any(c not in batch.columns for c in compare):
+            return None
+        n_all, n_dist = batch.agg(
+            F.count(F.lit(1)), F.countDistinct(key_col)
+        ).first()
+        if n_all != n_dist:
+            raise ValueError(
+                f"merge batch at v{b} holds duplicate {key_col} values "
+                f"({n_all} rows, {n_dist} distinct) — a keyed diff is "
+                "undefined"
+            )
+        if n_all == 0:
+            return _empty()
+        prior_cols = _snapshot_columns(spark, base, a, fs)
+        if key_col not in prior_cols or any(
+            c not in prior_cols for c in compare
+        ):
+            return None
+        if columns is None and set(prior_cols) != set(batch.columns):
+            # the full diff REFUSES asymmetric schemas without an
+            # explicit projection; a real merge commit guarantees
+            # equality, so only a hand-crafted marker reaches here —
+            # hand it to the full diff for the identical refusal
+            return None
+        bmin, bmax = batch.agg(F.min(key_col), F.max(key_col)).first()
+        prior = read_snapshot(
+            spark,
+            base,
+            version=a,
+            fs=fs,
+            key_between=(key_col, bmin, bmax),
+        )
+        added = batch.join(
+            prior.select(F.col(key_col)), key_col, "left_anti"
+        ).select(
+            F.col(key_col),
+            *[F.col(c) for c in carry],
+            F.lit("added").alias("status"),
+        )
+        if not compare:
+            # key-presence feed: an overwritten key's presence did not
+            # change — exactly what the full diff reports (unchanged)
+            return added
+        hash_of = F.xxhash64(*[F.col(c) for c in compare])
+        pre_h = prior.select(F.col(key_col), hash_of.alias("_hp"))
+        changed = (
+            batch.withColumn("_hb", hash_of)
+            .join(pre_h, key_col, "inner")
+            .filter(F.col("_hb") != F.col("_hp"))
+            .select(
+                F.col(key_col),
+                *[F.col(c) for c in carry],
+                F.lit("changed").alias("status"),
+            )
+        )
+        return added.unionByName(changed)
     return None
 
 
@@ -2272,8 +2360,8 @@ def snapshot_changes(
     through a key_between probe bounded by the tombstone's key range,
     so file-skipping stats prune the fetch). Full-diff steps join the
     images back from the pinned version reads — those steps
-    (write/upsert/merge/rollback) already cost O(table) to attribute,
-    so the join-back adds no new asymptotics.
+    (write/upsert/rollback) already cost O(table) to attribute, so the
+    join-back adds no new asymptotics.
 
     ``allowed_ops`` restricts the range to the named marker ops
     (e.g. ("append", "delete", "compact")) and raises on anything
@@ -2297,9 +2385,11 @@ def snapshot_changes(
     structure are attributed WITHOUT the full diff — appends read only
     their batch dirs (plus a column-pruned key semi-join that enforces
     the no-duplicate-keys contract), deletes scan two key columns,
-    compactions are free. Only write/upsert/rollback steps (and
-    markers predating the ``op`` field) pay the full-outer key join
-    with value hashing. ``fast=False`` forces the full diff on every
+    MERGES read their batch dir plus one range-pruned pre-image probe
+    (hash-comparing overlap rows so re-landed identical content stays
+    excluded exactly like the oracle), compactions are free. Only
+    write/upsert/rollback steps (and markers predating the ``op``
+    field) pay the full-outer key join with value hashing. ``fast=False`` forces the full diff on every
     step — the equivalence oracle the tests pin fast against.
     Consecutive append runs AND consecutive delete runs each coalesce
     into one attribution pass (one duplicate guard / one visible-rows
@@ -2457,7 +2547,8 @@ def snapshot_changes(
             # re-probe the same dirs O(run²) times
             for a2, b2 in steps[i : j + 1]:
                 step = _fast_step(
-                    spark, base, a2, b2, key_col, fs, infos, carry=carry
+                    spark, base, a2, b2, key_col, fs, infos,
+                    carry=carry, columns=columns,
                 )
                 if step is None:
                     step = _full_step(a2, b2)
@@ -2484,7 +2575,10 @@ def snapshot_changes(
             # single delete step (or a column gap broke the run):
             # per-step attribution below handles each
         step = (
-            _fast_step(spark, base, a, b, key_col, fs, infos, carry=carry)
+            _fast_step(
+                spark, base, a, b, key_col, fs, infos,
+                carry=carry, columns=columns,
+            )
             if fast
             else None
         )
