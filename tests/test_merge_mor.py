@@ -349,3 +349,53 @@ def test_merge_fast_cdc_plan_skips_corpus_and_hash_join(spark, tmp_path):
     assert {(r["id"], r["status"]) for r in feed.collect()} == {
         (5000 + i, "added") for i in range(50)
     }
+
+
+def test_concurrent_merges_serialize_without_losing_updates(
+    spark, tmp_path
+):
+    """4 threads x 2 merges over DISJOINT key sets racing the marker
+    create: every batch must land exactly once (the commit loop
+    re-derives the dir list + scoped tombstone against each new head
+    on a lost race), and the final table must equal the dict model.
+    One thread merges OVERLAPPING keys last to prove later-wins
+    ordering still holds under the serialized history."""
+    import threading
+
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, [(i, f"v{i}") for i in range(40)]), base)
+    errors = []
+
+    def worker(t):
+        try:
+            for j in range(2):
+                rows = [
+                    (1000 * (t + 1) + j * 10 + k, f"w{t}.{j}.{k}")
+                    for k in range(3)
+                ] + [(t, f"upd{t}.{j}")]  # overwrite one base key each
+                merge_snapshot(_df(spark, rows), base, key_col="id")
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(t,)) for t in range(4)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    assert current_version(spark, base) == 9  # 1 write + 8 merges
+    expect = {(i, f"v{i}") for i in range(40) if i not in (0, 1, 2, 3)}
+    for t in range(4):
+        expect.add((t, f"upd{t}.1"))  # j=1 is each thread's LAST write
+        for j in range(2):
+            for k in range(3):
+                expect.add((1000 * (t + 1) + j * 10 + k, f"w{t}.{j}.{k}"))
+    assert _visible(spark, base) == expect
+    # the serialized history replays exactly through the fast feed
+    fast = snapshot_changes(spark, base, "id", from_version=1).collect()
+    slow = snapshot_changes(
+        spark, base, "id", from_version=1, fast=False
+    ).collect()
+    assert {tuple(r) for r in fast} == {tuple(r) for r in slow}
