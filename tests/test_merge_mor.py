@@ -373,7 +373,12 @@ def test_concurrent_merges_serialize_without_losing_updates(
                     (1000 * (t + 1) + j * 10 + k, f"w{t}.{j}.{k}")
                     for k in range(3)
                 ] + [(t, f"upd{t}.{j}")]  # overwrite one base key each
-                merge_snapshot(_df(spark, rows), base, key_col="id")
+                # retries sized to the writer count (the same knob the
+                # append contention test turns): 8 racing commits can
+                # cost one loser ~7 lost races on a loaded host
+                merge_snapshot(
+                    _df(spark, rows), base, key_col="id", retries=40
+                )
         except Exception as e:  # pragma: no cover
             errors.append(e)
 
