@@ -125,3 +125,75 @@ def test_cursor_forms(spark, tmp_path):
     write_snapshot(spark.createDataFrame([(1,)], "x long"), other)
     with pytest.raises(ValueError, match="cursor"):
         subscriber_cursor(spark, other)
+
+
+def test_maintenance_cycle_composes_the_day2_loop(spark, tmp_path):
+    """maintenance_cycle runs drain → compact_if → checkpoint → GC in
+    the contract-required order: cursors advance before the retention
+    floor is computed, compaction lands after the drains (the next
+    drain sees one free 'compact' step), the checkpoint rolls at the
+    post-compaction head, and GC keeps exactly what the subscriber
+    still needs."""
+    import functools
+
+    from vector_db_setup_spark.sources.fs import LocalFS
+    from vector_db_setup_spark.sources.snapshot_table import (
+        CKPTS_DIR,
+        read_snapshot,
+    )
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintenance_cycle,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "agg")
+    ck = str(tmp_path / "ck")
+    write_snapshot(_docs(spark, 0, 50), src)
+    drain = functools.partial(
+        maintain_agg_from_commits,
+        spark, src, state, ck, group_col="lang", key_col="doc_id",
+    )
+    drain()  # bootstrap the subscriber
+    for i in range(1, 5):  # v2..v5
+        append_snapshot(_docs(spark, 50 * i, 50 * (i + 1)), src)
+    report = maintenance_cycle(
+        spark,
+        src,
+        drains=[drain],
+        subscriber_states=[state],
+        compact={"max_data_dirs": 2},
+        gc={"keep": 2, "orphan_min_age_s": 0.0},
+    )
+    assert report["drained"] == 1
+    # 5 data dirs > max_data_dirs=2 -> compaction fired as v6
+    assert report["compacted_version"] == 6
+    assert report["checkpointed_through"] == 6
+    # the drain ran BEFORE compaction, so its cursor is v5; the floor
+    # keeps v5..v6 and reclaims v1..v4
+    assert report["gc"]["removed"] == [1, 2, 3, 4]
+    assert report["gc"]["subscriber_cursors"] == {state: 5}
+    assert committed_versions(spark, src) == [5, 6]
+    assert LocalFS().listdir(f"{src}/{CKPTS_DIR}") != []
+    # next cycle: subscriber absorbs the compact step as a free drain
+    # and state still equals a from-scratch rebuild
+    append_snapshot(_docs(spark, 250, 280), src)
+    report2 = maintenance_cycle(
+        spark,
+        src,
+        drains=[drain],
+        subscriber_states=[state],
+        gc={"keep": 2, "orphan_min_age_s": 0.0},
+    )
+    assert report2["gc"]["subscriber_cursors"] == {state: 7}
+    maintained = {
+        (r["lang"], r["cnt"])
+        for r in read_snapshot(spark, state).collect()
+    }
+    rebuilt = {
+        (r["lang"], r["cnt"])
+        for r in read_snapshot(spark, src)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert maintained == rebuilt

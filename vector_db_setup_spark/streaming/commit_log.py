@@ -654,3 +654,61 @@ def maintain_agg_from_commits(
         q.awaitTermination()
         return None
     return q
+
+
+def maintenance_cycle(
+    spark: SparkSession,
+    base: str,
+    drains=(),
+    subscriber_states=None,
+    compact: dict | None = None,
+    checkpoint: bool = True,
+    gc: dict | None = None,
+    fs=None,
+) -> dict:
+    """ONE day-2 maintenance pass over a snapshot table, in the order
+    the pieces' contracts require — the crontab entry the day-2
+    experiment (and every operator runbook) otherwise hand-rolls:
+
+    1. ``drains`` — zero-arg callables (``functools.partial`` over
+       ``maintain_bloom/ivf/agg_from_commits`` with availableNow) run
+       FIRST: subscriber cursors advance to the head, so the retention
+       floor in step 4 is as tight as the subscribers allow.
+    2. ``compact_if(**compact)`` — absorb merge-on-read debt AFTER the
+       drains: subscribers' next pass sees the compaction as one free
+       'compact' step instead of racing it mid-drain.
+    3. ``write_commit_checkpoint`` — roll the marker log at the
+       post-compaction head so every walker (including step 4's own
+       protection scans) pays O(new) reads.
+    4. ``gc_with_retention_policy(**gc)`` — LAST, with
+       ``subscriber_states`` enforcing the slowest-consumer contract
+       from the cursors step 1 just advanced (and refusing loudly on a
+       subscriber that is already broken).
+
+    ``compact``/``gc`` are kwarg dicts for their respective calls ({}
+    = defaults); None skips that step. Returns a report of what each
+    step did — a maintenance job should LOG why versions survived,
+    not just that it ran."""
+    from vector_db_setup_spark.sources import snapshot_table as st
+
+    report: dict = {"drained": 0}
+    for drain in drains:
+        drain()
+        report["drained"] += 1
+    if compact is not None:
+        report["compacted_version"] = st.compact_if(
+            spark, base, fs=fs, **compact
+        )
+    if checkpoint:
+        report["checkpointed_through"] = st.write_commit_checkpoint(
+            spark, base, fs=fs
+        )
+    if gc is not None:
+        report["gc"] = st.gc_with_retention_policy(
+            spark,
+            base,
+            subscriber_states=list(subscriber_states or []),
+            fs=fs,
+            **gc,
+        )
+    return report
