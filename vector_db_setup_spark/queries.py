@@ -5914,6 +5914,76 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_merge_view",
+    """
+    WITH upd AS (
+        SELECT doc_id, text || ' v2' AS text
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text
+        FROM documents WHERE doc_id % 11 = 0
+    ),
+    merged AS (
+        SELECT d.doc_id, d.text FROM documents d
+        WHERE NOT EXISTS (
+            SELECT 1 FROM upd u WHERE u.doc_id = d.doc_id
+        )
+        UNION ALL
+        SELECT doc_id, text FROM upd
+    )
+    SELECT CASE WHEN doc_id >= 1000000 THEN 'inserted'
+                WHEN doc_id % 7 = 0 THEN 'updated'
+                ELSE 'kept' END AS provenance,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM merged GROUP BY 1
+    """,
+)
+def corpus_merge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE (upsert) semantics as a relational query — the exact read
+    shape the snapshot table's merge-on-read executes
+    (sources/snapshot_table.py `merge_snapshot` + the seq-scoped
+    assembly): prior rows ANTI-JOIN the update keys, the update batch
+    UNIONs in unconditionally, and provenance falls out of the key.
+    The fixture plays both roles (updates = every 7th doc textually
+    bumped; inserts = every 11th doc re-keyed above the id space).
+    At scale the batch side is broadcast (it is the small side by
+    construction — a nightly update batch vs the corpus), so the
+    anti-join is shuffle-free on the corpus; the aggregate's
+    partial/final split keeps the provenance rollup at three rows."""
+    d = load_table(spark, sf_dir, "documents")
+    upd = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" v2")).alias("text")
+    ).unionByName(
+        d.filter(F.col("doc_id") % 11 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    merged = (
+        d.select("doc_id", "text")
+        .join(F.broadcast(upd.select("doc_id")), "doc_id", "left_anti")
+        .unionByName(upd)
+    )
+    provenance = (
+        F.when(F.col("doc_id") >= 1000000, "inserted")
+        .when(F.col("doc_id") % 7 == 0, "updated")
+        .otherwise("kept")
+    )
+    return (
+        merged.select(provenance.alias("provenance"), "doc_id", "text")
+        .groupBy("provenance")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
+
+
+@register(
     "corpus_shard_assignment",
     """
     WITH sharded AS (
