@@ -101,7 +101,9 @@ def test_merge_composes_with_delete_append_compact(spark, tmp_path):
     )
     assert _visible(spark, base) == expect
     # ...and appending a MERGED (visible) key is refused as a duplicate
-    with pytest.raises(ValueError, match="tombstoned"):
+    # (the scoped entry never hides the appended row — the refusal is
+    # duplicate prevention, and the message says so)
+    with pytest.raises(ValueError, match="duplicate keys"):
         append_snapshot(_df(spark, [(9, "dup")]), base)
     # compaction materializes the whole stack and clears it
     v = compact_snapshot(spark, base)

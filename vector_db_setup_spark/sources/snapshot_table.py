@@ -164,12 +164,23 @@ def _ckpt_name(v: int) -> str:
     return f"{_CKPT_PREFIX}{v:0{_V_DIGITS}d}"
 
 
-def _latest_checkpoint(fs, base: str) -> dict | None:
+def _latest_checkpoint(
+    fs, base: str, max_version: int | None = None
+) -> dict | None:
     """Newest readable commit-log checkpoint at ``base``, or None.
     A checkpoint is a CACHE of immutable marker bodies — unreadable/
     corrupt ones degrade to absent (walkers fall back to per-marker
     reads), never to an error: losing the cache must never break the
-    table."""
+    table.
+
+    ``max_version`` (the live head, when the caller holds the marker
+    listing) SKIPS checkpoints newer than it: a checkpoint above the
+    surviving head is POISON, not cache — a keep=0 GC that crashed
+    between its marker sweep and its checkpoint sweep leaves an
+    old-generation checkpoint whose entries would serve stale bodies
+    for REUSED version numbers. gc_snapshots deletes such checkpoints
+    eagerly; this guard protects every walker in the window before
+    that GC runs."""
     best = None
     for name in fs.listdir(f"{base}/{CKPTS_DIR}"):
         if (
@@ -177,6 +188,8 @@ def _latest_checkpoint(fs, base: str) -> dict | None:
             and name[len(_CKPT_PREFIX):].isdigit()
         ):
             v = int(name[len(_CKPT_PREFIX):])
+            if max_version is not None and v > max_version:
+                continue
             best = v if best is None or v > best else best
     if best is None:
         return None
@@ -191,7 +204,8 @@ def _latest_checkpoint(fs, base: str) -> dict | None:
 
 
 def _infos_for(
-    spark, base: str, versions, fs, strict: bool = False
+    spark, base: str, versions, fs, strict: bool = False,
+    live_head: int | None = None,
 ) -> dict:
     """Marker infos for ``versions`` — {version: info} — served from
     the newest checkpoint where possible (ONE small read covers every
@@ -199,9 +213,16 @@ def _infos_for(
     checkpoint entry is always exact) and from per-marker reads above
     or outside it. ``strict=False`` skips versions GC'd mid-walk
     (every marker walker's tolerance); strict propagates the
-    FileNotFoundError."""
+    FileNotFoundError. ``live_head`` (when the caller already holds
+    the full committed listing) lets the checkpoint resolution ignore
+    poison checkpoints newer than the surviving head — see
+    `_latest_checkpoint`."""
     versions = list(versions)
-    ck = _latest_checkpoint(fs, base) if versions else None
+    ck = (
+        _latest_checkpoint(fs, base, max_version=live_head)
+        if versions
+        else None
+    )
     ck_infos = (ck or {}).get("infos") or {}
     out = {}
     for v in versions:
@@ -235,7 +256,7 @@ def write_commit_checkpoint(spark, base: str, fs=None) -> int | None:
     path = f"{base}/{CKPTS_DIR}/{_ckpt_name(head)}"
     if fs.exists(path):
         return head
-    infos = _infos_for(spark, base, vs, fs)
+    infos = _infos_for(spark, base, vs, fs, live_head=head)
     body = json.dumps(
         {"version": head, "infos": {str(v): infos[v] for v in infos}}
     )
@@ -343,7 +364,13 @@ def _find_idempotent(
     if versions is None:
         versions = committed_versions(spark, base, fs)
     ck_infos = (
-        (_latest_checkpoint(fs, base) or {}).get("infos") or {}
+        (
+            _latest_checkpoint(
+                fs, base, max_version=max(versions, default=None)
+            )
+            or {}
+        ).get("infos")
+        or {}
     )
     for v in reversed(versions):
         info = ck_infos.get(str(v))
@@ -506,6 +533,19 @@ class SnapshotConflictError(RuntimeError):
     is no longer current, so blindly re-committing would silently drop
     the concurrent changes — recompute against the new head and retry
     (upsert_snapshot does exactly that)."""
+
+
+class DisallowedOpError(ValueError):
+    """Raised by snapshot_changes(allowed_ops=...) when a commit in the
+    requested range carries an op outside the consumer's contract — a
+    content rewrite is invisible to a key-presence feed, so the
+    consumer must rebuild its derived state rather than silently go
+    stale. A DEDICATED type (not message matching) so self-healing
+    maintainers (`on_rewrite="rebuild"`) can catch exactly this
+    condition: substring-matching str(ValueError) would silently
+    trigger an O(corpus) rebuild on any unrelated error whose text
+    happened to contain the token. Subclasses ValueError, so existing
+    `except ValueError` callers keep working."""
 
 
 def write_snapshot(
@@ -822,31 +862,47 @@ def append_snapshot(
             names = _data_names(head_info) + [data_name]
             total_rows = int(head_info.get("rows") or 0) + n_rows
             head_deletes = _delete_entries(head_info)
-            # tombstones are NOT sequence-scoped (no per-dir ordering in
-            # this format — the simplification vs Delta DVs), so a batch
-            # re-using a deleted key would be silently anti-joined away
-            # on read. Refuse loudly instead: re-inserting a deleted key
-            # is upsert_snapshot's job (its rewrite clears the stack),
-            # or compact first.
-            # one semi-join count per key column, not per tombstone
-            # entry: tomb dirs sharing a key union into a single probe,
-            # and dirs that passed on a previous attempt are skipped
-            # (tombstone dirs are immutable, so a clean check stays
-            # clean — a 5-deep delete stack under contention costs one
-            # job total, not 5 × attempts)
-            by_key: dict[str, list[str]] = {}
+            # two refusal classes, one probe shape each:
+            # - UNSCOPED entries (delete_from_snapshot) cover every dir
+            #   including future ones, so an appended row re-using a
+            #   deleted key would be silently anti-joined away on read
+            #   — refuse; re-insertion is upsert_snapshot's job (its
+            #   rewrite clears the stack), or compact first.
+            # - SCOPED entries (merge_snapshot, "seq") never cover
+            #   later dirs, so the appended row WOULD be visible — but
+            #   so is the merge's own image of the same key, so the
+            #   append would land a visible DUPLICATE; refuse for that
+            #   reason (re-land the key through merge_snapshot).
+            # one semi-join count per (key column, class), not per
+            # tombstone entry: tomb dirs sharing both union into a
+            # single probe, and dirs that passed on a previous attempt
+            # are skipped (tombstone dirs are immutable, so a clean
+            # check stays clean — a 5-deep delete stack under
+            # contention costs one job total, not 5 × attempts)
+            by_key: dict[tuple[str, bool], list[str]] = {}
             for e in head_deletes:
                 if e["key_col"] not in df.columns:
                     continue
                 if (e["dir"], e["key_col"]) in tombs_checked:
                     continue
-                by_key.setdefault(e["key_col"], []).append(e["dir"])
-            for key_col, tdirs in by_key.items():
+                by_key.setdefault(
+                    (e["key_col"], "seq" in e), []
+                ).append(e["dir"])
+            for (key_col, scoped), tdirs in by_key.items():
                 tomb = None
                 for d in tdirs:
                     t = spark.read.parquet(f"{base}/{d}").select(key_col)
                     tomb = t if tomb is None else tomb.unionByName(t)
                 n_hit = batch_df.join(tomb, key_col, "left_semi").count()
+                if n_hit and scoped:
+                    raise ValueError(
+                        f"append batch contains {n_hit} row(s) whose "
+                        f"{key_col} was last landed by merge_snapshot "
+                        f"at {base} — the merged image is still "
+                        "visible, so the append would create duplicate "
+                        "keys; re-land those keys with merge_snapshot "
+                        "(or compact_snapshot first)"
+                    )
                 if n_hit:
                     raise ValueError(
                         f"append batch contains {n_hit} row(s) whose "
@@ -1340,10 +1396,13 @@ def gc_snapshots(
     fs = _resolve_fs(spark, base, fs)
     committed = committed_versions(spark, base, fs)
     drop = committed[:-keep] if keep > 0 else committed
+    live_head = committed[-1] if committed else None
     if keep_age_s is not None and drop:
         cutoff = _time.time() - keep_age_s
         aged = []
-        drop_infos = _infos_for(spark, base, drop, fs)
+        drop_infos = _infos_for(
+            spark, base, drop, fs, live_head=live_head
+        )
         for v, info in sorted(drop_infos.items()):
             ts = info.get("created_utc")
             if ts is not None and float(ts) < cutoff:
@@ -1355,11 +1414,31 @@ def gc_snapshots(
     if tagged:
         drop = [v for v in drop if v not in tagged]
     keep_set = [v for v in committed if v not in drop]
+    # POISON CHECKPOINTS GO FIRST — before any marker is deleted and
+    # before any _infos_for consults the checkpoint cache: a checkpoint
+    # NEWER than the intended surviving head would, after a keep=0
+    # sweep and a version-number-reusing rebuild, serve stale bodies
+    # for the reused numbers. Deleting them up front also closes the
+    # crash window the old tail-sweep left open (crash after the marker
+    # sweep but before the checkpoint sweep → the NEXT gc's own
+    # protection scans would have read the stale checkpoint and could
+    # reclaim live data dirs as orphans). A checkpoint is pure cache,
+    # so deleting one eagerly can never lose table state.
+    surviving_head = max(keep_set, default=0)
+    for name in fs.listdir(f"{base}/{CKPTS_DIR}"):
+        if (
+            name.startswith(_CKPT_PREFIX)
+            and name[len(_CKPT_PREFIX):].isdigit()
+            and int(name[len(_CKPT_PREFIX):]) > surviving_head
+        ):
+            fs.delete(f"{base}/{CKPTS_DIR}/{name}", ignore_errors=True)
     # data dirs named by SURVIVING markers must not be touched even
     # when a dropped version also names them — zero-copy rollback
     # commits a NEW marker over an OLD dir, so dirs can be shared
     kept_refs = set()
-    for info in _infos_for(spark, base, keep_set, fs).values():
+    for info in _infos_for(
+        spark, base, keep_set, fs, live_head=live_head
+    ).values():
         kept_refs.update(_all_dir_names(info))
     # two passes: delete ALL droppable markers first, then delete a
     # data dir only if every dropped marker naming it actually went
@@ -1405,8 +1484,10 @@ def gc_snapshots(
     # orphan data dirs: not referenced by ANY surviving marker, old
     # enough that no in-flight writer can still be producing them
     referenced = set()
+    live_now = committed_versions(spark, base, fs)
     for info in _infos_for(
-        spark, base, committed_versions(spark, base, fs), fs
+        spark, base, live_now, fs,
+        live_head=max(live_now, default=None),
     ).values():
         referenced.update(_all_dir_names(info))
     now = _time.time()
@@ -1889,6 +1970,7 @@ def _fast_step(
     spark, base: str, a: int, b: int, key_col: str, fs, infos=None,
     carry: list[str] | None = None,
     columns: list[str] | None = None,
+    pair: bool = False,
 ) -> DataFrame | None:
     """O(batch) change attribution for one version step (a → b), or
     None when only the full diff can answer. Classified from the
@@ -1928,6 +2010,18 @@ def _fast_step(
     file-skipping stats prune the fetch. A batch/version lacking a
     carry column falls back to the full diff (None), which null-fills
     through the evolved read.
+
+    ``pair`` re-encodes every would-be 'changed' row as a
+    removed(pre-image) + added(post-image) PAIR (see snapshot_changes'
+    ``change_encoding="pair"``): the merge branch emits the pre-image
+    straight from the same range-pruned probe it already hash-compares
+    against, so the pair feed costs nothing beyond the 'changed' feed.
+
+    A merge whose tombstone key differs from the CDC ``key_col`` falls
+    back to the full diff (None): the merge replaced rows MATCHED ON
+    ITS OWN KEY, so a row whose CDC-key value was rewritten must
+    surface as removed(old CDC key) + added(new CDC key) — an
+    attribution only the full keyed diff can make.
 
     write/upsert/rollback (and pre-``op`` markers) rewrite or re-point
     content arbitrarily → None, full diff. Every fast form avoids the
@@ -2068,6 +2162,11 @@ def _fast_step(
         and len(eb) == len(ea) + 1
         and eb[: len(ea)] == ea
         and int(eb[-1].get("seq", -1)) == len(da)
+        # the merge matched rows on ITS key; a feed keyed differently
+        # needs the full diff (a rewritten CDC-key value must surface
+        # as removed+added of two DIFFERENT feed keys, which this
+        # batch-side attribution cannot see)
+        and eb[-1].get("key_col") == key_col
     ):
         m_dir = db[-1]
         batch = spark.read.parquet(f"{base}/{m_dir}")
@@ -2125,17 +2224,43 @@ def _fast_step(
             return added
         hash_of = F.xxhash64(*[F.col(c) for c in compare])
         pre_h = prior.select(F.col(key_col), hash_of.alias("_hp"))
-        changed = (
+        if not pair:
+            changed = (
+                batch.withColumn("_hb", hash_of)
+                .join(pre_h, key_col, "inner")
+                .filter(F.col("_hb") != F.col("_hp"))
+                .select(
+                    F.col(key_col),
+                    *[F.col(c) for c in carry],
+                    F.lit("changed").alias("status"),
+                )
+            )
+            return added.unionByName(changed)
+        # pair encoding: a changed key emits its PRE-image (from the
+        # same range-pruned probe the hash compare already reads) as
+        # 'removed' and its POST-image (from the batch dir) as 'added'
+        # — the encoding an invertible maintainer consumes O(batch)
+        changed_keys = (
             batch.withColumn("_hb", hash_of)
             .join(pre_h, key_col, "inner")
             .filter(F.col("_hb") != F.col("_hp"))
-            .select(
-                F.col(key_col),
-                *[F.col(c) for c in carry],
-                F.lit("changed").alias("status"),
-            )
+            .select(F.col(key_col))
         )
-        return added.unionByName(changed)
+        removed_pre = prior.join(
+            changed_keys, key_col, "left_semi"
+        ).select(
+            F.col(key_col),
+            *[F.col(c) for c in carry],
+            F.lit("removed").alias("status"),
+        )
+        added_post = batch.join(
+            changed_keys, key_col, "left_semi"
+        ).select(
+            F.col(key_col),
+            *[F.col(c) for c in carry],
+            F.lit("added").alias("status"),
+        )
+        return added.unionByName(removed_pre).unionByName(added_post)
     return None
 
 
@@ -2338,6 +2463,7 @@ def snapshot_changes(
     fast: bool = True,
     carry_columns: list[str] | None = None,
     allowed_ops: tuple | list | None = None,
+    change_encoding: str = "changed",
 ) -> DataFrame:
     """CDC change feed: every per-version increment AFTER
     ``from_version`` up to ``to_version`` (head by default), as one
@@ -2364,13 +2490,29 @@ def snapshot_changes(
     join-back adds no new asymptotics.
 
     ``allowed_ops`` restricts the range to the named marker ops
-    (e.g. ("append", "delete", "compact")) and raises on anything
-    else — the contract a key-presence consumer needs: a write/upsert/
-    rollback rewrites content invisibly to it, so the consumer must
-    rebuild its derived state and restart its subscription rather than
-    silently go stale. Validated against the marker infos this call
-    already fetches — no extra reads. Pre-``op`` markers count as
-    "write".
+    (e.g. ("append", "delete", "compact")) and raises
+    ``DisallowedOpError`` on anything else — the contract a
+    key-presence consumer needs: a write/upsert/rollback rewrites
+    content invisibly to it, so the consumer must rebuild its derived
+    state and restart its subscription rather than silently go stale.
+    Validated against the marker infos this call already fetches — no
+    extra reads. Pre-``op`` markers count as "write".
+
+    ``change_encoding`` picks how content changes surface:
+    - ``"changed"`` (default): one row per changed key, status
+      'changed', carrying the POST-image — the display/audit form.
+    - ``"pair"``: each changed key emits TWO rows at the same version —
+      status 'removed' carrying the PRE-image, then status 'added'
+      carrying the POST-image. This is the INVERTIBLE form a
+      maintainer consumes O(batch): an incremental aggregate subtracts
+      the pre and adds the post; an index tombstones the key and
+      re-assigns the new image. With pair encoding a key can appear
+      twice in one version (its removed/added halves), so the
+      one-row-per-key reading applies per (key, status), not per key.
+      Merge steps stay fast under pair encoding: the pre-image comes
+      from the same range-pruned probe the hash compare already reads.
+      With ``columns=[]`` (key-presence) no content change is detected
+      and the encodings coincide.
 
     This is the subscription form of ``snapshot_diff``: a maintainer
     remembers the last version it consumed and periodically asks for
@@ -2448,10 +2590,19 @@ def snapshot_changes(
             "carry_columns cannot include 'status' or 'version' — those "
             "names are the feed's own contract columns"
         )
+    if change_encoding not in ("changed", "pair"):
+        raise ValueError(
+            f"change_encoding must be 'changed' or 'pair', got "
+            f"{change_encoding!r}"
+        )
+    pair = change_encoding == "pair"
     out: DataFrame | None = None
     steps = list(zip(chain, chain[1:]))
     infos = (
-        _infos_for(spark, base, chain, fs, strict=True)
+        _infos_for(
+            spark, base, chain, fs, strict=True,
+            live_head=vs[-1] if vs else None,
+        )
         if fast or allowed_ops is not None
         else {}
     )
@@ -2459,7 +2610,7 @@ def snapshot_changes(
         for _, b in steps:
             op = infos[b].get("op", "write")
             if op not in allowed_ops:
-                raise ValueError(
+                raise DisallowedOpError(
                     f"source commit v{b} is op={op!r}, outside "
                     f"allowed_ops {tuple(allowed_ops)} — a content "
                     "rewrite is invisible to a key-presence feed; "
@@ -2472,10 +2623,23 @@ def snapshot_changes(
         # with carry, join the images back from the pinned version
         # reads — removed rows take the pre-image from a, added/
         # changed the post-image from b (no new asymptotics: the diff
-        # itself already scanned both versions)
+        # itself already scanned both versions). Pair encoding splits
+        # each 'changed' row into removed(pre) + added(post) BEFORE
+        # the image joins, so the same two joins serve both halves.
         step = snapshot_diff(
             spark, base, a, b, key_col, fs=fs, columns=columns
         ).filter(F.col("status") != "unchanged")
+        if pair:
+            ch = step.filter(F.col("status") == "changed").select(
+                F.col(key_col)
+            )
+            step = (
+                step.filter(F.col("status") != "changed")
+                .unionByName(
+                    ch.withColumn("status", F.lit("removed"))
+                )
+                .unionByName(ch.withColumn("status", F.lit("added")))
+            )
         if not carry:
             return step
         a_df = read_snapshot(spark, base, version=a, fs=fs)
@@ -2548,7 +2712,7 @@ def snapshot_changes(
             for a2, b2 in steps[i : j + 1]:
                 step = _fast_step(
                     spark, base, a2, b2, key_col, fs, infos,
-                    carry=carry, columns=columns,
+                    carry=carry, columns=columns, pair=pair,
                 )
                 if step is None:
                     step = _full_step(a2, b2)
@@ -2577,7 +2741,7 @@ def snapshot_changes(
         step = (
             _fast_step(
                 spark, base, a, b, key_col, fs, infos,
-                carry=carry, columns=columns,
+                carry=carry, columns=columns, pair=pair,
             )
             if fast
             else None
@@ -2708,12 +2872,36 @@ def delete_from_snapshot(
                 f"no committed snapshot at {base} to delete from"
             )
         head_info = snapshot_info(spark, base, head, fs)
-        # post-delete visible rows: current visibility minus new hits
-        n_rows = (
-            read_snapshot(spark, base, version=head, fs=fs)
-            .join(tomb, key_col, "left_anti")
-            .count()
-        )
+        # post-delete visible rows: head's count minus the hits. The
+        # hit count reads the head PRUNED to the tombstone's key range
+        # (every victim lies inside it by construction) — same shape
+        # as merge_snapshot's overlap probe; legacy markers without a
+        # rows field fall back to the full anti-count
+        head_rows = head_info.get("rows")
+        if head_rows is None:
+            n_rows = (
+                read_snapshot(spark, base, version=head, fs=fs)
+                .join(tomb, key_col, "left_anti")
+                .count()
+            )
+        else:
+            t_lo, t_hi = tomb.agg(
+                F.min(key_col), F.max(key_col)
+            ).first()
+            n_hit = (
+                read_snapshot(
+                    spark,
+                    base,
+                    version=head,
+                    fs=fs,
+                    key_between=(key_col, t_lo, t_hi),
+                )
+                .join(tomb, key_col, "left_semi")
+                .count()
+                if t_lo is not None
+                else 0
+            )
+            n_rows = int(head_rows) - n_hit
         entries = _delete_entries(head_info) + [
             {"dir": tomb_name, "key_col": key_col}
         ]
@@ -2782,6 +2970,7 @@ def merge_snapshot(
     idempotency_key: str | None = None,
     expected_head: int | None = None,
     partition_by: list[str] | None = None,
+    meta_update: dict | None = None,
 ) -> int:
     """MERGE (upsert) as ONE merge-on-read commit — cost proportional
     to the BATCH, not the table: the new version references the head's
@@ -2817,12 +3006,17 @@ def merge_snapshot(
       across partitions — the tombstone is keyed, not
       partition-scoped, so the old image dies wherever it lives.
 
-    CDC/maintainers: the marker's op is ``merge`` — a content rewrite,
-    so the fast CDC paths hand it to the full diff (which attributes
-    changed/added rows exactly) and ``allowed_ops`` consumers raise or
-    self-heal (``on_rewrite="rebuild"``) rather than silently missing
-    the rewritten images. Stats: the new dir's per-file min/max merge
-    into the head's (same contract as append)."""
+    CDC/maintainers: the marker's op is ``merge``. `snapshot_changes`
+    attributes it O(batch) (batch dir + one range-pruned pre-image
+    probe), and with ``change_encoding="pair"`` emits each overwritten
+    key as removed(pre-image) + added(post-image) — the form the
+    commit-log maintainers consume incrementally (their
+    ``allowed_ops`` includes "merge"); key-presence consumers
+    (columns=[]) see only the inserted keys, which is exact for them.
+    ``meta_update`` merges fields into the carried-forward head meta
+    (maintainer cursors/audit), same contract as delete_from_snapshot.
+    Stats: the new dir's per-file min/max merge into the head's (same
+    contract as append)."""
     spark = updates.sparkSession
     fs = _resolve_fs(spark, base, fs)
     if idempotency_key is not None:
@@ -2853,6 +3047,11 @@ def merge_snapshot(
     tomb.count()  # verify readable before any marker references it
     batch_types = dict(batch_df.dtypes)
     n_rows = batch_df.count()
+    # the batch's key range bounds EVERY overlapping head row, so the
+    # visible-rows bookkeeping below reads the head range-pruned (one
+    # tiny agg over the already-written tombstone dir, reused across
+    # marker-race retries — the dir is immutable)
+    bmin, bmax = tomb.agg(F.min(key_col), F.max(key_col)).first()
     batch_stats_cache: dict = {}
 
     def _cleanup():
@@ -2909,11 +3108,25 @@ def merge_snapshot(
             _enforce_checks(
                 spark, base, data_name, head_checks, "merge_snapshot"
             )
-        # visible rows: head's count minus overwritten + the batch
+        # visible rows: head's count minus overwritten + the batch.
+        # The overlap count reads the head PRUNED to the batch's key
+        # range — every overlapping key lies in [bmin, bmax] by
+        # construction, so the count is identical while a clustered
+        # table's file stats skip everything outside the range (a
+        # 2k-row merge must not pay a corpus-wide key scan for one
+        # marker metadata field)
         n_over = (
-            read_snapshot(spark, base, version=head, fs=fs)
+            read_snapshot(
+                spark,
+                base,
+                version=head,
+                fs=fs,
+                key_between=(key_col, bmin, bmax),
+            )
             .join(tomb, key_col, "left_semi")
             .count()
+            if bmin is not None
+            else 0
         )
         entries = head_entries + [
             {
@@ -2952,10 +3165,17 @@ def merge_snapshot(
             "note": note or f"merge on {key_col}",
             "deletes": entries,
             **({"checks": head_checks} if head_checks else {}),
+            # meta carries forward (an index's centroids must survive a
+            # merge commit); meta_update lets a maintainer stamp cursor/
+            # audit fields without clobbering what rides along
             **(
-                {"meta": head_info["meta"]}
-                if head_info.get("meta") is not None
-                else {}
+                {"meta": {**(head_info.get("meta") or {}), **meta_update}}
+                if meta_update
+                else (
+                    {"meta": head_info["meta"]}
+                    if head_info.get("meta") is not None
+                    else {}
+                )
             ),
             # layout rides the marker (the next append/merge validates
             # against it; compaction inherits it) — dropping it here
@@ -2998,8 +3218,9 @@ def version_as_of(spark, base: str, ts: float, fs=None) -> int:
     timestamp is a best-effort label."""
     fs = _resolve_fs(spark, base, fs)
     best = None
+    vs = committed_versions(spark, base, fs)
     infos = _infos_for(
-        spark, base, committed_versions(spark, base, fs), fs
+        spark, base, vs, fs, live_head=max(vs, default=None)
     )
     for v, info in sorted(infos.items()):
         created = info.get("created_utc")
@@ -3127,8 +3348,9 @@ def snapshot_history(spark: SparkSession, base: str, fs=None) -> DataFrame:
     are skipped, same tolerance as every other marker walker."""
     rows = []
     fs = _resolve_fs(spark, base, fs)
+    vs = committed_versions(spark, base, fs)
     infos = _infos_for(
-        spark, base, committed_versions(spark, base, fs), fs
+        spark, base, vs, fs, live_head=max(vs, default=None)
     )
     for v, info in sorted(infos.items()):
         rows.append(
