@@ -310,6 +310,103 @@ def append_to_ivf_index(
     ) from last
 
 
+def merge_into_ivf_index(
+    changed_emb: DataFrame,
+    base: str,
+    key_col: str = "vec_id",
+    fs=None,
+    idempotency_key: str | None = None,
+    rebuild_drift_ratio: float = 1.5,
+    retries: int = 3,
+    extra_meta: dict | None = None,
+) -> int:
+    """REPLACE (or insert) vectors in the index, O(batch): assign the
+    new images with the HEAD marker's centroids and land them as ONE
+    ``merge_snapshot`` commit — the commit's sequence-scoped tombstone
+    retires each key's old image wherever it lives (whatever cluster
+    the previous assignment put it in), the batch dir carries the new
+    cluster-partitioned images, and no prior bytes rewrite. This is
+    the maintenance shape for a SOURCE MERGE (curation churn rewrites
+    a day's embeddings): re-assigning the changed vectors must not
+    force an O(corpus) index rebuild, and probes stay exact because a
+    probed cluster either anti-joins the stale image away or never
+    held it.
+
+    Same drift bookkeeping (``last_append_mean_dist`` / ``drift_ratio``
+    / ``rebuild_recommended`` vs the original build's
+    ``mean_assign_dist``) and the same re-assign-on-conflict loop as
+    ``append_to_ivf_index``: the assignment derives from the head's
+    centroids, so the commit pins ``expected_head`` and recomputes
+    against new centroids if a rebuild lands mid-merge. ``extra_meta``
+    merges into the carried-forward marker meta (maintainer cursors).
+
+    Raises ``TombstonedKeyError`` (propagated from merge_snapshot)
+    when a batch key sits under an UNSCOPED tombstone from an earlier
+    index delete — ``compact_ivf_index`` clears the stack; the
+    commit-log maintainer self-heals exactly that way."""
+    from vector_db_setup_spark.sources.snapshot_table import (
+        SnapshotConflictError,
+        current_version,
+        merge_snapshot,
+    )
+
+    spark = changed_emb.sparkSession
+    last: Exception | None = None
+    for _ in range(retries + 1):
+        v = current_version(spark, base, fs)
+        info = snapshot_info(spark, base, v, fs)
+        meta = info.get("meta") or {}
+        if meta.get("kind") != "ivf":
+            raise ValueError(
+                f"version {v} at {base} is not an IVF index commit "
+                f"(marker meta: {sorted(meta) or 'none'}); merge only "
+                "maintains indexes built by build_ivf_index"
+            )
+        cents = np.asarray(meta["centroids"], dtype=np.float64)
+        vec_col = meta["vec_col"]
+        assigned = ivf_assign(
+            changed_emb, cents, vec_col=vec_col, dist_col="_adist"
+        )
+        assigned.persist()
+        batch_mean = assigned.agg(F.avg("_adist")).first()[0]
+        base_mean = meta.get("mean_assign_dist")
+        drift = (
+            float(batch_mean) / float(base_mean)
+            if batch_mean is not None and base_mean
+            else None
+        )
+        meta_update = {
+            "merged_batches": int(meta.get("merged_batches", 0)) + 1,
+            "last_append_mean_dist": (
+                float(batch_mean) if batch_mean is not None else None
+            ),
+            "drift_ratio": drift,
+            "rebuild_recommended": bool(
+                drift is not None and drift > rebuild_drift_ratio
+            ),
+            **(extra_meta or {}),
+        }
+        try:
+            return merge_snapshot(
+                assigned.drop("_adist"),
+                base,
+                key_col=key_col,
+                note=f"ivf merge onto v{v}",
+                fs=fs,
+                idempotency_key=idempotency_key,
+                partition_by=["cluster_id"],
+                meta_update=meta_update,
+                expected_head=v,
+            )
+        except SnapshotConflictError as e:
+            last = e  # head moved (possibly NEW centroids): re-assign
+        finally:
+            assigned.unpersist()
+    raise RuntimeError(
+        f"merge_into_ivf_index kept losing to concurrent writers at {base}"
+    ) from last
+
+
 def compact_ivf_index(
     spark: SparkSession,
     base: str,

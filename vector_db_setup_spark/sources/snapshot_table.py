@@ -535,6 +535,16 @@ class SnapshotConflictError(RuntimeError):
     (upsert_snapshot does exactly that)."""
 
 
+class TombstonedKeyError(ValueError):
+    """Raised when a batch re-lands a key the head's tombstone stack
+    still covers — unscoped entries would silently HIDE the new row on
+    read (append after delete), scoped entries would leave a visible
+    DUPLICATE (append after merge). A dedicated type so a maintainer
+    that knows compaction clears the stack can self-heal (compact,
+    retry) without matching message text. Subclasses ValueError for
+    existing callers."""
+
+
 class DisallowedOpError(ValueError):
     """Raised by snapshot_changes(allowed_ops=...) when a commit in the
     requested range carries an op outside the consumer's contract — a
@@ -895,7 +905,7 @@ def append_snapshot(
                     tomb = t if tomb is None else tomb.unionByName(t)
                 n_hit = batch_df.join(tomb, key_col, "left_semi").count()
                 if n_hit and scoped:
-                    raise ValueError(
+                    raise TombstonedKeyError(
                         f"append batch contains {n_hit} row(s) whose "
                         f"{key_col} was last landed by merge_snapshot "
                         f"at {base} — the merged image is still "
@@ -904,7 +914,7 @@ def append_snapshot(
                         "(or compact_snapshot first)"
                     )
                 if n_hit:
-                    raise ValueError(
+                    raise TombstonedKeyError(
                         f"append batch contains {n_hit} row(s) whose "
                         f"{key_col} is tombstoned at {base} — the "
                         "carried delete would hide them on read; "
@@ -1142,6 +1152,21 @@ def read_snapshot(
         ]
     stats = info.get("stats")
     if not stats or col not in (stats.get("cols") or []):
+        if scoped:
+            # no stats to prune with, but scoped tombstones still bind
+            # to dir positions — the filtered read must go through the
+            # same progressive assembly or a merged key would surface
+            # BOTH its images (the r10 pruned-probe tests caught
+            # exactly this on a stats-less merged table)
+            frames = [
+                (
+                    spark.read.parquet(f"{base}/{n}")
+                    if info.get("partition_by")
+                    else _rd().parquet(f"{base}/{n}")
+                )
+                for n in names
+            ]
+            return _apply_deletes(_assemble_scoped(frames)).filter(pred)
         return _apply_deletes(_read_all().filter(pred))
     keep = []
     for rel, st in stats["files"].items():
@@ -3096,7 +3121,7 @@ def merge_snapshot(
                 "left_semi",
             ).count() if e["key_col"] in batch_df.columns else 0
             if n_hit:
-                raise ValueError(
+                raise TombstonedKeyError(
                     f"merge batch contains {n_hit} row(s) whose "
                     f"{e['key_col']} is tombstoned (unscoped) at {base} "
                     "— the carried delete would hide the merged image "

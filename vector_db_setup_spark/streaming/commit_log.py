@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -279,36 +279,51 @@ def maintain_ivf_from_commits(
     """Keep an IVF index current by subscribing it to its SOURCE
     table's commit log: the first drain builds the index from the
     observed head (`build_ivf_index`), every later batch of commits
-    feeds ONLY the delta through — added keys are assigned with the
-    head centroids and appended (`append_to_ivf_index`, recording the
-    drift metric), removed keys become a tombstone commit on the index
-    — so nightly index maintenance costs O(delta), with the rebuild
-    decision surfaced as data (``rebuild_recommended`` in the index
-    marker), not taken implicitly.
+    feeds ONLY the delta through — brand-new keys are assigned with
+    the head centroids and appended (`append_to_ivf_index`, recording
+    the drift metric), removed keys become a tombstone commit on the
+    index, and keys a source MERGE rewrote are re-assigned and landed
+    as ONE `merge_into_ivf_index` commit (the scoped tombstone retires
+    the old image wherever its previous assignment put it) — so
+    nightly index maintenance costs O(delta) even under curation
+    churn, with the rebuild decision surfaced as data
+    (``rebuild_recommended`` in the index marker), not taken
+    implicitly.
 
     SOURCE SHAPE CONTRACT: the source range must be append/delete/
-    compact commits only (the corpus shape — the key-presence feed
-    cannot see an upsert's in-place embedding rewrite, and silently
-    keeping stale vectors indexed would decay recall invisibly). A
-    write/upsert/rollback step in the range raises by default;
+    compact/MERGE commits only. A merge IS consumable incrementally
+    because the pair-encoded carry feed
+    (``snapshot_changes(change_encoding="pair")``) delivers each
+    rewritten key's pre- and post-image O(batch); a write/upsert/
+    rollback rewrites content invisibly even to that feed, so it
+    raises (``DisallowedOpError``) by default and
     ``on_rewrite="rebuild"`` instead retrains the index from a full
-    pinned read of the batch head and re-stamps both cursors — the
-    subscription self-heals at the cost of one O(corpus) rebuild,
-    which is the only correct response to a content rewrite anyway.
+    pinned read of the batch head and re-stamps both cursors — one
+    O(corpus) rebuild, the only correct response to an unattributable
+    rewrite.
 
-    CRASH SAFETY without cross-commit atomicity: a batch may land as
-    TWO index commits, each stamping cursors into the index marker
-    meta (``source_appended_through`` / ``source_deleted_through``,
-    via extra_meta / meta_update — the delete commit's meta merge
-    keeps the centroids riding). Both feeds' emptiness is evaluated
-    FIRST, then deletes commit before appends, and the LAST commit of
-    the batch stamps BOTH cursors to the batch head — so an
-    append-only workload's delete cursor (and vice versa) advances
-    with every batch instead of sticking at bootstrap, which would
-    otherwise make each drain re-scan from the stuck cursor and die
-    permanently once GC reclaimed any version above it. A crash
-    between the two commits redoes only the missing half, and the
-    per-commit idempotency keys absorb an exact replay of either.
+    FINAL-STATE CLASSIFICATION: one feed over
+    (min(cursors), through], content-compared on the INDEXED columns,
+    reduced to each key's LAST event (at equal version a merge pair's
+    'added' post-image outranks its 'removed' pre-image):
+    final-removed keys → delete commit; final-added keys that were
+    also removed somewhere in range (rewritten or resurrected) →
+    merge commit; final-added keys never removed → append commit.
+    A key deleted in an EARLIER drain and re-landed now sits under
+    the index's unscoped tombstone — the merge/append commit raises
+    ``TombstonedKeyError`` and the maintainer SELF-HEALS by compacting
+    the index (which materializes the stack) and retrying once.
+
+    CRASH SAFETY without cross-commit atomicity: a batch lands as up
+    to THREE index commits (delete → merge → append), each carrying an
+    idempotency key scoped to the batch head; only the LAST commit of
+    the batch stamps BOTH cursors to the batch head, so a crash
+    mid-batch replays the whole classification from the old cursor —
+    the already-applied delete/merge commits are effect-idempotent
+    (re-tombstoning tombstoned keys and re-merging the same images
+    change nothing visible) or short-circuited by their idempotency
+    keys, and the append (the only non-idempotent effect) either
+    committed WITH the cursor stamp or not at all.
     ``fs`` names the SOURCE table's filesystem; index_base ops resolve
     theirs from the path. Returns None after draining when
     ``available_now``, else the running StreamingQuery.
@@ -316,6 +331,8 @@ def maintain_ivf_from_commits(
     from vector_db_setup_spark.operators.ann_index import (
         append_to_ivf_index,
         build_ivf_index,
+        compact_ivf_index,
+        merge_into_ivf_index,
     )
     from vector_db_setup_spark.sources import snapshot_table as st
 
@@ -352,68 +369,43 @@ def maintain_ivf_from_commits(
                 "rebuild through this maintainer (fresh index_base) to "
                 "subscribe it"
             )
-        app_thru, del_thru = int(app_thru), int(del_thru)
-        if through_v <= min(app_thru, del_thru):
-            return  # replayed batch; both halves already applied
+        from_v = min(int(app_thru), int(del_thru))
+        if through_v <= from_v:
+            return  # replayed batch; already applied
         # the op contract is validated by the feed itself (allowed_ops
         # checks the marker infos snapshot_changes already fetches —
         # one read per version per drain, not two)
-        _OPS = ("append", "delete", "compact")
+        _OPS = ("append", "delete", "compact", "merge")
 
-        def _feed(from_v, carry=None):
-            return st.snapshot_changes(
-                s,
-                source_base,
-                key_col,
-                from_version=from_v,
-                to_version=through_v,
-                fs=fs,
-                columns=[],
-                carry_columns=carry,
-                allowed_ops=_OPS,
-            )
-
-        # the INDEX's own schema names what each added row must carry:
-        # a merge_schema-evolved source lands columns the index never
-        # indexed, and the index's append guard would (rightly) refuse
-        # them; the index's columns are always a subset of the source's
-        # union schema, so the projection exists (an evolved batch
-        # missing one falls back to the full-diff join, which
+        # the INDEX's own schema names what each row must carry AND
+        # which columns count as a content change: a source merge that
+        # rewrote only un-indexed columns must produce no index work.
+        # (a merge_schema-evolved source lands columns the index never
+        # indexed; the index's columns are always a subset of the
+        # source's union schema, so the projection exists — an evolved
+        # batch missing one falls back to the full-diff join, which
         # null-fills through the evolved read)
         idx_cols = [
             c
             for c in st.read_snapshot(s, index_base).columns
             if c != "cluster_id"
         ]
+        content = [c for c in idx_cols if c != key_col]
         try:
-            new_vecs = None
-            if app_thru < through_v:
-                # added vectors come OUT OF THE FEED (the append batch
-                # dirs carry the embedding column) — never a head-table
-                # scan: at 100 TB an append of 1k vectors must not
-                # re-read the corpus's widest column per drain
-                new_vecs = (
-                    _feed(
-                        app_thru,
-                        carry=[c for c in idx_cols if c != key_col],
-                    )
-                    .filter(F.col("status") == "added")
-                    .select(*idx_cols)
-                )
-                if not new_vecs.limit(1).count():
-                    new_vecs = None
-            removed = None
-            if del_thru < through_v:
-                removed = (
-                    _feed(del_thru)
-                    .filter(F.col("status") == "removed")
-                    .select(key_col)
-                    .distinct()
-                )
-                if not removed.limit(1).count():
-                    removed = None
-        except ValueError as e:
-            if on_rewrite != "rebuild" or "allowed_ops" not in str(e):
+            feed = st.snapshot_changes(
+                s,
+                source_base,
+                key_col,
+                from_version=from_v,
+                to_version=through_v,
+                fs=fs,
+                columns=content,
+                carry_columns=content,
+                allowed_ops=_OPS,
+                change_encoding="pair",
+            )
+        except st.DisallowedOpError:
+            if on_rewrite != "rebuild":
                 raise
             # self-heal: a content rewrite invalidates the increments —
             # retrain from the batch head and re-stamp both cursors
@@ -434,36 +426,95 @@ def maintain_ivf_from_commits(
                 },
             )
             return
-        # deletes first; the batch's LAST commit stamps BOTH cursors
-        # (an empty half is vacuously applied through the batch head,
-        # and by delete-before-append ordering the delete half is
-        # always complete by the time the append commit stamps it)
-        if removed is not None:
-            st.delete_from_snapshot(
-                removed,
-                index_base,
-                key_col=key_col,
-                idempotency_key=f"delete-through:{through_v}",
-                meta_update={
-                    "source_deleted_through": through_v,
-                    **(
-                        {"source_appended_through": through_v}
-                        if new_vecs is None
-                        else {}
+        # classification derives FOUR frames from one feed — persist it
+        # so the guard jobs and batch-dir reads run once, not four times
+        feed = feed.persist()
+        try:
+            w = Window.partitionBy(key_col).orderBy(
+                F.col("version").desc(), F.col("status").asc()
+            )  # 'added' < 'removed': a merge pair's post-image wins
+            last = feed.withColumn(
+                "_rn", F.row_number().over(w)
+            ).filter(F.col("_rn") == 1)
+            final_added = last.filter(
+                F.col("status") == "added"
+            ).select(*idx_cols)
+            final_removed = last.filter(
+                F.col("status") == "removed"
+            ).select(key_col)
+            ever_removed = (
+                feed.filter(F.col("status") == "removed")
+                .select(key_col)
+                .distinct()
+            )
+            to_merge = final_added.join(
+                ever_removed, key_col, "left_semi"
+            )
+            to_append = final_added.join(
+                ever_removed, key_col, "left_anti"
+            )
+            has_del = bool(final_removed.limit(1).count())
+            has_mrg = bool(to_merge.limit(1).count())
+            has_app = bool(to_append.limit(1).count())
+            if not (has_del or has_mrg or has_app):
+                # nothing indexed changed (compactions / no-op merges):
+                # leave the cursor — replaying the empty range is free
+                return
+            cursor_meta = {
+                "source_appended_through": through_v,
+                "source_deleted_through": through_v,
+            }
+
+            def _heal(fn):
+                # a re-landed key under an unscoped tombstone from an
+                # EARLIER drain's delete: compaction materializes the
+                # stack (content-preserving, meta rides), then retry
+                try:
+                    return fn()
+                except st.TombstonedKeyError:
+                    compact_ivf_index(s, index_base)
+                    return fn()
+
+            # delete → merge → append; ONLY the last commit stamps the
+            # cursors (intermediate commits carry meta through
+            # untouched, so a crash replays the classification)
+            if has_del:
+                st.delete_from_snapshot(
+                    final_removed,
+                    index_base,
+                    key_col=key_col,
+                    idempotency_key=f"delete-through:{through_v}",
+                    meta_update=(
+                        cursor_meta
+                        if not (has_mrg or has_app)
+                        else None
                     ),
-                },
-            )
-        if new_vecs is not None:
-            append_to_ivf_index(
-                new_vecs,
-                index_base,
-                idempotency_key=f"append-through:{through_v}",
-                rebuild_drift_ratio=rebuild_drift_ratio,
-                extra_meta={
-                    "source_appended_through": through_v,
-                    "source_deleted_through": through_v,
-                },
-            )
+                )
+            if has_mrg:
+                _heal(
+                    lambda: merge_into_ivf_index(
+                        to_merge,
+                        index_base,
+                        key_col=key_col,
+                        idempotency_key=f"merge-through:{through_v}",
+                        rebuild_drift_ratio=rebuild_drift_ratio,
+                        extra_meta=(
+                            cursor_meta if not has_app else None
+                        ),
+                    )
+                )
+            if has_app:
+                _heal(
+                    lambda: append_to_ivf_index(
+                        to_append,
+                        index_base,
+                        idempotency_key=f"append-through:{through_v}",
+                        rebuild_drift_ratio=rebuild_drift_ratio,
+                        extra_meta=cursor_meta,
+                    )
+                )
+        finally:
+            feed.unpersist()
 
     q = foreach_new_versions(
         spark,
@@ -505,9 +556,14 @@ def maintain_agg_from_commits(
     with the consumed-through cursor in its marker meta; replays
     short-circuit exactly like the Bloom maintainer. Groups whose
     count reaches zero are dropped from the state (a group is facts,
-    not schema). Source contract: append/delete/compact steps only —
-    a write/upsert/rollback rewrites content invisibly to the
-    key-presence feed, so it raises with a rebuild instruction by
+    not schema). Source contract: append/delete/compact/MERGE steps —
+    a merge is consumed incrementally because the PAIR-encoded feed
+    (``change_encoding="pair"``) delivers each overwritten key's
+    pre-image as a 'removed' row (subtract) and its post-image as an
+    'added' row (add), content-compared over exactly the
+    group/sum columns (a merge that rewrote other columns produces no
+    delta). A write/upsert/rollback rewrites content unattributably,
+    so it raises (``DisallowedOpError``) with a rebuild instruction by
     default; ``on_rewrite="rebuild"`` self-heals by re-aggregating a
     full pinned read of the batch head instead (one O(corpus) pass —
     the same work the raise demands by hand, and the ONLY correct
@@ -515,10 +571,10 @@ def maintain_agg_from_commits(
     maintainer refuses to maintain incrementally by design).
 
     Group/value columns ride the CDC feed itself (``carry_columns``):
-    added rows carry them from their append batch dirs, removed rows
-    carry the PRE-image, fetched from the prior version through a
-    key_between probe bounded by the tombstone's key range (time
-    travel + stats pruning are what make deletion-aware IVM a
+    added rows carry them from their append/merge batch dirs, removed
+    rows carry the PRE-image, fetched from the prior version through a
+    key_between probe bounded by the tombstone's/batch's key range
+    (time travel + stats pruning are what make deletion-aware IVM a
     delta-sized query). Cost per drain: the batch-dir reads + the
     pruned pre-image probe + one state-sized merge (the state is one
     row per group — small); never a corpus scan after bootstrap."""
@@ -569,11 +625,16 @@ def maintain_agg_from_commits(
         last = int(meta["through_version"])
         if through_v <= last:
             return  # replayed batch
-        # group/value columns ride the feed itself: appends carry them
-        # from their batch dirs, deletes carry the pre-image through a
-        # stats-pruned key_between probe — never a corpus re-scan after
-        # bootstrap, and the op contract (allowed_ops) is validated
-        # against the marker infos the feed already fetches
+        # group/value columns ride the feed itself: appends/merges
+        # carry them from their batch dirs, deletes and merge
+        # pre-images come through stats-pruned key_between probes —
+        # never a corpus re-scan after bootstrap, and the op contract
+        # (allowed_ops) is validated against the marker infos the feed
+        # already fetches. Content changes compare EXACTLY the
+        # aggregated columns (pair-encoded: -pre, +post).
+        ivm_cols = [group_col] + (
+            [sum_col] if sum_col is not None else []
+        )
         try:
             feed = st.snapshot_changes(
                 s,
@@ -582,13 +643,13 @@ def maintain_agg_from_commits(
                 from_version=last,
                 to_version=through_v,
                 fs=fs,
-                columns=[],
-                carry_columns=[group_col]
-                + ([sum_col] if sum_col is not None else []),
-                allowed_ops=("append", "delete", "compact"),
+                columns=ivm_cols,
+                carry_columns=ivm_cols,
+                allowed_ops=("append", "delete", "compact", "merge"),
+                change_encoding="pair",
             )
-        except ValueError as e:
-            if on_rewrite != "rebuild" or "allowed_ops" not in str(e):
+        except st.DisallowedOpError:
+            if on_rewrite != "rebuild":
                 raise
             # self-heal: re-aggregate the batch head in full and
             # advance the cursor past the rewrite
