@@ -130,6 +130,7 @@ def cosine_topk_pairs_grid(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_blocks: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Global top-k most-similar pairs (id_a < id_b) by cosine — EXACT,
     fully distributed, zero driver-side data movement.
@@ -150,9 +151,14 @@ def cosine_topk_pairs_grid(
     bounds the B·N shuffle (N=100M, d=64 → B=64 ≈ 1.6 GB/task). For
     near-dup mining at the largest scales use
     ``cosine_pairs_bucketed`` instead.
+
+    The auto-sizing count is a REAL Spark job on a filtered/joined/
+    derived input (the common operator argument) — pass ``n_rows`` (a
+    caller-known row count, exactness not required) to skip it, or
+    cache the input when calling in a loop.
     """
     if n_blocks is None:
-        n = emb.count()  # metadata-cheap on a parquet-backed frame
+        n = int(n_rows) if n_rows is not None else emb.count()
         n_blocks = min(64, max(4, (n + 8191) // 8192))
     B = int(n_blocks)
     blocked = emb.select(
@@ -219,14 +225,66 @@ def cosine_topk_pairs_grid(
     ).limit(k)
 
 
+def auto_hyperplanes(
+    n_rows: int,
+    dim: int,
+    target_bucket_rows: int = 100,
+    seed: int = 42,
+) -> np.ndarray:
+    """Rule-sized sign-LSH hyperplanes: ``n_planes ≈ log2(N / target
+    bucket rows)``, clamped to [4, 24] — the sizing rule
+    SCALE_EXPERIMENTS measured at 4× (sf10, 200k vectors: 4 fixed
+    planes → 25.2 s vs the rule's 11 planes → 6.2 s), now the operator
+    default instead of documentation. Per-bucket GEMM work is
+    quadratic in occupancy, so bucket count must GROW with the corpus;
+    a fixed plane count silently degrades to near-all-pairs as N
+    scales. 24 planes caps the id at 16M buckets (fits the long
+    bucket id with headroom; beyond that occupancy ~6 rows at 1.6B
+    vectors — plenty)."""
+    import math
+
+    if dim <= 0 or n_rows < 0:
+        raise ValueError(
+            f"auto_hyperplanes needs a positive dim and row count, got "
+            f"dim={dim}, n_rows={n_rows}"
+        )
+    from vector_db_setup_spark.operators.ann import random_hyperplanes
+
+    n_planes = (
+        min(24, max(4, math.ceil(math.log2(n_rows / target_bucket_rows))))
+        if n_rows > target_bucket_rows
+        else 4
+    )
+    return random_hyperplanes(dim, n_planes, seed=seed)
+
+
+def _corpus_shape(
+    emb: DataFrame, vec_col: str, n_rows: int | None
+) -> tuple[int, int]:
+    """(row count, vector dim) in ONE aggregate job. ``n_rows`` (a
+    caller hint) skips the count but not the dim probe; on a derived/
+    filtered frame both cost a real Spark job — cache the input or
+    pass the hint when calling in a loop."""
+    agg = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first(F.size(vec_col)).alias("d"),
+    ).first()
+    n = int(n_rows) if n_rows is not None else int(agg["n"])
+    d = int(agg["d"]) if agg["d"] is not None else 0
+    return n, d
+
+
 def cosine_pairs_bucketed(
     emb: DataFrame,
-    planes: np.ndarray,
+    planes: np.ndarray | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     min_cosine: float | None = None,
     topk_per_bucket: int | None = None,
     max_bucket_rows: int | None = None,
+    n_rows: int | None = None,
+    seed: int = 42,
+    target_bucket_rows: int = 100,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via sign-bit LSH bucketing + exact
     per-bucket GEMM — the 100 TB near-dup path.
@@ -236,9 +294,22 @@ def cosine_pairs_bucketed(
     confined to each bucket (cost follows occupancy, never N²). Each
     vector lands in exactly one bucket, so no pair is emitted twice.
     Recall < 1 by design: only same-bucket pairs are scored.
-    """
+
+    ``planes=None`` (default) AUTO-SIZES the plane count from the
+    corpus (`auto_hyperplanes`: n_planes ≈ log2(N / target bucket
+    rows)) so occupancy — and with it the quadratic per-bucket GEMM —
+    stays ~constant as the corpus grows, the same fix
+    ``cosine_topk_pairs_grid`` got for its block grid. Costs one
+    count+dim aggregate job on the input; pass ``n_rows`` to skip the
+    count, or explicit ``planes`` to pin the geometry (a benchmark
+    whose oracle embeds literal hyperplanes must)."""
     from vector_db_setup_spark.operators.ann import lsh_bucket
 
+    if planes is None:
+        n, d = _corpus_shape(emb, vec_col, n_rows)
+        planes = auto_hyperplanes(
+            n, d, target_bucket_rows=target_bucket_rows, seed=seed
+        )
     return cosine_pairs_by_column(
         lsh_bucket(emb, planes, vec_col=vec_col),
         bucket_col="bucket_id",
@@ -252,12 +323,16 @@ def cosine_pairs_bucketed(
 
 def cosine_pairs_multiband(
     emb: DataFrame,
-    plane_sets,
+    plane_sets=None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     min_cosine: float | None = None,
     topk_per_bucket: int | None = None,
     max_bucket_rows: int | None = None,
+    n_bands: int = 4,
+    n_rows: int | None = None,
+    seed: int = 42,
+    target_bucket_rows: int = 100,
 ) -> DataFrame:
     """OR-amplified sign-LSH near-dup pairs: ``len(plane_sets)``
     INDEPENDENT bucketings, a pair is a candidate if it collides in ANY
@@ -274,8 +349,28 @@ def cosine_pairs_multiband(
     pair-key groupBy to dedup cross-band re-finds. No extra corpus
     scans per band, no driver involvement, cost ∝ bands × bucket
     occupancy.
+
+    ``plane_sets=None`` (default) AUTO-SIZES ``n_bands`` independent
+    bucketings from the corpus count (`auto_hyperplanes` per band,
+    seeds ``seed..seed+n_bands-1``): the per-band plane count tracks
+    log2(N / target bucket rows), the occupancy knob SCALE_EXPERIMENTS
+    measured at 4× when left fixed (4 planes → 25.2 s vs rule-sized
+    11 → 6.2 s at sf10). Pass explicit ``plane_sets`` to pin geometry
+    (the benchmark query does — its DuckDB oracle embeds the literal
+    hyperplanes). One count+dim job when auto-sizing; ``n_rows`` skips
+    the count.
     """
     from vector_db_setup_spark.operators.ann import lsh_bucket_expr
+
+    if plane_sets is None:
+        n, d = _corpus_shape(emb, vec_col, n_rows)
+        plane_sets = [
+            auto_hyperplanes(
+                n, d, target_bucket_rows=target_bucket_rows,
+                seed=seed + i,
+            )
+            for i in range(n_bands)
+        ]
 
     bands = [
         F.struct(
