@@ -237,3 +237,46 @@ def test_keep0_reset_discards_old_generation_checkpoints(
     from vector_db_setup_spark.sources.snapshot_table import read_snapshot
 
     assert read_snapshot(spark, base).count() == 30
+
+
+def test_crashed_keep0_gc_leaves_no_poison_window(spark, tmp_path):
+    """ADVICE r9 #2: a keep=0 GC that crashed AFTER its marker/data
+    sweep but BEFORE its checkpoint sweep leaves an old-generation
+    checkpoint above the (empty) live head. The rebuilt table reuses
+    version numbers; the next GC must NOT build its orphan-protection
+    'referenced' set from the stale checkpoint bodies (it would
+    reclaim the new generation's live dirs), and walkers holding the
+    live listing must ignore the stale entries meanwhile."""
+    base = str(tmp_path / "t")
+    fs = LocalFS()
+    df = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        "id", F.md5(F.col("id").cast("string")).alias("payload")
+    )
+    write_snapshot(df(0, 10), base)
+    append_snapshot(df(10, 20), base)
+    append_snapshot(df(20, 30), base)
+    write_commit_checkpoint(spark, base)            # ckpt-v3, gen 1
+    # simulate the crashed keep=0 GC: markers and data gone, the
+    # checkpoint sweep never ran
+    for name in list(fs.listdir(f"{base}/{st.COMMITS_DIR}")):
+        fs.delete(f"{base}/{st.COMMITS_DIR}/{name}")
+    for name in list(fs.listdir(base)):
+        if name.startswith(st.DATA_PREFIX):
+            fs.delete(f"{base}/{name}")
+    assert fs.listdir(f"{base}/{CKPTS_DIR}") == [st._ckpt_name(3)]
+    # generation 2 reuses v1/v2
+    write_snapshot(df(100, 150), base, note="gen2")
+    append_snapshot(df(150, 160), base, note="gen2b")
+    # walkers with the live listing ignore the stale gen-1 bodies
+    hist = snapshot_history(spark, base).collect()
+    assert [(r["version"], r["note"]) for r in hist] == [
+        (1, "gen2"), (2, "gen2b")
+    ]
+    # the next GC sweeps the poison checkpoint FIRST and must not
+    # orphan-reclaim gen 2's live dirs
+    removed = gc_snapshots(spark, base, keep=2, orphan_min_age_s=0.0)
+    assert removed == []
+    assert st._ckpt_name(3) not in fs.listdir(f"{base}/{CKPTS_DIR}")
+    from vector_db_setup_spark.sources.snapshot_table import read_snapshot
+
+    assert read_snapshot(spark, base).count() == 60  # no data loss

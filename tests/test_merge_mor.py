@@ -406,3 +406,82 @@ def test_concurrent_merges_serialize_without_losing_updates(
         spark, base, "id", from_version=1, fast=False
     ).collect()
     assert {tuple(r) for r in fast} == {tuple(r) for r in slow}
+
+
+def test_merge_accepts_evolved_head(spark, tmp_path):
+    """VERDICT r9 Missing #3: evolve → merge is a plausible day-2
+    sequence and must not demand a compaction detour. The batch is
+    projected to the union schema (absent columns null-fill), the
+    marker stays schema_merged, and CDC over the chain matches the
+    full-diff oracle."""
+    base = str(tmp_path / "t")
+    write_snapshot(_df(spark, [(1, "a"), (2, "b"), (3, "c")]), base)  # v1
+    # v2: evolve — new column `score`, rows 10/11
+    append_snapshot(
+        spark.createDataFrame(
+            [(10, "x", 1.5), (11, "y", 2.5)],
+            "id long, val string, score double",
+        ),
+        base,
+        merge_schema=True,
+    )
+    # v3: merge a batch WITHOUT the evolved column — rewrites one
+    # old-gen row (2) and one new-gen row (10, its score null-fills),
+    # inserts 20
+    merge_snapshot(
+        _df(spark, [(2, "B2"), (10, "X2"), (20, "new")]),
+        base,
+        key_col="id",
+    )
+    info = snapshot_info(spark, base, 3)
+    assert info.get("schema_merged") is True
+    got = {
+        (r["id"], r["val"], r["score"])
+        for r in read_snapshot(spark, base).collect()
+    }
+    assert got == {
+        (1, "a", None), (2, "B2", None), (3, "c", None),
+        (10, "X2", None), (11, "y", 2.5), (20, "new", None),
+    }
+    assert info["rows"] == 6
+    # v4: merge WITH the evolved column updates it in place
+    merge_snapshot(
+        spark.createDataFrame(
+            [(10, "X3", 9.0)], "id long, val string, score double"
+        ),
+        base,
+        key_col="id",
+    )
+    assert (10, "X3", 9.0) in {
+        (r["id"], r["val"], r["score"])
+        for r in read_snapshot(spark, base).collect()
+    }
+    # new or type-changed batch columns still refuse: merge ≠ evolve
+    with pytest.raises(ValueError, match="union schema"):
+        merge_snapshot(
+            spark.createDataFrame(
+                [(1, "z", "s")], "id long, val string, extra string"
+            ),
+            base,
+            key_col="id",
+        )
+    # CDC over the evolved-merge chain: fast == full oracle (merge on
+    # a schema_merged head routes to the full diff; a key-presence
+    # feed needs no column symmetry)
+    for enc in ("changed", "pair"):
+        fast = {
+            tuple(r)
+            for r in snapshot_changes(
+                spark, base, "id", from_version=2, columns=["val"],
+                fast=True, change_encoding=enc,
+            ).collect()
+        }
+        slow = {
+            tuple(r)
+            for r in snapshot_changes(
+                spark, base, "id", from_version=2, columns=["val"],
+                fast=False, change_encoding=enc,
+            ).collect()
+        }
+        assert fast == slow
+    assert (20, "added", 3) in fast

@@ -3031,6 +3031,14 @@ def merge_snapshot(
       across partitions — the tombstone is keyed, not
       partition-scoped, so the old image dies wherever it lives.
 
+    A ``schema_merged`` (evolved) head IS mergeable: the batch is
+    projected to the head's UNION schema before landing (columns the
+    batch omits null-fill, matching what the evolved read reports for
+    rows that predate them; extra or type-changed batch columns are
+    refused — merging still never evolves schema), and the marker
+    stamps ``schema_merged`` through so readers keep merging footers.
+    The evolve → merge day-2 sequence needs no compaction detour.
+
     CDC/maintainers: the marker's op is ``merge``. `snapshot_changes`
     attributes it O(batch) (batch dir + one range-pruned pre-image
     probe), and with ``change_encoding="pair"`` emits each overwritten
@@ -3055,6 +3063,41 @@ def merge_snapshot(
         raise ValueError(
             f"merge batch holds duplicate {key_col} values ({n_all} "
             f"rows, {n_dist} distinct) — a keyed MERGE is undefined"
+        )
+    # evolved (schema_merged) head: project the batch to the UNION
+    # schema BEFORE writing — absent columns null-fill (exactly what
+    # the evolved read reports for rows predating them), extra or
+    # type-changed columns refuse (a merge replaces images, it never
+    # evolves schema). Probed against the current head; a racing
+    # schema change is caught by _body's per-attempt type check.
+    probe_head = current_version(spark, base, fs)
+    if probe_head and snapshot_info(spark, base, probe_head, fs).get(
+        "schema_merged"
+    ):
+        union_types = dict(
+            read_snapshot(spark, base, version=probe_head, fs=fs).dtypes
+        )  # analysis-only: no job runs for .dtypes
+        batch_now = dict(updates.dtypes)
+        extra = sorted(set(batch_now) - set(union_types))
+        conflicts = {
+            c: (union_types[c], t)
+            for c, t in batch_now.items()
+            if c in union_types and union_types[c] != t
+        }
+        if extra or conflicts:
+            raise ValueError(
+                f"merge batch does not fit head v{probe_head}'s union "
+                f"schema (new columns {extra}, type conflicts "
+                f"{conflicts}) — a merge replaces row images; evolve "
+                "with append_snapshot(merge_schema=True) instead"
+            )
+        updates = updates.select(
+            *[
+                F.col(c)
+                if c in batch_now
+                else F.lit(None).cast(t).alias(c)
+                for c, t in union_types.items()
+            ]
         )
     data_name = DATA_PREFIX + uuid.uuid4().hex
     data_dir = f"{base}/{data_name}"
@@ -3090,16 +3133,21 @@ def merge_snapshot(
             )
         head_info = snapshot_info(spark, base, head, fs)
         head_names = _data_names(head_info)
+        evolved_head = bool(head_info.get("schema_merged"))
         head_types = dict(
-            spark.read.parquet(f"{base}/{head_names[0]}").dtypes
+            read_snapshot(spark, base, version=head, fs=fs).dtypes
+            if evolved_head  # union schema; .dtypes is analysis-only
+            else spark.read.parquet(f"{base}/{head_names[0]}").dtypes
         )
-        if head_info.get("schema_merged") or head_types != batch_types:
+        if head_types != batch_types:
             raise ValueError(
                 "merge batch schema must match the head exactly "
                 f"(head v{head}: {sorted(head_types.items())} vs batch "
-                f"{sorted(batch_types.items())}; schema_merged lineages "
-                "must compact first) — a merge replaces row images "
-                "in place, it does not evolve schema"
+                f"{sorted(batch_types.items())}) — a merge replaces "
+                "row images in place, it does not evolve schema (an "
+                "evolved head's batch is projected to the union schema "
+                "pre-write; reaching here means the head changed shape "
+                "mid-commit — recompute against the new head)"
             )
         head_pb = head_info.get("partition_by") or None
         want_pb = list(partition_by) if partition_by else None
@@ -3189,6 +3237,9 @@ def merge_snapshot(
             "rows": int(head_info.get("rows") or 0) - n_over + n_rows,
             "note": note or f"merge on {key_col}",
             "deletes": entries,
+            # an evolved lineage stays evolved: readers must keep
+            # merging footers and null-filling across its dirs
+            **({"schema_merged": True} if evolved_head else {}),
             **({"checks": head_checks} if head_checks else {}),
             # meta carries forward (an index's centroids must survive a
             # merge commit); meta_update lets a maintainer stamp cursor/
