@@ -133,6 +133,62 @@ def added_delta_shape(spark, root):
         )
 
 
+def merge_delta_shape(spark, root):
+    """r10: the MERGE-drain kernel — a fixed 2k-row merge_snapshot
+    (1k overwrites + 1k inserts) consumed through the pair-encoded
+    carry feed, as the corpus grows. The feed reads the merge's batch
+    dir plus ONE range-pruned pre-image probe; the counter (inputFiles
+    MB of the feed's plan) must stay ~constant while the corpus grows
+    16×, or the maintainers' merge consumption is not O(batch)."""
+    print(
+        "corpus_rows   feed_MB  feed_s   "
+        "(fixed 2k merge: 1k overwrites + 1k inserts, pair-encoded "
+        "carry feed)"
+    )
+    from vector_db_setup_spark.sources.snapshot_table import merge_snapshot
+
+    for corpus in (100_000, 400_000, 1_600_000):
+        src = f"{root}/msrc{corpus}"
+        # constant file size, growing file count (the real landing
+        # shape) — the pre-image probe's pruned file set is then a
+        # corpus-independent constant
+        write_snapshot(
+            _docs(spark, 0, corpus),
+            src,
+            stats_cols=["doc_id"],
+            cluster_by=["doc_id"],
+            cluster_files=max(16, corpus // 6_250),
+        )
+        last = current_version(spark, src)
+        upd = _docs(spark, 0, BATCH // 2).withColumn(
+            "body", F.repeat(F.lit("Z"), 512)
+        ).union(_docs(spark, corpus, corpus + BATCH // 2))
+        merge_snapshot(upd, src, key_col="doc_id")
+
+        def feed():
+            return snapshot_changes(
+                spark, src, "doc_id", from_version=last,
+                columns=["lang", "body"],
+                carry_columns=["lang", "body"],
+                change_encoding="pair",
+            )
+
+        def _materialize():
+            t0 = time.perf_counter()
+            feed().agg(
+                F.count(F.lit(1)), F.sum(F.length("body"))
+            ).collect()
+            return time.perf_counter() - t0
+
+        mb = sum(
+            os.path.getsize(f.replace("file:", ""))
+            for f in feed().inputFiles()
+        ) / 1e6
+        _materialize()
+        t = statistics.median(_materialize() for _ in range(3))
+        print(f"{corpus:>11,}  {mb:>7.2f} {t:>7.3f}")
+
+
 class CountingFS(LocalFS):
     def __init__(self):
         self.read_files = 0
@@ -185,6 +241,7 @@ def main():
     shutil.rmtree(root, ignore_errors=True)
     os.makedirs(root)
     added_delta_shape(spark, root)
+    merge_delta_shape(spark, root)
     checkpoint_walk(spark, root)
     shutil.rmtree(root, ignore_errors=True)
 

@@ -1991,6 +1991,53 @@ def _snapshot_columns(spark, base: str, version: int, fs) -> list[str]:
     return read_snapshot(spark, base, version=version, fs=fs).columns
 
 
+# above this many probe keys, point-lookup pruning falls back to the
+# [min, max] range form (collecting the key list driver-side stops
+# being free, and a huge batch's range is usually tight anyway)
+_KEY_IN_PROBE_MAX = 8192
+
+
+def _probe_visible(
+    spark, base: str, version: int, fs, probe_col: str, keys_df
+) -> DataFrame:
+    """Version read pruned to rows that could match ``keys_df``'s
+    ``probe_col`` values: per-value point-lookup pruning (``key_in``)
+    when the key set is small enough to hold driver-side, else range
+    pruning by the set's [min, max].
+
+    The key_in form is the load-bearing half: a curation merge batch
+    REWRITES old keys while INSERTING new ones, so its key range spans
+    the whole keyspace and range pruning degenerates to a full scan —
+    measured in experiments/maintainer_obatch.py (the merge feed grew
+    35.9 MB with the corpus under range pruning; per-value pruning
+    holds it at the batch's file neighborhood). The count/collect jobs
+    run on the TINY side (a tombstone dir / update batch), never the
+    table."""
+    n, lo, hi = keys_df.agg(
+        F.count(F.lit(1)), F.min(probe_col), F.max(probe_col)
+    ).first()
+    if lo is None:
+        # zero (or all-null) probe keys match nothing: an empty frame
+        # with the version's schema, scanning no files
+        return read_snapshot(
+            spark, base, version=version, fs=fs
+        ).filter(F.lit(False))
+    if n and n <= _KEY_IN_PROBE_MAX and lo is not None:
+        values = [
+            r[0]
+            for r in keys_df.select(probe_col).distinct().collect()
+            if r[0] is not None
+        ]
+        return read_snapshot(
+            spark, base, version=version, fs=fs,
+            key_in=(probe_col, values),
+        )
+    return read_snapshot(
+        spark, base, version=version, fs=fs,
+        key_between=(probe_col, lo, hi),
+    )
+
+
 def _fast_step(
     spark, base: str, a: int, b: int, key_col: str, fs, infos=None,
     carry: list[str] | None = None,
@@ -2139,22 +2186,14 @@ def _fast_step(
             tomb = spark.read.parquet(f"{base}/{e['dir']}").select(
                 F.col(e["key_col"])
             )
-            # pre-image fetch pruned to the tombstone's key range: the
-            # tombstone dir is tiny (one aggregate), and on a clustered
-            # table the key_between read touches only the files that
+            # pre-image fetch pruned to the tombstone's keys: the
+            # tombstone dir is tiny (one aggregate/collect), and on a
+            # clustered table the probe touches only the files that
             # could hold the victims instead of scanning version a
-            t_lo, t_hi = tomb.agg(
-                F.min(e["key_col"]), F.max(e["key_col"])
-            ).first()
+            t_lo = tomb.agg(F.min(e["key_col"])).first()[0]
             if t_lo is None:
                 continue  # empty tombstone removes nothing
-            vis = read_snapshot(
-                spark,
-                base,
-                version=a,
-                fs=fs,
-                key_between=(e["key_col"], t_lo, t_hi),
-            )
+            vis = _probe_visible(spark, base, a, fs, e["key_col"], tomb)
             hit = vis.join(tomb, e["key_col"], "left_semi").select(
                 F.col(key_col), *[F.col(c) for c in carry]
             )
@@ -2228,14 +2267,7 @@ def _fast_step(
             # equality, so only a hand-crafted marker reaches here —
             # hand it to the full diff for the identical refusal
             return None
-        bmin, bmax = batch.agg(F.min(key_col), F.max(key_col)).first()
-        prior = read_snapshot(
-            spark,
-            base,
-            version=a,
-            fs=fs,
-            key_between=(key_col, bmin, bmax),
-        )
+        prior = _probe_visible(spark, base, a, fs, key_col, batch)
         added = batch.join(
             prior.select(F.col(key_col)), key_col, "left_anti"
         ).select(
@@ -2407,12 +2439,14 @@ def _fast_delete_run(
     if any(c not in vis_cols for c in need):
         return None
     # prune the single visible-rows scan when every tombstone keys on
-    # the SAME column: the union of the tombstones' key ranges bounds
-    # every possible victim, so file-skipping stats apply once for the
-    # whole run (mixed key columns skip pruning, never correctness)
+    # the SAME column: point-lookup pruning over the union of the
+    # tombstones' key SETS while it stays driver-small (victims spread
+    # across the keyspace defeat a single [min,max] range), else the
+    # range union (mixed key columns skip pruning, never correctness)
     tomb_key_cols = {e["key_col"] for _, e in entries}
     tombs = []
     lo = hi = None
+    values: list | None = []
     for v, e in entries:
         t = (
             spark.read.parquet(f"{base}/{e['dir']}")
@@ -2420,6 +2454,15 @@ def _fast_delete_run(
             .distinct()
         )
         if len(tomb_key_cols) == 1:
+            if values is not None:
+                vals = [
+                    r[0]
+                    for r in t.limit(_KEY_IN_PROBE_MAX + 1).collect()
+                ]
+                if len(values) + len(vals) > _KEY_IN_PROBE_MAX:
+                    values = None  # over cap: fall back to the range
+                else:
+                    values.extend(x for x in vals if x is not None)
             t_lo, t_hi = t.agg(
                 F.min(e["key_col"]), F.max(e["key_col"])
             ).first()
@@ -2427,7 +2470,15 @@ def _fast_delete_run(
                 lo = t_lo if lo is None or t_lo < lo else lo
                 hi = t_hi if hi is None or t_hi > hi else hi
         tombs.append((v, e["key_col"], t))
-    if len(tomb_key_cols) == 1 and lo is not None:
+    if len(tomb_key_cols) == 1 and values:
+        vis = read_snapshot(
+            spark,
+            base,
+            version=v_from,
+            fs=fs,
+            key_in=(next(iter(tomb_key_cols)), sorted(set(values))),
+        )
+    elif len(tomb_key_cols) == 1 and lo is not None:
         vis = read_snapshot(
             spark,
             base,
@@ -2910,21 +2961,10 @@ def delete_from_snapshot(
                 .count()
             )
         else:
-            t_lo, t_hi = tomb.agg(
-                F.min(key_col), F.max(key_col)
-            ).first()
             n_hit = (
-                read_snapshot(
-                    spark,
-                    base,
-                    version=head,
-                    fs=fs,
-                    key_between=(key_col, t_lo, t_hi),
-                )
+                _probe_visible(spark, base, head, fs, key_col, tomb)
                 .join(tomb, key_col, "left_semi")
                 .count()
-                if t_lo is not None
-                else 0
             )
             n_rows = int(head_rows) - n_hit
         entries = _delete_entries(head_info) + [
@@ -3115,11 +3155,6 @@ def merge_snapshot(
     tomb.count()  # verify readable before any marker references it
     batch_types = dict(batch_df.dtypes)
     n_rows = batch_df.count()
-    # the batch's key range bounds EVERY overlapping head row, so the
-    # visible-rows bookkeeping below reads the head range-pruned (one
-    # tiny agg over the already-written tombstone dir, reused across
-    # marker-race retries — the dir is immutable)
-    bmin, bmax = tomb.agg(F.min(key_col), F.max(key_col)).first()
     batch_stats_cache: dict = {}
 
     def _cleanup():
@@ -3182,23 +3217,17 @@ def merge_snapshot(
                 spark, base, data_name, head_checks, "merge_snapshot"
             )
         # visible rows: head's count minus overwritten + the batch.
-        # The overlap count reads the head PRUNED to the batch's key
-        # range — every overlapping key lies in [bmin, bmax] by
-        # construction, so the count is identical while a clustered
-        # table's file stats skip everything outside the range (a
-        # 2k-row merge must not pay a corpus-wide key scan for one
-        # marker metadata field)
+        # The overlap count reads the head PRUNED to the batch's keys
+        # (point-lookup pruning, range fallback past the driver cap) —
+        # every overlapping row matches a batch key by construction,
+        # so the count is identical while a clustered table's file
+        # stats skip everything else (a 2k-row merge must not pay a
+        # corpus-wide key scan for one marker metadata field)
         n_over = (
-            read_snapshot(
-                spark,
-                base,
-                version=head,
-                fs=fs,
-                key_between=(key_col, bmin, bmax),
-            )
+            _probe_visible(spark, base, head, fs, key_col, tomb)
             .join(tomb, key_col, "left_semi")
             .count()
-            if bmin is not None
+            if n_rows
             else 0
         )
         entries = head_entries + [
