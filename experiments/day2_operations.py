@@ -66,6 +66,143 @@ def _docs(spark, lo, hi):
     )
 
 
+def sustained_merge_cycles(spark, root, n_cycles=50):
+    """r10 (VERDICT r9 #8): ``maintenance_cycle`` driven through
+    ``n_cycles`` of the FULL mixed workload — every cycle lands one
+    append (500 rows), one merge (200 rewrites of old keys + 100
+    inserts), and every 5th cycle a delete (50 keys) — with the agg
+    subscriber draining pair-encoded merge increments, threshold
+    compaction, commit-log checkpoints, and retention GC under the
+    slowest-subscriber contract, all through the one entry point.
+
+    The steady-state claims, measured per cycle and compared first-10
+    vs last-10 (the corpus grows ~30k rows over the run):
+      - drain wall stays FLAT (merge consumption is O(batch));
+      - the drain's pruned-probe bytes (inputFiles of every
+        read_snapshot the feed issues against the source) stay FLAT;
+      - compact_if fires periodically and bounds the tombstone stack;
+      - GC reclaims behind the subscriber cursor every cycle.
+    End state: agg == rebuilt groupBy, exact."""
+    import statistics
+    from functools import partial
+
+    import vector_db_setup_spark.sources.snapshot_table as st
+    from vector_db_setup_spark.sources.snapshot_table import (
+        merge_snapshot,
+    )
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintenance_cycle,
+    )
+
+    base = f"{root}/mix"
+    agg_state = f"{root}/magg"
+    kw = dict(stats_cols=["doc_id"], cluster_by=["doc_id"])
+    write_snapshot(_docs(spark, 0, 50_000).repartition(8), base, **kw)
+
+    drain = partial(
+        maintain_agg_from_commits,
+        spark, base, agg_state, f"{root}/ck_m",
+        group_col="lang", key_col="doc_id", sum_col="n_tokens",
+    )
+    drain()  # bootstrap (O(corpus), once)
+
+    real = st.read_snapshot
+    probe_bytes = [0]
+
+    def spy(spark_, base_, version=None, fs=None, key_between=None,
+            key_in=None, tag=None):
+        df = real(spark_, base_, version=version, fs=fs,
+                  key_between=key_between, key_in=key_in, tag=tag)
+        if base_ == base and (
+            key_between is not None or key_in is not None
+        ):
+            probe_bytes[0] += sum(
+                os.path.getsize(f.replace("file:", ""))
+                for f in df.inputFiles()
+            )
+        return df
+
+    nxt, m_lo = 50_000, 0
+    drain_s, drain_mb = [], []
+    compact_fires = 0
+    gc_total = 0
+    t_all = time.perf_counter()
+    for cycle in range(n_cycles):
+        append_snapshot(_docs(spark, nxt, nxt + 500), base, **kw)
+        nxt += 500
+        upd = _docs(spark, m_lo, m_lo + 200).withColumn(
+            "n_tokens", F.col("n_tokens") + 1000
+        ).union(_docs(spark, nxt, nxt + 100))
+        merge_snapshot(upd, base, key_col="doc_id")
+        nxt += 100
+        m_lo += 200
+        if cycle % 5 == 4:
+            delete_from_snapshot(
+                spark.range(nxt - 550, nxt - 500).select(
+                    F.col("id").alias("doc_id")
+                ),
+                base, key_col="doc_id",
+            )
+        probe_bytes[0] = 0
+        st.read_snapshot = spy
+        t = time.perf_counter()
+        try:
+            report = maintenance_cycle(
+                spark, base,
+                drains=[drain],
+                subscriber_states=[agg_state],
+                compact=dict(
+                    max_data_dirs=12, max_delete_entries=6,
+                    target_file_bytes=256 << 10,
+                ),
+                gc=dict(keep=3, orphan_min_age_s=0),
+            )
+        finally:
+            st.read_snapshot = real
+        drain_s.append(time.perf_counter() - t)
+        drain_mb.append(probe_bytes[0] / 1e6)
+        if report.get("compacted_version"):
+            compact_fires += 1
+        gc_total += len(report["gc"]["removed"])
+    total = time.perf_counter() - t_all
+    med = statistics.median
+    print(
+        f"sustained_cycles          {n_cycles} cycles "
+        f"({total:.1f}s total; corpus 50k -> {nxt:,} keys)"
+    )
+    print(
+        f"cycle_wall_s              first10 {med(drain_s[:10]):6.3f}  "
+        f"last10 {med(drain_s[-10:]):6.3f}   (drain+compact+ckpt+gc)"
+    )
+    print(
+        f"drain_probe_MB            first10 {med(drain_mb[:10]):6.3f}  "
+        f"last10 {med(drain_mb[-10:]):6.3f}   (pruned source reads per "
+        "cycle)"
+    )
+    print(
+        f"compact_if_fires          {compact_fires}   gc_removed "
+        f"{gc_total} versions across the run"
+    )
+    agg_got = {
+        tuple(r) for r in read_snapshot(spark, agg_state).collect()
+    }
+    agg_want = {
+        tuple(r)
+        for r in read_snapshot(spark, base)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("n_tokens").alias("total"),
+        )
+        .collect()
+    }
+    print(f"agg_state == rebuilt      {agg_got == agg_want}")
+    print(
+        f"versions_alive            "
+        f"{len(committed_versions(spark, base))}"
+    )
+
+
 def main():
     spark = get_spark(
         app_name="day2-ops",
@@ -185,6 +322,8 @@ def main():
     print(f"gc_removed                {len(removed)} versions "
           f"(age floor kept the rest); tagged read: {tagged_ok} rows")
     print(f"versions_alive            {len(committed_versions(spark, base))}")
+    print()
+    sustained_merge_cycles(spark, root)
     shutil.rmtree(root, ignore_errors=True)
 
 
