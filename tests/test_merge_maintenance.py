@@ -414,3 +414,81 @@ def test_tombstoned_key_error_is_typed(spark, tmp_path):
         append_snapshot(_df(spark, [(1, "back")]), base)
     with pytest.raises(TombstonedKeyError):
         merge_snapshot(_df(spark, [(1, "back")]), base, key_col="id")
+
+
+def test_ivf_maintainer_crash_between_commits_replays_exactly(
+    spark, tmp_path, monkeypatch
+):
+    """The 3-commit drain (delete -> merge -> append) stamps cursors
+    only in its LAST commit: a crash after the delete commit replays
+    the whole classification on the next drain — the re-applied delete
+    is effect-idempotent, the merge/append land once, and the index
+    ends equal to a from-scratch assignment of the source head."""
+    import vector_db_setup_spark.sources.snapshot_table as st_mod
+    import vector_db_setup_spark.streaming.commit_log as cl
+    from vector_db_setup_spark.operators.ann import ivf_assign
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    write_snapshot(_emb(spark, 0, 120), src)
+    cl.maintain_ivf_from_commits(
+        spark, src, idx, str(tmp_path / "ck"),
+        key_col="vec_id", k=3, seed=7,
+    )
+    # one batch with all three shapes
+    merge_snapshot(_emb(spark, 0, 10, salt=3), src, key_col="vec_id")
+    append_snapshot(_emb(spark, 120, 140), src)
+    delete_from_snapshot(
+        spark.range(50, 60).select(F.col("id").alias("vec_id")),
+        src, key_col="vec_id",
+    )
+    # crash INSIDE the drain: the merge commit dies after the delete
+    # commit already landed
+    from vector_db_setup_spark.operators import ann_index as ai
+
+    real_merge = ai.merge_into_ivf_index
+    calls = {"n": 0}
+
+    def dying_merge(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("simulated crash before the merge commit")
+
+    monkeypatch.setattr(ai, "merge_into_ivf_index", dying_merge)
+    # the crash surfaces wrapped by the streaming machinery
+    # (StreamingQueryException around the foreachBatch error)
+    with pytest.raises(Exception, match="simulated crash"):
+        cl.maintain_ivf_from_commits(
+            spark, src, idx, str(tmp_path / "ck2"),
+            key_col="vec_id", k=3, seed=7,
+        )
+    assert calls["n"] == 1
+    # the delete commit landed WITHOUT advancing the cursors
+    meta = snapshot_info(
+        spark, idx, max(st_mod.committed_versions(spark, idx))
+    )["meta"]
+    assert int(meta["source_appended_through"]) == 1
+    assert int(meta["source_deleted_through"]) == 1
+    monkeypatch.setattr(ai, "merge_into_ivf_index", real_merge)
+    # replay drains the SAME range from the old cursor and completes
+    cl.maintain_ivf_from_commits(
+        spark, src, idx, str(tmp_path / "ck3"),
+        key_col="vec_id", k=3, seed=7,
+    )
+    import numpy as np
+
+    meta = snapshot_info(
+        spark, idx, max(st_mod.committed_versions(spark, idx))
+    )["meta"]
+    assert int(meta["source_appended_through"]) == 4
+    cents = np.asarray(meta["centroids"], dtype=np.float64)
+    got = {
+        (r["vec_id"], tuple(r["embedding"]), r["cluster_id"])
+        for r in read_snapshot(spark, idx).collect()
+    }
+    want = {
+        (r["vec_id"], tuple(r["embedding"]), r["cluster_id"])
+        for r in ivf_assign(
+            read_snapshot(spark, src), cents, vec_col="embedding"
+        ).collect()
+    }
+    assert got == want  # no lost merge, no duplicated append
