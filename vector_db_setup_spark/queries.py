@@ -5997,6 +5997,107 @@ def corpus_merge_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_cdc_pair_view",
+    """
+    WITH old AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 400
+    ),
+    new AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+                   AS text
+        FROM documents WHERE doc_id >= 100
+    ),
+    events AS (
+        SELECT n.doc_id, 'added' AS status, n.text AS image
+        FROM new n LEFT JOIN old o ON o.doc_id = n.doc_id
+        WHERE o.doc_id IS NULL
+        UNION ALL
+        SELECT o.doc_id, 'removed' AS status, o.text AS image
+        FROM old o LEFT JOIN new n ON n.doc_id = o.doc_id
+        WHERE n.doc_id IS NULL
+        UNION ALL
+        SELECT o.doc_id, 'removed' AS status, o.text AS image
+        FROM old o JOIN new n ON n.doc_id = o.doc_id
+        WHERE o.text <> n.text
+        UNION ALL
+        SELECT n.doc_id, 'added' AS status, n.text AS image
+        FROM old o JOIN new n ON n.doc_id = o.doc_id
+        WHERE o.text <> n.text
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,
+           CAST(sum(length(image)) AS BIGINT) AS total_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM events GROUP BY 1
+    """,
+)
+def corpus_cdc_pair_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PAIR-encoded change feed as a relational query — the exact
+    event set ``snapshot_changes(change_encoding="pair")`` emits for
+    one version step (sources/snapshot_table.py `_fast_step` /
+    `_full_step`): inserted keys appear once as 'added' with the
+    post-image, deleted keys once as 'removed' with the PRE-image, and
+    every content-changed key appears TWICE — removed(pre-image) +
+    added(post-image) — the invertible encoding the incremental
+    maintainers consume (subtract pre, add post). Fixture plays both
+    versions (old = doc_id<400; new = doc_id>=100, every 7th doc
+    bumped). One full-outer-shaped comparison feeds all four event
+    branches; a changed key counts once under EACH status, so the two
+    statuses' key sets overlap by exactly the changed-pair count. At
+    scale the comparison is the keyed join the
+    CDC fast path replaces with batch-dir reads — this query is the
+    SEMANTIC contract, oracled."""
+    d = load_table(spark, sf_dir, "documents")
+    old = d.filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").alias("o_id"), F.col("text").alias("o_text")
+    )
+    new = d.filter(F.col("doc_id") >= 100).select(
+        F.col("doc_id").alias("n_id"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" v2")),
+        ).otherwise(F.col("text")).alias("n_text"),
+    )
+    j = old.join(new, old.o_id == new.n_id, "full_outer")
+    ins = j.filter(F.col("o_id").isNull()).select(
+        F.col("n_id").alias("doc_id"),
+        F.lit("added").alias("status"),
+        F.col("n_text").alias("image"),
+    )
+    del_ = j.filter(F.col("n_id").isNull()).select(
+        F.col("o_id").alias("doc_id"),
+        F.lit("removed").alias("status"),
+        F.col("o_text").alias("image"),
+    )
+    ch = j.filter(
+        F.col("o_id").isNotNull()
+        & F.col("n_id").isNotNull()
+        & (F.col("o_text") != F.col("n_text"))
+    )
+    pre = ch.select(
+        F.col("o_id").alias("doc_id"),
+        F.lit("removed").alias("status"),
+        F.col("o_text").alias("image"),
+    )
+    post = ch.select(
+        F.col("n_id").alias("doc_id"),
+        F.lit("added").alias("status"),
+        F.col("n_text").alias("image"),
+    )
+    events = ins.unionByName(del_).unionByName(pre).unionByName(post)
+    return events.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("doc_id").alias("n_keys"),
+        F.sum(F.length("image")).alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@register(
     "corpus_shard_assignment",
     """
     WITH sharded AS (
