@@ -2631,8 +2631,9 @@ def snapshot_changes(
     structure are attributed WITHOUT the full diff — appends read only
     their batch dirs (plus a column-pruned key semi-join that enforces
     the no-duplicate-keys contract), deletes scan two key columns,
-    MERGES read their batch dir plus one range-pruned pre-image probe
-    (hash-comparing overlap rows so re-landed identical content stays
+    MERGES read their batch dir plus one pre-image probe pruned
+    per-VALUE while the key set is driver-small (`_probe_visible`;
+    hash-comparing overlap rows so re-landed identical content stays
     excluded exactly like the oracle), compactions are free. Only
     write/upsert/rollback steps (and markers predating the ``op``
     field) pay the full-outer key join with value hashing. ``fast=False`` forces the full diff on every
