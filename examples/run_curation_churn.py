@@ -1,0 +1,192 @@
+#!/usr/bin/env python3
+"""Runnable end-to-end CURATION-CHURN loop for the r10 surfaces: a
+corpus that is not append-only — every day some documents are
+REWRITTEN (quality fixes, re-embedding) while new ones land — kept
+consistent with its derived state through MERGE commits that the
+maintenance loop consumes O(batch).
+
+    python3 examples/run_curation_churn.py [sf_dir]
+
+Flow:
+
+  documents+embeddings ─> land as ONE snapshot table (clustered,
+                  per-file stats on the key)
+  subscribers ──> agg view (per-lang doc count + char total) and an
+                  IVF index, both bootstrapped from the head
+  day N ────────> merge_snapshot: rewrites a slice of old docs (new
+                  text AND new embedding) and inserts fresh ones —
+                  ONE O(batch) commit (batch dir + seq-scoped
+                  tombstone; no prior bytes move); a delete commit
+                  retires a few keys
+  maintenance ──> maintenance_cycle: drains both subscribers off the
+                  PAIR-ENCODED carry feed (each rewritten key arrives
+                  as removed(pre-image)+added(post-image) — the agg
+                  subtracts/adds, the IVF lands ONE
+                  merge_into_ivf_index commit re-assigning the new
+                  vectors), then compact_if, a commit-log checkpoint,
+                  and retention GC under the subscriber cursors
+  verify ───────> agg == a fresh groupBy of the head; the index ==
+                  a fresh assignment of the head under the SAME
+                  centroids; a pinned pre-churn version still reads
+
+Every stage prints what it verified; the final marker line is the
+success contract tests/test_examples.py asserts on.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+from functools import partial
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from vector_db_setup_spark.operators.ann import ivf_assign
+from vector_db_setup_spark.session import get_spark
+from vector_db_setup_spark.sources.registry import load_table
+from vector_db_setup_spark.sources.snapshot_table import (
+    committed_versions,
+    delete_from_snapshot,
+    merge_snapshot,
+    read_snapshot,
+    snapshot_info,
+    write_snapshot,
+)
+from vector_db_setup_spark.streaming.commit_log import (
+    maintain_agg_from_commits,
+    maintain_ivf_from_commits,
+    maintenance_cycle,
+)
+
+
+def main(sf_dir: str) -> None:
+    spark = get_spark(
+        app_name="curation-churn-example",
+        master="local[4]",
+        shuffle_partitions=4,
+    )
+    root = tempfile.mkdtemp(prefix="curation_churn_")
+    base = f"{root}/corpus"
+    agg_state, idx = f"{root}/agg", f"{root}/idx"
+    try:
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"
+        )
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        )
+        corpus = docs.join(emb, "doc_id", "inner")
+        write_snapshot(
+            corpus, base, stats_cols=["doc_id"], cluster_by=["doc_id"]
+        )
+        n0 = read_snapshot(spark, base).count()
+        print(f"landed corpus: {n0} docs (clustered, stats on doc_id)")
+
+        drains = [
+            partial(
+                maintain_agg_from_commits,
+                spark, base, agg_state, f"{root}/ck_agg",
+                group_col="lang", key_col="doc_id", sum_col=None,
+            ),
+            partial(
+                maintain_ivf_from_commits,
+                spark, base, idx, f"{root}/ck_ivf",
+                key_col="doc_id", k=4, seed=7,
+            ),
+        ]
+        for d in drains:
+            d()
+        print("subscribers bootstrapped: agg view + IVF index")
+
+        # ---- the churn day: rewrite a slice (new text AND embedding),
+        # insert fresh docs — one MERGE commit; retire a few keys
+        head = read_snapshot(spark, base)
+        rewrite = (
+            head.filter(F.col("doc_id") % 10 == 3)
+            .select(
+                "doc_id",
+                F.concat(F.col("text"), F.lit(" [revised]")).alias("text"),
+                F.lit("rev").alias("lang"),
+                F.transform("embedding", lambda x: x * F.lit(0.5))
+                .cast("array<float>")
+                .alias("embedding"),
+            )
+        )
+        fresh = head.orderBy(F.col("doc_id").desc()).limit(5).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.col("text"), F.col("lang"), F.col("embedding"),
+        )
+        v_merge = merge_snapshot(
+            rewrite.unionByName(fresh), base, key_col="doc_id"
+        )
+        mi = snapshot_info(spark, base, v_merge)
+        print(
+            f"merge commit v{v_merge}: {mi['rows']} rows visible, "
+            f"{len(mi['data'])} dirs + {len(mi['deletes'])} scoped "
+            "tombstone (no prior bytes rewritten)"
+        )
+        delete_from_snapshot(
+            read_snapshot(spark, base)
+            .orderBy("doc_id").limit(3).select("doc_id"),
+            base, key_col="doc_id",
+        )
+        print("delete commit: 3 keys retired")
+
+        # ---- one maintenance pass consumes the whole day O(batch)
+        report = maintenance_cycle(
+            spark, base,
+            drains=drains,
+            subscriber_states=[agg_state, idx],
+            compact=dict(max_data_dirs=8, max_delete_entries=4),
+            gc=dict(keep=2, orphan_min_age_s=0),
+        )
+        print(f"maintenance_cycle: {report}")
+
+        # ---- verification: both subscribers equal a from-scratch view
+        agg_got = {
+            (r["lang"], r["cnt"])
+            for r in read_snapshot(spark, agg_state).collect()
+        }
+        agg_want = {
+            (r["lang"], r["cnt"])
+            for r in read_snapshot(spark, base)
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert agg_got == agg_want, "agg view != rebuilt groupBy"
+        print(f"agg view == rebuilt groupBy ({len(agg_got)} langs)")
+
+        meta = snapshot_info(
+            spark, idx, max(committed_versions(spark, idx))
+        )["meta"]
+        cents = np.asarray(meta["centroids"], dtype=np.float64)
+        got = {
+            (r["doc_id"], r["cluster_id"])
+            for r in read_snapshot(spark, idx).collect()
+        }
+        want = {
+            (r["doc_id"], r["cluster_id"])
+            for r in ivf_assign(
+                read_snapshot(spark, base).select("doc_id", "embedding"),
+                cents, vec_col="embedding",
+            ).collect()
+        }
+        assert got == want, "index != fresh assignment of the head"
+        print(
+            f"IVF index == fresh head assignment ({len(got)} vectors; "
+            f"drift_ratio={meta.get('drift_ratio')})"
+        )
+        print("OK — curation churn loop (merge/delete/drain/verify)")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

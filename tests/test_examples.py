@@ -17,6 +17,8 @@ _EXAMPLES = [
     ("examples/run_bus_operations.py", "OK — bus operations loop"),
     ("examples/run_lakehouse_loop.py",
      "OK — lakehouse loop (land/replay/compact/cdc/ivf/delete/gc)"),
+    ("examples/run_curation_churn.py",
+     "OK — curation churn loop (merge/delete/drain/verify)"),
 ]
 
 
