@@ -303,3 +303,33 @@ def test_hashed_bow_partial_aggregate_before_exchange(spark):
     # the partial_count node must exist BELOW the exchange
     first_ex = plan.index("Exchange")
     assert "partial_count" in plan[first_ex:], plan
+
+
+def test_merge_view_anti_join_broadcasts(spark):
+    """corpus_merge_view (driver row since r10) is the MERGE read
+    shape: the update batch is the small side by construction, so the
+    corpus-side anti-join must broadcast — a shuffled anti at 100 TB
+    would move the corpus to satisfy a nightly batch."""
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    df = q.corpus_merge_view(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_udtf_lateral_join_prunes_columns(spark):
+    """doc_shingles_udtf (driver row since r10): the lateral UDTF scan
+    must read only the columns the shingler consumes, not the whole
+    documents row."""
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    df = q.doc_shingles_udtf(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    scans = [
+        ln for ln in plan.splitlines() if "FileScan parquet" in ln
+    ]
+    assert scans, plan
+    assert all("n_tokens" not in ln for ln in scans), (
+        "UDTF input scan reads columns the shingler never consumes"
+    )
