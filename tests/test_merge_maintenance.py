@@ -537,3 +537,35 @@ def test_key_between_composes_multi_column_pruning(spark, tmp_path):
     # single-triple tuple form unchanged (back-compat)
     one = read_snapshot(spark, base, key_between=("x", 5, 12))
     assert one.count() == 8 * 64
+
+
+def test_bloom_maintainer_ingests_merge_inserts(spark, tmp_path):
+    """The decontamination filter is key-presence: a merge's INSERTED
+    keys must enter the filter on the next drain (overwritten keys are
+    already set — no change needed, and Bloom has no delete)."""
+    from vector_db_setup_spark.operators.bloom import bloom_probe
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_bloom_from_commits,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "bloom")
+    write_snapshot(_df(spark, [(i, f"v{i}") for i in range(100)]), src)
+    maintain_bloom_from_commits(
+        spark, src, "id", state, str(tmp_path / "ck"),
+        num_bits=1 << 16, k=3,
+    )
+    merge_snapshot(
+        _df(spark, [(5, "m5"), (500, "new500"), (501, "new501")]),
+        src, key_col="id",
+    )
+    maintain_bloom_from_commits(
+        spark, src, "id", state, str(tmp_path / "ck"),
+        num_bits=1 << 16, k=3,
+    )
+    words = read_snapshot(spark, state)
+    probes = spark.createDataFrame(
+        [(5,), (500,), (501,)], "id long"
+    )
+    hits = bloom_probe(probes, "id", words, num_bits=1 << 16, k=3)
+    assert all(r["maybe_member"] for r in hits.collect())

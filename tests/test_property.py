@@ -580,6 +580,22 @@ def test_snapshot_protocol_model_based(spark, tmp_path_factory, ops):
         # schema shape this model produces)
         assert _feed(True, carry=["val"]) == _feed(False, carry=["val"])
 
+        # and the PAIR encoding (r10): content changes as
+        # removed(pre)+added(post), compared over the declared
+        # projection — fast merge attribution must equal the split
+        # full diff over every interleaving this model generates
+        def _pair(fast):
+            return {
+                tuple(r)
+                for r in snapshot_changes(
+                    spark, base, "id", from_version=start,
+                    columns=["val"], fast=fast, carry_columns=["val"],
+                    change_encoding="pair",
+                ).collect()
+            }
+
+        assert _pair(True) == _pair(False)
+
 
 @given(
     n_rows=st.integers(50, 300),
