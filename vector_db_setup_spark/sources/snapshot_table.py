@@ -2026,7 +2026,8 @@ _KEY_IN_PROBE_MAX = 8192
 
 
 def _probe_visible(
-    spark, base: str, version: int, fs, probe_col: str, keys_df
+    spark, base: str, version: int, fs, probe_col: str, keys_df,
+    n_keys: int | None = None,
 ) -> DataFrame:
     """Version read pruned to rows that could match ``keys_df``'s
     ``probe_col`` values: per-value point-lookup pruning (``key_in``)
@@ -2040,26 +2041,50 @@ def _probe_visible(
     35.9 MB with the corpus under range pruning; per-value pruning
     holds it at the batch's file neighborhood). The count/collect jobs
     run on the TINY side (a tombstone dir / update batch), never the
-    table."""
-    n, lo, hi = keys_df.agg(
-        F.count(F.lit(1)), F.min(probe_col), F.max(probe_col)
-    ).first()
-    if lo is None:
+    table; ``n_keys`` (when the caller already counted — every commit
+    path has) skips the counting aggregate entirely."""
+
+    def _none():
         # zero (or all-null) probe keys match nothing: an empty frame
         # with the version's schema, scanning no files
         return read_snapshot(
             spark, base, version=version, fs=fs
         ).filter(F.lit(False))
-    if n and n <= _KEY_IN_PROBE_MAX and lo is not None:
+
+    def _by_values():
         values = [
             r[0]
             for r in keys_df.select(probe_col).distinct().collect()
             if r[0] is not None
         ]
+        if not values:
+            return _none()
         return read_snapshot(
             spark, base, version=version, fs=fs,
             key_in=(probe_col, values),
         )
+
+    if n_keys is not None:
+        if not n_keys:
+            return _none()
+        if n_keys <= _KEY_IN_PROBE_MAX:
+            return _by_values()  # one collect job, no counting agg
+        lo, hi = keys_df.agg(
+            F.min(probe_col), F.max(probe_col)
+        ).first()
+        if lo is None:
+            return _none()
+        return read_snapshot(
+            spark, base, version=version, fs=fs,
+            key_between=(probe_col, lo, hi),
+        )
+    n, lo, hi = keys_df.agg(
+        F.count(F.lit(1)), F.min(probe_col), F.max(probe_col)
+    ).first()
+    if lo is None:
+        return _none()
+    if n <= _KEY_IN_PROBE_MAX:
+        return _by_values()
     return read_snapshot(
         spark, base, version=version, fs=fs,
         key_between=(probe_col, lo, hi),
@@ -2171,20 +2196,14 @@ def _fast_step(
             )
         if key_col not in _snapshot_columns(spark, base, a, fs):
             return None
-        # the guard only needs prior keys INSIDE the batch's key range
-        # (a key outside it cannot collide) — expressing that as a
-        # key_between read makes the marker's file-skipping stats pay
-        # here too: a range-clustered table checks a monotone append
-        # against ZERO prior files instead of scanning its key column
-        bmin, bmax = added.agg(F.min(key_col), F.max(key_col)).first()
-        if bmin is None:
-            return added.withColumn("status", F.lit("added"))
-        prior = read_snapshot(
-            spark,
-            base,
-            version=a,
-            fs=fs,
-            key_between=(key_col, bmin, bmax),
+        # the guard only needs prior keys the batch could collide with
+        # — the pruned probe (per-value under the cap, range above it)
+        # makes the marker's file-skipping stats pay here too: a
+        # clustered table checks a monotone append against ZERO prior
+        # files instead of scanning its key column
+        prior = _probe_visible(
+            spark, base, a, fs, key_col, added.select(F.col(key_col)),
+            n_keys=int(n_dist),
         )
         n_dup = added.join(
             prior.select(F.col(key_col)), key_col, "left_semi"
@@ -2218,9 +2237,7 @@ def _fast_step(
             # tombstone dir is tiny (one aggregate/collect), and on a
             # clustered table the probe touches only the files that
             # could hold the victims instead of scanning version a
-            t_lo = tomb.agg(F.min(e["key_col"])).first()[0]
-            if t_lo is None:
-                continue  # empty tombstone removes nothing
+            # (an empty tombstone resolves to an empty probe frame)
             vis = _probe_visible(spark, base, a, fs, e["key_col"], tomb)
             hit = vis.join(tomb, e["key_col"], "left_semi").select(
                 F.col(key_col), *[F.col(c) for c in carry]
@@ -2295,7 +2312,9 @@ def _fast_step(
             # equality, so only a hand-crafted marker reaches here —
             # hand it to the full diff for the identical refusal
             return None
-        prior = _probe_visible(spark, base, a, fs, key_col, batch)
+        prior = _probe_visible(
+            spark, base, a, fs, key_col, batch, n_keys=int(n_all)
+        )
         added = batch.join(
             prior.select(F.col(key_col)), key_col, "left_anti"
         ).select(
@@ -2401,14 +2420,10 @@ def _fast_append_run(
             f"values ({n_all} rows, {n_dist} distinct) — a keyed diff "
             "is undefined"
         )
-    bmin, bmax = added.agg(F.min(key_col), F.max(key_col)).first()
-    if bmin is not None:
-        prior = read_snapshot(
-            spark,
-            base,
-            version=v_from,
-            fs=fs,
-            key_between=(key_col, bmin, bmax),
+    if n_all:
+        prior = _probe_visible(
+            spark, base, v_from, fs, key_col,
+            added.select(F.col(key_col)), n_keys=int(n_dist),
         )
         n_dup = added.join(
             prior.select(F.col(key_col)), key_col, "left_semi"
@@ -2969,7 +2984,9 @@ def delete_from_snapshot(
         tomb_dir
     )
     tomb = spark.read.parquet(tomb_dir)
-    tomb.count()  # verify readable before any marker references it
+    # verify readable before any marker references it; the count also
+    # feeds the bookkeeping probe below (skips its counting agg)
+    n_tomb = tomb.count()
 
     def _body(head: int) -> dict:
         if not head:
@@ -2991,7 +3008,10 @@ def delete_from_snapshot(
             )
         else:
             n_hit = (
-                _probe_visible(spark, base, head, fs, key_col, tomb)
+                _probe_visible(
+                    spark, base, head, fs, key_col, tomb,
+                    n_keys=n_tomb,
+                )
                 .join(tomb, key_col, "left_semi")
                 .count()
             )
@@ -3253,7 +3273,10 @@ def merge_snapshot(
         # stats skip everything else (a 2k-row merge must not pay a
         # corpus-wide key scan for one marker metadata field)
         n_over = (
-            _probe_visible(spark, base, head, fs, key_col, tomb)
+            _probe_visible(
+                spark, base, head, fs, key_col, tomb,
+                n_keys=int(n_rows),
+            )
             .join(tomb, key_col, "left_semi")
             .count()
             if n_rows
