@@ -375,6 +375,26 @@ def minhash_lsh_candidates(
     return _pairs_from_banded(banded, id_col, max_band_df)
 
 
+def lsh_pairs_from_index(
+    index: DataFrame,
+    id_col: str = "doc_id",
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """Candidate pairs from a MAINTAINED (id, band, band_key) inverted
+    index (`streaming/commit_log.maintain_lsh_index_from_commits`):
+    drop the inert empty band keys (the maintainer lands exactly
+    ``bands`` rows per doc so replacements cover every row; shingle-
+    less docs carry '' keys), then the same banded self-join as
+    `minhash_lsh_candidates`. This is the CHEAP half of LSH dedup
+    (cost = actual collisions); the expensive half — signature
+    computation over the corpus text — is what the maintained index
+    amortizes to O(batch) per drain. ``max_band_df`` caps hot bands
+    exactly as in `_pairs_from_banded`."""
+    return _pairs_from_banded(
+        index.filter(F.col("band_key") != ""), id_col, max_band_df
+    )
+
+
 def lsh_dedup_edges(
     df: DataFrame,
     text_col: str = "text",

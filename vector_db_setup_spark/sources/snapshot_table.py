@@ -1275,6 +1275,7 @@ def compact_snapshot(
     min_files: int = 1,
     fs=None,
     retries: int = 3,
+    keep_meta: bool = False,
 ) -> int:
     """Compaction with NO swap window: read the current version,
     coalesce-rewrite it as a NEW data dir, commit as the next version.
@@ -1349,6 +1350,15 @@ def compact_snapshot(
                 stats_cols=inherit,
                 cluster_by=inherit,
                 cluster_files=int(n_out) if inherit else None,
+                # keep_meta: a maintainer STATE table compacting itself
+                # must not lose its cursor/params (plain tables keep
+                # the default: meta describes a lineage the rewrite may
+                # be intentionally resetting)
+                **(
+                    {"meta": head_info["meta"]}
+                    if keep_meta and head_info.get("meta") is not None
+                    else {}
+                ),
             )
         except SnapshotConflictError as e:
             last = e  # head moved mid-rewrite: recompact the new head

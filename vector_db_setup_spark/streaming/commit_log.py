@@ -717,6 +717,225 @@ def maintain_agg_from_commits(
     return q
 
 
+def maintain_lsh_index_from_commits(
+    spark: SparkSession,
+    source_base: str,
+    index_base: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    bands: int = 4,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+    fs=None,
+    available_now: bool = True,
+    on_rewrite: str = "raise",
+    **reader_options,
+):
+    """Keep the LSH near-dup INVERTED INDEX current off the source's
+    commit log — the 100 TB dedup maintenance shape: MinHash signature
+    computation is the expensive half of fuzzy dedup (a scan over
+    every document's text), and this maintainer pays it only for the
+    DELTA; the cheap half — the banded candidate self-join, cost =
+    collisions — stays a query over the maintained index
+    (`operators/dedup.lsh_pairs_from_index`), so "which new documents
+    collide with anything ever seen" is answerable per drain without
+    re-shingling the corpus.
+
+    STATE SHAPE: one snapshot-table row per (doc, band) — exactly
+    ``bands`` rows per doc, keyed by the synthetic
+    ``rk = doc_id*bands + band`` so a rewritten doc's replacement
+    covers every row in ONE `merge_snapshot` commit (empty band keys
+    are kept as inert '' rows for the same reason: a doc whose rewrite
+    lost its shingles still retires its old entries). Geometry
+    (bands/num_hashes/shingle_n) rides the marker meta and cannot
+    change incrementally — use a fresh index_base to re-band.
+
+    DRAIN: pair-encoded carry feed over (cursor, head], content-
+    compared on ``text_col`` (allowed_ops append/delete/compact/merge
+    — a merge that rewrote other columns produces no index work);
+    final-removed docs delete their rk rows (constructed by exploding
+    the band range — no index read), final-added docs (new AND
+    rewritten) land as one merge commit; the LAST commit stamps the
+    cursor, replays are effect-idempotent, and a doc re-landed over an
+    old unscoped delete self-heals via ``TombstonedKeyError`` →
+    meta-preserving compaction → retry. ``on_rewrite="rebuild"``
+    rebuilds from the batch head on a write/upsert/rollback step."""
+    from vector_db_setup_spark.operators.dedup import (
+        band_keys_from_sigs,
+        minhash_signature_array,
+    )
+    from vector_db_setup_spark.sources import snapshot_table as st
+
+    params = {
+        "kind": "lsh_index",
+        "bands": int(bands),
+        "num_hashes": int(num_hashes),
+        "shingle_n": int(shingle_n),
+        "text_col": text_col,
+        "key_col": key_col,
+    }
+
+    def _index_rows(docs: DataFrame) -> DataFrame:
+        # exactly `bands` rows per doc: the (doc × band) grid left-
+        # joins the real band keys, '' where the doc has no shingles
+        arr = minhash_signature_array(
+            docs, text_col, key_col, num_hashes, shingle_n
+        )
+        grid = docs.select(key_col).distinct().select(
+            key_col,
+            F.explode(
+                F.sequence(F.lit(0), F.lit(bands - 1))
+            ).alias("band"),
+        )
+        bk = band_keys_from_sigs(arr, key_col, bands, num_hashes)
+        return grid.join(bk, [key_col, "band"], "left").select(
+            (F.col(key_col) * bands + F.col("band")).alias("rk"),
+            F.col(key_col),
+            F.col("band"),
+            F.coalesce(F.col("band_key"), F.lit("")).alias("band_key"),
+        )
+
+    def _apply(s: SparkSession, through_v: int) -> None:
+        vs_idx = st.committed_versions(s, index_base)
+        if not vs_idx:
+            st.write_snapshot(
+                _index_rows(
+                    st.read_snapshot(
+                        s, source_base, version=through_v, fs=fs
+                    )
+                ),
+                index_base,
+                note=f"lsh index over {source_base} through v{through_v}",
+                idempotency_key=f"bootstrap:{through_v}",
+                meta={**params, "through_version": through_v},
+            )
+            return
+        meta = (
+            st.snapshot_info(s, index_base, max(vs_idx)).get("meta")
+            or {}
+        )
+        if meta.get("kind") != "lsh_index" or "through_version" not in meta:
+            raise ValueError(
+                f"state at {index_base} is not a maintained LSH index "
+                "— use a fresh index_base"
+            )
+        drift = {
+            k: (meta.get(k), v)
+            for k, v in params.items()
+            if k != "kind" and meta.get(k) != v
+        }
+        if drift:
+            raise ValueError(
+                f"index at {index_base} was built with different "
+                f"geometry {drift} — banding cannot change "
+                "incrementally; rebuild under a fresh index_base"
+            )
+        last = int(meta["through_version"])
+        if through_v <= last:
+            return  # replayed batch
+        try:
+            feed = st.snapshot_changes(
+                s,
+                source_base,
+                key_col,
+                from_version=last,
+                to_version=through_v,
+                fs=fs,
+                columns=[text_col],
+                carry_columns=[text_col],
+                allowed_ops=("append", "delete", "compact", "merge"),
+                change_encoding="pair",
+            )
+        except st.DisallowedOpError:
+            if on_rewrite != "rebuild":
+                raise
+            st.write_snapshot(
+                _index_rows(
+                    st.read_snapshot(
+                        s, source_base, version=through_v, fs=fs
+                    )
+                ),
+                index_base,
+                note=(
+                    f"lsh index over {source_base} REBUILT through "
+                    f"v{through_v} (content rewrite in range)"
+                ),
+                idempotency_key=f"rebuild:{through_v}",
+                meta={**params, "through_version": through_v},
+            )
+            return
+        feed = feed.persist()
+        try:
+            w = Window.partitionBy(key_col).orderBy(
+                F.col("version").desc(), F.col("status").asc()
+            )
+            last_ev = feed.withColumn(
+                "_rn", F.row_number().over(w)
+            ).filter(F.col("_rn") == 1)
+            final_added = last_ev.filter(
+                F.col("status") == "added"
+            ).select(key_col, text_col)
+            final_removed = last_ev.filter(
+                F.col("status") == "removed"
+            ).select(key_col)
+            has_add = bool(final_added.limit(1).count())
+            has_del = bool(final_removed.limit(1).count())
+            if not (has_add or has_del):
+                return
+            cursor = {"through_version": through_v}
+
+            def _heal(fn):
+                try:
+                    return fn()
+                except st.TombstonedKeyError:
+                    st.compact_snapshot(s, index_base, keep_meta=True)
+                    return fn()
+
+            if has_del:
+                rks = final_removed.select(
+                    F.col(key_col),
+                    F.explode(
+                        F.sequence(F.lit(0), F.lit(bands - 1))
+                    ).alias("band"),
+                ).select(
+                    (F.col(key_col) * bands + F.col("band")).alias("rk")
+                )
+                st.delete_from_snapshot(
+                    rks,
+                    index_base,
+                    key_col="rk",
+                    idempotency_key=f"delete-through:{through_v}",
+                    meta_update=cursor if not has_add else None,
+                )
+            if has_add:
+                _heal(
+                    lambda: st.merge_snapshot(
+                        _index_rows(final_added),
+                        index_base,
+                        key_col="rk",
+                        note=f"lsh delta through v{through_v}",
+                        idempotency_key=f"merge-through:{through_v}",
+                        meta_update=cursor,
+                    )
+                )
+        finally:
+            feed.unpersist()
+
+    q = foreach_new_versions(
+        spark,
+        source_base,
+        _apply,
+        checkpoint_dir,
+        available_now=available_now,
+        **reader_options,
+    )
+    if available_now:
+        q.awaitTermination()
+        return None
+    return q
+
+
 def maintenance_cycle(
     spark: SparkSession,
     base: str,
