@@ -59,9 +59,14 @@ from vector_db_setup_spark.sources.snapshot_table import (
     snapshot_info,
     write_snapshot,
 )
+from vector_db_setup_spark.operators.dedup import (
+    lsh_pairs_from_index,
+    minhash_lsh_candidates,
+)
 from vector_db_setup_spark.streaming.commit_log import (
     maintain_agg_from_commits,
     maintain_ivf_from_commits,
+    maintain_lsh_index_from_commits,
     maintenance_cycle,
 )
 
@@ -75,6 +80,7 @@ def main(sf_dir: str) -> None:
     root = tempfile.mkdtemp(prefix="curation_churn_")
     base = f"{root}/corpus"
     agg_state, idx = f"{root}/agg", f"{root}/idx"
+    lsh = f"{root}/lsh"
     try:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang"
@@ -100,10 +106,19 @@ def main(sf_dir: str) -> None:
                 spark, base, idx, f"{root}/ck_ivf",
                 key_col="doc_id", k=4, seed=7,
             ),
+            partial(
+                maintain_lsh_index_from_commits,
+                spark, base, lsh, f"{root}/ck_lsh",
+                text_col="text", key_col="doc_id",
+                bands=4, num_hashes=8, shingle_n=3,
+            ),
         ]
         for d in drains:
             d()
-        print("subscribers bootstrapped: agg view + IVF index")
+        print(
+            "subscribers bootstrapped: agg view + IVF index + LSH "
+            "dedup index"
+        )
 
         # ---- the churn day: rewrite a slice (new text AND embedding),
         # insert fresh docs — one MERGE commit; retire a few keys
@@ -143,7 +158,7 @@ def main(sf_dir: str) -> None:
         report = maintenance_cycle(
             spark, base,
             drains=drains,
-            subscriber_states=[agg_state, idx],
+            subscriber_states=[agg_state, idx, lsh],
             compact=dict(max_data_dirs=8, max_delete_entries=4),
             gc=dict(keep=2, orphan_min_age_s=0),
         )
@@ -182,6 +197,24 @@ def main(sf_dir: str) -> None:
         print(
             f"IVF index == fresh head assignment ({len(got)} vectors; "
             f"drift_ratio={meta.get('drift_ratio')})"
+        )
+        pairs_got = {
+            (r["id_a"], r["id_b"])
+            for r in lsh_pairs_from_index(
+                read_snapshot(spark, lsh)
+            ).collect()
+        }
+        pairs_want = {
+            (r["id_a"], r["id_b"])
+            for r in minhash_lsh_candidates(
+                read_snapshot(spark, base), "text", "doc_id",
+                bands=4, num_hashes=8, shingle_n=3,
+            ).collect()
+        }
+        assert pairs_got == pairs_want, "LSH index pairs != batch op"
+        print(
+            f"LSH dedup index == batch operator ({len(pairs_got)} "
+            "candidate pairs; signatures computed only for the delta)"
         )
         print("OK — curation churn loop (merge/delete/drain/verify)")
     finally:
