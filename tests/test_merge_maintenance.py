@@ -715,3 +715,22 @@ def test_lsh_index_maintainer_self_heals_resurrection(spark, tmp_path):
     )["meta"]
     assert meta["kind"] == "lsh_index"  # survived the healing compact
     assert int(meta["through_version"]) == 4
+
+
+def test_lsh_index_maintainer_refuses_non_integral_key(spark, tmp_path):
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_lsh_index_from_commits,
+    )
+
+    src = str(tmp_path / "src")
+    write_snapshot(
+        spark.createDataFrame(
+            [("a", "alpha beta gamma delta")], "doc_id string, text string"
+        ),
+        src,
+    )
+    with pytest.raises(Exception, match="integral"):
+        maintain_lsh_index_from_commits(
+            spark, src, str(tmp_path / "idx"), str(tmp_path / "ck"),
+            text_col="text", key_col="doc_id",
+        )

@@ -778,7 +778,17 @@ def maintain_lsh_index_from_commits(
 
     def _index_rows(docs: DataFrame) -> DataFrame:
         # exactly `bands` rows per doc: the (doc × band) grid left-
-        # joins the real band keys, '' where the doc has no shingles
+        # joins the real band keys, '' where the doc has no shingles.
+        # The synthetic row key is ARITHMETIC on the doc key, so the
+        # key must be integral (hash string ids to a long upstream)
+        ktype = dict(docs.dtypes).get(key_col)
+        if ktype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"maintain_lsh_index_from_commits needs an integral "
+                f"{key_col} (got {ktype}) — the per-(doc, band) row "
+                "key is doc_id*bands+band; hash string ids to a long "
+                "(e.g. xxhash64) before landing the source"
+            )
         arr = minhash_signature_array(
             docs, text_col, key_col, num_hashes, shingle_n
         )
