@@ -1611,9 +1611,9 @@ def gc_snapshots(
 def subscriber_cursor(spark, state_base: str, fs=None) -> int | None:
     """The consumed-through source version of a commit-log maintainer's
     state table (`streaming/commit_log.py` writers stamp it into their
-    marker meta): ``through_version`` for the Bloom/agg maintainers,
-    min(source_appended_through, source_deleted_through) for the IVF
-    maintainer. None when the state table has no commits yet (an
+    marker meta): ``through_version`` for the Bloom/agg/LSH-index
+    maintainers, min(source_appended_through, source_deleted_through)
+    for the IVF maintainer. None when the state table has no commits yet (an
     unbootstrapped subscriber needs no history — its first drain reads
     the head). Raises when the newest marker carries no cursor at all:
     that's not a maintainer state, and guessing would let GC break a
