@@ -132,6 +132,36 @@ def char_ngrams(text: Column | str, n: int = 4) -> Column:
     return F.transform(idx, lambda i: c.substr(i, F.lit(n)))
 
 
+def hashed_bow_vector(text: Column | str, dim: int = 64) -> Column:
+    """DENSE hashing-trick bag-of-words vector (array<double>, length
+    ``dim``): slot j counts the tokens whose md5-derived bucket is j —
+    the dense form of the sparse `hashed_bow` featurization, giving
+    every document a fixed-width embedding with NO vocabulary pass.
+    Integer counts cast to double, so two engines computing it agree
+    EXACTLY (the property the SemDeDup oracle leans on). Pure codegen:
+    one transform x filter over the token array per document — no
+    explode, no shuffle, no UDF."""
+    toks = tokens(text)
+
+    def _slot(j: Column) -> Column:
+        return (
+            F.size(
+                F.filter(
+                    toks,
+                    lambda t: (
+                        F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast(
+                            "bigint"
+                        )
+                        % dim
+                    )
+                    == j.cast("bigint"),
+                )
+            ).cast("double")
+        )
+
+    return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _slot)
+
+
 # GPT-2-style pre-tokenizer approximation, restricted to constructs that
 # behave IDENTICALLY under Java regex (Spark, leftmost-first) and RE2
 # (DuckDB, leftmost-longest): the three alternatives start on disjoint

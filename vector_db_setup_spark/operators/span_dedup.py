@@ -1,0 +1,251 @@
+"""Span-level exact-substring deduplication (ExactSubstr-style).
+
+Whole-document dedup (exact groups, MinHash, SimHash, semantic — see
+operators/dedup.py) misses the other duplication mode a training corpus
+carries: the SAME PASSAGE embedded inside otherwise-distinct documents
+(boilerplate, license headers, quoted paragraphs). Lee et al.,
+"Deduplicating Training Data Makes Language Models Better" (2021),
+remove every repeated substring above a length threshold, keeping one
+copy. The reference deployment (dangni02/vector-db-setup — a pgvector
+corpus store, `fever_multi_agent.py:67-75`) has no span-level pass at
+all; this module is part of the mandated training-data-pipeline
+extension surface.
+
+This is the Spark-first re-expression of that pass. The paper builds a
+corpus-wide suffix array — a sequential, RAM-resident construction that
+does not distribute. The distributable equivalent used here: a repeated
+substring of length ≥ n tokens is exactly a chain of repeated token
+n-grams, so
+
+  1. key every (doc, position) by the md5 of its n-token shingle
+     (one explode — linear),
+  2. a shingle key occurring more than once corpus-wide marks every
+     NON-FIRST occurrence as duplicated (first occurrence in
+     (doc_id, pos) order is the kept copy — one map-side-combinable
+     groupBy carrying (count, min(packed occurrence)) per key),
+  3. each duplicate occurrence covers token positions [pos, pos+n-1];
+     per-document gaps-and-islands merges overlapping/adjacent covers
+     into maximal spans (a window partitioned BY DOCUMENT — bounded
+     partitions, no corpus-wide ordering),
+  4. stripping = anti-join of token positions against span covers and
+     an order-preserving re-join (both partitioned by doc).
+
+Every step is a native column expression / equi-shuffle — no Python in
+the hot path — and every step is ANSI-SQL-expressible, so the whole
+pass is DuckDB-oracled end to end (queries.py: duplicate_spans,
+corpus_span_clean).
+
+Semantics (documented contract, pinned by tests/test_span_dedup.py):
+
+- Tokens are lowercased whitespace tokens for KEYING; the cleaned text
+  is rebuilt from the ORIGINAL-case tokens, joined by single spaces
+  (whitespace is normalized — same as the paper's token-stream view).
+- "First occurrence" = smallest (doc_id, pos) corpus-wide; it is never
+  covered, so one copy of every repeated passage survives verbatim.
+- A merged span's length is >= n by construction; `min_span_tokens`
+  optionally raises that bar after merging (the paper's 50-token
+  threshold maps to n=50 OR n<50 + min_span_tokens=50 — the latter
+  catches staggered overlaps the former misses).
+
+Scale shape at 100 TB: the only corpus-sized shuffle is the groupBy on
+the shingle key (partial-aggregated: each mapper emits (key, count,
+min_occ) once). The join back of duplicated keys to occurrences is an
+equi-join on the same key — AQE's skew split handles pathological hot
+shingles, and `max_key_occurrences` caps them outright (a shingle
+occurring millions of times is boilerplate whose docs are better routed
+through exact/near-dup whole-doc dedup; the cap bounds the join fan-out
+the way the MinHash hot-band cap does, operators/dedup.py). Island
+merging and stripping shuffle on doc_id only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from vector_db_setup_spark.functions.text import word_shingles
+
+# Packed (doc_id, pos) occurrence key: pos gets 22 bits (4.2M tokens per
+# document — far above any sane document; the pack exists so "first
+# occurrence" is ONE bigint min() instead of a struct ordering, which
+# DuckDB cannot aggregate portably).
+_POS_BITS = 22
+_POS_CAP = 1 << _POS_BITS
+
+
+def ngram_occurrences(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, pos, gram) for every n-token shingle position (1-based).
+
+    `gram` is the md5 hex of the lowercased shingle text — the
+    engine-portable key family every dedup operator here uses (never
+    engine-native hash(): murmur seeds differ across engines).
+    Documents shorter than n tokens emit nothing.
+    """
+    grams = word_shingles(F.col(text_col), n)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(grams).alias("pos0", "shingle"),
+    ).select(
+        "id",
+        (F.col("pos0") + 1).alias("pos"),
+        F.md5(F.col("shingle")).alias("gram"),
+    )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_span_tokens: int | None = None,
+    max_key_occurrences: int | None = None,
+) -> DataFrame:
+    """Maximal duplicated-token spans per document.
+
+    Returns (id_col, span_start, span_end, n_tokens) — 1-based
+    inclusive token positions of every merged region covered by
+    non-first occurrences of corpus-repeated n-gram shingles. The
+    corpus-wide first occurrence of each shingle is exempt, so every
+    repeated passage keeps exactly one uncovered copy.
+
+    `max_key_occurrences` drops shingle keys occurring more often than
+    the cap (boilerplate guard — see module docstring); capped keys
+    produce NO spans, i.e. the cap trades recall for a bounded join.
+    """
+    occ = ngram_occurrences(docs, n=n, text_col=text_col, id_col=id_col)
+    occ = occ.withColumn(
+        "occ_key",
+        F.col("id").cast("long") * F.lit(_POS_CAP).cast("long") + F.col("pos"),
+    )
+    agg = occ.groupBy("gram").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.min("occ_key").alias("first_occ"),
+    )
+    agg = agg.filter(F.col("n_occ") > 1)
+    if max_key_occurrences is not None:
+        agg = agg.filter(F.col("n_occ") <= max_key_occurrences)
+    dup = (
+        occ.join(agg, "gram")
+        .filter(F.col("occ_key") != F.col("first_occ"))
+        .select(
+            "id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + F.lit(n - 1)).alias("e"),
+        )
+    )
+    # gaps-and-islands per document: a cover starts a new island iff it
+    # begins past every previous cover's end + 1 (adjacent covers merge —
+    # the union of covered positions is what matters).
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = dup.withColumn(
+        "brk",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1, 1
+        ).otherwise(0),
+    ).withColumn("gid", F.sum("brk").over(w_run))
+    spans = (
+        islands.groupBy("id", "gid")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    if min_span_tokens is not None:
+        spans = spans.filter(F.col("n_tokens") >= min_span_tokens)
+    return spans
+
+
+def strip_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Remove span-covered tokens; rebuild single-space-joined text.
+
+    Returns one row per input document: (id_col, out_col, n_kept,
+    n_removed). Documents without spans pass through (normalized to
+    single-space joins); a fully-covered document yields ''. Overlapping
+    input spans are tolerated (the anti-join drops a position once no
+    matter how many spans cover it); duplicate_spans emits them merged
+    anyway.
+    """
+    cov = spans.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.sequence(F.col("span_start"), F.col("span_end"))
+        ).alias("pos"),
+    )
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "tok"),
+    ).select("id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
+    kept = toks.join(cov, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda st: st["tok"],
+            ),
+            " ",
+        ).alias(out_col),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_total"),
+    )
+    return (
+        base.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_span_tokens: int | None = None,
+    max_key_occurrences: int | None = None,
+) -> DataFrame:
+    """detect + strip in one call — the corpus-cleaning entry point."""
+    spans = duplicate_spans(
+        docs,
+        n=n,
+        text_col=text_col,
+        id_col=id_col,
+        min_span_tokens=min_span_tokens,
+        max_key_occurrences=max_key_occurrences,
+    )
+    return strip_spans(docs, spans, text_col=text_col, id_col=id_col)

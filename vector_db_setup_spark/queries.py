@@ -6930,3 +6930,226 @@ def mixture_epochs_at_budget(
         F.round(w, 6).alias("weight"),
         F.round(F.lit(1e8) * w / F.col("mass"), 6).alias("epochs"),
     )
+
+
+@register(
+    "duplicate_spans",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    occ AS (
+        SELECT doc_id,
+               unnest(generate_series(1, greatest(len(w) - 7, 0))) AS pos,
+               w
+        FROM toks
+    ),
+    g AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(w[pos:pos+7], ' ')) AS k
+        FROM occ
+    ),
+    agg AS (
+        SELECT k, min(doc_id * 4194304 + pos) AS first_occ
+        FROM g GROUP BY k HAVING count(*) > 1
+    ),
+    dup AS (
+        SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e
+        FROM g JOIN agg USING (k)
+        WHERE g.doc_id * 4194304 + g.pos <> agg.first_occ
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) + 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM dup
+    ),
+    isl2 AS (
+        SELECT doc_id, s, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS gid
+        FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(s) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(max(e) - min(s) + 1 AS BIGINT) AS n_tokens
+    FROM isl2 GROUP BY doc_id, gid
+    """,
+)
+def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring dedup, detection half (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better"):
+    maximal spans of 8-token shingles repeated ANYWHERE in the corpus,
+    with the corpus-wide first occurrence exempt (one copy of every
+    repeated passage survives). Catches the duplication mode whole-doc
+    dedup can't see — shared boilerplate inside otherwise-distinct
+    documents. operators/span_dedup.py documents the suffix-array →
+    shingle-chain re-expression and the 100 TB shape (ONE combinable
+    corpus shuffle on the shingle key; islands merge per-document).
+    The oracle replays shingling, first-occurrence exemption, and the
+    gaps-and-islands merge entirely in SQL."""
+    from vector_db_setup_spark.operators.span_dedup import duplicate_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(d, n=8)
+
+
+@register(
+    "corpus_span_clean",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    occ AS (
+        SELECT doc_id,
+               unnest(generate_series(1, greatest(len(w) - 7, 0))) AS pos,
+               w
+        FROM toks
+    ),
+    g AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(w[pos:pos+7], ' ')) AS k
+        FROM occ
+    ),
+    agg AS (
+        SELECT k, min(doc_id * 4194304 + pos) AS first_occ
+        FROM g GROUP BY k HAVING count(*) > 1
+    ),
+    dup AS (
+        SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e
+        FROM g JOIN agg USING (k)
+        WHERE g.doc_id * 4194304 + g.pos <> agg.first_occ
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) + 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM dup
+    ),
+    isl2 AS (
+        SELECT doc_id, s, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS gid
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, min(s) AS sp_start, max(e) AS sp_end
+        FROM isl2 GROUP BY doc_id, gid
+    ),
+    cov AS (
+        SELECT doc_id, unnest(generate_series(sp_start, sp_end)) AS pos
+        FROM spans
+    ),
+    tok0 AS (SELECT doc_id, string_split(text, ' ') AS w0 FROM documents),
+    tok AS (
+        SELECT doc_id, unnest(generate_series(1, len(w0))) AS pos, w0
+        FROM tok0
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.w0[t.pos] AS tokn
+        FROM tok t LEFT JOIN cov c
+          ON t.doc_id = c.doc_id AND t.pos = c.pos
+        WHERE c.pos IS NULL
+    ),
+    agg2 AS (
+        SELECT doc_id, string_agg(tokn, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.clean_text, '') AS clean_text,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(len(string_split(d.text, ' ')) - coalesce(a.n_kept, 0)
+                AS BIGINT) AS n_removed
+    FROM documents d LEFT JOIN agg2 a USING (doc_id)
+    """,
+)
+def corpus_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup, removal half: every document with its
+    repeated spans stripped (first occurrence kept corpus-wide),
+    rebuilt from original-case tokens with single-space joins, plus
+    kept/removed token accounting. detect→strip composition of
+    operators/span_dedup.py; the oracle replays the full pipeline —
+    including text RECONSTRUCTION — in SQL, so the cleaned strings
+    themselves are value-checked, not just the counts."""
+    from vector_db_setup_spark.operators.span_dedup import span_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return span_dedup(d, n=8)
+
+
+@register(
+    "semdedup_doc_keepers",
+    """
+    WITH d AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    v AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, 63),
+                   j -> len(list_filter(w,
+                        t -> ('0x' || substr(md5(t), 1, 4))::BIGINT % 64
+                             = j))::DOUBLE) AS vec
+        FROM d
+    ),
+    cents AS (SELECT doc_id AS cid, vec AS c FROM v WHERE doc_id < 4),
+    asg0 AS (
+        SELECT v.doc_id, v.vec, ct.cid,
+               list_distance(v.vec, ct.c) AS dist,
+               row_number() OVER (PARTITION BY v.doc_id
+                   ORDER BY list_distance(v.vec, ct.c) ASC, ct.cid ASC)
+                   AS rn
+        FROM v CROSS JOIN cents ct
+    ),
+    asg AS (SELECT doc_id, vec, cid AS cluster_id, round(dist, 6) AS d0
+            FROM asg0 WHERE rn = 1),
+    sym AS (
+        SELECT a.doc_id AS x, b.doc_id AS p, a.d0 AS dx, b.d0 AS dp
+        FROM asg a JOIN asg b
+          ON a.cluster_id = b.cluster_id AND a.doc_id <> b.doc_id
+        WHERE round(list_cosine_similarity(a.vec, b.vec), 6) >= 0.95
+    ),
+    removed AS (SELECT DISTINCT x FROM sym
+                WHERE dp > dx OR (dp = dx AND p < x))
+    SELECT a.doc_id, CAST(a.cluster_id AS BIGINT) AS cluster_id,
+           a.d0 AS centroid_dist
+    FROM asg a LEFT JOIN removed r ON a.doc_id = r.x
+    WHERE r.x IS NULL
+    """,
+)
+def semdedup_doc_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the document corpus: dense
+    hashed-BoW embeddings (integer counts — EXACT cross-engine), 4
+    fixture-seed centroids (doc_id < 4, the literal-codebook pattern
+    pq_adc_distances established; kmeans_centroids is the production
+    trainer), cluster-partitioned cosine pairs at tau=0.95, and the
+    paper's keep-least-central rule in pairwise-domination form
+    (operators/semdedup.py). Differs from semantic_dedup_keepers in
+    BOTH halves: candidate pairs come from k-means clusters instead of
+    LSH buckets, and the survivor is the member FARTHEST from its
+    centroid instead of the component minimum. The oracle recomputes
+    embeddings, assignment (ties: lowest centroid id — matching
+    ivf_assign's first-match argmin), pairs, and domination in SQL."""
+    import numpy as np
+
+    from vector_db_setup_spark.functions.text import hashed_bow_vector
+    from vector_db_setup_spark.operators.semdedup import semdedup_keepers
+
+    d = load_table(spark, sf_dir, "documents")
+    vecs = d.select(
+        "doc_id", hashed_bow_vector("text", 64).alias("vec")
+    )
+    # k seed rows collected as the literal codebook (4 x 64 doubles —
+    # the same driver-side footprint as pq_adc_distances' codebook).
+    seeds = vecs.filter(F.col("doc_id") < 4).orderBy("doc_id").collect()
+    cents = np.array([r["vec"] for r in seeds], dtype=np.float64)
+    return semdedup_keepers(
+        vecs, cents, tau=0.95, vec_col="vec", id_col="doc_id"
+    )
