@@ -1,0 +1,154 @@
+"""Scaling decades for the round's new dedup families: span-level
+exact-substring dedup (operators/span_dedup.py) and SemDeDup
+(operators/semdedup.py), measured at sf0.1 x {1, 10, 100} documents
+(5k → 50k → 500k docs, ~27M tokens at the top point).
+
+Corpus synthesis follows the established replica rules
+(sf1_headline_scaling.py): doc_id shifts by replica * (max_id + 1) and
+every token gets a ``-t{r}`` suffix for r > 0, so shingle spaces and
+hashed-BoW bucket profiles stay DISJOINT across replicas — the true
+duplicate structure is exactly N copies of sf0.1's, the regime where a
+correct implementation should be near-linear and anything super-linear
+is implementation, not workload.
+
+SemDeDup is measured the way it deploys: k scales with the corpus
+(k = N/1000, the paper's cluster-occupancy discipline; the ORACLED
+query pins k=4 fixture seeds only so DuckDB can replay assignment).
+Centroid training (MLlib KMeans) is timed separately from the dedup
+pass — training is the offline step, the pass is the per-corpus cost.
+
+Run: python experiments/span_semdedup_scaling.py   (~6 min local[32])
+Results recorded in SCALE_EXPERIMENTS.md "Span dedup + SemDeDup
+scaling".
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F
+
+from vector_db_setup_spark.functions.text import hashed_bow_vector
+from vector_db_setup_spark.operators.ann import kmeans_centroids
+from vector_db_setup_spark.operators.semdedup import semdedup_keepers
+from vector_db_setup_spark.operators.span_dedup import (
+    duplicate_spans,
+    span_dedup,
+)
+from vector_db_setup_spark.session import get_spark
+
+SF_BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/span_scaling"
+
+
+def build_replicas(spark, mult: int) -> str:
+    """mult key-shifted, token-suffixed replicas of SF_BASE documents."""
+    path = f"{WORK}/docs_x{mult}"
+    if os.path.exists(f"{path}/_SUCCESS"):
+        return path
+    base = spark.read.parquet(f"{SF_BASE}/documents.parquet")
+    shift = base.agg(F.max("doc_id")).collect()[0][0] + 1
+    parts = []
+    for r in range(mult):
+        rep = base.select(
+            (F.col("doc_id") + F.lit(r * shift)).alias("doc_id"),
+            (
+                F.col("text")
+                if r == 0
+                else F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), " "),
+                        lambda t: F.concat(t, F.lit(f"-t{r}")),
+                    ),
+                    " ",
+                )
+            ).alias("text"),
+            "lang",
+            "source",
+            "n_chars",
+        )
+        parts.append(rep)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    out.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def timed(fn):
+    t0 = time.time()
+    n = fn()
+    return time.time() - t0, n
+
+
+def main():
+    spark = get_spark(app_name="span_semdedup_scaling")
+    results = {}
+    for mult in (1, 10, 100):
+        path = build_replicas(spark, mult)
+        docs = spark.read.parquet(path)
+        n_docs = docs.count()
+        row = {"n_docs": n_docs}
+
+        # --- span dedup: detection, then detect+strip ---
+        for label, fn in (
+            ("spans_detect", lambda: duplicate_spans(docs, n=8).count()),
+            ("span_clean", lambda: span_dedup(docs, n=8).count()),
+        ):
+            cold, n_out = timed(fn)
+            warm, _ = timed(fn)
+            row[label] = {
+                "cold_s": round(cold, 2),
+                "warm_s": round(warm, 2),
+                "rows": n_out,
+            }
+
+        # --- SemDeDup: k scales with N (k = N/1000, floor 4) ---
+        vecs = docs.select(
+            "doc_id", hashed_bow_vector("text", 64).alias("vec")
+        )
+        vecs.persist()
+        k = max(4, n_docs // 1000)
+        t0 = time.time()
+        cents = kmeans_centroids(vecs, k=k, vec_col="vec", seed=42)
+        train_s = time.time() - t0
+
+        def _pass():
+            return semdedup_keepers(
+                vecs, cents, tau=0.95, vec_col="vec", id_col="doc_id"
+            ).count()
+
+        cold, n_keep = timed(_pass)
+        warm, _ = timed(_pass)
+        row["semdedup"] = {
+            "k": k,
+            "train_s": round(train_s, 2),
+            "cold_s": round(cold, 2),
+            "warm_s": round(warm, 2),
+            "keepers": n_keep,
+            "removed": n_docs - n_keep,
+        }
+        vecs.unpersist()
+        results[f"x{mult}"] = row
+        print(json.dumps({f"x{mult}": row}))
+
+    # exponents over each decade (warm — the steady-state number)
+    for op in ("spans_detect", "span_clean", "semdedup"):
+        for lo, hi in (("x1", "x10"), ("x10", "x100")):
+            e = math.log10(
+                results[hi][op]["warm_s"] / max(results[lo][op]["warm_s"], 1e-9)
+            )
+            print(f"exponent {op} {lo}->{hi}: {e:.2f}")
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -176,3 +176,58 @@ def test_occurrences_positions_one_based(spark):
     d = _docs(spark, [(3, "a b c d e f g h i")])  # 9 tokens, n=8 → 2 grams
     occ = ngram_occurrences(d, n=8).collect()
     assert sorted((r["id"], r["pos"]) for r in occ) == [(3, 1), (3, 2)]
+
+
+def test_contaminated_spans_no_first_occurrence_exemption(spark):
+    from vector_db_setup_spark.operators.span_dedup import (
+        contaminated_spans,
+    )
+
+    probes = _docs(spark, [(0, "q1 q2 q3 q4 q5")])
+    corpus = _docs(
+        spark,
+        [
+            (10, "a0 a1 q1 q2 q3 q4 q5 a2"),  # embeds the probe
+            (11, "b0 b1 b2 b3 b4 b5"),  # clean
+        ],
+    )
+    got = _spans(contaminated_spans(corpus, probes, n=5))
+    # the ONLY copy in the corpus is still flagged (unlike duplicate_spans)
+    assert got == [(10, 3, 7, 5)]
+
+
+def test_contaminated_spans_strip_removes_all_probe_grams(spark):
+    from vector_db_setup_spark.operators.span_dedup import (
+        contaminated_spans,
+        ngram_occurrences,
+    )
+
+    probes = _docs(spark, [(0, PASSAGE)])
+    corpus = _docs(
+        spark,
+        [
+            (10, "h0 h1 " + PASSAGE + " t0"),
+            (11, PASSAGE + " " + PASSAGE),
+            (12, "c0 c1 c2 c3 c4 c5 c6 c7 c8"),
+        ],
+    )
+    spans = contaminated_spans(corpus, probes, n=5)
+    cleaned = strip_spans(corpus, spans)
+    # re-scan the cleaned corpus: zero probe n-grams survive
+    cdocs = cleaned.selectExpr("doc_id", "clean_text as text")
+    probe_keys = ngram_occurrences(probes, n=5).select("gram").distinct()
+    left = ngram_occurrences(cdocs, n=5).join(probe_keys, "gram")
+    assert left.count() == 0
+    got = _clean(cleaned)
+    assert got[12][2] == 0  # clean doc untouched
+    assert got[11][0] == ""  # pure-probe doc fully stripped
+
+
+def test_contaminated_spans_disjoint_corpora_empty(spark):
+    from vector_db_setup_spark.operators.span_dedup import (
+        contaminated_spans,
+    )
+
+    probes = _docs(spark, [(0, "x1 x2 x3 x4 x5 x6")])
+    corpus = _docs(spark, [(10, "y1 y2 y3 y4 y5 y6")])
+    assert contaminated_spans(corpus, probes, n=5).count() == 0

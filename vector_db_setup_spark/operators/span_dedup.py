@@ -141,37 +141,7 @@ def duplicate_spans(
     # gaps-and-islands per document: a cover starts a new island iff it
     # begins past every previous cover's end + 1 (adjacent covers merge —
     # the union of covered positions is what matters).
-    w_prev = (
-        Window.partitionBy("id")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = (
-        Window.partitionBy("id")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    islands = dup.withColumn(
-        "brk",
-        F.when(
-            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1, 1
-        ).otherwise(0),
-    ).withColumn("gid", F.sum("brk").over(w_run))
-    spans = (
-        islands.groupBy("id", "gid")
-        .agg(
-            F.min("s").alias("span_start"),
-            F.max("e").alias("span_end"),
-        )
-        .select(
-            F.col("id").alias(id_col),
-            F.col("span_start").cast("long"),
-            F.col("span_end").cast("long"),
-            (F.col("span_end") - F.col("span_start") + 1)
-            .cast("long")
-            .alias("n_tokens"),
-        )
-    )
+    spans = _merge_islands(dup, id_col)
     if min_span_tokens is not None:
         spans = spans.filter(F.col("n_tokens") >= min_span_tokens)
     return spans
@@ -229,6 +199,81 @@ def strip_spans(
             .alias("n_removed"),
         )
     )
+
+
+def _merge_islands(
+    covers: DataFrame, id_col: str
+) -> DataFrame:
+    """gaps-and-islands merge of (id, s, e) covers into maximal spans."""
+    w_prev = (
+        Window.partitionBy("id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = covers.withColumn(
+        "brk",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1, 1
+        ).otherwise(0),
+    ).withColumn("gid", F.sum("brk").over(w_run))
+    return (
+        islands.groupBy("id", "gid")
+        .agg(F.min("s").alias("span_start"), F.max("e").alias("span_end"))
+        .select(
+            F.col("id").alias(id_col),
+            F.col("span_start").cast("long"),
+            F.col("span_end").cast("long"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+
+
+def contaminated_spans(
+    docs: DataFrame,
+    probes: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    probe_text_col: str | None = None,
+) -> DataFrame:
+    """SPAN-LEVEL benchmark decontamination: maximal token spans of
+    `docs` that reproduce any n-gram of `probes` (the eval benchmark).
+
+    The whole-doc decontamination family (benchmark_overlap,
+    benchmark_overlap_bloom — shingle-containment scores per doc) says
+    WHETHER a training document overlaps an eval set; this says WHERE —
+    the GPT-3 appendix-C / Lee et al. form whose output feeds
+    strip_spans, so a lightly-contaminated document is SALVAGED by
+    cutting the leaked passage instead of dropped whole. Unlike
+    duplicate_spans there is NO first-occurrence exemption: every
+    occurrence of benchmark text in the training corpus is
+    contamination, including the first.
+
+    Scale shape: the probe side reduces to DISTINCT n-gram keys —
+    benchmark suites are tiny next to a training corpus, so the join
+    against doc occurrences is broadcast-able (AQE converts it);
+    islands merge per-document as in duplicate_spans.
+    """
+    occ = ngram_occurrences(docs, n=n, text_col=text_col, id_col=id_col)
+    probe_keys = ngram_occurrences(
+        probes,
+        n=n,
+        text_col=probe_text_col or text_col,
+        id_col=id_col,
+    ).select("gram").distinct()
+    covers = occ.join(probe_keys, "gram").select(
+        "id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.lit(n - 1)).alias("e"),
+    )
+    return _merge_islands(covers, id_col)
 
 
 def span_dedup(

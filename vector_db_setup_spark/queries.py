@@ -7153,3 +7153,74 @@ def semdedup_doc_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_keepers(
         vecs, cents, tau=0.95, vec_col="vec", id_col="doc_id"
     )
+
+
+@register(
+    "benchmark_contaminated_spans",
+    """
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    occ AS (
+        SELECT doc_id,
+               unnest(generate_series(1, greatest(len(w) - 4, 0))) AS pos,
+               w
+        FROM toks
+    ),
+    g AS (
+        SELECT doc_id, pos,
+               md5(array_to_string(w[pos:pos+4], ' ')) AS k
+        FROM occ
+    ),
+    bench AS (SELECT DISTINCT k FROM g WHERE doc_id < 50),
+    cov AS (
+        SELECT g.doc_id, g.pos AS s, g.pos + 4 AS e
+        FROM g JOIN bench USING (k)
+        WHERE g.doc_id >= 50
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1) + 1
+                    THEN 1 ELSE 0 END AS brk
+        FROM cov
+    ),
+    isl2 AS (
+        SELECT doc_id, s, e,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY s
+                              ROWS UNBOUNDED PRECEDING) AS gid
+        FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(s) AS BIGINT) AS span_start,
+           CAST(max(e) AS BIGINT) AS span_end,
+           CAST(max(e) - min(s) + 1 AS BIGINT) AS n_tokens
+    FROM isl2 GROUP BY doc_id, gid
+    """,
+)
+def benchmark_contaminated_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Span-level benchmark decontamination (GPT-3 appendix-C / Lee et
+    al. form): WHERE eval-benchmark text (docs 0-49 standing in as the
+    held-out suite, the benchmark_overlap convention) leaks into the
+    training corpus (docs 50+), as maximal 5-gram-seeded spans. The
+    whole-doc family (benchmark_overlap, benchmark_overlap_bloom)
+    scores containment per doc; this emits the cut-list strip_spans
+    consumes, so lightly-contaminated docs are salvaged instead of
+    dropped. No first-occurrence exemption — every benchmark echo is
+    contamination. Probe side reduces to distinct n-gram keys
+    (broadcast-able: benchmarks are tiny next to a 100 TB corpus);
+    islands merge per-document."""
+    from vector_db_setup_spark.operators.span_dedup import (
+        contaminated_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return contaminated_spans(
+        d.filter(F.col("doc_id") >= 50),
+        d.filter(F.col("doc_id") < 50),
+        n=5,
+    )
