@@ -92,7 +92,11 @@ def timed(fn):
 def main():
     spark = get_spark(app_name="span_semdedup_scaling")
     results = {}
-    for mult in (1, 10, 100):
+    mults = tuple(
+        int(m)
+        for m in os.environ.get("SPAN_SCALING_MULTS", "1,10,100").split(",")
+    )
+    for mult in mults:
         path = build_replicas(spark, mult)
         docs = spark.read.parquet(path)
         n_docs = docs.count()
@@ -143,10 +147,12 @@ def main():
     # exponents over each decade (warm — the steady-state number)
     for op in ("spans_detect", "span_clean", "semdedup"):
         for lo, hi in (("x1", "x10"), ("x10", "x100")):
-            e = math.log10(
-                results[hi][op]["warm_s"] / max(results[lo][op]["warm_s"], 1e-9)
-            )
-            print(f"exponent {op} {lo}->{hi}: {e:.2f}")
+            if lo in results and hi in results:
+                e = math.log10(
+                    results[hi][op]["warm_s"]
+                    / max(results[lo][op]["warm_s"], 1e-9)
+                )
+                print(f"exponent {op} {lo}->{hi}: {e:.2f}")
     print(json.dumps(results))
 
 

@@ -276,6 +276,48 @@ def contaminated_spans(
     return _merge_islands(covers, id_col)
 
 
+def spans_against_index(
+    docs: DataFrame,
+    index: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """duplicate_spans of `docs` resolved against a MAINTAINED
+    occurrence index (streaming/commit_log.
+    maintain_span_index_from_commits) instead of a corpus re-shingle.
+
+    An occurrence of `docs` is covered iff the index holds the same
+    gram at a STRICTLY SMALLER packed occurrence key — exactly the
+    batch operator's first-occurrence rule, generalized: when `docs`
+    is the whole indexed corpus, the result EQUALS duplicate_spans
+    (pinned in tests/test_span_index.py); when `docs` is just the
+    delta, it answers "which new spans duplicate anything ever
+    ingested" at delta cost. `n` must match the index geometry (the
+    maintainer's marker meta records it).
+
+    Scale shape: the index side reduces to (gram, min occ_key) — one
+    map-side-combinable aggregate over the index — before an equi-join
+    against the delta's occurrences.
+    """
+    occ = ngram_occurrences(docs, n=n, text_col=text_col, id_col=id_col)
+    occ = occ.withColumn(
+        "occ_key",
+        F.col("id").cast("long") * F.lit(_POS_CAP).cast("long") + F.col("pos"),
+    )
+    firsts = index.groupBy("gram").agg(F.min("occ_key").alias("first_occ"))
+    covers = (
+        occ.join(firsts, "gram")
+        .filter(F.col("first_occ") < F.col("occ_key"))
+        .select(
+            "id",
+            F.col("pos").alias("s"),
+            (F.col("pos") + F.lit(n - 1)).alias("e"),
+        )
+    )
+    return _merge_islands(covers, id_col)
+
+
 def span_dedup(
     docs: DataFrame,
     n: int = 8,

@@ -946,6 +946,250 @@ def maintain_lsh_index_from_commits(
     return q
 
 
+def maintain_span_index_from_commits(
+    spark: SparkSession,
+    source_base: str,
+    index_base: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 8,
+    fs=None,
+    available_now: bool = True,
+    on_rewrite: str = "raise",
+    **reader_options,
+):
+    """Keep the span-dedup OCCURRENCE INDEX current off the source's
+    commit log — the amortized form of operators/span_dedup.py, the
+    same maintenance shape as the LSH inverted index above: shingling
+    is the expensive half of span dedup (a scan over every document's
+    tokens), and this maintainer pays it only for the DELTA, so "which
+    spans of the new documents duplicate anything ever ingested" is a
+    join against the maintained index
+    (operators/span_dedup.spans_against_index) instead of a
+    re-shingling of the corpus.
+
+    STATE SHAPE: one snapshot-table row per n-gram OCCURRENCE —
+    (occ_key, doc key, pos, gram), keyed by the packed
+    ``occ_key = doc_id * 2^22 + pos`` (span_dedup's packing; the key
+    must be integral for the arithmetic, same contract as the LSH
+    index's rk). Per-occurrence rows — not a (gram, count, first_occ)
+    aggregate — are what make DELETES exact: removing a document
+    retires precisely its occurrence rows, and first-occurrence
+    semantics recompute as min(occ_key) per gram at query time, which
+    stays correct when the historical minimum itself is deleted (an
+    aggregate state could not resurrect the second-smallest).
+    Geometry (shingle_n, text_col) rides the marker meta and cannot
+    change incrementally — re-shingle under a fresh index_base.
+
+    DRAIN: pair-encoded carry feed over (cursor, head]. Per key, the
+    EARLIEST event being 'removed' carries the text the index
+    currently holds for it (the pre-image as of the cursor) — its
+    occurrence keys are RECONSTRUCTED from that carried text (one
+    sequence over its token count; no index read) and deleted; the
+    LATEST event being 'added' contributes the post-image rows through
+    one merge commit. Intermediate rewrites inside the window never
+    touched the index, so they produce no work. The last commit stamps
+    the cursor; replays are effect-idempotent; a doc re-landed over an
+    old unscoped delete self-heals via ``TombstonedKeyError`` →
+    meta-preserving compaction → retry. ``on_rewrite="rebuild"``
+    rebuilds from the head on a write/upsert/rollback step."""
+    from vector_db_setup_spark.operators.span_dedup import (
+        _POS_CAP,
+        ngram_occurrences,
+    )
+    from vector_db_setup_spark.sources import snapshot_table as st
+
+    params = {
+        "kind": "span_index",
+        "shingle_n": int(shingle_n),
+        "text_col": text_col,
+        "key_col": key_col,
+    }
+
+    def _index_rows(docs: DataFrame) -> DataFrame:
+        ktype = dict(docs.dtypes).get(key_col)
+        if ktype not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"maintain_span_index_from_commits needs an integral "
+                f"{key_col} (got {ktype}) — the occurrence key is "
+                "doc_id*2^22+pos; hash string ids to a long upstream"
+            )
+        occ = ngram_occurrences(
+            docs, n=shingle_n, text_col=text_col, id_col=key_col
+        )
+        return occ.select(
+            (
+                F.col("id").cast("long") * F.lit(_POS_CAP).cast("long")
+                + F.col("pos")
+            ).alias("occ_key"),
+            F.col("id").alias(key_col),
+            F.col("pos"),
+            "gram",
+        )
+
+    def _occ_keys_of(docs: DataFrame) -> DataFrame:
+        # occurrence keys reconstructed from carried text — no index read
+        n_pos = F.greatest(
+            F.size(F.split(F.col(text_col), " ")) - F.lit(shingle_n - 1),
+            F.lit(0),
+        )
+        return docs.select(
+            F.col(key_col),
+            F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
+        ).select(
+            (
+                F.col(key_col).cast("long") * F.lit(_POS_CAP).cast("long")
+                + F.col("pos")
+            ).alias("occ_key")
+        )
+
+    def _apply(s: SparkSession, through_v: int) -> None:
+        vs_idx = st.committed_versions(s, index_base)
+        if not vs_idx:
+            st.write_snapshot(
+                _index_rows(
+                    st.read_snapshot(
+                        s, source_base, version=through_v, fs=fs
+                    )
+                ),
+                index_base,
+                note=f"span index over {source_base} through v{through_v}",
+                idempotency_key=f"bootstrap:{through_v}",
+                meta={**params, "through_version": through_v},
+            )
+            return
+        meta = (
+            st.snapshot_info(s, index_base, max(vs_idx)).get("meta")
+            or {}
+        )
+        if meta.get("kind") != "span_index" or "through_version" not in meta:
+            raise ValueError(
+                f"state at {index_base} is not a maintained span index "
+                "— use a fresh index_base"
+            )
+        drift = {
+            k: (meta.get(k), v)
+            for k, v in params.items()
+            if k != "kind" and meta.get(k) != v
+        }
+        if drift:
+            raise ValueError(
+                f"index at {index_base} was built with different "
+                f"geometry {drift} — shingling cannot change "
+                "incrementally; rebuild under a fresh index_base"
+            )
+        last = int(meta["through_version"])
+        if through_v <= last:
+            return  # replayed batch
+        try:
+            feed = st.snapshot_changes(
+                s,
+                source_base,
+                key_col,
+                from_version=last,
+                to_version=through_v,
+                fs=fs,
+                columns=[text_col],
+                carry_columns=[text_col],
+                allowed_ops=("append", "delete", "compact", "merge"),
+                change_encoding="pair",
+            )
+        except st.DisallowedOpError:
+            if on_rewrite != "rebuild":
+                raise
+            st.write_snapshot(
+                _index_rows(
+                    st.read_snapshot(
+                        s, source_base, version=through_v, fs=fs
+                    )
+                ),
+                index_base,
+                note=(
+                    f"span index over {source_base} REBUILT through "
+                    f"v{through_v} (content rewrite in range)"
+                ),
+                idempotency_key=f"rebuild:{through_v}",
+                meta={**params, "through_version": through_v},
+            )
+            return
+        feed = feed.persist()
+        try:
+            w_last = Window.partitionBy(key_col).orderBy(
+                F.col("version").desc(), F.col("status").asc()
+            )
+            w_first = Window.partitionBy(key_col).orderBy(
+                F.col("version").asc(), F.col("status").desc()
+            )
+            final_added = (
+                feed.withColumn("_rn", F.row_number().over(w_last))
+                .filter(
+                    (F.col("_rn") == 1) & (F.col("status") == "added")
+                )
+                .select(key_col, text_col)
+            )
+            # the pre-image as of the cursor: the EARLIEST event per key
+            # being 'removed' means the index holds that text today
+            first_removed = (
+                feed.withColumn("_rn", F.row_number().over(w_first))
+                .filter(
+                    (F.col("_rn") == 1) & (F.col("status") == "removed")
+                )
+                .select(key_col, text_col)
+            )
+            # guard on the ACTUAL frames: a short doc (< shingle_n
+            # tokens) has events but zero occurrence rows either way
+            del_keys = _occ_keys_of(first_removed)
+            add_rows = _index_rows(final_added)
+            has_del = bool(del_keys.limit(1).count())
+            has_add = bool(add_rows.limit(1).count())
+            if not (has_add or has_del):
+                return
+            cursor = {"through_version": through_v}
+
+            def _heal(fn):
+                try:
+                    return fn()
+                except st.TombstonedKeyError:
+                    st.compact_snapshot(s, index_base, keep_meta=True)
+                    return fn()
+
+            if has_del:
+                st.delete_from_snapshot(
+                    del_keys,
+                    index_base,
+                    key_col="occ_key",
+                    idempotency_key=f"delete-through:{through_v}",
+                    meta_update=cursor if not has_add else None,
+                )
+            if has_add:
+                _heal(
+                    lambda: st.merge_snapshot(
+                        add_rows,
+                        index_base,
+                        key_col="occ_key",
+                        note=f"span delta through v{through_v}",
+                        idempotency_key=f"merge-through:{through_v}",
+                        meta_update=cursor,
+                    )
+                )
+        finally:
+            feed.unpersist()
+
+    q = foreach_new_versions(
+        spark,
+        source_base,
+        _apply,
+        checkpoint_dir,
+        available_now=available_now,
+        **reader_options,
+    )
+    if available_now:
+        q.awaitTermination()
+        return None
+    return q
+
+
 def maintenance_cycle(
     spark: SparkSession,
     base: str,
