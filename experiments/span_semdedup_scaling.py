@@ -36,6 +36,8 @@ sys.path.insert(
 
 from pyspark.sql import functions as F
 
+from bench import _force
+
 from vector_db_setup_spark.functions.text import hashed_bow_vector
 from vector_db_setup_spark.operators.ann import kmeans_centroids
 from vector_db_setup_spark.operators.semdedup import semdedup_keepers
@@ -103,16 +105,20 @@ def main():
         row = {"n_docs": n_docs}
 
         # --- span dedup: detection, then detect+strip ---
-        for label, fn in (
-            ("spans_detect", lambda: duplicate_spans(docs, n=8).count()),
-            ("span_clean", lambda: span_dedup(docs, n=8).count()),
+        # _force (noop write), NOT count(): under a bare count Catalyst
+        # legitimately ELIMINATES span_dedup's final left join (the
+        # right side is aggregate-unique and unreferenced), so count()
+        # would measure a fraction of the pipeline.
+        for label, build in (
+            ("spans_detect", lambda: duplicate_spans(docs, n=8)),
+            ("span_clean", lambda: span_dedup(docs, n=8)),
         ):
-            cold, n_out = timed(fn)
-            warm, _ = timed(fn)
+            cold, _ = timed(lambda: _force(build()))
+            warm, _ = timed(lambda: _force(build()))
             row[label] = {
                 "cold_s": round(cold, 2),
                 "warm_s": round(warm, 2),
-                "rows": n_out,
+                "rows": build().count(),
             }
 
         # --- SemDeDup: k scales with N (k = N/1000, floor 4) ---

@@ -333,3 +333,49 @@ def test_udtf_lateral_join_prunes_columns(spark):
     assert all("n_tokens" not in ln for ln in scans), (
         "UDTF input scan reads columns the shingler never consumes"
     )
+
+
+def test_duplicate_spans_combinable_shuffle_and_pruned_scan(spark):
+    """duplicate_spans (driver row since r10): the only corpus-sized
+    shuffle is the groupBy on the shingle key, and it must partial-
+    aggregate map-side (each mapper emits (gram, count, min_occ) once);
+    the scan reads only doc_id + text; no cartesian anywhere."""
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    df = q.duplicate_spans_q(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan and "partial_min" in plan
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans and all(
+        "n_chars" not in ln and "lang" not in ln for ln in scans
+    ), plan
+
+
+def test_corpus_span_clean_no_cartesian_pruned_scan(spark):
+    """corpus_span_clean (driver row since r10): detect + strip stays
+    equi-join shaped end to end (anti-join on (id, pos), never a
+    cartesian), over doc_id+text-only scans."""
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    df = q.corpus_span_clean(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans and all(
+        "n_chars" not in ln and "lang" not in ln for ln in scans
+    ), plan
+
+
+def test_semdedup_grouped_gemm_no_cartesian(spark):
+    """semdedup_doc_keepers (driver row since r10): the pairwise stage
+    is the cluster-grouped Pandas GEMM (FlatMapGroupsInPandas), never a
+    corpus self-join; assignment is a pure map stage (no shuffle before
+    the grouping exchange on cluster_id)."""
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    df = q.semdedup_doc_keepers(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "FlatMapGroupsInPandas" in plan

@@ -63,13 +63,14 @@ _DRIVER_PRIORITY = [
     "batch_knn_blocked", "pq_adc_distances",
     "pricing_summary", "top_customers", "regional_revenue",
     "doc_count", "doc_sample", "majority_vote",
-    "substring_accuracy", "dedup_exact_groups", "leakage_safe_split",
+    "duplicate_spans", "dedup_exact_groups", "leakage_safe_split",
     "minhash_lsh_candidates", "retrieval_eval",
-    "ngram_jaccard_topk", "asof_purchase_click",
+    "corpus_span_clean", "asof_purchase_click",
     "dedup_keepers", "corpus_curation_verdict",
-    "semantic_dedup_keepers", "doc_chunking", "context_packing",
+    "semantic_dedup_keepers", "semdedup_doc_keepers",
+    "doc_chunking", "context_packing",
     "bm25_scores", "doc_winnow_fingerprints", "doc_pii_scrub",
-    "simhash_hamming_topk", "range_click_counts",
+    "simhash_hamming_topk",
     "embedding_similar_topk", "rrf_fusion",
     "data_quality_report", "lang_id_detect",
     "rollup_orders", "purchase_attribution", "hashed_bow",
@@ -192,6 +193,22 @@ _DRIVER_PRIORITY = [
 # events_props_map + events_variant_stats in the local gate and the
 # F-family keeps substring_accuracy + fever_pipeline driver rows).
 # Both rotated-out queries remain green in the local parity gate.
+#
+# r10 second rotation (same contract): IN duplicate_spans +
+# corpus_span_clean (first driver rows for the NEW span-level
+# exact-substring dedup family — detection and the value-checked text
+# reconstruction) and semdedup_doc_keepers (first driver row for the
+# cluster-partitioned SemDeDup family) — OUT substring_accuracy (green
+# since r1; the substring-match semantics stay driver-exercised through
+# fever_accuracy, whose judge IS substring containment, and the
+# F-family keeps fever_pipeline), ngram_jaccard_topk (green since r2;
+# the near-dup family keeps minhash_lsh_candidates + dedup_keepers +
+# simhash_hamming_topk driver rows), and range_click_counts (green
+# since r3; the J4 join family keeps asof_purchase_click +
+# top_customers + regional_revenue). All three rotated-out queries
+# remain green in the local parity gate;
+# benchmark_contaminated_spans (also new) sits in the local gate — the
+# decontamination family keeps benchmark_overlap_bloom in-window.
 
 
 def _ordered(d: dict) -> dict:
