@@ -63,10 +63,15 @@ from vector_db_setup_spark.operators.dedup import (
     lsh_pairs_from_index,
     minhash_lsh_candidates,
 )
+from vector_db_setup_spark.operators.span_dedup import (
+    duplicate_spans,
+    spans_against_index,
+)
 from vector_db_setup_spark.streaming.commit_log import (
     maintain_agg_from_commits,
     maintain_ivf_from_commits,
     maintain_lsh_index_from_commits,
+    maintain_span_index_from_commits,
     maintenance_cycle,
 )
 
@@ -81,6 +86,7 @@ def main(sf_dir: str) -> None:
     base = f"{root}/corpus"
     agg_state, idx = f"{root}/agg", f"{root}/idx"
     lsh = f"{root}/lsh"
+    spidx = f"{root}/spans"
     try:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang"
@@ -112,12 +118,17 @@ def main(sf_dir: str) -> None:
                 text_col="text", key_col="doc_id",
                 bands=4, num_hashes=8, shingle_n=3,
             ),
+            partial(
+                maintain_span_index_from_commits,
+                spark, base, spidx, f"{root}/ck_spans",
+                text_col="text", key_col="doc_id", shingle_n=8,
+            ),
         ]
         for d in drains:
             d()
         print(
             "subscribers bootstrapped: agg view + IVF index + LSH "
-            "dedup index"
+            "dedup index + span occurrence index"
         )
 
         # ---- the churn day: rewrite a slice (new text AND embedding),
@@ -158,7 +169,7 @@ def main(sf_dir: str) -> None:
         report = maintenance_cycle(
             spark, base,
             drains=drains,
-            subscriber_states=[agg_state, idx, lsh],
+            subscriber_states=[agg_state, idx, lsh, spidx],
             compact=dict(max_data_dirs=8, max_delete_entries=4),
             gc=dict(keep=2, orphan_min_age_s=0),
         )
@@ -215,6 +226,25 @@ def main(sf_dir: str) -> None:
         print(
             f"LSH dedup index == batch operator ({len(pairs_got)} "
             "candidate pairs; signatures computed only for the delta)"
+        )
+        spans_got = sorted(
+            tuple(r)
+            for r in spans_against_index(
+                read_snapshot(spark, base).select("doc_id", "text"),
+                read_snapshot(spark, spidx),
+                n=8,
+            ).collect()
+        )
+        spans_want = sorted(
+            tuple(r)
+            for r in duplicate_spans(
+                read_snapshot(spark, base).select("doc_id", "text"), n=8
+            ).collect()
+        )
+        assert spans_got == spans_want, "span index spans != batch op"
+        print(
+            f"span occurrence index == batch operator ({len(spans_got)} "
+            "duplicated spans; shingled only for the delta)"
         )
         print("OK — curation churn loop (merge/delete/drain/verify)")
     finally:
