@@ -23,7 +23,9 @@ for name in ['events_tumbling', 'events_session_window', 'doc_count',
              'events_sessionize', 'semantic_dedup_keepers',
              'corpus_curation_verdict', 'doc_chunking', 'bm25_scores',
              'sql_vector_knn', 'benchmark_overlap_bloom',
-             'batch_knn_blocked', 'pq_adc_distances', 'retrieval_eval']:
+             'batch_knn_blocked', 'pq_adc_distances', 'retrieval_eval',
+             'duplicate_spans', 'corpus_span_clean',
+             'semdedup_doc_keepers']:
     assert qs[name](spark, '/root/testdata/sf0.001').count() > 0
 assert set(ent.oracle_sql()) <= set(qs)
 print('PLAIN_OK')
