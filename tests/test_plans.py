@@ -353,15 +353,17 @@ def test_duplicate_spans_combinable_shuffle_and_pruned_scan(spark):
 
 
 def test_corpus_span_clean_no_cartesian_pruned_scan(spark):
-    """corpus_span_clean (driver row since r10): detect + strip stays
-    equi-join shaped end to end (anti-join on (id, pos), never a
-    cartesian), over doc_id+text-only scans."""
+    """corpus_span_clean (driver row since r10): stripping must NOT
+    explode the corpus — the token arrays stay intact and covered
+    positions drop inside a higher-order filter, so the strip side of
+    the plan carries no Generate(posexplode) beyond detection's shingle
+    explode and no anti-join shuffle; doc_id+text-only scans."""
     from vector_db_setup_spark.plans.inspect import executed_plan
 
     df = q.corpus_span_clean(spark, SF_ORACLE)
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
-    assert "LeftAnti" in plan
+    assert "LeftAnti" not in plan  # the strip rewrite removed it
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     assert scans and all(
         "n_chars" not in ln and "lang" not in ln for ln in scans

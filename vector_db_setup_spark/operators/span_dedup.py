@@ -159,44 +159,47 @@ def strip_spans(
     Returns one row per input document: (id_col, out_col, n_kept,
     n_removed). Documents without spans pass through (normalized to
     single-space joins); a fully-covered document yields ''. Overlapping
-    input spans are tolerated (the anti-join drops a position once no
-    matter how many spans cover it); duplicate_spans emits them merged
-    anyway.
+    input spans are tolerated (a position is dropped once no matter how
+    many spans cover it); duplicate_spans emits them merged anyway.
+
+    Scale shape: the ONLY shuffle is the per-doc span-list aggregate —
+    a few rows per contaminated doc. The corpus side never explodes:
+    each document keeps its token array intact and drops covered
+    positions with an index-aware higher-order filter (per-token cost =
+    #spans in that doc, inside codegen). The first implementation
+    posexploded every corpus token into an anti-join on (id, pos) — a
+    corpus-sized shuffle plus a per-doc re-sort; the rewrite removes
+    both (measured in SCALE_EXPERIMENTS "Span dedup + SemDeDup
+    scaling").
     """
-    cov = spans.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.sequence(F.col("span_start"), F.col("span_end"))
-        ).alias("pos"),
+    per_doc = spans.groupBy(F.col(id_col).alias("_sid")).agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("_spans")
     )
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.col(text_col), " ")).alias("pos0", "tok"),
-    ).select("id", (F.col("pos0") + 1).cast("long").alias("pos"), "tok")
-    kept = toks.join(cov, ["id", "pos"], "left_anti")
-    rebuilt = kept.groupBy("id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda st: st["tok"],
-            ),
-            " ",
-        ).alias(out_col),
-        F.count(F.lit(1)).alias("n_kept"),
+    joined = docs.join(
+        per_doc, docs[id_col] == per_doc._sid, "left"
     )
-    base = docs.select(
-        F.col(id_col).alias("id"),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_total"),
-    )
+    toks = F.split(F.col(text_col), " ")
+
+    def _uncovered(tok, i):
+        # i is 0-based; span bounds are 1-based inclusive
+        pos = i + 1
+        hit = F.exists(
+            F.col("_spans"),
+            lambda sp: (pos >= sp["s"]) & (pos <= sp["e"]),
+        )
+        return ~F.coalesce(hit, F.lit(False))
+
     return (
-        base.join(rebuilt, "id", "left")
+        joined.withColumn("_kept", F.filter(toks, _uncovered))
         .select(
-            F.col("id").alias(id_col),
-            F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            (F.col("n_total") - F.coalesce(F.col("n_kept"), F.lit(0)))
-            .cast("long")
-            .alias("n_removed"),
+            F.col(id_col),
+            F.array_join(F.col("_kept"), " ").alias(out_col),
+            F.size("_kept").cast("long").alias("n_kept"),
+            (F.size(toks) - F.size("_kept")).cast("long").alias("n_removed"),
         )
     )
 
