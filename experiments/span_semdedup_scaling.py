@@ -128,7 +128,12 @@ def main():
         vecs.persist()
         k = max(4, n_docs // 1000)
         t0 = time.time()
-        cents = kmeans_centroids(vecs, k=k, vec_col="vec", seed=42)
+        # max_iter=5: centroid QUALITY converges long before default-20
+        # for this cost measurement, and training is the offline step —
+        # its wall is reported separately from the dedup pass.
+        cents = kmeans_centroids(
+            vecs, k=k, vec_col="vec", seed=42, max_iter=5
+        )
         train_s = time.time() - t0
 
         def _pass():
