@@ -106,3 +106,66 @@ def test_fixture_run_removes_and_is_idempotent(spark):
     )
     kept2 = sorted(r["doc_id"] for r in second.collect())
     assert kept2 == kept1
+
+
+def test_gemm_assignment_equals_expression_form(spark):
+    """ivf_assign_gemm (the large-k scale path) must produce the SAME
+    cluster ids and 6-dp distances as the native-expression argmin —
+    on real float embeddings AND on the integer-count BoW vectors the
+    oracle relies on."""
+    from vector_db_setup_spark.operators.ann import (
+        ivf_assign,
+        ivf_assign_gemm,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    cents = kmeans_centroids(emb, k=24, seed=7, max_iter=5)
+    a = {
+        (r["vec_id"], r["cluster_id"], round(r["d"], 6))
+        for r in ivf_assign(emb, cents, dist_col="d").collect()
+    }
+    b = {
+        (r["vec_id"], r["cluster_id"], round(r["d"], 6))
+        for r in ivf_assign_gemm(emb, cents, dist_col="d").collect()
+    }
+    assert a == b
+
+    d = load_table(spark, SF_ORACLE, "documents").limit(200)
+    vecs = d.select("doc_id", hashed_bow_vector("text", 64).alias("v"))
+    seeds = np.array(
+        [r["v"] for r in vecs.filter("doc_id < 6").orderBy("doc_id").collect()]
+    )
+    a2 = {
+        (r["doc_id"], r["cluster_id"], r["dd"])
+        for r in ivf_assign(vecs, seeds, vec_col="v", dist_col="dd").collect()
+    }
+    b2 = {
+        (r["doc_id"], r["cluster_id"], r["dd"])
+        for r in ivf_assign_gemm(
+            vecs, seeds, vec_col="v", dist_col="dd"
+        ).collect()
+    }
+    assert a2 == b2  # exact, unrounded — integer vectors
+
+
+def test_semdedup_assign_modes_agree(spark):
+    d = load_table(spark, SF_ORACLE, "documents")
+    vecs = d.select("doc_id", hashed_bow_vector("text", 64).alias("vec"))
+    seeds = vecs.filter(F.col("doc_id") < 20).orderBy("doc_id").collect()
+    cents = np.array([r["vec"] for r in seeds], dtype=np.float64)  # k=20
+    expr = sorted(
+        tuple(r)
+        for r in semdedup_keepers(
+            vecs, cents, tau=0.95, vec_col="vec", id_col="doc_id",
+            assign="expr",
+        ).collect()
+    )
+    gemm = sorted(
+        tuple(r)
+        for r in semdedup_keepers(
+            vecs, cents, tau=0.95, vec_col="vec", id_col="doc_id",
+            assign="gemm",
+        ).collect()
+    )
+    assert expr == gemm and len(expr) < 500

@@ -79,6 +79,64 @@ def ivf_assign(
     return out
 
 
+def ivf_assign_gemm(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    dist_col: str | None = None,
+) -> DataFrame:
+    """`ivf_assign` for LARGE k — the same contract (nearest-centroid
+    `cluster_id`, ties to the lowest id, optional L2 `dist_col`),
+    computed as one Arrow-batched GEMM instead of a per-row expression.
+
+    Why both exist: the native-expression form evaluates k distance
+    expressions PER ROW — O(N·k·d) in codegen scalar land, perfect at
+    k≤16 (and the only form a SQL oracle can replay), but k is supposed
+    to GROW with the corpus (IVF: k≈sqrt(N); SemDeDup: k≈N/1000), which
+    turns assignment itself quadratic-ish in N. Measured at 500k docs /
+    k=500: the expression path made the SemDeDup pass 408 s warm
+    (sf-decade exponent 1.72); this kernel computes the same argmin as
+    `d² = ||x||² − 2xCᵀ + ||c||²` over BLAS (SCALE_EXPERIMENTS "Span
+    dedup + SemDeDup scaling").
+
+    Parity: np.argmin returns the FIRST minimum — the same tie rule as
+    the expression form's array_position(min). For integer-valued
+    vectors (the exact-oracle fixtures) the expansion is exact in
+    float64; for arbitrary floats the two forms can disagree only on
+    ULP-degenerate ties.
+    """
+    from pyspark.sql import types as T
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    cn = (cents**2).sum(axis=1)
+    # COPY the schema: StructType.add mutates in place, and emb.schema
+    # is the live schema object of the input frame
+    out_schema = T.StructType(list(emb.schema.fields))
+    out_schema.add("cluster_id", "integer")
+    if dist_col is not None:
+        out_schema.add(dist_col, "double")
+
+    def _kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (
+                (mat**2).sum(axis=1)[:, None]
+                - 2.0 * (mat @ cents.T)
+                + cn[None, :]
+            )
+            cid = d2.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf["cluster_id"] = cid.astype("int32")
+            if dist_col is not None:
+                best = d2[np.arange(len(cid)), cid]
+                pdf[dist_col] = np.sqrt(np.maximum(best, 0.0))
+            yield pdf
+
+    return emb.mapInPandas(_kernel, schema=out_schema)
+
+
 def ivf_write(
     assigned: DataFrame, path: str, partition_col: str = "cluster_id"
 ) -> None:

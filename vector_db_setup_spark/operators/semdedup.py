@@ -38,8 +38,14 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vector_db_setup_spark.operators.ann import ivf_assign
+from vector_db_setup_spark.operators.ann import ivf_assign, ivf_assign_gemm
 from vector_db_setup_spark.operators.similarity import cosine_pairs_by_column
+
+# above this k the per-row k-expression argmin loses to one Arrow GEMM
+# (assignment cost O(N·k·d): codegen scalar land vs BLAS — measured 52x
+# at 500k docs / k=500, SCALE_EXPERIMENTS "Span dedup + SemDeDup
+# scaling")
+_GEMM_ASSIGN_K = 16
 
 
 def semdedup_keepers(
@@ -49,6 +55,7 @@ def semdedup_keepers(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cluster_rows: int | None = None,
+    assign: str = "auto",
 ) -> DataFrame:
     """Keepers after cluster-partitioned semantic dedup.
 
@@ -73,8 +80,17 @@ def semdedup_keepers(
     exact dedup or re-train with larger k). At scale, size k so that
     N/k keeps the per-cluster GEMM bounded (the paper uses ~100k
     clusters at web scale).
+
+    `assign`: "expr" = native-expression argmin (SQL-replayable — the
+    oracled query's form), "gemm" = Arrow-batched BLAS argmin
+    (ivf_assign_gemm — the large-k scale path), "auto" (default) =
+    gemm when k > 16. Both produce identical assignments up to
+    ULP-degenerate ties (exactly identical on integer-count vectors).
     """
-    assigned = ivf_assign(emb, centroids, vec_col=vec_col, dist_col="_cd")
+    if assign == "auto":
+        assign = "gemm" if len(centroids) > _GEMM_ASSIGN_K else "expr"
+    assign_fn = ivf_assign_gemm if assign == "gemm" else ivf_assign
+    assigned = assign_fn(emb, centroids, vec_col=vec_col, dist_col="_cd")
     assigned = assigned.withColumn("_d0", F.round("_cd", 6))
     pairs = cosine_pairs_by_column(
         assigned,
