@@ -137,6 +137,27 @@ def ivf_assign_gemm(
     return emb.mapInPandas(_kernel, schema=out_schema)
 
 
+# above this k the per-row expression argmin loses to one Arrow GEMM
+_GEMM_ASSIGN_K = 16
+
+
+def ivf_assign_auto(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+    dist_col: str | None = None,
+) -> DataFrame:
+    """Dispatch between the two assignment forms on k: the native
+    expression below 16 centroids (SQL-replayable, zero Python), the
+    Arrow GEMM above (the large-k scale path — see ivf_assign_gemm's
+    measurement). Every corpus-sized assignment should come through
+    here; oracled queries call ivf_assign directly so their plan is
+    the one their SQL replays."""
+    if len(centroids) > _GEMM_ASSIGN_K:
+        return ivf_assign_gemm(emb, centroids, vec_col, dist_col)
+    return ivf_assign(emb, centroids, vec_col, dist_col)
+
+
 def ivf_write(
     assigned: DataFrame, path: str, partition_col: str = "cluster_id"
 ) -> None:

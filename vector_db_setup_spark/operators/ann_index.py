@@ -31,7 +31,10 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vector_db_setup_spark.operators.ann import ivf_assign, kmeans_centroids
+from vector_db_setup_spark.operators.ann import (
+    ivf_assign_auto,
+    kmeans_centroids,
+)
 from vector_db_setup_spark.sources.snapshot_table import (
     read_snapshot,
     snapshot_info,
@@ -66,7 +69,7 @@ def build_ivf_index(
     cents = kmeans_centroids(
         emb.select(F.col(vec_col).alias("embedding")), k=k, seed=seed
     )
-    assigned = ivf_assign(emb, cents, vec_col=vec_col, dist_col="_adist")
+    assigned = ivf_assign_auto(emb, cents, vec_col=vec_col, dist_col="_adist")
     mean_d = assigned.agg(F.avg("_adist")).first()[0]
     return write_snapshot(
         assigned.drop("_adist"),
@@ -264,7 +267,7 @@ def append_to_ivf_index(
             )
         cents = np.asarray(meta["centroids"], dtype=np.float64)
         vec_col = meta["vec_col"]
-        assigned = ivf_assign(
+        assigned = ivf_assign_auto(
             new_emb, cents, vec_col=vec_col, dist_col="_adist"
         )
         # persist: the drift agg below and append_snapshot's write both
@@ -364,7 +367,7 @@ def merge_into_ivf_index(
             )
         cents = np.asarray(meta["centroids"], dtype=np.float64)
         vec_col = meta["vec_col"]
-        assigned = ivf_assign(
+        assigned = ivf_assign_auto(
             changed_emb, cents, vec_col=vec_col, dist_col="_adist"
         )
         assigned.persist()

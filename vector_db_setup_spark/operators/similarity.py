@@ -421,10 +421,10 @@ def cosine_pairs_ivf(
     split into balanced cells instead of overflowing one hash bucket —
     the better choice when the corpus is clustered; LSH needs no
     training pass. Both compose with the identical kernel."""
-    from vector_db_setup_spark.operators.ann import ivf_assign
+    from vector_db_setup_spark.operators.ann import ivf_assign_auto
 
     return cosine_pairs_by_column(
-        ivf_assign(emb, centroids, vec_col=vec_col),
+        ivf_assign_auto(emb, centroids, vec_col=vec_col),
         bucket_col="cluster_id",
         vec_col=vec_col,
         id_col=id_col,
