@@ -285,6 +285,7 @@ def spans_against_index(
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_delta: bool = True,
 ) -> DataFrame:
     """duplicate_spans of `docs` resolved against a MAINTAINED
     occurrence index (streaming/commit_log.
@@ -299,16 +300,27 @@ def spans_against_index(
     ingested" at delta cost. `n` must match the index geometry (the
     maintainer's marker meta records it).
 
-    Scale shape: the index side reduces to (gram, min occ_key) — one
-    map-side-combinable aggregate over the index — before an equi-join
-    against the delta's occurrences.
+    Scale shape: the delta's DISTINCT gram set broadcasts into a
+    semi-filter on the index BEFORE the (gram, min occ_key) aggregate,
+    so the aggregate's shuffle carries only the grams the delta
+    actually probes — not the whole index (a delta is small by
+    definition; for a corpus-sized `docs`, e.g. the whole-head parity
+    check, pass broadcast_delta=False to keep the filter as a shuffled
+    semi-join).
     """
     occ = ngram_occurrences(docs, n=n, text_col=text_col, id_col=id_col)
     occ = occ.withColumn(
         "occ_key",
         F.col("id").cast("long") * F.lit(_POS_CAP).cast("long") + F.col("pos"),
     )
-    firsts = index.groupBy("gram").agg(F.min("occ_key").alias("first_occ"))
+    probe_grams = occ.select("gram").distinct()
+    if broadcast_delta:
+        probe_grams = F.broadcast(probe_grams)
+    firsts = (
+        index.join(probe_grams, "gram", "left_semi")
+        .groupBy("gram")
+        .agg(F.min("occ_key").alias("first_occ"))
+    )
     covers = (
         occ.join(firsts, "gram")
         .filter(F.col("first_occ") < F.col("occ_key"))
