@@ -203,6 +203,128 @@ def sustained_merge_cycles(spark, root, n_cycles=50):
     )
 
 
+
+def _span_docs(spark, lo, hi, text_from_offset=0):
+    """12 globally-unique tokens per doc; text_from_offset>0 makes the
+    text an exact ECHO of the doc `offset` ids earlier (same passage,
+    new doc_id — the duplicated-span shape)."""
+    from pyspark.sql import functions as F
+
+    src = F.col("id") - text_from_offset
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.md5((src * 12 + F.lit(j)).cast("string"))
+                for j in range(12)
+            ],
+        ).alias("text"),
+    )
+
+
+def sustained_span_cycles(spark, root, n_cycles=30):
+    """r10 second wave: the SPAN OCCURRENCE INDEX as a sustained
+    subscriber. Every cycle appends 200 docs (20 exact echoes of
+    old passages + 180 fresh), merges 50 content rewrites of old
+    keys, every 5th cycle deletes 20 keys; the index drains through
+    ``maintenance_cycle`` (drain -> compact_if -> checkpoint ->
+    retention GC). Claims measured first-10 vs last-10 cycles while
+    the index grows: drain wall FLAT (shingling is paid for the
+    delta only). End state: index rows == a from-scratch shingling
+    of the head, exact."""
+    import statistics
+    from functools import partial
+
+    from vector_db_setup_spark.operators.span_dedup import (
+        _POS_CAP,
+        ngram_occurrences,
+    )
+    from vector_db_setup_spark.sources.snapshot_table import (
+        merge_snapshot,
+    )
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_span_index_from_commits,
+        maintenance_cycle,
+    )
+
+    base = f"{root}/sspan"
+    idx = f"{root}/sspan_idx"
+    kw = dict(stats_cols=["doc_id"], cluster_by=["doc_id"])
+    write_snapshot(_span_docs(spark, 0, 20_000).repartition(8), base, **kw)
+    drain = partial(
+        maintain_span_index_from_commits,
+        spark, base, idx, f"{root}/ck_sspan",
+        text_col="text", key_col="doc_id", shingle_n=8,
+    )
+    t = time.perf_counter()
+    drain()  # bootstrap (O(corpus), once)
+    boot_s = time.perf_counter() - t
+
+    nxt, m_lo = 20_000, 0
+    walls = []
+    compact_fires = 0
+    for cycle in range(n_cycles):
+        echo = _span_docs(spark, nxt, nxt + 20, text_from_offset=nxt)
+        fresh = _span_docs(spark, nxt + 20, nxt + 200)
+        append_snapshot(echo.unionByName(fresh), base, **kw)
+        nxt += 200
+        merge_snapshot(
+            _span_docs(spark, m_lo, m_lo + 50, text_from_offset=-123_456),
+            base, key_col="doc_id",
+        )
+        m_lo += 50
+        if cycle % 5 == 4:
+            delete_from_snapshot(
+                spark.range(nxt - 210, nxt - 190).select(
+                    F.col("id").alias("doc_id")
+                ),
+                base, key_col="doc_id",
+            )
+        t = time.perf_counter()
+        maintenance_cycle(
+            spark, base,
+            drains=[drain],
+            subscriber_states=[idx],
+            compact=dict(
+                max_data_dirs=12, max_delete_entries=6,
+                target_file_bytes=256 << 10,
+            ),
+            gc=dict(keep=3, orphan_min_age_s=0),
+        )
+        walls.append(time.perf_counter() - t)
+    med = statistics.median
+    print(
+        f"span_cycles               {n_cycles} cycles "
+        f"(bootstrap {boot_s:.1f}s; corpus 20k -> {nxt:,} keys)"
+    )
+    print(
+        f"span_cycle_wall_s         first10 {med(walls[:10]):6.3f}  "
+        f"last10 {med(walls[-10:]):6.3f}   (drain+compact+ckpt+gc)"
+    )
+    head = read_snapshot(spark, base)
+    got = {
+        tuple(r)
+        for r in read_snapshot(spark, idx)
+        .select("occ_key", "doc_id", "pos", "gram")
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in ngram_occurrences(head, n=8)
+        .select(
+            (F.col("id").cast("long") * _POS_CAP + F.col("pos")).alias(
+                "occ_key"
+            ),
+            F.col("id").alias("doc_id"),
+            "pos",
+            "gram",
+        )
+        .collect()
+    }
+    print(f"span_index == scratch     {got == want} ({len(got):,} rows)")
+
+
 def main():
     spark = get_spark(
         app_name="day2-ops",
@@ -324,6 +446,8 @@ def main():
     print(f"versions_alive            {len(committed_versions(spark, base))}")
     print()
     sustained_merge_cycles(spark, root)
+    print()
+    sustained_span_cycles(spark, root)
     shutil.rmtree(root, ignore_errors=True)
 
 
