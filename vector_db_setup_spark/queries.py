@@ -7241,3 +7241,121 @@ def benchmark_contaminated_spans(
         d.filter(F.col("doc_id") < 50),
         n=5,
     )
+
+
+@register(
+    "lm_perplexity_buckets",
+    """
+    WITH d AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    rb AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, len(w) - 1),
+                   i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+        FROM d WHERE doc_id < 100
+    ),
+    c12 AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS c12
+            FROM rb GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+    v AS (SELECT count(DISTINCT u) AS v
+          FROM (SELECT unnest(w) AS u FROM d WHERE doc_id < 100)),
+    sb AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, len(w) - 1),
+                   i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b
+        FROM d WHERE doc_id >= 100
+    ),
+    scored AS (
+        SELECT s.doc_id,
+               -log2((coalesce(c12.c12, 0) + 0.5)
+                     / (coalesce(c1.c1, 0) + 0.5 * v.v)) AS nll
+        FROM sb s
+        LEFT JOIN c12 ON s.b.w1 = c12.w1 AND s.b.w2 = c12.w2
+        LEFT JOIN c1 ON s.b.w1 = c1.w1
+        CROSS JOIN v
+    ),
+    per AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(pow(2.0, avg(nll)), 6) AS ppl
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, ppl,
+           CASE ntile(3) OVER (ORDER BY ppl ASC, doc_id ASC)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM per
+    """,
+)
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity quality filter (Wenzek et al. 2020):
+    train an add-α-smoothed bigram LM on an in-domain reference slice
+    (docs 0-99 standing in for the wiki LM), score every other
+    document's perplexity under it, and bucket the corpus into
+    head/middle/tail TERCILES — the split CCNet keeps/reviews/drops.
+    Complements the heuristic quality score (C4/Gopher shape) and the
+    learned classifier (quality_model_scores): this is the
+    distribution-match signal — near-dups of reference text score low,
+    out-of-domain word salad scores high.
+
+    Shape at 100 TB: LM training is one map-side-combined groupBy over
+    the reference's bigram explode (the reference slice is small by
+    construction); scoring joins each corpus bigram against the LM —
+    broadcast when the LM fits (it does for any sane reference),
+    shuffle equi-join otherwise; the tercile ntile runs over the
+    PER-DOC aggregate (≤|docs| rows), never raw tokens. Ordering ties
+    break on (rounded ppl, doc_id) so the bucket assignment is
+    engine-deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sz = F.size(toks)
+    bigrams = F.when(
+        sz >= 2,
+        F.transform(
+            F.sequence(F.lit(1), sz - 1),
+            lambda i: F.struct(
+                F.element_at(toks, i).alias("w1"),
+                F.element_at(toks, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    ref = d.filter(F.col("doc_id") < 100)
+    rest = d.filter(F.col("doc_id") >= 100)
+    c12 = (
+        ref.select(F.explode(bigrams).alias("b"))
+        .select(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = ref.select(F.explode(toks).alias("u")).agg(
+        F.countDistinct("u").alias("v")
+    )
+    sb = rest.select("doc_id", F.explode(bigrams).alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    joined = (
+        sb.join(F.broadcast(c12), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+    )
+    nll = -F.log2(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(0.5))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(0.5) * F.col("v"))
+    )
+    per = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.pow(F.lit(2.0), F.avg(nll)), 6).alias("ppl"),
+    )
+    w = Window.orderBy(F.col("ppl").asc(), F.col("doc_id").asc())
+    tile = F.ntile(3).over(w)
+    return per.select(
+        "doc_id",
+        "n_bigrams",
+        "ppl",
+        F.when(tile == 1, "head")
+        .when(tile == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
