@@ -57,6 +57,17 @@ def main() -> None:
     n_keep = keepers.count()
     print(f"   {docs.count()} docs -> {n_keep} keepers")
 
+    print("== 2b. span-level exact-substring dedup (Lee et al.) ==")
+    from vector_db_setup_spark.operators.span_dedup import span_dedup
+
+    cleaned = span_dedup(docs.select("doc_id", "text"), n=8)
+    removed_tokens = cleaned.agg(F.sum("n_removed")).first()[0] or 0
+    n_touched = cleaned.filter(F.col("n_removed") > 0).count()
+    print(
+        f"   {n_touched} docs had repeated passages stripped "
+        f"({removed_tokens} tokens; first occurrence kept corpus-wide)"
+    )
+
     print("== 3. semantic near-dup (real encoder + multiband LSH) ==")
     from vector_db_setup_spark.functions.embed import embed_with_model
     from vector_db_setup_spark.functions.np_encoder import (
@@ -77,6 +88,34 @@ def main() -> None:
     bands = [random_hyperplanes(32, 6, seed=s) for s in (1, 2)]
     sem_pairs = cosine_pairs_multiband(emb, bands, min_cosine=0.9)
     print(f"   semantic near-dup pairs (cos>=0.9, 2 bands): {sem_pairs.count()}")
+
+    print("== 3b. SemDeDup (cluster-partitioned, keep-least-central) ==")
+    import numpy as np
+
+    from vector_db_setup_spark.operators.ann import kmeans_centroids
+    from vector_db_setup_spark.operators.semdedup import semdedup_keepers
+
+    k = max(4, emb.count() // 100)
+    cents = kmeans_centroids(emb, k=k, seed=11, max_iter=5)
+    sem_keep = semdedup_keepers(emb, cents, tau=0.92).count()
+    print(f"   {sem_keep} keepers after SemDeDup at tau=0.92, k={k}")
+
+    print("== 3c. span-level benchmark decontamination ==")
+    from vector_db_setup_spark.operators.span_dedup import (
+        contaminated_spans,
+        strip_spans,
+    )
+
+    half = docs.agg(F.expr("percentile(doc_id, 0.1)")).first()[0]
+    bench = docs.filter(F.col("doc_id") <= half)
+    train = docs.filter(F.col("doc_id") > half)
+    cont = contaminated_spans(train, bench, n=5)
+    n_cont = cont.select("doc_id").distinct().count()
+    salvaged = strip_spans(train, cont)
+    print(
+        f"   {n_cont} training docs echo the held-out slice; spans cut, "
+        f"{salvaged.filter(F.col('n_removed') > 0).count()} salvaged"
+    )
 
     print("== 4. PII scrub ==")
     pii = qs["doc_pii_scrub"](spark, sf_dir)
@@ -108,6 +147,12 @@ def main() -> None:
         f"   model drops {n_model_drop}/{docs.count()} docs at p_keep<0.5 "
         "(heuristic-distilled LR over hashed BOW)"
     )
+
+    print("== 6c. LM-perplexity filter (CCNet terciles) ==")
+    ppl = qs["lm_perplexity_buckets"](spark, sf_dir)
+    tiles = {r["bucket"]: r["n"] for r in
+             ppl.groupBy("bucket").agg(F.count(F.lit(1)).alias("n")).collect()}
+    print(f"   perplexity terciles over the scored slice: {tiles or 'n/a at this sf'}")
 
     print("== 7. heavy-hitter sketch (CMS) ==")
     hh = qs["hot_tokens_cms"](spark, sf_dir).collect()
