@@ -1,0 +1,131 @@
+"""Maintained bigram LM (streaming/commit_log.maintain_lm_from_commits
++ operators/ngram_lm): maintained counts == from-scratch counts through
+append/merge/delete drains (no bare source scan), scoring against the
+maintained state equals the batch query's perplexities, replay no-op,
+drift refusal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
+from vector_db_setup_spark.operators.ngram_lm import (
+    lm_counts,
+    perplexity_against_lm,
+)
+from vector_db_setup_spark.sources.registry import load_table
+from vector_db_setup_spark.sources.snapshot_table import (
+    append_snapshot,
+    delete_from_snapshot,
+    merge_snapshot,
+    read_snapshot,
+    write_snapshot,
+)
+from vector_db_setup_spark.streaming.commit_log import (
+    maintain_lm_from_commits,
+)
+
+
+def _corpus(spark, lo, hi, rev=""):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma token "),
+            (F.col("id") % 7).cast("string"),
+            F.lit(f" {rev}" if rev else ""),
+        ).alias("text"),
+    )
+
+
+def _counts(df):
+    return {
+        (r["kind"], r["w1"], r["w2"]): r["n"] for r in df.collect()
+    }
+
+
+def test_lm_maintained_equals_scratch(spark, tmp_path, monkeypatch):
+    import vector_db_setup_spark.sources.snapshot_table as st_mod
+    from tests.test_span_index import _spy_on
+
+    src = str(tmp_path / "src")
+    lm = str(tmp_path / "lm")
+    write_snapshot(
+        _corpus(spark, 0, 150), src,
+        stats_cols=["doc_id"], cluster_by=["doc_id"], cluster_files=4,
+    )
+    kw = dict(text_col="text", key_col="doc_id")
+    maintain_lm_from_commits(spark, src, lm, str(tmp_path / "ck"), **kw)
+    bare, real = _spy_on(monkeypatch, st_mod, src)
+    merge_snapshot(
+        _corpus(spark, 0, 30, rev="v2").unionByName(
+            _corpus(spark, 500, 520)
+        ),
+        src, key_col="doc_id",
+    )
+    append_snapshot(_corpus(spark, 520, 560), src, stats_cols=["doc_id"])
+    delete_from_snapshot(
+        spark.range(50, 70).select(F.col("id").alias("doc_id")),
+        src, key_col="doc_id",
+    )
+    maintain_lm_from_commits(spark, src, lm, str(tmp_path / "ck"), **kw)
+    assert bare == [], f"LM drain bare-scanned the source: {bare}"
+    monkeypatch.setattr(st_mod, "read_snapshot", real)
+    got = _counts(read_snapshot(spark, lm))
+    want = _counts(lm_counts(read_snapshot(spark, src)))
+    assert got == want and got
+    # replay no-op
+    import vector_db_setup_spark.sources.snapshot_table as st
+    n = len(st.committed_versions(spark, lm))
+    maintain_lm_from_commits(spark, src, lm, str(tmp_path / "ck2"), **kw)
+    assert len(st.committed_versions(spark, lm)) == n
+    # column drift refuses
+    with pytest.raises(Exception, match="different columns"):
+        maintain_lm_from_commits(
+            spark, src, lm, str(tmp_path / "ck3"),
+            text_col="doc_id", key_col="doc_id",
+        )
+
+
+def test_scoring_against_maintained_lm_matches_batch_query(
+    spark, tmp_path
+):
+    """Bootstrap the LM state from the fixture's reference slice (docs
+    0-99) and score the rest: perplexities must equal the oracled
+    lm_perplexity_buckets query's, value for value."""
+    from vector_db_setup_spark import queries as q
+
+    d = load_table(spark, SF_ORACLE, "documents")
+    src = str(tmp_path / "ref")
+    lm = str(tmp_path / "lm")
+    write_snapshot(
+        d.filter("doc_id < 100").select("doc_id", "text"), src
+    )
+    maintain_lm_from_commits(
+        spark, src, lm, str(tmp_path / "ck"),
+        text_col="text", key_col="doc_id",
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["ppl"])
+        for r in perplexity_against_lm(
+            d.filter("doc_id >= 100"), read_snapshot(spark, lm)
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_bigrams"], r["ppl"])
+        for r in q.lm_perplexity_buckets(spark, SF_ORACLE).collect()
+    }
+    assert got == want and len(got) == 400
+
+
+def test_lm_counts_shape(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, "b a")], "doc_id long, text string"
+    )
+    got = _counts(lm_counts(df))
+    assert got == {
+        ("uni", "a", ""): 3,
+        ("uni", "b", ""): 2,
+        ("bi", "a", "b"): 1,
+        ("bi", "b", "a"): 2,
+    }

@@ -1,0 +1,97 @@
+"""N-gram language-model counts as a maintained corpus statistic.
+
+The CCNet-style perplexity filter (queries.lm_perplexity_buckets)
+trains its smoothed bigram LM with one batch pass. This module is the
+DAY-2 form: the LM's sufficient statistics — unigram and bigram counts
+— are plain COUNT aggregates over an exploded view of the corpus, so
+they are self-inverse under deletion (+1 per occurrence added, −1 per
+occurrence removed) and maintainable off the commit log exactly like
+the row-level agg view (streaming/commit_log.maintain_agg_from_commits
+— this extends that IVM family from row aggregates to EXPLODED
+aggregates). A reference corpus under curation churn keeps its LM
+current at delta cost, and scoring stays a join against the maintained
+state.
+
+State shape: one row per surviving gram — ('uni', w, '', n) and
+('bi', w1, w2, n) — small relative to any corpus (bounded by vocab and
+vocab², and in practice by observed grams). The smoothing convention
+matches the oracled query exactly: bigram context counts c1 derive as
+the per-w1 sum of bigram counts, V as the number of distinct unigrams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_setup_spark.functions.text import tokens, word_shingles
+
+
+def lm_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(kind, w1, w2, n) unigram + bigram occurrence counts — the
+    bigram LM's sufficient statistics. One explode each, both
+    map-side-combinable."""
+    toks = tokens(F.col(text_col))
+    uni = (
+        docs.select(F.explode(toks).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("uni").alias("kind"), "w1", F.lit("").alias("w2"), "n")
+    )
+    bi = (
+        docs.select(F.explode(word_shingles(F.col(text_col), 2)).alias("s"))
+        .select(
+            F.split(F.col("s"), " ").getItem(0).alias("w1"),
+            F.split(F.col("s"), " ").getItem(1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("bi").alias("kind"), "w1", "w2", "n")
+    )
+    return uni.unionByName(bi)
+
+
+def perplexity_against_lm(
+    docs: DataFrame,
+    lm_state: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document perplexity under the maintained bigram LM —
+    identical math to queries.lm_perplexity_buckets (add-α smoothing,
+    c1 = per-w1 bigram-context sum, V = distinct unigrams), so scores
+    against a state bootstrapped from the same reference equal the
+    batch query's (pinned in tests/test_ngram_lm.py). Returns
+    (id_col, n_bigrams, ppl) for documents with ≥1 bigram.
+
+    Scale shape: the LM broadcasts (it is vocab-bounded); scoring is
+    one bigram explode over `docs` + per-doc re-aggregation."""
+    c12 = lm_state.filter(F.col("kind") == "bi").select(
+        "w1", "w2", F.col("n").alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = lm_state.filter(F.col("kind") == "uni").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    sb = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), 2)).alias("s"),
+    ).select(
+        id_col,
+        F.split(F.col("s"), " ").getItem(0).alias("w1"),
+        F.split(F.col("s"), " ").getItem(1).alias("w2"),
+    )
+    joined = (
+        sb.join(F.broadcast(c12), ["w1", "w2"], "left")
+        .join(F.broadcast(c1), ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+    )
+    nll = -F.log2(
+        (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(alpha))
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.col("v"))
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.pow(F.lit(2.0), F.avg(nll)), 6).alias("ppl"),
+    )

@@ -717,6 +717,147 @@ def maintain_agg_from_commits(
     return q
 
 
+def maintain_lm_from_commits(
+    spark: SparkSession,
+    source_base: str,
+    state_base: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    fs=None,
+    available_now: bool = True,
+    on_rewrite: str = "raise",
+    **reader_options,
+):
+    """Keep a bigram LM's sufficient statistics current off the
+    source's commit log — the IVM family extended from ROW aggregates
+    (maintain_agg_from_commits) to EXPLODED aggregates: unigram and
+    bigram occurrence counts are self-inverse under deletion, so the
+    drain explodes only the pair-encoded delta's carried text (+1 per
+    occurrence added, −1 per occurrence removed) and merges it into
+    the vocab-bounded state — never a corpus re-scan after bootstrap.
+    The CCNet perplexity filter then scores any batch against the
+    maintained state (operators/ngram_lm.perplexity_against_lm) at
+    join cost, with the filter's reference LM staying current while
+    the reference corpus itself churns.
+
+    State: (kind, w1, w2, n) snapshot (operators/ngram_lm.lm_counts'
+    shape) with the consumed-through cursor in its marker meta; grams
+    whose count reaches zero are dropped. Contract and failure modes
+    mirror the agg maintainer: append/delete/compact/merge consumed
+    incrementally (pair encoding delivers merge pre-images),
+    write/upsert/rollback raises ``DisallowedOpError`` unless
+    ``on_rewrite="rebuild"``."""
+    from vector_db_setup_spark.operators.ngram_lm import lm_counts
+    from vector_db_setup_spark.sources import snapshot_table as st
+
+    params = {
+        "kind": "bigram_lm",
+        "text_col": text_col,
+        "key_col": key_col,
+    }
+
+    def _apply(s: SparkSession, through_v: int) -> None:
+        vs = st.committed_versions(s, state_base)
+        if not vs:
+            st.write_snapshot(
+                lm_counts(
+                    st.read_snapshot(
+                        s, source_base, version=through_v, fs=fs
+                    ),
+                    text_col,
+                ),
+                state_base,
+                note=f"bigram lm over {source_base} through v{through_v}",
+                idempotency_key=f"through:{through_v}",
+                meta={**params, "through_version": through_v},
+            )
+            return
+        meta = st.snapshot_info(s, state_base, max(vs)).get("meta") or {}
+        if meta.get("kind") != "bigram_lm" or "through_version" not in meta:
+            raise ValueError(
+                f"state at {state_base} is not a maintained bigram LM "
+                "— use a fresh state_base"
+            )
+        drift = {
+            k: (meta.get(k), v)
+            for k, v in params.items()
+            if k != "kind" and meta.get(k) != v
+        }
+        if drift:
+            raise ValueError(
+                f"LM at {state_base} was built over different columns "
+                f"{drift}; rebuild under a fresh state_base"
+            )
+        last = int(meta["through_version"])
+        if through_v <= last:
+            return  # replayed batch
+        try:
+            feed = st.snapshot_changes(
+                s,
+                source_base,
+                key_col,
+                from_version=last,
+                to_version=through_v,
+                fs=fs,
+                columns=[text_col],
+                carry_columns=[text_col],
+                allowed_ops=("append", "delete", "compact", "merge"),
+                change_encoding="pair",
+            )
+        except st.DisallowedOpError:
+            if on_rewrite != "rebuild":
+                raise
+            st.write_snapshot(
+                lm_counts(
+                    st.read_snapshot(
+                        s, source_base, version=through_v, fs=fs
+                    ),
+                    text_col,
+                ),
+                state_base,
+                note=(
+                    f"bigram lm over {source_base} REBUILT through "
+                    f"v{through_v} (content rewrite in range)"
+                ),
+                idempotency_key=f"through:{through_v}",
+                meta={**params, "through_version": through_v},
+            )
+            return
+        plus = lm_counts(feed.filter(F.col("status") == "added"), text_col)
+        minus = lm_counts(
+            feed.filter(F.col("status") == "removed"), text_col
+        ).withColumn("n", -F.col("n"))
+        state = st.read_snapshot(s, state_base, version=max(vs))
+        merged = (
+            state.unionByName(plus)
+            .unionByName(minus)
+            .groupBy("kind", "w1", "w2")
+            .agg(F.sum("n").alias("n"))
+            .filter(F.col("n") > 0)
+        )
+        st.write_snapshot(
+            merged,
+            state_base,
+            note=f"bigram lm over {source_base} through v{through_v}",
+            idempotency_key=f"through:{through_v}",
+            meta={**params, "through_version": through_v},
+        )
+
+    q = foreach_new_versions(
+        spark,
+        source_base,
+        _apply,
+        checkpoint_dir,
+        available_now=available_now,
+        **reader_options,
+    )
+    if available_now:
+        q.awaitTermination()
+        return None
+    return q
+
+
 def maintain_lsh_index_from_commits(
     spark: SparkSession,
     source_base: str,
