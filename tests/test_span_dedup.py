@@ -231,3 +231,28 @@ def test_contaminated_spans_disjoint_corpora_empty(spark):
     probes = _docs(spark, [(0, "x1 x2 x3 x4 x5 x6")])
     corpus = _docs(spark, [(10, "y1 y2 y3 y4 y5 y6")])
     assert contaminated_spans(corpus, probes, n=5).count() == 0
+
+
+def test_property_random_corpora_match_python_oracle(spark):
+    """Hypothesis-driven: arbitrary small corpora (tiny vocab → dense
+    collision structure, variable doc lengths incl. sub-n docs) always
+    match the brute-force Python oracle, for two shingle widths."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vocab = st.integers(min_value=0, max_value=7).map(lambda k: f"w{k}")
+    doc = st.lists(vocab, min_size=1, max_size=24).map(" ".join)
+    corpus = st.lists(doc, min_size=1, max_size=12)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(corpus=corpus, n=st.sampled_from([2, 3]))
+    def check(corpus, n):
+        rows = list(enumerate(corpus))
+        d = _docs(spark, rows)
+        assert _spans(duplicate_spans(d, n=n)) == _py_oracle_spans(rows, n)
+
+    check()
