@@ -67,9 +67,14 @@ from vector_db_setup_spark.operators.span_dedup import (
     duplicate_spans,
     spans_against_index,
 )
+from vector_db_setup_spark.operators.ngram_lm import (
+    lm_counts,
+    perplexity_against_lm,
+)
 from vector_db_setup_spark.streaming.commit_log import (
     maintain_agg_from_commits,
     maintain_ivf_from_commits,
+    maintain_lm_from_commits,
     maintain_lsh_index_from_commits,
     maintain_span_index_from_commits,
     maintenance_cycle,
@@ -87,6 +92,7 @@ def main(sf_dir: str) -> None:
     agg_state, idx = f"{root}/agg", f"{root}/idx"
     lsh = f"{root}/lsh"
     spidx = f"{root}/spans"
+    lm = f"{root}/lm"
     try:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang"
@@ -123,12 +129,17 @@ def main(sf_dir: str) -> None:
                 spark, base, spidx, f"{root}/ck_spans",
                 text_col="text", key_col="doc_id", shingle_n=8,
             ),
+            partial(
+                maintain_lm_from_commits,
+                spark, base, lm, f"{root}/ck_lm",
+                text_col="text", key_col="doc_id",
+            ),
         ]
         for d in drains:
             d()
         print(
             "subscribers bootstrapped: agg view + IVF index + LSH "
-            "dedup index + span occurrence index"
+            "dedup index + span occurrence index + bigram LM"
         )
 
         # ---- the churn day: rewrite a slice (new text AND embedding),
@@ -169,7 +180,7 @@ def main(sf_dir: str) -> None:
         report = maintenance_cycle(
             spark, base,
             drains=drains,
-            subscriber_states=[agg_state, idx, lsh, spidx],
+            subscriber_states=[agg_state, idx, lsh, spidx, lm],
             compact=dict(max_data_dirs=8, max_delete_entries=4),
             gc=dict(keep=2, orphan_min_age_s=0),
         )
@@ -245,6 +256,24 @@ def main(sf_dir: str) -> None:
         print(
             f"span occurrence index == batch operator ({len(spans_got)} "
             "duplicated spans; shingled only for the delta)"
+        )
+        lm_got = {
+            tuple(r) for r in read_snapshot(spark, lm).collect()
+        }
+        lm_want = {
+            tuple(r)
+            for r in lm_counts(
+                read_snapshot(spark, base).select("doc_id", "text")
+            ).collect()
+        }
+        assert lm_got == lm_want, "maintained LM != scratch counts"
+        ppl_sample = perplexity_against_lm(
+            read_snapshot(spark, base).select("doc_id", "text").limit(50),
+            read_snapshot(spark, lm),
+        ).count()
+        print(
+            f"bigram LM == scratch counts ({len(lm_got)} grams); "
+            f"scored {ppl_sample} docs against the maintained state"
         )
         print("OK — curation churn loop (merge/delete/drain/verify)")
     finally:
