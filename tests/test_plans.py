@@ -381,3 +381,23 @@ def test_semdedup_grouped_gemm_no_cartesian(spark):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_lm_perplexity_broadcasts_lm_and_windows_aggregate(spark):
+    """lm_perplexity_buckets (driver row since r10 third rotation):
+    the LM tables broadcast into the scoring join (never a shuffled
+    corpus-side join), no cartesian beyond the 1-row V cross join, and
+    the tercile window runs ABOVE the per-doc aggregate — the plan's
+    single-partition WindowExec consumes ≤|docs| rows, not tokens."""
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    df = q.lm_perplexity_buckets(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # the window sits above a HashAggregate keyed by doc_id
+    assert "Window" in plan and "ntile" in plan
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans and all(
+        "n_chars" not in ln and "lang" not in ln for ln in scans
+    ), plan

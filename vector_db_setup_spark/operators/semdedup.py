@@ -38,14 +38,12 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vector_db_setup_spark.operators.ann import ivf_assign, ivf_assign_gemm
+from vector_db_setup_spark.operators.ann import (
+    _GEMM_ASSIGN_K,
+    ivf_assign,
+    ivf_assign_gemm,
+)
 from vector_db_setup_spark.operators.similarity import cosine_pairs_by_column
-
-# above this k the per-row k-expression argmin loses to one Arrow GEMM
-# (assignment cost O(N·k·d): codegen scalar land vs BLAS — measured 52x
-# at 500k docs / k=500, SCALE_EXPERIMENTS "Span dedup + SemDeDup
-# scaling")
-_GEMM_ASSIGN_K = 16
 
 
 def semdedup_keepers(

@@ -62,7 +62,7 @@ _DRIVER_PRIORITY = [
     "knn_l2_flagship", "knn_cosine", "sql_vector_knn", "batch_knn",
     "batch_knn_blocked", "pq_adc_distances",
     "pricing_summary", "top_customers", "regional_revenue",
-    "doc_count", "doc_sample", "majority_vote",
+    "doc_count", "doc_sample", "lm_perplexity_buckets",
     "duplicate_spans", "dedup_exact_groups", "leakage_safe_split",
     "minhash_lsh_candidates", "retrieval_eval",
     "corpus_span_clean", "asof_purchase_click",
@@ -209,6 +209,14 @@ _DRIVER_PRIORITY = [
 # remain green in the local parity gate;
 # benchmark_contaminated_spans (also new) sits in the local gate — the
 # decontamination family keeps benchmark_overlap_bloom in-window.
+#
+# r10 third rotation (same contract): IN lm_perplexity_buckets (first
+# driver row for the LM-perplexity quality-filter family — smoothed
+# bigram LM + CCNet terciles, exact-oracled with a non-SQL Python
+# witness) — OUT majority_vote (green since r1; the vote operator
+# stays driver-exercised end-to-end through fever_pipeline +
+# fever_accuracy, whose judge IS the majority vote, and majority_vote
+# remains green in the local parity gate).
 
 
 def _ordered(d: dict) -> dict:
