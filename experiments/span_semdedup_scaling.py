@@ -103,6 +103,9 @@ def main():
         docs = spark.read.parquet(path)
         n_docs = docs.count()
         row = {"n_docs": n_docs}
+        ops = set(
+            os.environ.get("SPAN_SCALING_OPS", "spans,lm,semdedup").split(",")
+        )
 
         # --- span dedup: detection, then detect+strip ---
         # _force (noop write), NOT count(): under a bare count Catalyst
@@ -112,7 +115,7 @@ def main():
         for label, build in (
             ("spans_detect", lambda: duplicate_spans(docs, n=8)),
             ("span_clean", lambda: span_dedup(docs, n=8)),
-        ):
+        ) if "spans" in ops else ():
             cold, _ = timed(lambda: _force(build()))
             warm, _ = timed(lambda: _force(build()))
             row[label] = {
@@ -121,7 +124,38 @@ def main():
                 "rows": build().count(),
             }
 
+        # --- LM-perplexity scoring: train on the replica-0 slice,
+        # score everything else (one bigram explode + broadcast joins;
+        # expected linear) ---
+        if "lm" in ops:
+            from vector_db_setup_spark.operators.ngram_lm import (
+                lm_counts,
+                perplexity_against_lm,
+            )
+
+            ref = docs.filter(F.col("doc_id") < 5000)
+            lm_state = lm_counts(ref).persist()
+            lm_state.count()
+
+            def _lm():
+                return perplexity_against_lm(
+                    docs.filter(F.col("doc_id") >= 5000), lm_state
+                ).count()
+
+            cold, n_scored = timed(_lm)
+            warm, _ = timed(_lm)
+            row["lm_scoring"] = {
+                "cold_s": round(cold, 2),
+                "warm_s": round(warm, 2),
+                "rows": n_scored,
+            }
+            lm_state.unpersist()
+
         # --- SemDeDup: k scales with N (k = N/1000, floor 4) ---
+        if "semdedup" not in ops:
+            results[f"x{mult}"] = row
+            print(json.dumps({f"x{mult}": row}))
+            continue
         vecs = docs.select(
             "doc_id", hashed_bow_vector("text", 64).alias("vec")
         )
@@ -156,9 +190,12 @@ def main():
         print(json.dumps({f"x{mult}": row}))
 
     # exponents over each decade (warm — the steady-state number)
-    for op in ("spans_detect", "span_clean", "semdedup"):
+    for op in ("spans_detect", "span_clean", "lm_scoring", "semdedup"):
         for lo, hi in (("x1", "x10"), ("x10", "x100")):
-            if lo in results and hi in results:
+            if (
+                lo in results and hi in results
+                and op in results[lo] and op in results[hi]
+            ):
                 e = math.log10(
                     results[hi][op]["warm_s"]
                     / max(results[lo][op]["warm_s"], 1e-9)
