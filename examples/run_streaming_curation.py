@@ -89,6 +89,59 @@ def main() -> None:
         f"{spark.read.parquet(admitted_path).count()} admitted"
     )
 
+    print("== 3b. perplexity gate against a MAINTAINED LM ==")
+    from vector_db_setup_spark.operators.ngram_lm import (
+        perplexity_against_lm,
+    )
+    from vector_db_setup_spark.sources.snapshot_table import (
+        read_snapshot,
+        write_snapshot,
+    )
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_lm_from_commits,
+    )
+
+    lm_src = os.path.join(work, "lm_src")
+    lm_state = os.path.join(work, "lm_state")
+    write_snapshot(static_corpus.select("doc_id", "text"), lm_src)
+    maintain_lm_from_commits(
+        spark, lm_src, lm_state, os.path.join(work, "ck_lm"),
+        text_col="text", key_col="doc_id",
+    )
+    lm_df = read_snapshot(spark, lm_state).persist()
+    scored_path = os.path.join(work, "scored")
+    adm_schema = spark.read.parquet(admitted_path).schema
+    adm_stream = spark.readStream.schema(adm_schema).parquet(admitted_path)
+
+    def _score(batch_df, batch_id):
+        # same replay contract as every stage here: the batch owns its
+        # partition, so a replayed trigger rewrites its own output
+        (
+            perplexity_against_lm(
+                batch_df.select("doc_id", "text"), lm_df
+            )
+            .withColumn("_b", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_b")
+            .parquet(scored_path)
+        )
+
+    (
+        adm_stream.writeStream.foreachBatch(_score)
+        .option("checkpointLocation", os.path.join(work, "ck_score"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    scored = spark.read.parquet(scored_path)
+    med = scored.approxQuantile("ppl", [0.5], 0.01)[0]
+    print(
+        f"   {scored.count()} admitted docs scored against the "
+        f"maintained LM (median ppl {med:.2f})"
+    )
+    lm_df.unpersist()
+
     print("== 4. continuous rollup over the events stream ==")
     rollup_path = os.path.join(work, "rollup")
     continuous_rollup_stream(
@@ -126,7 +179,7 @@ def main() -> None:
         raise SystemExit("shard landing not idempotent or audit failed")
 
     words.unpersist()
-    print("OK — all five streaming stages, exactly-once, composed.")
+    print("OK — all six streaming stages, exactly-once, composed.")
 
 
 if __name__ == "__main__":

@@ -13,7 +13,7 @@ import pytest
 _EXAMPLES = [
     ("examples/run_reference_workload.py", ""),
     ("examples/run_training_pipeline.py", ""),
-    ("examples/run_streaming_curation.py", "OK — all five streaming stages"),
+    ("examples/run_streaming_curation.py", "OK — all six streaming stages"),
     ("examples/run_bus_operations.py", "OK — bus operations loop"),
     ("examples/run_lakehouse_loop.py",
      "OK — lakehouse loop (land/replay/compact/cdc/ivf/delete/gc)"),
