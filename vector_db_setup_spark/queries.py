@@ -7018,8 +7018,12 @@ def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays shingling, first-occurrence exemption, and the
     gaps-and-islands merge entirely in SQL."""
     from vector_db_setup_spark.operators.span_dedup import duplicate_spans
+    from vector_db_setup_spark.sources.registry import spread_to_cores
 
-    d = load_table(spark, sf_dir, "documents")
+    # fixture-sized parquet arrives as ONE split; the shingle-md5 map
+    # is the hot stage, so spread it (no-op at real scale — see
+    # registry.spread_to_cores)
+    d = spread_to_cores(load_table(spark, sf_dir, "documents"))
     return duplicate_spans(d, n=8)
 
 
@@ -7105,8 +7109,9 @@ def corpus_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     including text RECONSTRUCTION — in SQL, so the cleaned strings
     themselves are value-checked, not just the counts."""
     from vector_db_setup_spark.operators.span_dedup import span_dedup
+    from vector_db_setup_spark.sources.registry import spread_to_cores
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_to_cores(load_table(spark, sf_dir, "documents"))
     return span_dedup(d, n=8)
 
 
@@ -7167,7 +7172,9 @@ def semdedup_doc_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_setup_spark.functions.text import hashed_bow_vector
     from vector_db_setup_spark.operators.semdedup import semdedup_keepers
 
-    d = load_table(spark, sf_dir, "documents")
+    from vector_db_setup_spark.sources.registry import spread_to_cores
+
+    d = spread_to_cores(load_table(spark, sf_dir, "documents"))
     vecs = d.select(
         "doc_id", hashed_bow_vector("text", 64).alias("vec")
     )
@@ -7243,7 +7250,9 @@ def benchmark_contaminated_spans(
         contaminated_spans,
     )
 
-    d = load_table(spark, sf_dir, "documents")
+    from vector_db_setup_spark.sources.registry import spread_to_cores
+
+    d = spread_to_cores(load_table(spark, sf_dir, "documents"))
     return contaminated_spans(
         d.filter(F.col("doc_id") >= 50),
         d.filter(F.col("doc_id") < 50),
@@ -7315,7 +7324,9 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     PER-DOC aggregate (≤|docs| rows), never raw tokens. Ordering ties
     break on (rounded ppl, doc_id) so the bucket assignment is
     engine-deterministic."""
-    d = load_table(spark, sf_dir, "documents")
+    from vector_db_setup_spark.sources.registry import spread_to_cores
+
+    d = spread_to_cores(load_table(spark, sf_dir, "documents"))
     toks = tokens("text")
     sz = F.size(toks)
     bigrams = F.when(

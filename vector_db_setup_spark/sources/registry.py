@@ -82,3 +82,19 @@ def table_exists(spark: SparkSession, name: str) -> bool:
     analogue of Postgres's information_schema EXISTS query.
     """
     return spark.catalog.tableExists(name)
+
+
+def spread_to_cores(df: DataFrame) -> DataFrame:
+    """Round-robin the frame across the cluster's cores IF the scan
+    produced fewer partitions than that — the guard for CPU-heavy map
+    stages (shingle md5, hashed-BoW featurization, bigram explodes)
+    over SMALL files: a fixture-sized parquet arrives as one input
+    split, so without this the expensive map runs single-threaded
+    while 31 cores idle (measured 10x on duplicate_spans at sf0.1).
+    At real scale inputs carry thousands of splits and this is a
+    no-op — it never REDUCES partitioning, so it adds no shuffle on
+    the 100 TB path."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
