@@ -1065,7 +1065,10 @@ def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     on band keys — THE 100 TB dedup path (no pairwise comparison). The
     band-key view is memoized per session: the self-join reads it on
     both sides and Catalyst does not reuse the exchange."""
-    d = load_table(spark, sf_dir, "documents")
+    from vector_db_setup_spark.sources.registry import spread_to_cores
+
+    # one-split fixture scan -> spread the signature map (no-op at scale)
+    d = spread_to_cores(load_table(spark, sf_dir, "documents"))
     banded = _memo_persist(
         spark, sf_dir, "minhash_banded", lambda: dd.minhash_band_keys(d)
     )
@@ -1128,7 +1131,9 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-30 most similar pairs. The distinct shingle set is memoized
     per session: the pairs pipeline reads it three times and Catalyst
     does not reuse the exchange (measured 4 scans -> 1)."""
-    d = load_table(spark, sf_dir, "documents")
+    from vector_db_setup_spark.sources.registry import spread_to_cores
+
+    d = spread_to_cores(load_table(spark, sf_dir, "documents"))
     sh = _memo_persist(
         spark,
         sf_dir,
@@ -1327,7 +1332,11 @@ def _lsh_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full documents table — the shared dedup graph behind
     dedup_keepers and leakage_safe_split."""
     def build():
-        d = load_table(spark, sf_dir, "documents")
+        from vector_db_setup_spark.sources.registry import (
+            spread_to_cores,
+        )
+
+        d = spread_to_cores(load_table(spark, sf_dir, "documents"))
         return _cc_with_star_fallback(
             d.select("doc_id"), dd.lsh_dedup_edges(d)
         )
