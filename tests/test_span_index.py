@@ -277,3 +277,46 @@ def test_span_index_short_doc_events_are_inert(spark, tmp_path):
         spark, src, idx, str(tmp_path / "ck"), **kw
     )
     assert read_snapshot(spark, idx).count() == 2  # unchanged, no errors
+
+
+def test_compact_if_keep_meta_preserves_maintainer_state(
+    spark, tmp_path
+):
+    """Compacting a maintainer's STATE table through compact_if must
+    keep the cursor meta (keep_meta=True), or the next drain refuses
+    the state as unmaintained. Pins the passthrough added for the
+    index-compaction step of the delta-cost loop."""
+    from vector_db_setup_spark.sources.snapshot_table import compact_if
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_span_index_from_commits,
+    )
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    write_snapshot(_corpus(spark, 0, 40), src)
+    kw = dict(text_col="text", key_col="doc_id", shingle_n=8)
+    maintain_span_index_from_commits(
+        spark, src, idx, str(tmp_path / "ck"), **kw
+    )
+    # stack merge-on-read debt on the INDEX: several drains
+    for lo in (100, 200, 300):
+        append_snapshot(_corpus(spark, lo, lo + 20), src)
+        maintain_span_index_from_commits(
+            spark, src, idx, str(tmp_path / "ck"), **kw
+        )
+    v = compact_if(
+        spark, idx, max_data_dirs=2, max_delete_entries=1,
+        keep_meta=True,
+    )
+    assert v is not None  # debt crossed the threshold -> compacted
+    meta = snapshot_info(spark, idx, v)["meta"]
+    assert meta["kind"] == "span_index" and "through_version" in meta
+    # the NEXT drain still works (cursor survived the compaction)
+    append_snapshot(_corpus(spark, 400, 410), src)
+    maintain_span_index_from_commits(
+        spark, src, idx, str(tmp_path / "ck"), **kw
+    )
+    live = read_snapshot(spark, idx)
+    assert {r["doc_id"] for r in live.select("doc_id").distinct().collect()} \
+        == set(range(40)) | set(range(100, 120)) | set(range(200, 220)) \
+        | set(range(300, 320)) | set(range(400, 410))

@@ -1375,6 +1375,7 @@ def compact_if(
     max_delete_entries: int = 8,
     target_file_bytes: int = 128 * 1024 * 1024,
     min_files: int = 1,
+    keep_meta: bool = False,
     fs=None,
 ) -> int | None:
     """Policy wrapper for the maintenance loop: compact the head ONLY
@@ -1392,7 +1393,11 @@ def compact_if(
 
     The decision reads ONE marker; the compaction itself carries
     compact_snapshot's full conflict handling (expected_head,
-    recompact-on-conflict)."""
+    recompact-on-conflict). ``keep_meta=True`` preserves the head
+    marker's meta through the rewrite — REQUIRED when the table being
+    compacted is itself a maintainer's state (IVF/LSH/span/LM/agg
+    cursors live in that meta; compacting them away would make the
+    next drain refuse the state as unmaintained)."""
     fs = _resolve_fs(spark, base, fs)
     vs = committed_versions(spark, base, fs)
     if not vs:
@@ -1408,6 +1413,7 @@ def compact_if(
         base,
         target_file_bytes=target_file_bytes,
         min_files=min_files,
+        keep_meta=keep_meta,
         fs=fs,
     )
 
