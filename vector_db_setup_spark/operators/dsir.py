@@ -1,0 +1,213 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169), the published recipe for picking pretraining data
+that MATCHES a target domain: featurize every document as hashed
+n-gram counts, fit bag-of-words models over the target slice (p) and
+the raw pool (q), weight each raw document by its log importance
+ratio sum_b c_b * (log p_b - log q_b), and resample without
+replacement via the Gumbel top-k trick. Complements the corpus's
+other quality signals (reference ``fever_multi_agent.py`` curates one
+static corpus; a 100 TB pipeline curates per-target mixtures):
+perplexity (lm_perplexity_buckets) scores fluency under ONE reference
+LM, the learned classifier (quality_model_scores) scores a labeled
+notion of quality — DSIR scores DISTRIBUTION MATCH to an arbitrary
+target slice, with the raw pool's own distribution in the
+denominator so over-represented boilerplate is discounted.
+
+Everything is expressed cross-engine exactly so the DuckDB oracle
+replays it value-for-value:
+
+- tokens = ``split(lower(text), ' ')`` (the repo-wide convention);
+  features are unigrams plus adjacent-pair bigrams ("w1 w2"), each
+  hashed to ``conv(substr(md5(g),1,8),16,10) % n_buckets`` — the
+  hashing-trick bucket `functions/text.hashed_bow_vector` already
+  proved identical between Spark and DuckDB.
+- importance weights round to 6 dp (the semdedup/perplexity rounding
+  discipline) before any ordering decision; ties break on the id.
+- Gumbel noise is a DETERMINISTIC hash-derived uniform
+  (md5 of ``seed ':' id`` -> 20-bit integer -> (i+0.5)/2^20), so the
+  "randomized" resample is replayable by both engines and stable
+  across runs — the property every sampling query in this repo
+  (doc_sample, stratified_eval_sample) leans on.
+
+Shape at 100 TB: the feature explode is one map-side-combinable
+groupBy per corpus; the bucket distributions are <= n_buckets rows
+(thousands), so the log-ratio table BROADCASTS to the weight join;
+per-doc weighting is a second map-side-combinable groupBy; the
+Gumbel top-k is a TakeOrderedAndProject over the <=|docs| weight
+rows. No corpus self-join, no driver collect, nothing quadratic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vector_db_setup_spark.functions.text import tokens, word_shingles
+
+# 2^20 — the uniform's resolution; (i + 0.5) / 2^20 keeps u strictly
+# inside (0, 1) so -ln(-ln(u)) is finite at both extremes.
+_U_RES = 1 << 20
+
+
+def _bucket(col, n_buckets: int):
+    """Cross-engine md5 bucket: first 8 hex chars as an int, mod B.
+    DuckDB replays it as ``('0x' || substr(md5(g),1,8))::BIGINT % B``."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_buckets)
+    ).alias("bucket")
+
+
+def hashed_ngram_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(id, bucket, c): per-document hashed unigram+bigram counts —
+    DSIR's feature vector in sparse form. One explode over
+    tokens ++ bigram shingles, then a map-side-combinable groupBy."""
+    toks = tokens(F.col(text_col))
+    grams = F.concat(toks, word_shingles(F.col(text_col), 2))
+    return (
+        docs.select(F.col(id_col), F.explode(grams).alias("g"))
+        .select(id_col, _bucket(F.col("g"), n_buckets))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def bucket_totals(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """(bucket, n): corpus-wide hashed-gram bucket totals — a DSIR
+    distribution's sufficient statistics. Like the bigram LM's counts
+    (operators/ngram_lm.lm_counts) these are self-inverse under
+    deletion (+1 per occurrence added, -1 removed), so the raw pool's
+    side of the importance ratio is maintainable off the commit log
+    (streaming/commit_log.maintain_dsir_from_commits)."""
+    toks = tokens(F.col(text_col))
+    grams = F.concat(toks, word_shingles(F.col(text_col), 2))
+    return (
+        docs.select(F.explode(grams).alias("g"))
+        .select(_bucket(F.col("g"), n_buckets))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def log_ratio_from_totals(
+    target_totals: DataFrame,
+    raw_totals: DataFrame,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(bucket, lr) from two (bucket, n) distributions — the
+    maintained-state entry point: feed it a static target's totals
+    and the commit-log-maintained raw totals and the importance
+    weights stay current at delta cost."""
+    t = target_totals.select("bucket", F.col("n").alias("tb"))
+    r = raw_totals.select("bucket", F.col("n").alias("rb"))
+    tot_t = t.agg(F.sum("tb").alias("tt"))
+    tot_r = r.agg(F.sum("rb").alias("rt"))
+    ab = float(alpha) * n_buckets
+    return (
+        t.join(r, "bucket", "full_outer")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("tb"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("tt") + F.lit(ab))
+                )
+                - F.log(
+                    (F.coalesce(F.col("rb"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("rt") + F.lit(ab))
+                )
+            ).alias("lr"),
+        )
+    )
+
+
+def bucket_log_ratio(
+    target_feats: DataFrame,
+    raw_feats: DataFrame,
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """(bucket, lr): per-bucket log(p_hat / q_hat) with add-alpha
+    smoothing — p_b = (t_b + a) / (T + aB) over the target slice,
+    q_b likewise over the raw pool. Smoothing keeps the ratio finite
+    for buckets one side never occupies. Output is <= B rows: the
+    broadcast side of the weight join."""
+    return log_ratio_from_totals(
+        target_feats.groupBy("bucket").agg(F.sum("c").alias("n")),
+        raw_feats.groupBy("bucket").agg(F.sum("c").alias("n")),
+        n_buckets,
+        alpha,
+    )
+
+
+def importance_weights(
+    raw_feats: DataFrame,
+    log_ratio: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_grams, logw): per-document log importance weight
+    sum_b c_b * lr_b, rounded to 6 dp (the cross-engine ordering
+    contract). The log-ratio table is <= B rows — broadcast."""
+    return (
+        raw_feats.join(F.broadcast(log_ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("long").alias("n_grams"),
+            F.round(F.sum(F.col("c") * F.col("lr")), 6).alias("logw"),
+        )
+    )
+
+
+def gumbel_key(id_col, logw_col, seed: str = "dsir"):
+    """logw + Gumbel(0,1) with a deterministic hash-derived uniform —
+    the Gumbel top-k trick: taking the k largest keys samples k items
+    without replacement with probability proportional to exp(logw).
+    u = (md5-derived 20-bit int + 0.5) / 2^20 is replayable by DuckDB
+    verbatim, so the 'random' draw is engine-stable."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed + ":"), id_col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h % F.lit(_U_RES) + F.lit(0.5)) / F.lit(float(_U_RES))
+    return F.round(logw_col - F.log(-F.log(u)), 6)
+
+
+def dsir_resample(
+    raw_docs: DataFrame,
+    target_docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+    alpha: float = 1.0,
+    seed: str = "dsir",
+) -> DataFrame:
+    """End-to-end DSIR: (id, n_grams, logw, gkey) for the k raw
+    documents selected by Gumbel top-k under the target-vs-raw
+    importance weights. Deterministic given ``seed``; ties on the
+    rounded key break by id. The final sort is a
+    TakeOrderedAndProject over per-doc rows, never the corpus."""
+    tf = hashed_ngram_counts(target_docs, text_col, id_col, n_buckets)
+    rf = hashed_ngram_counts(raw_docs, text_col, id_col, n_buckets)
+    lr = bucket_log_ratio(tf, rf, n_buckets, alpha)
+    w = importance_weights(rf, lr, id_col)
+    keyed = w.select(
+        id_col,
+        "n_grams",
+        "logw",
+        gumbel_key(F.col(id_col), F.col("logw"), seed).alias("gkey"),
+    )
+    return keyed.orderBy(F.col("gkey").desc(), F.col(id_col).asc()).limit(k)

@@ -7387,3 +7387,140 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+@register(
+    "dsir_doc_weights",
+    """
+    WITH d AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id, unnest(w) AS g FROM d
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i+1])) AS g
+        FROM d
+    ),
+    f AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS bucket,
+               count(*) AS c
+        FROM g GROUP BY 1, 2
+    ),
+    tf AS (SELECT bucket, sum(c) AS tb FROM f WHERE doc_id < 100
+           GROUP BY 1),
+    rf AS (SELECT doc_id, bucket, c FROM f WHERE doc_id >= 100),
+    rb AS (SELECT bucket, sum(c) AS rb FROM rf GROUP BY 1),
+    tot AS (SELECT (SELECT sum(tb) FROM tf) AS tt,
+                   (SELECT sum(rb) FROM rb) AS rt),
+    lr AS (
+        SELECT coalesce(tf.bucket, rb.bucket) AS bucket,
+               ln((coalesce(tb, 0) + 1.0) / (tt + 256.0))
+             - ln((coalesce(rb, 0) + 1.0) / (rt + 256.0)) AS lr
+        FROM tf FULL OUTER JOIN rb ON tf.bucket = rb.bucket
+        CROSS JOIN tot
+    )
+    SELECT rf.doc_id,
+           CAST(sum(c) AS BIGINT) AS n_grams,
+           round(sum(c * lr.lr), 6) AS logw
+    FROM rf JOIN lr USING (bucket)
+    GROUP BY rf.doc_id
+    """,
+)
+def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): every raw-pool
+    document's log importance ratio against the target slice (docs
+    0-99, the reference-slice convention lm_perplexity_buckets set) —
+    sum over hashed unigram+bigram buckets of c_b * (log p_b - log
+    q_b), add-1 smoothing, B=256. The distribution-match signal of
+    the quality-filter trio (perplexity = fluency, classifier =
+    labeled quality, DSIR = target match with the raw pool's own
+    distribution discounted).
+
+    Shape at 100 TB: two map-side-combinable explode+groupBys (one
+    per corpus), a <=B-row log-ratio table BROADCAST into the weight
+    join, one final per-doc groupBy. No self-join, no collect; the
+    weight table is <=|docs| rows. See operators/dsir.py."""
+    from vector_db_setup_spark.operators import dsir
+    from vector_db_setup_spark.sources.registry import spread_to_cores
+
+    d = spread_to_cores(load_table(spark, sf_dir, "documents"))
+    tf = dsir.hashed_ngram_counts(d.filter(F.col("doc_id") < 100))
+    rf = dsir.hashed_ngram_counts(d.filter(F.col("doc_id") >= 100))
+    lr = dsir.bucket_log_ratio(tf, rf)
+    return dsir.importance_weights(rf, lr)
+
+
+@register(
+    "dsir_resampled",
+    """
+    WITH d AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+    ),
+    g AS (
+        SELECT doc_id, unnest(w) AS g FROM d
+        UNION ALL
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w) - 1),
+                                     i -> w[i] || ' ' || w[i+1])) AS g
+        FROM d
+    ),
+    f AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS bucket,
+               count(*) AS c
+        FROM g GROUP BY 1, 2
+    ),
+    tf AS (SELECT bucket, sum(c) AS tb FROM f WHERE doc_id < 100
+           GROUP BY 1),
+    rf AS (SELECT doc_id, bucket, c FROM f WHERE doc_id >= 100),
+    rb AS (SELECT bucket, sum(c) AS rb FROM rf GROUP BY 1),
+    tot AS (SELECT (SELECT sum(tb) FROM tf) AS tt,
+                   (SELECT sum(rb) FROM rb) AS rt),
+    lr AS (
+        SELECT coalesce(tf.bucket, rb.bucket) AS bucket,
+               ln((coalesce(tb, 0) + 1.0) / (tt + 256.0))
+             - ln((coalesce(rb, 0) + 1.0) / (rt + 256.0)) AS lr
+        FROM tf FULL OUTER JOIN rb ON tf.bucket = rb.bucket
+        CROSS JOIN tot
+    ),
+    w AS (
+        SELECT rf.doc_id,
+               CAST(sum(c) AS BIGINT) AS n_grams,
+               round(sum(c * lr.lr), 6) AS logw
+        FROM rf JOIN lr USING (bucket)
+        GROUP BY rf.doc_id
+    )
+    SELECT doc_id, n_grams, logw,
+           round(logw - ln(-ln(
+               ((('0x' || substr(md5('dsir:' || CAST(doc_id AS VARCHAR)),
+                   1, 8))::BIGINT % 1048576) + 0.5) / 1048576.0)), 6)
+               AS gkey
+    FROM w
+    ORDER BY gkey DESC, doc_id ASC
+    LIMIT 50
+    """,
+)
+def dsir_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR Gumbel top-k resample (Xie et al. 2023 section 3): the 50
+    raw-pool documents selected without replacement with probability
+    proportional to exp(logw), via the Gumbel-key trick with a
+    DETERMINISTIC md5-derived uniform — replayable by DuckDB verbatim
+    and stable across runs (the doc_sample/stratified_eval_sample
+    determinism convention). Ties on the 6-dp key break by doc_id in
+    both engines.
+
+    Shape at 100 TB: everything in dsir_doc_weights plus one
+    TakeOrderedAndProject over the <=|docs| weight rows — the top-k
+    never sorts the corpus."""
+    from vector_db_setup_spark.operators import dsir
+    from vector_db_setup_spark.sources.registry import spread_to_cores
+
+    d = spread_to_cores(load_table(spark, sf_dir, "documents"))
+    return dsir.dsir_resample(
+        d.filter(F.col("doc_id") >= 100),
+        d.filter(F.col("doc_id") < 100),
+        k=50,
+    )

@@ -858,6 +858,147 @@ def maintain_lm_from_commits(
     return q
 
 
+def maintain_dsir_from_commits(
+    spark: SparkSession,
+    source_base: str,
+    state_base: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_buckets: int = 256,
+    fs=None,
+    available_now: bool = True,
+    on_rewrite: str = "raise",
+    **reader_options,
+):
+    """Keep a DSIR raw-pool distribution's sufficient statistics —
+    hashed n-gram bucket totals (operators/dsir.bucket_totals) —
+    current off the source's commit log. Same EXPLODED-aggregate IVM
+    family as the bigram LM (maintain_lm_from_commits): bucket counts
+    are self-inverse under deletion, so the drain explodes only the
+    pair-encoded delta's carried text and merges +/-1s into the
+    <= n_buckets-row state — never a corpus re-scan after bootstrap.
+    Importance weights against any target slice then stay current at
+    delta cost while the raw pool churns
+    (operators/dsir.log_ratio_from_totals over the maintained state):
+    the DSIR denominator q is the RAW POOL's own distribution, which
+    is exactly the side that grows and churns at 100 TB.
+
+    State: (bucket, n) snapshot with the consumed-through cursor in
+    its marker meta; zero-count buckets drop. Contract and failure
+    modes mirror the LM maintainer: append/delete/compact/merge
+    consumed incrementally, write/upsert/rollback raises
+    ``DisallowedOpError`` unless ``on_rewrite="rebuild"``."""
+    from vector_db_setup_spark.operators.dsir import bucket_totals
+    from vector_db_setup_spark.sources import snapshot_table as st
+
+    params = {
+        "kind": "dsir_buckets",
+        "text_col": text_col,
+        "key_col": key_col,
+        "n_buckets": int(n_buckets),
+    }
+
+    def _scratch(s: SparkSession, through_v: int, note: str) -> None:
+        st.write_snapshot(
+            bucket_totals(
+                st.read_snapshot(s, source_base, version=through_v, fs=fs),
+                text_col,
+                n_buckets,
+            ),
+            state_base,
+            note=note,
+            idempotency_key=f"through:{through_v}",
+            meta={**params, "through_version": through_v},
+        )
+
+    def _apply(s: SparkSession, through_v: int) -> None:
+        vs = st.committed_versions(s, state_base)
+        if not vs:
+            _scratch(
+                s,
+                through_v,
+                f"dsir buckets over {source_base} through v{through_v}",
+            )
+            return
+        meta = st.snapshot_info(s, state_base, max(vs)).get("meta") or {}
+        if meta.get("kind") != "dsir_buckets" or "through_version" not in meta:
+            raise ValueError(
+                f"state at {state_base} is not a maintained DSIR "
+                "distribution — use a fresh state_base"
+            )
+        drift = {
+            k: (meta.get(k), v)
+            for k, v in params.items()
+            if k != "kind" and meta.get(k) != v
+        }
+        if drift:
+            raise ValueError(
+                f"DSIR state at {state_base} was built under different "
+                f"parameters {drift}; rebuild under a fresh state_base"
+            )
+        last = int(meta["through_version"])
+        if through_v <= last:
+            return  # replayed batch
+        try:
+            feed = st.snapshot_changes(
+                s,
+                source_base,
+                key_col,
+                from_version=last,
+                to_version=through_v,
+                fs=fs,
+                columns=[text_col],
+                carry_columns=[text_col],
+                allowed_ops=("append", "delete", "compact", "merge"),
+                change_encoding="pair",
+            )
+        except st.DisallowedOpError:
+            if on_rewrite != "rebuild":
+                raise
+            _scratch(
+                s,
+                through_v,
+                f"dsir buckets over {source_base} REBUILT through "
+                f"v{through_v} (content rewrite in range)",
+            )
+            return
+        plus = bucket_totals(
+            feed.filter(F.col("status") == "added"), text_col, n_buckets
+        )
+        minus = bucket_totals(
+            feed.filter(F.col("status") == "removed"), text_col, n_buckets
+        ).withColumn("n", -F.col("n"))
+        state = st.read_snapshot(s, state_base, version=max(vs))
+        merged = (
+            state.unionByName(plus)
+            .unionByName(minus)
+            .groupBy("bucket")
+            .agg(F.sum("n").alias("n"))
+            .filter(F.col("n") > 0)
+        )
+        st.write_snapshot(
+            merged,
+            state_base,
+            note=f"dsir buckets over {source_base} through v{through_v}",
+            idempotency_key=f"through:{through_v}",
+            meta={**params, "through_version": through_v},
+        )
+
+    q = foreach_new_versions(
+        spark,
+        source_base,
+        _apply,
+        checkpoint_dir,
+        available_now=available_now,
+        **reader_options,
+    )
+    if available_now:
+        q.awaitTermination()
+        return None
+    return q
+
+
 def maintain_lsh_index_from_commits(
     spark: SparkSession,
     source_base: str,
