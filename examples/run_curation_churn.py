@@ -11,8 +11,10 @@ Flow:
 
   documents+embeddings ─> land as ONE snapshot table (clustered,
                   per-file stats on the key)
-  subscribers ──> agg view (per-lang doc count + char total) and an
-                  IVF index, both bootstrapped from the head
+  subscribers ──> SIX maintained states bootstrapped from the head:
+                  agg view (per-lang counts), IVF vector index, LSH
+                  near-dup index, span occurrence index, bigram LM,
+                  and the DSIR raw-pool distribution
   day N ────────> merge_snapshot: rewrites a slice of old docs (new
                   text AND new embedding) and inserts fresh ones —
                   ONE O(batch) commit (batch dir + seq-scoped
@@ -67,6 +69,10 @@ from vector_db_setup_spark.operators.span_dedup import (
     duplicate_spans,
     spans_against_index,
 )
+from vector_db_setup_spark.operators.dsir import (
+    bucket_totals,
+    dsir_resample,
+)
 from vector_db_setup_spark.operators.ngram_lm import (
     lm_counts,
     perplexity_against_lm,
@@ -74,6 +80,7 @@ from vector_db_setup_spark.operators.ngram_lm import (
 from vector_db_setup_spark.streaming.commit_log import (
     maintain_agg_from_commits,
     maintain_ivf_from_commits,
+    maintain_dsir_from_commits,
     maintain_lm_from_commits,
     maintain_lsh_index_from_commits,
     maintain_span_index_from_commits,
@@ -93,6 +100,7 @@ def main(sf_dir: str) -> None:
     lsh = f"{root}/lsh"
     spidx = f"{root}/spans"
     lm = f"{root}/lm"
+    dsir_state = f"{root}/dsir"
     try:
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "lang"
@@ -134,12 +142,18 @@ def main(sf_dir: str) -> None:
                 spark, base, lm, f"{root}/ck_lm",
                 text_col="text", key_col="doc_id",
             ),
+            partial(
+                maintain_dsir_from_commits,
+                spark, base, dsir_state, f"{root}/ck_dsir",
+                text_col="text", key_col="doc_id", n_buckets=64,
+            ),
         ]
         for d in drains:
             d()
         print(
             "subscribers bootstrapped: agg view + IVF index + LSH "
-            "dedup index + span occurrence index + bigram LM"
+            "dedup index + span occurrence index + bigram LM + "
+            "DSIR raw-pool distribution"
         )
 
         # ---- the churn day: rewrite a slice (new text AND embedding),
@@ -180,7 +194,7 @@ def main(sf_dir: str) -> None:
         report = maintenance_cycle(
             spark, base,
             drains=drains,
-            subscriber_states=[agg_state, idx, lsh, spidx, lm],
+            subscriber_states=[agg_state, idx, lsh, spidx, lm, dsir_state],
             compact=dict(max_data_dirs=8, max_delete_entries=4),
             gc=dict(keep=2, orphan_min_age_s=0),
         )
@@ -274,6 +288,27 @@ def main(sf_dir: str) -> None:
         print(
             f"bigram LM == scratch counts ({len(lm_got)} grams); "
             f"scored {ppl_sample} docs against the maintained state"
+        )
+        dsir_got = {
+            tuple(r) for r in read_snapshot(spark, dsir_state).collect()
+        }
+        dsir_want = {
+            tuple(r)
+            for r in bucket_totals(
+                read_snapshot(spark, base).select("doc_id", "text"),
+                n_buckets=64,
+            ).collect()
+        }
+        assert dsir_got == dsir_want, "maintained DSIR != scratch totals"
+        sel = dsir_resample(
+            read_snapshot(spark, base).select("doc_id", "text"),
+            read_snapshot(spark, base)
+            .select("doc_id", "text").limit(20),
+            k=10, n_buckets=64,
+        ).count()
+        print(
+            f"DSIR raw-pool distribution == scratch totals "
+            f"({len(dsir_got)} buckets); resampled {sel} docs"
         )
         print("OK — curation churn loop (merge/delete/drain/verify)")
     finally:

@@ -104,7 +104,9 @@ def main():
         n_docs = docs.count()
         row = {"n_docs": n_docs}
         ops = set(
-            os.environ.get("SPAN_SCALING_OPS", "spans,lm,semdedup").split(",")
+            os.environ.get(
+                "SPAN_SCALING_OPS", "spans,lm,semdedup,dsir"
+            ).split(",")
         )
 
         # --- span dedup: detection, then detect+strip ---
@@ -150,6 +152,30 @@ def main():
                 "rows": n_scored,
             }
             lm_state.unpersist()
+
+        # --- DSIR: weights for every raw doc against the replica-0
+        # target slice, then the Gumbel top-k (k = N/10). Expected
+        # linear: two map-side-combined explodes, a <=B-row broadcast
+        # log-ratio, a TakeOrderedAndProject over per-doc rows. ---
+        if "dsir" in ops:
+            from vector_db_setup_spark.operators import dsir
+
+            def _dsir():
+                return _force(
+                    dsir.dsir_resample(
+                        docs.filter(F.col("doc_id") >= 5000),
+                        docs.filter(F.col("doc_id") < 5000),
+                        k=max(n_docs // 10, 10),
+                    )
+                )
+
+            cold, _ = timed(_dsir)
+            warm, _ = timed(_dsir)
+            row["dsir_resample"] = {
+                "cold_s": round(cold, 2),
+                "warm_s": round(warm, 2),
+                "rows": int(max(n_docs // 10, 10)),
+            }
 
         # --- SemDeDup: k scales with N (k = N/1000, floor 4) ---
         if "semdedup" not in ops:

@@ -73,7 +73,7 @@ _DRIVER_PRIORITY = [
     "simhash_hamming_topk",
     "embedding_similar_topk", "rrf_fusion",
     "data_quality_report", "lang_id_detect",
-    "rollup_orders", "purchase_attribution", "hashed_bow",
+    "rollup_orders", "purchase_attribution", "dsir_resampled",
     "stratified_eval_sample",
     "mixture_weights_temperature", "mixture_epochs_at_budget",
     "nation_set_ops",
@@ -209,6 +209,16 @@ _DRIVER_PRIORITY = [
 # remain green in the local parity gate;
 # benchmark_contaminated_spans (also new) sits in the local gate — the
 # decontamination family keeps benchmark_overlap_bloom in-window.
+#
+# r10 fourth rotation (same contract): IN dsir_resampled (first
+# driver row for the DSIR data-selection family — Xie et al. 2023
+# importance resampling end-to-end: hashed-ngram features, target/raw
+# log-ratio, deterministic Gumbel top-k; exercises dsir_doc_weights'
+# whole pipeline as a superset) — OUT hashed_bow (green since r4; the
+# hashing-trick featurization stays driver-exercised transitively
+# through semdedup_doc_keepers' hashed-BoW embeddings and the DSIR
+# rows' identical md5-bucket discipline, and hashed_bow stays green in
+# the local parity gate).
 #
 # r10 third rotation (same contract): IN lm_perplexity_buckets (first
 # driver row for the LM-perplexity quality-filter family — smoothed
