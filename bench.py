@@ -59,6 +59,8 @@ EXTENDED = [
     "corpus_span_clean",
     "semdedup_doc_keepers",
     "lm_perplexity_buckets",
+    # r10 fourth wave
+    "dsir_resampled",
 ]
 
 
