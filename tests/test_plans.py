@@ -401,3 +401,23 @@ def test_lm_perplexity_broadcasts_lm_and_windows_aggregate(spark):
     assert scans and all(
         "n_chars" not in ln and "lang" not in ln for ln in scans
     ), plan
+
+
+def test_dsir_topk_and_broadcast(spark):
+    """dsir_resampled (driver row since r10 fourth rotation): the
+    Gumbel top-k is a TakeOrderedAndProject over per-doc weight rows
+    (the corpus is never globally sorted), the ≤B-row log-ratio table
+    BROADCASTS into the weight join, and the document scans prune to
+    (doc_id, text) with the slice predicates pushed."""
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    df = q.dsir_resampled(spark, SF_ORACLE)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scans and all(
+        "n_chars" not in ln and "lang" not in ln for ln in scans
+    ), plan
+    assert any("PushedFilters: [IsNotNull(doc_id)" in ln for ln in scans)

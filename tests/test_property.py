@@ -654,3 +654,81 @@ def test_pruned_reads_match_filter_oracle(
         tuple(r) for r in full.filter(F.col("id").isin(probes)).collect()
     )
     assert got_i == want_i
+
+
+@given(
+    tdocs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=1, max_size=6),
+        min_size=1, max_size=5,
+    ),
+    rdocs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=1, max_size=6),
+        min_size=1, max_size=8,
+    ),
+)
+@settings(**PROP)
+@seed(42)
+def test_dsir_weights_match_bruteforce(spark, tdocs, rdocs):
+    """operators/dsir importance weights vs a from-scratch Python
+    reference on random token corpora: same md5 bucketing, same
+    add-alpha smoothing, same per-doc sum."""
+    import hashlib
+
+    from vector_db_setup_spark.operators import dsir
+
+    B, ALPHA = 16, 1.0
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    def grams(toks):
+        return list(toks) + [
+            f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)
+        ]
+
+    def feats(docs):
+        out = []
+        for i, toks in enumerate(docs):
+            counts = {}
+            for g in grams(toks):
+                b = bucket(g)
+                counts[b] = counts.get(b, 0) + 1
+            out.append(counts)
+        return out
+
+    tfe, rfe = feats(tdocs), feats(rdocs)
+    tb, rb = {}, {}
+    for c in tfe:
+        for b, n in c.items():
+            tb[b] = tb.get(b, 0) + n
+    for c in rfe:
+        for b, n in c.items():
+            rb[b] = rb.get(b, 0) + n
+    tt, rt = sum(tb.values()), sum(rb.values())
+    lr = {
+        b: math.log((tb.get(b, 0) + ALPHA) / (tt + ALPHA * B))
+        - math.log((rb.get(b, 0) + ALPHA) / (rt + ALPHA * B))
+        for b in set(tb) | set(rb)
+    }
+    want = {
+        i: round(sum(n * lr[b] for b, n in rfe[i].items()), 6)
+        for i in range(len(rfe))
+    }
+
+    t_df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(tdocs)],
+        "doc_id long, text string",
+    )
+    r_df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(rdocs)],
+        "doc_id long, text string",
+    )
+    tf = dsir.hashed_ngram_counts(t_df, n_buckets=B)
+    rf = dsir.hashed_ngram_counts(r_df, n_buckets=B)
+    w = dsir.importance_weights(
+        rf, dsir.bucket_log_ratio(tf, rf, n_buckets=B, alpha=ALPHA)
+    )
+    got = {r["doc_id"]: r["logw"] for r in w.collect()}
+    assert set(got) == set(want)
+    for i in want:
+        assert got[i] == pytest.approx(want[i], abs=2e-6), (i, got[i], want[i])
