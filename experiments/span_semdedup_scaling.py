@@ -155,26 +155,28 @@ def main():
 
         # --- DSIR: weights for every raw doc against the replica-0
         # target slice, then the Gumbel top-k (k = N/10). Expected
-        # linear: two map-side-combined explodes, a <=B-row broadcast
-        # log-ratio, a TakeOrderedAndProject over per-doc rows. ---
+        # linear: map-side-combined explodes, a <=B-row broadcast
+        # log-ratio, a TakeOrderedAndProject over per-doc rows.
+        # Like the LM row, the 5000-id split makes x1 DEGENERATE
+        # (replica 0 holds ids 0-4999, so the raw slice is empty) —
+        # only the x10 -> x100 decade is valid, and `rows` records
+        # what the resample actually RETURNED, not the requested k. ---
         if "dsir" in ops:
             from vector_db_setup_spark.operators import dsir
 
-            def _dsir():
-                return _force(
-                    dsir.dsir_resample(
-                        docs.filter(F.col("doc_id") >= 5000),
-                        docs.filter(F.col("doc_id") < 5000),
-                        k=max(n_docs // 10, 10),
-                    )
+            def _build():
+                return dsir.dsir_resample(
+                    docs.filter(F.col("doc_id") >= 5000),
+                    docs.filter(F.col("doc_id") < 5000),
+                    k=max(n_docs // 10, 10),
                 )
 
-            cold, _ = timed(_dsir)
-            warm, _ = timed(_dsir)
+            cold, _ = timed(lambda: _force(_build()))
+            warm, _ = timed(lambda: _force(_build()))
             row["dsir_resample"] = {
                 "cold_s": round(cold, 2),
                 "warm_s": round(warm, 2),
-                "rows": int(max(n_docs // 10, 10)),
+                "rows": _build().count(),
             }
 
         # --- SemDeDup: k scales with N (k = N/1000, floor 4) ---

@@ -107,6 +107,54 @@ def test_log_ratio_rows_bounded_by_buckets(spark):
     assert lr.count() <= 32
 
 
+def test_candidate_with_unseen_buckets_gets_smoothed_ratio(spark):
+    """Scoring a CANDIDATE document against (target, raw) totals when
+    some of its grams hash to buckets neither distribution has seen:
+    every occurrence must contribute the smoothed constant
+    ln((rt+aB)/(tt+aB)) — not silently drop (the log-ratio table is
+    total over the bucket domain), and n_grams must count ALL grams."""
+    import hashlib
+    import math as m
+
+    B = 8
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+    target = spark.createDataFrame([(0, "aa bb")], "doc_id long, text string")
+    raw = spark.createDataFrame([(1, "cc dd")], "doc_id long, text string")
+    cand = spark.createDataFrame(
+        [(9, "zz qq ww xx yy vv uu tt")], "doc_id long, text string"
+    )
+    lr = dsir.log_ratio_from_totals(
+        dsir.bucket_totals(target, n_buckets=B),
+        dsir.bucket_totals(raw, n_buckets=B),
+        n_buckets=B,
+    )
+    assert lr.count() == B  # total over the domain
+    cf = dsir.hashed_ngram_counts(cand, n_buckets=B)
+    got = dsir.importance_weights(cf, lr).collect()[0]
+
+    # brute-force reference over the SAME gram multiset
+    def grams(text):
+        toks = text.split(" ")
+        return toks + [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+
+    tb, rb = {}, {}
+    for g in grams("aa bb"):
+        tb[bucket(g)] = tb.get(bucket(g), 0) + 1
+    for g in grams("cc dd"):
+        rb[bucket(g)] = rb.get(bucket(g), 0) + 1
+    tt, rt = sum(tb.values()), sum(rb.values())
+    want = sum(
+        m.log((tb.get(bucket(g), 0) + 1.0) / (tt + B))
+        - m.log((rb.get(bucket(g), 0) + 1.0) / (rt + B))
+        for g in grams("zz qq ww xx yy vv uu tt")
+    )
+    assert got["n_grams"] == len(grams("zz qq ww xx yy vv uu tt"))
+    assert got["logw"] == pytest.approx(round(want, 6), abs=2e-6)
+
+
 def _corpus(spark, lo, hi, rev=""):
     return spark.range(lo, hi).select(
         F.col("id").alias("doc_id"),

@@ -29,12 +29,18 @@ replays it value-for-value:
   across runs — the property every sampling query in this repo
   (doc_sample, stratified_eval_sample) leans on.
 
-Shape at 100 TB: the feature explode is one map-side-combinable
-groupBy per corpus; the bucket distributions are <= n_buckets rows
-(thousands), so the log-ratio table BROADCASTS to the weight join;
-per-doc weighting is a second map-side-combinable groupBy; the
-Gumbel top-k is a TakeOrderedAndProject over the <=|docs| weight
-rows. No corpus self-join, no driver collect, nothing quadratic.
+Shape at 100 TB: every explode is a map-side-combinable groupBy; the
+bucket distributions are <= n_buckets rows (hundreds), so the
+log-ratio table BROADCASTS to the weight join; per-doc weighting is a
+second map-side-combinable groupBy; the Gumbel top-k is a
+TakeOrderedAndProject over the <=|docs| weight rows. No corpus
+self-join, no driver collect, nothing quadratic. Honest scan count
+for the one-shot ``dsir_resample``: the raw pool is tokenized TWICE
+(once reduced to bucket totals, once to per-doc features) — at real
+scale either persist ``hashed_ngram_counts(raw)`` and derive the
+totals from it, or maintain the totals off the commit log
+(``streaming/commit_log.maintain_dsir_from_commits``), which is the
+deployment shape anyway: the raw pool is the side that churns.
 """
 
 from __future__ import annotations
@@ -104,32 +110,49 @@ def log_ratio_from_totals(
     n_buckets: int = 256,
     alpha: float = 1.0,
 ) -> DataFrame:
-    """(bucket, lr) from two (bucket, n) distributions — the
-    maintained-state entry point: feed it a static target's totals
-    and the commit-log-maintained raw totals and the importance
-    weights stay current at delta cost."""
+    """(bucket, lr) for EVERY bucket 0..B-1 from two (bucket, n)
+    distributions — the maintained-state entry point: feed it a
+    static target's totals and the commit-log-maintained raw totals
+    and the importance weights stay current at delta cost.
+
+    The full bucket domain matters: a bucket neither distribution has
+    seen still carries the smoothed constant ln((rt+aB)/(tt+aB)), and
+    a CANDIDATE document being scored against maintained totals may
+    occupy exactly such a bucket — dropping it would silently bias
+    its weight (importance_weights joins against this table, so the
+    table must be total over the domain). B rows is small by
+    construction; the grand totals fold in as window sums over those
+    same B rows — no extra pass over either corpus."""
+    from pyspark.sql import Window
+
+    spark = target_totals.sparkSession
     t = target_totals.select("bucket", F.col("n").alias("tb"))
     r = raw_totals.select("bucket", F.col("n").alias("rb"))
-    tot_t = t.agg(F.sum("tb").alias("tt"))
-    tot_r = r.agg(F.sum("rb").alias("rt"))
+    domain = spark.range(int(n_buckets)).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
     ab = float(alpha) * n_buckets
-    return (
-        t.join(r, "bucket", "full_outer")
-        .crossJoin(F.broadcast(tot_t))
-        .crossJoin(F.broadcast(tot_r))
+    w = Window.partitionBy()
+    joined = (
+        domain.join(t, "bucket", "left").join(r, "bucket", "left")
         .select(
             "bucket",
-            (
-                F.log(
-                    (F.coalesce(F.col("tb"), F.lit(0)) + F.lit(alpha))
-                    / (F.col("tt") + F.lit(ab))
-                )
-                - F.log(
-                    (F.coalesce(F.col("rb"), F.lit(0)) + F.lit(alpha))
-                    / (F.col("rt") + F.lit(ab))
-                )
-            ).alias("lr"),
+            F.coalesce(F.col("tb"), F.lit(0)).alias("tb"),
+            F.coalesce(F.col("rb"), F.lit(0)).alias("rb"),
         )
+    )
+    return joined.select(
+        "bucket",
+        (
+            F.log(
+                (F.col("tb") + F.lit(alpha))
+                / (F.sum("tb").over(w) + F.lit(ab))
+            )
+            - F.log(
+                (F.col("rb") + F.lit(alpha))
+                / (F.sum("rb").over(w) + F.lit(ab))
+            )
+        ).alias("lr"),
     )
 
 
