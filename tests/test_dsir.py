@@ -215,6 +215,33 @@ def test_dsir_maintained_equals_scratch(spark, tmp_path, monkeypatch):
         )
 
 
+def test_dsir_rewrite_refuses_then_rebuilds(spark, tmp_path):
+    """A full rewrite (write_snapshot over the same base) violates the
+    incremental op contract: the drain must raise DisallowedOpError by
+    default, and with on_rewrite="rebuild" must self-heal to exactly
+    the from-scratch totals."""
+    src = str(tmp_path / "src")
+    stt = str(tmp_path / "dsir")
+    kw = dict(text_col="text", key_col="doc_id", n_buckets=64)
+    write_snapshot(_corpus(spark, 0, 100), src)
+    maintain_dsir_from_commits(spark, src, stt, str(tmp_path / "ck"), **kw)
+    write_snapshot(_corpus(spark, 0, 80, rev="rewritten"), src)
+    # the typed DisallowedOpError surfaces wrapped by the streaming
+    # machinery — assert on its distinctive message
+    with pytest.raises(Exception, match="allowed_ops"):
+        maintain_dsir_from_commits(
+            spark, src, stt, str(tmp_path / "ck"), **kw
+        )
+    maintain_dsir_from_commits(
+        spark, src, stt, str(tmp_path / "ck2"), on_rewrite="rebuild", **kw
+    )
+    got = _totals(read_snapshot(spark, stt))
+    want = _totals(
+        dsir.bucket_totals(read_snapshot(spark, src), n_buckets=64)
+    )
+    assert got == want and got
+
+
 def test_weights_from_maintained_state_match_batch_query(spark, tmp_path):
     """Bootstrap the maintained raw-pool distribution from the
     fixture's raw slice and compute weights through
