@@ -7449,10 +7449,12 @@ def dsir_doc_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled quality, DSIR = target match with the raw pool's own
     distribution discounted).
 
-    Shape at 100 TB: two map-side-combinable explode+groupBys (one
-    per corpus), a <=B-row log-ratio table BROADCAST into the weight
-    join, one final per-doc groupBy. No self-join, no collect; the
-    weight table is <=|docs| rows. See operators/dsir.py."""
+    Shape at 100 TB: map-side-combinable explode+groupBys (target
+    tokenized once, raw twice — once to <=B bucket totals, once to
+    per-doc features; the maintained-state path makes raw once), a
+    <=B-row log-ratio table BROADCAST into the weight join, one
+    final per-doc groupBy. No self-join, no collect; the weight
+    table is <=|docs| rows. See operators/dsir.py."""
     from vector_db_setup_spark.operators import dsir
     from vector_db_setup_spark.sources.registry import spread_to_cores
 
