@@ -108,6 +108,18 @@ CHECKPOINT_EVERY = 25
 
 
 def _vname(n: int) -> str:
+    # _parse_v accepts EXACTLY _V_DIGITS digits, so a wider number
+    # would format fine here yet be invisible to every reader: the
+    # acknowledged commit vanishes, the head stops advancing, and all
+    # later writers collide with the orphaned marker forever. Refuse
+    # at allocation instead — one comparison buys a loud error ~190
+    # years into a commit-a-minute table.
+    if n >= 10**_V_DIGITS:
+        raise ValueError(
+            f"version {n} exceeds the marker format's "
+            f"{_V_DIGITS}-digit capacity — compact the table's history "
+            "into a fresh base (markers are not renumberable in place)"
+        )
     return f"{_V_PREFIX}{n:0{_V_DIGITS}d}"
 
 
@@ -556,6 +568,26 @@ class DisallowedOpError(ValueError):
     trigger an O(corpus) rebuild on any unrelated error whose text
     happened to contain the token. Subclasses ValueError, so existing
     `except ValueError` callers keep working."""
+
+
+def _keyed_counts(df: DataFrame, key_col: str, who: str) -> tuple[int, int]:
+    """(total rows, distinct keys) with NULL keys refused LOUDLY:
+    ``countDistinct`` ignores nulls, so the bare count(1)-vs-distinct
+    duplicate guard would misdiagnose a single null-key row as
+    'duplicate keys' — a hunt for duplicates that don't exist. Keyed
+    commits and CDC feeds need non-null keys; say so."""
+    n_all, n_key, n_dist = df.agg(
+        F.count(F.lit(1)),
+        F.count(F.col(key_col)),
+        F.countDistinct(key_col),
+    ).first()
+    if n_key != n_all:
+        raise ValueError(
+            f"{who}: {n_all - n_key} NULL {key_col} value(s) "
+            f"({n_all} rows) — keyed commits and CDC feeds require "
+            "non-null keys; filter or fill them first"
+        )
+    return int(n_all), int(n_dist)
 
 
 def write_snapshot(
@@ -1092,6 +1124,28 @@ def read_snapshot(
             return _union([spark.read.parquet(p) for p in paths])
         return _rd().parquet(*paths)
 
+    def _stabilize(df):
+        # pruning must never change the RETURNED SCHEMA of an evolved
+        # version: when the probe drops every file of the dir that
+        # carries a late column, mergeSchema over the survivors omits
+        # it while the unpruned read null-fills it — the schema would
+        # depend on the probe range. Project to the version's full
+        # union schema (planning-time footer reads only; evolved
+        # reads already pay them).
+        if not evolved:
+            return df
+        full = _read_all().schema
+        missing = [f for f in full.fields if f.name not in df.columns]
+        if missing:
+            df = df.select(
+                "*",
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in missing
+                ],
+            )
+        return df.select(*[f.name for f in full.fields])
+
     def _assemble_scoped(dir_frames):
         """Sequence-scoped merge-on-read: a tombstone entry with
         ``seq`` applies ONLY to the first ``seq`` data dirs — the dirs
@@ -1251,7 +1305,7 @@ def read_snapshot(
             return _apply_deletes(
                 _read_all().filter(pred).filter(F.lit(False))
             )
-        return _apply_deletes(out.filter(pred))
+        return _apply_deletes(_stabilize(out).filter(pred))
     if pb:
         # reading individual FILES under hive dirs loses the partition
         # columns unless basePath anchors them; group surviving files
@@ -1265,7 +1319,7 @@ def read_snapshot(
         out = _union(parts)
     else:
         out = _rd().parquet(*[f"{base}/{rel}" for rel in keep])
-    return _apply_deletes(out.filter(pred))
+    return _apply_deletes(_stabilize(out).filter(pred))
 
 
 def compact_snapshot(
@@ -1796,9 +1850,9 @@ def upsert_snapshot(
         updates = updates.persist()
         we_persisted = True
     try:
-        n_all, n_distinct = updates.agg(
-            F.count(F.lit(1)), F.countDistinct(key_col)
-        ).first()
+        n_all, n_distinct = _keyed_counts(
+            updates, key_col, "upsert_snapshot updates"
+        )
         if n_all != n_distinct:
             raise ValueError(
                 f"updates carry duplicate {key_col} values "
@@ -1814,11 +1868,17 @@ def upsert_snapshot(
         for _ in range(4):
             vs = committed_versions(spark, base, fs)
             head_v = vs[-1] if vs else 0
-            head_checks = (
-                snapshot_info(spark, base, head_v, fs).get("checks")
-                if head_v
-                else None
+            head_info = (
+                snapshot_info(spark, base, head_v, fs) if head_v else {}
             )
+            head_checks = head_info.get("checks")
+            # layout + stats INHERIT (like compact/merge/delete): the
+            # rewrite is the whole table, so an upsert must not
+            # flatten a hive-partitioned head or silently drop its
+            # file-skipping stats — the next partitioned append would
+            # refuse and readers would lose pruning
+            part_by = head_info.get("partition_by") or None
+            stat_cols = (head_info.get("stats") or {}).get("cols")
             if head_checks:
                 # only the INCOMING rows need the gate — surviving head
                 # rows passed it at their own commits
@@ -1845,6 +1905,9 @@ def upsert_snapshot(
                     _op="upsert",
                     checks=head_checks,
                     _checks_prevalidated=True,
+                    partition_by=part_by,
+                    stats_cols=stat_cols,
+                    cluster_by=stat_cols,
                     fs=fs,
                     idempotency_key=idempotency_key,
                     expected_head=head_v,
@@ -1909,9 +1972,7 @@ def snapshot_diff(
             "diff a declared common projection"
         )
     for side, df in (("v_from", a), ("v_to", b)):
-        n_all, n_dist = df.agg(
-            F.count(F.lit(1)), F.countDistinct(key_col)
-        ).first()
+        n_all, n_dist = _keyed_counts(df, key_col, f"snapshot_diff {side}")
         if n_all != n_dist:
             raise ValueError(
                 f"{side} holds duplicate {key_col} values ({n_all} rows, "
@@ -2201,9 +2262,9 @@ def _fast_step(
                 return None  # evolved batch without the key: full diff
             d = d.select(F.col(key_col), *[F.col(c) for c in carry])
             added = d if added is None else added.unionByName(d)
-        n_all, n_dist = added.agg(
-            F.count(F.lit(1)), F.countDistinct(key_col)
-        ).first()
+        n_all, n_dist = _keyed_counts(
+            added, key_col, f"appended batch at v{b}"
+        )
         if n_all != n_dist:
             raise ValueError(
                 f"appended batch at v{b} holds duplicate {key_col} "
@@ -2269,9 +2330,9 @@ def _fast_step(
         # delete doesn't touch stay this step's blind spot — the full
         # diff would refuse the whole version pair; checking that here
         # would cost the O(table) scan this path exists to avoid.)
-        n_all, n_dist = removed.agg(
-            F.count(F.lit(1)), F.countDistinct(key_col)
-        ).first()
+        n_all, n_dist = _keyed_counts(
+            removed, key_col, f"delete at v{b}"
+        )
         if n_all != n_dist:
             raise ValueError(
                 f"delete at v{b} removes rows with duplicate {key_col} "
@@ -2306,9 +2367,9 @@ def _fast_step(
         )
         if any(c not in batch.columns for c in compare):
             return None
-        n_all, n_dist = batch.agg(
-            F.count(F.lit(1)), F.countDistinct(key_col)
-        ).first()
+        n_all, n_dist = _keyed_counts(
+            batch, key_col, f"merge batch at v{b}"
+        )
         if n_all != n_dist:
             raise ValueError(
                 f"merge batch at v{b} holds duplicate {key_col} values "
@@ -2331,6 +2392,18 @@ def _fast_step(
         prior = _probe_visible(
             spark, base, a, fs, key_col, batch, n_keys=int(n_all)
         )
+        # the full diff refuses duplicate keys in EITHER version; this
+        # fast path must not silently emit doubled changed/removed
+        # rows when the PRIOR version holds duplicates of a merged key
+        # (legal via write_snapshot). Bail to the full diff, which
+        # raises its canonical refusal — one tiny aggregate over the
+        # already-pruned probe (bounded by the batch's key overlap;
+        # the probe's key predicate excludes nulls by construction)
+        n_p, n_pd = prior.agg(
+            F.count(F.lit(1)), F.countDistinct(key_col)
+        ).first()
+        if n_p != n_pd:
+            return None
         added = batch.join(
             prior.select(F.col(key_col)), key_col, "left_anti"
         ).select(
@@ -2427,9 +2500,9 @@ def _fast_append_run(
             F.col(key_col), *[F.col(c) for c in carry]
         ).withColumn("version", F.lit(v))
         added = d if added is None else added.unionByName(d)
-    n_all, n_dist = added.agg(
-        F.count(F.lit(1)), F.countDistinct(key_col)
-    ).first()
+    n_all, n_dist = _keyed_counts(
+        added, key_col, f"appends in (v{v_from}, v{v_to}]"
+    )
     if n_all != n_dist:
         raise ValueError(
             f"appends in (v{v_from}, v{v_to}] land duplicate {key_col} "
@@ -2569,10 +2642,17 @@ def _fast_delete_run(
         removed.groupBy("version")
         .agg(
             F.count(F.lit(1)).alias("n"),
+            F.count(F.col(key_col)).alias("nk"),
             F.countDistinct(key_col).alias("d"),
         )
         .collect()
     ):
+        if r["nk"] != r["n"]:
+            raise ValueError(
+                f"delete at v{r['version']}: {r['n'] - r['nk']} NULL "
+                f"{key_col} value(s) — keyed commits and CDC feeds "
+                "require non-null keys; filter or fill them first"
+            )
         if r["n"] != r["d"]:
             raise ValueError(
                 f"delete at v{r['version']} removes rows with duplicate "
@@ -2872,8 +2952,23 @@ def snapshot_changes(
                     out = run if out is None else out.unionByName(run)
                     i = j + 1
                     continue
-            # single delete step (or a column gap broke the run):
-            # per-step attribution below handles each
+                # a column gap broke the run: attribute its steps
+                # INDIVIDUALLY and skip past it (mirror the append
+                # branch) — advancing one step would re-detect the
+                # shrinking run and re-pay the schema probe + entry
+                # scan O(run²) times across a delete storm
+                for a2, b2 in steps[i : j + 1]:
+                    step = _fast_step(
+                        spark, base, a2, b2, key_col, fs, infos,
+                        carry=carry, columns=columns, pair=pair,
+                    )
+                    if step is None:
+                        step = _full_step(a2, b2)
+                    step = step.withColumn("version", F.lit(b2))
+                    out = step if out is None else out.unionByName(step)
+                i = j + 1
+                continue
+            # single delete step: per-step attribution below handles it
         step = (
             _fast_step(
                 spark, base, a, b, key_col, fs, infos,
@@ -3161,9 +3256,9 @@ def merge_snapshot(
         v = _find_idempotent(spark, base, fs, idempotency_key)
         if v is not None:
             return v
-    n_all, n_dist = updates.agg(
-        F.count(F.lit(1)), F.countDistinct(key_col)
-    ).first()
+    n_all, n_dist = _keyed_counts(
+        updates, key_col, "merge_snapshot batch"
+    )
     if n_all != n_dist:
         raise ValueError(
             f"merge batch holds duplicate {key_col} values ({n_all} "
@@ -3443,6 +3538,18 @@ def tag_snapshot(
             f"tag {name!r} already pins v{cur} at {base} — tags are "
             "immutable; delete_tag first to re-point"
         ) from None
+    # TOCTOU vs a concurrent GC: the marker existed ABOVE, but a GC
+    # that listed _tags before this create may have deleted v between
+    # the check and the pin — the tag would name a destroyed version
+    # forever while protecting nothing. Re-validate AFTER the create
+    # (the same post-commit re-check rollback_snapshot runs): if the
+    # marker is gone, undo the pin and refuse loudly.
+    if not fs.exists(f"{base}/{COMMITS_DIR}/{_vname(v)}"):
+        fs.delete(f"{base}/{TAGS_DIR}/{name}")
+        raise FileNotFoundError(
+            f"cannot tag v{v} at {base}: a concurrent GC reclaimed it "
+            "during tagging — re-tag a surviving version"
+        )
     return v
 
 
