@@ -213,3 +213,249 @@ def test_delete_run_fallback_probes_once(spark, tmp_path, monkeypatch):
         ).collect()
     }
     assert got == want and len(got) == 12
+
+
+# ---- commit_log review findings ----
+
+
+def test_span_rewrite_drain_needs_no_compaction(spark, tmp_path, monkeypatch):
+    """A source merge that REWRITES docs must drain into the span index
+    without tripping TombstonedKeyError -> O(index) compaction: the
+    re-landed occ_keys go through the merge's scoped tombstone, only
+    RETIRED keys (doc shrank/deleted) get unscoped tombstones."""
+    import vector_db_setup_spark.streaming.commit_log as cl
+    from tests.test_span_index import _corpus, _scratch_index
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_span_index_from_commits,
+    )
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    write_snapshot(_corpus(spark, 0, 60), src)
+    kw = dict(text_col="text", key_col="doc_id", shingle_n=8)
+    maintain_span_index_from_commits(
+        spark, src, idx, str(tmp_path / "ck"), **kw
+    )
+    compactions = []
+    real_compact = st.compact_snapshot
+
+    def counting(*a, **k):
+        compactions.append(1)
+        return real_compact(*a, **k)
+
+    monkeypatch.setattr(st, "compact_snapshot", counting)
+    # same-length rewrite + a shrinking rewrite + fresh docs, one merge
+    rewrite = _corpus(spark, 0, 10, rev="v2")  # 11 tokens (longer)
+    shrunk = spark.range(10, 15).select(
+        F.col("id").alias("doc_id"),
+        F.lit("tiny text").alias("text"),  # < shingle_n tokens
+    )
+    merge_snapshot(
+        rewrite.unionByName(shrunk).unionByName(_corpus(spark, 500, 505)),
+        src, key_col="doc_id",
+    )
+    maintain_span_index_from_commits(
+        spark, src, idx, str(tmp_path / "ck"), **kw
+    )
+    assert compactions == [], "rewrite drain forced an index compaction"
+    got = sorted(
+        tuple(r)
+        for r in read_snapshot(spark, idx)
+        .select("occ_key", "doc_id", "pos", "gram")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in _scratch_index(spark, read_snapshot(spark, src))
+        .collect()
+    )
+    assert got == want and got
+
+
+def test_short_doc_removal_emits_no_phantom_tombstones(spark, tmp_path):
+    """Deleting a doc shorter than shingle_n tokens must land NO
+    occurrence tombstones (sequence(1,0) would have emitted phantom
+    keys pos 1 and 0, poisoning the doc's future re-add)."""
+    from tests.test_span_index import _corpus
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_span_index_from_commits,
+    )
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    short = spark.createDataFrame(
+        [(7, "too short")], "doc_id long, text string"
+    )
+    write_snapshot(_corpus(spark, 0, 5).unionByName(short), src)
+    kw = dict(text_col="text", key_col="doc_id", shingle_n=8)
+    maintain_span_index_from_commits(
+        spark, src, idx, str(tmp_path / "ck"), **kw
+    )
+    v0 = len(st.committed_versions(spark, idx))
+    delete_from_snapshot(
+        spark.createDataFrame([(7,)], "doc_id long"), src,
+        key_col="doc_id",
+    )
+    maintain_span_index_from_commits(
+        spark, src, idx, str(tmp_path / "ck"), **kw
+    )
+    # the short doc had zero occurrence rows: the drain must be a no-op
+    # on the index (no delete commit, no tombstone entries)
+    assert len(st.committed_versions(spark, idx)) == v0
+    info = snapshot_info(
+        spark, idx, max(st.committed_versions(spark, idx))
+    )
+    assert not [
+        e for e in (info.get("deletes") or []) if "seq" not in e
+    ], "phantom unscoped tombstones landed for a zero-occurrence doc"
+    # and a later LONG re-add of the same id works without healing
+    # (the SOURCE requires a compact before re-merging a deleted key —
+    # its own documented contract; the index drain consumes both)
+    st.compact_snapshot(spark, src)
+    merge_snapshot(
+        spark.createDataFrame(
+            [(7, "alpha beta gamma delta epsilon zeta eta theta nine")],
+            "doc_id long, text string",
+        ),
+        src, key_col="doc_id",
+    )
+    maintain_span_index_from_commits(
+        spark, src, idx, str(tmp_path / "ck"), **kw
+    )
+    assert (
+        read_snapshot(spark, idx).filter(F.col("doc_id") == 7).count() == 2
+    )
+
+
+def test_span_index_rejects_out_of_range_doc_ids(spark, tmp_path):
+    """doc_id outside [0, 2^41) would alias another doc's occ_key range
+    (the packing discards high bits) — the drain must fail loudly."""
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_span_index_from_commits,
+    )
+
+    src = str(tmp_path / "src")
+    big = spark.createDataFrame(
+        [(1 << 41, "alpha beta gamma delta epsilon zeta eta theta x")],
+        "doc_id long, text string",
+    )
+    write_snapshot(big, src)
+    with pytest.raises(Exception, match="occ_key packing range"):
+        maintain_span_index_from_commits(
+            spark, src, str(tmp_path / "idx"), str(tmp_path / "ck"),
+            text_col="text", key_col="doc_id", shingle_n=8,
+        )
+
+
+def test_lsh_rk_is_long_for_int_keys(spark, tmp_path):
+    """An int-typed key must not wrap 32-bit arithmetic in the rk
+    packing: rk is computed in long."""
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_lsh_index_from_commits,
+    )
+
+    src = str(tmp_path / "src")
+    docs = spark.createDataFrame(
+        [(700_000_000, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id int, text string",
+    )
+    write_snapshot(docs, src)
+    idx = str(tmp_path / "idx")
+    maintain_lsh_index_from_commits(
+        spark, src, idx, str(tmp_path / "ck"),
+        text_col="text", key_col="doc_id", bands=4,
+    )
+    rows = read_snapshot(spark, idx).collect()
+    assert dict(read_snapshot(spark, idx).dtypes)["rk"] == "bigint"
+    # 700M * 4 overflows int32; the packed keys must be exact
+    assert {r["rk"] for r in rows} == {
+        700_000_000 * 4 + b for b in range(4)
+    }
+
+
+def test_ivf_maintainer_refuses_geometry_drift(spark, tmp_path):
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_ivf_from_commits,
+    )
+
+    src = str(tmp_path / "src")
+    vecs = spark.range(0, 40).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("float"),
+            (F.col("id") % 3).cast("float"),
+        ).alias("embedding"),
+    )
+    write_snapshot(vecs, src)
+    idx = str(tmp_path / "idx")
+    maintain_ivf_from_commits(
+        spark, src, idx, str(tmp_path / "ck"), key_col="vec_id", k=4
+    )
+    # the refusal surfaces wrapped by the streaming machinery
+    with pytest.raises(Exception, match="different geometry"):
+        maintain_ivf_from_commits(
+            spark, src, idx, str(tmp_path / "ck2"), key_col="vec_id", k=8
+        )
+
+
+def test_agg_maintainer_refuses_key_col_drift(spark, tmp_path):
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_agg_from_commits,
+    )
+
+    src = str(tmp_path / "src")
+    write_snapshot(
+        spark.range(0, 30).select(
+            F.col("id").alias("doc_id"),
+            F.col("id").alias("chunk_id"),
+            (F.col("id") % 3).cast("string").alias("lang"),
+        ),
+        src,
+    )
+    stt = str(tmp_path / "agg")
+    maintain_agg_from_commits(
+        spark, src, stt, str(tmp_path / "ck"),
+        group_col="lang", key_col="doc_id",
+    )
+    with pytest.raises(Exception, match="feed key"):
+        maintain_agg_from_commits(
+            spark, src, stt, str(tmp_path / "ck2"),
+            group_col="lang", key_col="chunk_id",
+        )
+
+
+def test_agg_maintainer_skips_state_rewrite_on_empty_delta(spark, tmp_path):
+    """A compact-only drained range yields an empty feed: the state
+    must NOT re-land (no version bump per no-op drain)."""
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_agg_from_commits,
+    )
+
+    src = str(tmp_path / "src")
+    write_snapshot(
+        spark.range(0, 30).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 3).cast("string").alias("lang"),
+        ),
+        src,
+    )
+    stt = str(tmp_path / "agg")
+    kw = dict(group_col="lang", key_col="doc_id")
+    maintain_agg_from_commits(spark, src, stt, str(tmp_path / "ck"), **kw)
+    n0 = len(st.committed_versions(spark, stt))
+    st.compact_snapshot(spark, src)
+    maintain_agg_from_commits(spark, src, stt, str(tmp_path / "ck"), **kw)
+    assert len(st.committed_versions(spark, stt)) == n0
+    # and a real delta afterwards still lands correctly
+    append_snapshot(
+        spark.range(100, 110).select(
+            F.col("id").alias("doc_id"), F.lit("xx").alias("lang")
+        ),
+        src,
+    )
+    maintain_agg_from_commits(spark, src, stt, str(tmp_path / "ck"), **kw)
+    got = {
+        (r["lang"], r["cnt"])
+        for r in read_snapshot(spark, stt).collect()
+    }
+    assert ("xx", 10) in got

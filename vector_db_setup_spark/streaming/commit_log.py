@@ -369,6 +369,22 @@ def maintain_ivf_from_commits(
                 "rebuild through this maintainer (fresh index_base) to "
                 "subscribe it"
             )
+        # geometry drift refuses like every sibling maintainer: the
+        # incremental drains would silently keep the OLD k/seed/vec_col
+        # (appends assign with the head marker's centroids) while the
+        # first on_rewrite="rebuild" would silently retrain with the
+        # NEW ones — search behavior shifting unannounced
+        drift = {
+            p: (meta.get(p), v)
+            for p, v in (("k", int(k)), ("seed", int(seed)),
+                         ("vec_col", vec_col))
+            if meta.get(p) is not None and meta.get(p) != v
+        }
+        if drift:
+            raise ValueError(
+                f"index at {index_base} was built under different "
+                f"geometry {drift}; rebuild under a fresh index_base"
+            )
         from_v = min(int(app_thru), int(del_thru))
         if through_v <= from_v:
             return  # replayed batch; already applied
@@ -612,15 +628,18 @@ def maintain_agg_from_commits(
                 "cursor — not written by maintain_agg_from_commits; "
                 "use a fresh state_base"
             )
-        if (meta.get("group_col"), meta.get("sum_col")) != (
-            group_col,
-            sum_col,
-        ):
+        if (
+            meta.get("group_col"),
+            meta.get("sum_col"),
+            meta.get("key_col"),
+        ) != (group_col, sum_col, key_col):
             raise ValueError(
                 f"state at {state_base} aggregates "
-                f"({meta.get('group_col')}, sum={meta.get('sum_col')}) "
-                "— an aggregate cannot change shape incrementally; use "
-                "a fresh state_base"
+                f"({meta.get('group_col')}, sum={meta.get('sum_col')}, "
+                f"key={meta.get('key_col')}) — an aggregate cannot "
+                "change shape OR feed key incrementally (a different "
+                "CDC key re-pairs delete/merge attribution); use a "
+                "fresh state_base"
             )
         last = int(meta["through_version"])
         if through_v <= last:
@@ -667,6 +686,13 @@ def maintain_agg_from_commits(
                 idempotency_key=f"through:{through_v}",
                 meta={**meta, "through_version": through_v},
             )
+            return
+        if not feed.limit(1).count():
+            # a drained range of compact-only commits (or merges
+            # touching un-aggregated columns) produces an EMPTY feed:
+            # skip the full state rewrite + version bump — the stale
+            # cursor just re-attributes the empty range next drain
+            # (the IVF maintainer's early-return form)
             return
         added_delta = _agg(feed.filter(F.col("status") == "added"))
         removed_delta = _agg(
@@ -824,6 +850,8 @@ def maintain_lm_from_commits(
                 meta={**params, "through_version": through_v},
             )
             return
+        if not feed.limit(1).count():
+            return  # empty delta: skip the state rewrite (see agg)
         plus = lm_counts(feed.filter(F.col("status") == "added"), text_col)
         minus = lm_counts(
             feed.filter(F.col("status") == "removed"), text_col
@@ -963,6 +991,8 @@ def maintain_dsir_from_commits(
                 f"v{through_v} (content rewrite in range)",
             )
             return
+        if not feed.limit(1).count():
+            return  # empty delta: skip the state rewrite (see agg)
         plus = bucket_totals(
             feed.filter(F.col("status") == "added"), text_col, n_buckets
         )
@@ -1082,7 +1112,12 @@ def maintain_lsh_index_from_commits(
         )
         bk = band_keys_from_sigs(arr, key_col, bands, num_hashes)
         return grid.join(bk, [key_col, "band"], "left").select(
-            (F.col(key_col) * bands + F.col("band")).alias("rk"),
+            # cast BEFORE the multiply: an int-typed key would wrap
+            # 32-bit arithmetic at doc_id >= 2^31/bands and silently
+            # collide with another doc's band rows
+            (F.col(key_col).cast("long") * bands + F.col("band")).alias(
+                "rk"
+            ),
             F.col(key_col),
             F.col("band"),
             F.coalesce(F.col("band_key"), F.lit("")).alias("band_key"),
@@ -1191,7 +1226,10 @@ def maintain_lsh_index_from_commits(
                         F.sequence(F.lit(0), F.lit(bands - 1))
                     ).alias("band"),
                 ).select(
-                    (F.col(key_col) * bands + F.col("band")).alias("rk")
+                    (
+                        F.col(key_col).cast("long") * bands
+                        + F.col("band")
+                    ).alias("rk")
                 )
                 st.delete_from_snapshot(
                     rks,
@@ -1294,31 +1332,57 @@ def maintain_span_index_from_commits(
         if ktype not in ("tinyint", "smallint", "int", "bigint"):
             raise ValueError(
                 f"maintain_span_index_from_commits needs an integral "
-                f"{key_col} (got {ktype}) — the occurrence key is "
-                "doc_id*2^22+pos; hash string ids to a long upstream"
+                f"{key_col} in [0, 2^41) (got {ktype}) — the occurrence "
+                "key packs doc_id*2^22+pos into one signed long. Hash "
+                "string ids upstream with xxhash64 MASKED to 41 bits "
+                "(pmod(xxhash64(id), 2^41)); the packing cannot carry "
+                "a full-range 64-bit hash (its top 22 bits would be "
+                "discarded — silent cross-doc key collisions)"
             )
         occ = ngram_occurrences(
             docs, n=shingle_n, text_col=text_col, id_col=key_col
         )
+        did = F.col("id").cast("long")
+        # per-row guard BEFORE the multiply (when() short-circuits, so
+        # the packing arithmetic never runs on an out-of-range id —
+        # under ANSI it would overflow with a generic error first): an
+        # id outside [0, 2^41) would alias another doc's key range;
+        # fail the drain loudly instead of silently corrupting the
+        # index
+        ok = (did >= 0) & (did < F.lit(1 << 41))
+        packed = F.when(
+            ok, did * F.lit(_POS_CAP).cast("long") + F.col("pos")
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"{key_col} out of the occ_key packing range "
+                    "[0, 2^41) — mask hashed ids to 41 bits upstream"
+                )
+            ).cast("long")
+        )
         return occ.select(
-            (
-                F.col("id").cast("long") * F.lit(_POS_CAP).cast("long")
-                + F.col("pos")
-            ).alias("occ_key"),
+            packed.alias("occ_key"),
             F.col("id").alias(key_col),
             F.col("pos"),
             "gram",
         )
 
     def _occ_keys_of(docs: DataFrame) -> DataFrame:
-        # occurrence keys reconstructed from carried text — no index read
+        # occurrence keys reconstructed from carried text — no index
+        # read. The zero-position case needs the word_shingles guard:
+        # sequence(1, 0) counts DOWN and would emit two SPURIOUS keys
+        # (pos 1 and 0) for a doc shorter than shingle_n tokens —
+        # phantom tombstones that poison the doc's future re-add.
         n_pos = F.greatest(
             F.size(F.split(F.col(text_col), " ")) - F.lit(shingle_n - 1),
             F.lit(0),
         )
+        seq = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+            F.array().cast("array<int>")
+        )
         return docs.select(
             F.col(key_col),
-            F.explode(F.sequence(F.lit(1), n_pos)).alias("pos"),
+            F.explode(seq).alias("pos"),
         ).select(
             (
                 F.col(key_col).cast("long") * F.lit(_POS_CAP).cast("long")
@@ -1420,9 +1484,19 @@ def maintain_span_index_from_commits(
                 .select(key_col, text_col)
             )
             # guard on the ACTUAL frames: a short doc (< shingle_n
-            # tokens) has events but zero occurrence rows either way
-            del_keys = _occ_keys_of(first_removed)
+            # tokens) has events but zero occurrence rows either way.
+            # A REWRITTEN doc appears in BOTH frames: its re-landed
+            # occ_keys must NOT be tombstoned here — the merge's
+            # scoped tombstone replaces them — or the merge would hit
+            # its own unscoped tombstones and force a TombstonedKeyError
+            # -> O(index) compaction on EVERY rewrite-bearing drain.
+            # Anti-join against the post-image keys (reconstructed from
+            # carried text, no gram hashing): only keys the rewrite
+            # RETIRES (doc shrank / doc deleted) get tombstones.
             add_rows = _index_rows(final_added)
+            del_keys = _occ_keys_of(first_removed).join(
+                _occ_keys_of(final_added), "occ_key", "left_anti"
+            )
             has_del = bool(del_keys.limit(1).count())
             has_add = bool(add_rows.limit(1).count())
             if not (has_add or has_del):
