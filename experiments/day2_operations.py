@@ -290,6 +290,14 @@ def sustained_span_cycles(spark, root, n_cycles=30):
                 max_data_dirs=12, max_delete_entries=6,
                 target_file_bytes=256 << 10,
             ),
+            # the index takes delete+merge commits per drain — its
+            # merge-on-read debt is the loop's to absorb (rewrite
+            # drains no longer compact it accidentally via the
+            # TombstonedKeyError heal)
+            compact_subscribers=dict(
+                max_data_dirs=12, max_delete_entries=6,
+                target_file_bytes=256 << 10,
+            ),
             gc=dict(keep=3, orphan_min_age_s=0),
         )
         walls.append(time.perf_counter() - t)

@@ -459,3 +459,63 @@ def test_agg_maintainer_skips_state_rewrite_on_empty_delta(spark, tmp_path):
         for r in read_snapshot(spark, stt).collect()
     }
     assert ("xx", 10) in got
+
+
+def test_maintenance_cycle_compacts_subscriber_states(spark, tmp_path):
+    """compact_subscribers: the cycle absorbs the INDEX's merge-on-read
+    debt (delete+merge commits pile up per drain now that rewrite
+    drains no longer compact it accidentally via the heal path)."""
+    from functools import partial
+
+    from tests.test_span_index import _corpus
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_span_index_from_commits,
+        maintenance_cycle,
+    )
+
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    write_snapshot(_corpus(spark, 0, 40), src)
+    drain = partial(
+        maintain_span_index_from_commits,
+        spark, src, idx, str(tmp_path / "ck"),
+        text_col="text", key_col="doc_id", shingle_n=8,
+    )
+    drain()
+    for i in range(3):  # three rewrite cycles -> index takes 3 merges
+        merge_snapshot(
+            _corpus(spark, i * 5, i * 5 + 5, rev=f"r{i}"), src,
+            key_col="doc_id",
+        )
+    report = maintenance_cycle(
+        spark, src,
+        drains=[drain],
+        subscriber_states=[idx],
+        compact_subscribers=dict(max_data_dirs=1, max_delete_entries=1),
+        gc=None, checkpoint=False,
+    )
+    assert report["compacted_subscribers"][idx] is not None
+    info = snapshot_info(
+        spark, idx, max(st.committed_versions(spark, idx))
+    )
+    assert len(info["data"] if isinstance(info["data"], list) else [1]) == 1
+    assert not info.get("deletes")
+    # the cursor survived the compaction (keep_meta) — next drain is a
+    # no-op, not an 'unmaintained state' refusal
+    from vector_db_setup_spark.operators.span_dedup import _POS_CAP
+
+    drain()
+    got = sorted(
+        tuple(r) for r in read_snapshot(spark, idx)
+        .select("occ_key", "doc_id").collect()
+    )
+    want = sorted(
+        (r["doc_id"] * _POS_CAP + r["pos"], r["doc_id"])
+        for r in spark.createDataFrame(
+            read_snapshot(spark, src).select("doc_id", "text").collect()
+        ).selectExpr(
+            "doc_id",
+            "posexplode(sequence(1, size(split(text, ' ')) - 7)) as (i, pos)",
+        ).select("doc_id", "pos").collect()
+    )
+    assert got == want and got

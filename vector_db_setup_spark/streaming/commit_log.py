@@ -1552,6 +1552,7 @@ def maintenance_cycle(
     drains=(),
     subscriber_states=None,
     compact: dict | None = None,
+    compact_subscribers: dict | None = None,
     checkpoint: bool = True,
     gc: dict | None = None,
     fs=None,
@@ -1567,6 +1568,13 @@ def maintenance_cycle(
     2. ``compact_if(**compact)`` — absorb merge-on-read debt AFTER the
        drains: subscribers' next pass sees the compaction as one free
        'compact' step instead of racing it mid-drain.
+    2b. ``compact_if(**compact_subscribers)`` over every subscriber
+       STATE table (keep_meta forced — cursors live in the state
+       marker's meta): the index-shaped states (IVF/LSH/span) take
+       delete+merge commits per drain, so THEIR merge-on-read debt
+       grows with every cycle; without this the sustained drain wall
+       creeps as reads pay ever more per-dir unions and anti-joins.
+       None (default) skips — pass {} for thresholds-as-defaults.
     3. ``write_commit_checkpoint`` — roll the marker log at the
        post-compaction head so every walker (including step 4's own
        protection scans) pays O(new) reads.
@@ -1589,6 +1597,13 @@ def maintenance_cycle(
         report["compacted_version"] = st.compact_if(
             spark, base, fs=fs, **compact
         )
+    if compact_subscribers is not None:
+        report["compacted_subscribers"] = {
+            state: st.compact_if(
+                spark, state, keep_meta=True, **compact_subscribers
+            )
+            for state in (subscriber_states or [])
+        }
     if checkpoint:
         report["checkpointed_through"] = st.write_commit_checkpoint(
             spark, base, fs=fs
