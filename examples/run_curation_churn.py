@@ -196,6 +196,9 @@ def main(sf_dir: str) -> None:
             drains=drains,
             subscriber_states=[agg_state, idx, lsh, spidx, lm, dsir_state],
             compact=dict(max_data_dirs=8, max_delete_entries=4),
+            # the index-shaped states take delete+merge commits per
+            # drain; the loop absorbs their merge-on-read debt too
+            compact_subscribers=dict(max_data_dirs=8, max_delete_entries=4),
             gc=dict(keep=2, orphan_min_age_s=0),
         )
         print(f"maintenance_cycle: {report}")
