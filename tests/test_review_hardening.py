@@ -519,3 +519,98 @@ def test_maintenance_cycle_compacts_subscriber_states(spark, tmp_path):
         ).select("doc_id", "pos").collect()
     )
     assert got == want and got
+
+
+# ---- ann_index review findings ----
+
+
+def _vecs(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("float"), (F.col("id") % 3).cast("float")
+        ).alias("embedding"),
+    )
+
+
+def test_compact_ivf_index_stamps_compact_op(spark, tmp_path):
+    """The index compaction must commit op='compact' (delegating to
+    generic compact_snapshot) so index SUBSCRIBERS consume the step
+    free instead of refusing it as a content rewrite."""
+    from vector_db_setup_spark.operators.ann_index import (
+        build_ivf_index,
+        compact_ivf_index,
+        search_ivf_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_ivf_index(_vecs(spark, 0, 40), idx, k=4)
+    v = compact_ivf_index(spark, idx)
+    info = snapshot_info(spark, idx, v)
+    assert info.get("op") == "compact"
+    assert (info.get("meta") or {}).get("kind") == "ivf"  # keep_meta
+    assert info.get("partition_by") == ["cluster_id"]  # layout inherited
+    # a key-presence feed with the standard contract consumes it
+    feed = snapshot_changes(
+        spark, idx, "vec_id", from_version=1,
+        allowed_ops=("append", "delete", "compact", "merge"),
+    )
+    assert feed.count() == 0  # compact adds/removes nothing
+    # and search still resolves the compacted head
+    assert search_ivf_index(spark, idx, [1.0, 1.0], topk=3).count() == 3
+
+
+def test_extra_meta_cannot_clobber_index_keys(spark, tmp_path):
+    from vector_db_setup_spark.operators.ann_index import build_ivf_index
+
+    with pytest.raises(ValueError, match="index's own keys"):
+        build_ivf_index(
+            _vecs(spark, 0, 20), str(tmp_path / "idx"), k=4,
+            extra_meta={"kind": "ivf-v2"},
+        )
+    # non-reserved audit fields still ride through
+    idx = str(tmp_path / "idx2")
+    build_ivf_index(
+        _vecs(spark, 0, 20), idx, k=4, extra_meta={"built_by": "test"}
+    )
+    meta = snapshot_info(spark, idx, 1)["meta"]
+    assert meta["built_by"] == "test" and meta["kind"] == "ivf"
+
+
+def test_gemm_assign_tolerates_null_and_ragged_vectors(spark):
+    """The large-k GEMM path must match the expression path's NULL
+    contract: null/wrong-width vectors land with NULL cluster_id, not
+    a np.stack crash of the whole job."""
+    import numpy as np
+
+    from vector_db_setup_spark.operators.ann import (
+        ivf_assign,
+        ivf_assign_gemm,
+    )
+
+    cents = np.array([[0.0, 0.0], [10.0, 10.0]])
+    rows = spark.createDataFrame(
+        [
+            (1, [0.5, 0.5]),
+            (2, None),
+            (3, [9.0, 9.0]),
+            (4, [1.0, 2.0, 3.0]),  # ragged
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster_id"], r["d"])
+        for r in ivf_assign_gemm(
+            rows, cents, dist_col="d"
+        ).collect()
+    }
+    assert got[1][0] == 0 and got[3][0] == 1
+    assert got[2] == (None, None) and got[4] == (None, None)
+    # parity with the expression path on the valid rows
+    expr = {
+        r["vec_id"]: r["cluster_id"]
+        for r in ivf_assign(
+            rows.filter("vec_id in (1, 3)"), cents
+        ).collect()
+    }
+    assert expr == {1: 0, 3: 1}

@@ -117,21 +117,41 @@ def ivf_assign_gemm(
         out_schema.add(dist_col, "double")
 
     def _kernel(batches):
+        dim = cents.shape[1]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            d2 = (
-                (mat**2).sum(axis=1)[:, None]
-                - 2.0 * (mat @ cents.T)
-                + cn[None, :]
+            vecs = pdf[vec_col].to_numpy()
+            # NULL/ragged tolerance — the expression path's contract:
+            # a NULL (or wrong-width) vector lands with NULL cluster_id
+            # and is excluded from probes, it must not np.stack-crash
+            # the whole maintenance job (k-dependent behavior: the
+            # same batch was tolerated at k<=16 and aborted at k>16)
+            ok = np.fromiter(
+                (v is not None and len(v) == dim for v in vecs),
+                dtype=bool,
+                count=len(vecs),
             )
-            cid = d2.argmin(axis=1)
             pdf = pdf.copy()
-            pdf["cluster_id"] = cid.astype("int32")
+            cid_out = np.full(len(pdf), None, dtype=object)
+            dist_out = np.full(len(pdf), None, dtype=object)
+            if ok.any():
+                mat = np.stack(vecs[ok]).astype(np.float64)
+                d2 = (
+                    (mat**2).sum(axis=1)[:, None]
+                    - 2.0 * (mat @ cents.T)
+                    + cn[None, :]
+                )
+                cid = d2.argmin(axis=1)
+                cid_out[ok] = [int(c) for c in cid]
+                if dist_col is not None:
+                    best = np.sqrt(
+                        np.maximum(d2[np.arange(len(cid)), cid], 0.0)
+                    )
+                    dist_out[ok] = [float(x) for x in best]
+            pdf["cluster_id"] = cid_out
             if dist_col is not None:
-                best = d2[np.arange(len(cid)), cid]
-                pdf[dist_col] = np.sqrt(np.maximum(best, 0.0))
+                pdf[dist_col] = dist_out
             yield pdf
 
     return emb.mapInPandas(_kernel, schema=out_schema)
@@ -166,6 +186,31 @@ def ivf_write(
     assigned.write.mode("overwrite").partitionBy(partition_col).parquet(path)
 
 
+def probe_ids(
+    centroids: np.ndarray, query_vec, nprobe: int, metric: str = "l2"
+) -> list[int]:
+    """The shared cluster-routing heuristic: ids of the ``nprobe`` best
+    centroids FOR THE REQUESTED METRIC — L2 by squared distance, cosine
+    by centroid cosine, dot by centroid inner product. One function so
+    `ivf_search` and the versioned `ann_index.search_ivf_index` can
+    never diverge on routing (the r-review L2-for-everything bug class
+    fixes once, everywhere)."""
+    cents = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    if metric == "l2":
+        score = -(((cents - q) ** 2).sum(axis=1))  # higher = better
+    elif metric == "cosine":
+        cn = np.linalg.norm(cents, axis=1)
+        cn[cn == 0.0] = 1.0
+        qn = np.linalg.norm(q) or 1.0
+        score = (cents @ q) / (cn * qn)
+    elif metric == "dot":
+        score = cents @ q
+    else:
+        raise ValueError(f"unknown metric: {metric}")
+    return [int(i) for i in np.argsort(-score)[:nprobe]]
+
+
 def ivf_search(
     assigned: DataFrame,
     centroids: np.ndarray,
@@ -189,21 +234,12 @@ def ivf_search(
     Routing probes by L2 regardless of metric — the pre-review behavior
     — silently searched the wrong clusters for cosine/dot queries.
     """
-    q = np.asarray(query_vec, dtype=np.float64)
-    if metric == "l2":
-        score = -(((centroids - q) ** 2).sum(axis=1))  # higher = better
-    elif metric == "cosine":
-        cn = np.linalg.norm(centroids, axis=1)
-        cn[cn == 0.0] = 1.0
-        qn = np.linalg.norm(q) or 1.0
-        score = (centroids @ q) / (cn * qn)
-    elif metric == "dot":
-        score = centroids @ q
-    else:
-        raise ValueError(f"unknown metric: {metric}")
-    probe = [int(i) for i in np.argsort(-score)[:nprobe]]
+    probe = probe_ids(centroids, query_vec, nprobe, metric)
     cand = assigned.filter(F.col("cluster_id").isin(probe))
-    return knn_topk(cand, vec_col, list(q), k=k, metric=metric, id_col=id_col)
+    return knn_topk(
+        cand, vec_col, [float(x) for x in query_vec], k=k, metric=metric,
+        id_col=id_col,
+    )
 
 
 def ivf_search_batch(

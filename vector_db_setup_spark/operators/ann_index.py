@@ -69,27 +69,63 @@ def build_ivf_index(
     cents = kmeans_centroids(
         emb.select(F.col(vec_col).alias("embedding")), k=k, seed=seed
     )
-    assigned = ivf_assign_auto(emb, cents, vec_col=vec_col, dist_col="_adist")
-    mean_d = assigned.agg(F.avg("_adist")).first()[0]
-    return write_snapshot(
-        assigned.drop("_adist"),
-        base,
-        note=f"ivf k={k} seed={seed}",
-        fs=fs,
-        idempotency_key=idempotency_key,
-        partition_by=["cluster_id"],
-        meta={
-            "kind": "ivf",
-            "k": int(k),
-            "seed": int(seed),
-            "vec_col": vec_col,
-            "centroids": [[float(x) for x in c] for c in np.asarray(cents)],
-            "mean_assign_dist": (
-                float(mean_d) if mean_d is not None else None
-            ),
-            **(extra_meta or {}),
-        },
-    )
+    # persist: the drift-baseline agg AND the landing both evaluate the
+    # corpus-sized assignment — without the cache the dominant cost of
+    # every rebuild runs twice (append_to_ivf_index already persists
+    # its batch for the same reason; the corpus path matters more)
+    assigned = ivf_assign_auto(
+        emb, cents, vec_col=vec_col, dist_col="_adist"
+    ).persist()
+    try:
+        mean_d = assigned.agg(F.avg("_adist")).first()[0]
+        return write_snapshot(
+            assigned.drop("_adist"),
+            base,
+            note=f"ivf k={k} seed={seed}",
+            fs=fs,
+            idempotency_key=idempotency_key,
+            partition_by=["cluster_id"],
+            meta={
+                "kind": "ivf",
+                "k": int(k),
+                "seed": int(seed),
+                "vec_col": vec_col,
+                "centroids": [
+                    [float(x) for x in c] for c in np.asarray(cents)
+                ],
+                "mean_assign_dist": (
+                    float(mean_d) if mean_d is not None else None
+                ),
+                **_checked_extra_meta(extra_meta),
+            },
+        )
+    finally:
+        assigned.unpersist()
+
+
+_RESERVED_META = frozenset(
+    {
+        "kind", "k", "seed", "vec_col", "centroids", "mean_assign_dist",
+        "appended_batches", "last_append_mean_dist", "drift_ratio",
+        "rebuild_recommended",
+    }
+)
+
+
+def _checked_extra_meta(extra_meta: dict | None) -> dict:
+    """extra_meta rides the marker for AUDIT fields (maintainer
+    cursors, provenance) — it must never clobber the index's own keys:
+    overwriting 'kind' bricks every later search ('not an IVF index
+    commit'), overwriting the drift fields corrupts the rebuild
+    signal. Refuse loudly instead of spreading last and praying."""
+    extra = extra_meta or {}
+    bad = sorted(set(extra) & _RESERVED_META)
+    if bad:
+        raise ValueError(
+            f"extra_meta must not override the index's own keys {bad} "
+            "— pick different names for audit fields"
+        )
+    return extra
 
 
 def _resolve_ivf(spark, base: str, version, fs):
@@ -143,20 +179,10 @@ def search_ivf_index(
     all three — the standard IVF arrangement)."""
     from vector_db_setup_spark.operators.knn import knn_topk
 
+    from vector_db_setup_spark.operators.ann import probe_ids
+
     v, meta, cents = _resolve_ivf(spark, base, version, fs)
-    q = np.asarray(query_vec, dtype=np.float64)
-    if metric == "l2":
-        score = -(((cents - q) ** 2).sum(axis=1))  # higher = better
-    elif metric == "cosine":
-        cn = np.linalg.norm(cents, axis=1)
-        cn[cn == 0.0] = 1.0
-        qn = np.linalg.norm(q) or 1.0
-        score = (cents @ q) / (cn * qn)
-    elif metric == "dot":
-        score = cents @ q
-    else:
-        raise ValueError(f"unknown metric: {metric}")
-    probe = [int(i) for i in np.argsort(-score)[:nprobe]]
+    probe = probe_ids(cents, query_vec, nprobe, metric)
     scan = read_snapshot(spark, base, version=v, fs=fs).filter(
         F.col("cluster_id").isin(probe)
     )
@@ -291,7 +317,7 @@ def append_to_ivf_index(
             "rebuild_recommended": bool(
                 drift is not None and drift > rebuild_drift_ratio
             ),
-            **(extra_meta or {}),
+            **_checked_extra_meta(extra_meta),
         }
         try:
             return append_snapshot(
@@ -387,7 +413,7 @@ def merge_into_ivf_index(
             "rebuild_recommended": bool(
                 drift is not None and drift > rebuild_drift_ratio
             ),
-            **(extra_meta or {}),
+            **_checked_extra_meta(extra_meta),
         }
         try:
             return merge_snapshot(
@@ -417,53 +443,40 @@ def compact_ivf_index(
     fs=None,
     retries: int = 3,
 ) -> int:
-    """Absorb an append chain: rewrite the head's dirs as ONE
+    """Absorb an append/merge chain: rewrite the head's dirs as ONE
     cluster-partitioned dir, carrying the index meta (centroids,
     drift history) verbatim — the data and routing are unchanged, only
-    the file layout consolidates. Generic ``compact_snapshot`` must
-    not be used on index tables: it drops meta and the hive layout, so
-    `search_ivf_index` would (correctly) refuse the result."""
+    the file layout consolidates.
+
+    Delegates to generic ``compact_snapshot(keep_meta=True)`` after
+    the kind guard: the generic path inherits the hive layout
+    (``partition_by`` rides the marker), preserves meta under
+    ``keep_meta``, stamps the marker op 'compact' (so index
+    SUBSCRIBERS consume the step free instead of refusing it as a
+    rewrite or paying a full diff), scales the output file count by
+    the LIVE-row fraction (a merge-churned index must not compact its
+    dead pre-images into the sizing), and carries checks/stats — all
+    fixes a hand-rolled twin silently drifts behind."""
     from vector_db_setup_spark.sources.snapshot_table import (
-        SnapshotConflictError,
-        read_snapshot,
-        write_snapshot,
-    )
-    from vector_db_setup_spark.sources.snapshot_table import (
-        _data_names,
+        compact_snapshot,
         current_version,
     )
 
     from vector_db_setup_spark.sources.fs import get_fs
 
     rfs = fs if fs is not None else get_fs(spark, base)
-    last: SnapshotConflictError | None = None
-    for _ in range(retries + 1):
-        v = current_version(spark, base, rfs)
-        info = snapshot_info(spark, base, v, rfs)
-        meta = info.get("meta") or {}
-        if meta.get("kind") != "ivf":
-            raise ValueError(
-                f"version {v} at {base} is not an IVF index commit; use "
-                "compact_snapshot for plain tables"
-            )
-        dirs = [f"{base}/{n}" for n in _data_names(info)]
-        total = sum(rfs.du_suffix(d, ".parquet")[0] for d in dirs)
-        n_out = max(1, (total + target_file_bytes - 1) // target_file_bytes)
-        df = read_snapshot(spark, base, version=v, fs=rfs).repartition(
-            int(n_out), "cluster_id"
+    v = current_version(spark, base, rfs)
+    meta = (snapshot_info(spark, base, v, rfs).get("meta") or {})
+    if meta.get("kind") != "ivf":
+        raise ValueError(
+            f"version {v} at {base} is not an IVF index commit; use "
+            "compact_snapshot for plain tables"
         )
-        try:
-            return write_snapshot(
-                df,
-                base,
-                note=f"compacted ivf v{v}",
-                fs=rfs,
-                partition_by=["cluster_id"],
-                meta=meta,
-                expected_head=v,
-            )
-        except SnapshotConflictError as e:
-            last = e
-    raise SnapshotConflictError(
-        f"compact_ivf_index kept losing to concurrent writers at {base}"
-    ) from last
+    return compact_snapshot(
+        spark,
+        base,
+        target_file_bytes=target_file_bytes,
+        fs=rfs,
+        retries=retries,
+        keep_meta=True,
+    )
