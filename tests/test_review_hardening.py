@@ -614,3 +614,124 @@ def test_gemm_assign_tolerates_null_and_ragged_vectors(spark):
         ).collect()
     }
     assert expr == {1: 0, 3: 1}
+
+
+# ---- shards / snapshot_sink review findings ----
+
+
+def test_all_null_text_shard_audits_ok(spark, tmp_path):
+    """A shard whose docs all carry NULL text stores total_chars NULL
+    in both manifests; the audit must be null-safe (intact != corrupt)."""
+    from vector_db_setup_spark.sources.shards import (
+        verify_shards,
+        write_training_shards,
+    )
+
+    dest = str(tmp_path / "shards")
+    docs = spark.range(0, 20).select(
+        F.col("id").alias("doc_id"),
+        F.lit(None).cast("string").alias("text"),
+    )
+    write_training_shards(docs, dest, n_shards=2)
+    rep = verify_shards(spark, dest).collect()
+    assert rep and all(r["ok"] for r in rep)
+
+
+def test_shard_guards_raise_before_writes(spark, tmp_path):
+    from vector_db_setup_spark.sources.shards import (
+        assign_shard,
+        write_training_shards,
+    )
+
+    docs = spark.range(0, 5).select(
+        F.col("id").alias("uid"), F.lit("t").alias("text")
+    )
+    with pytest.raises(ValueError, match="n_shards must be positive"):
+        assign_shard(docs, 0, id_col="uid")
+    with pytest.raises(ValueError, match="shard_id column"):
+        assign_shard(docs.withColumn("shard_id", F.lit(1)), 2, id_col="uid")
+    with pytest.raises(ValueError, match="already has a doc_id"):
+        write_training_shards(
+            docs.withColumn("doc_id", F.lit(9)),
+            str(tmp_path / "d"), 2, id_col="uid",
+        )
+
+
+def test_failed_removed_shard_delete_aborts_before_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """A failed delete of a removed shard must abort the landing with
+    the OLD manifest intact — committing the new manifest would orphan
+    the stale shard outside every future diff (served forever)."""
+    import vector_db_setup_spark.sources.fs as fsmod
+    from vector_db_setup_spark.sources.shards import land_snapshot
+
+    dest = str(tmp_path / "shards")
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("text"),
+    )
+    land_snapshot(docs, dest, n_shards=4)
+    # second landing drops enough docs that one shard empties...
+    # (hash spread: keep only a slice that misses some shard)
+    kept = docs.filter(F.col("doc_id") < 3)
+    real_get_fs = fsmod.get_fs
+
+    class FlakyFS:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def delete(self, path, ignore_errors=False):
+            raise OSError(f"transient 503 deleting {path}")
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    monkeypatch.setattr(
+        fsmod, "get_fs", lambda s, p: FlakyFS(real_get_fs(s, p))
+    )
+    import pandas as pd
+
+    old_manifest = pd.read_parquet(f"{dest}/_manifest")
+    with pytest.raises(OSError, match="transient 503"):
+        land_snapshot(kept, dest, n_shards=4)
+    monkeypatch.setattr(fsmod, "get_fs", real_get_fs)
+    # the OLD manifest survived the aborted landing — the retry still
+    # sees the shard as 'removed' and re-deletes
+    now = pd.read_parquet(f"{dest}/_manifest")
+    assert sorted(now["shard_id"]) == sorted(old_manifest["shard_id"])
+    rep = {
+        r["shard_id"]: r["status"]
+        for r in land_snapshot(kept, dest, n_shards=4).collect()
+    }
+    assert "removed" in rep.values()
+
+
+def test_two_sinks_distinct_checkpoints_do_not_collide(spark, tmp_path):
+    """Two streams landing into ONE table with default producer ids
+    must not share idempotency keys: the derived checkpoint identity
+    keeps both batch-0 appends."""
+    from vector_db_setup_spark.streaming.commit_log import (
+        stream_snapshot_commits,
+    )
+    from vector_db_setup_spark.streaming.snapshot_sink import snapshot_sink
+
+    src_a = str(tmp_path / "src_a")
+    src_b = str(tmp_path / "src_b")
+    dest = str(tmp_path / "dest")
+    write_snapshot(
+        spark.range(0, 5).select(F.col("id").alias("doc_id")), src_a
+    )
+    write_snapshot(
+        spark.range(100, 105).select(F.col("id").alias("doc_id")), src_b
+    )
+    for src, ck in ((src_a, "ck_a"), (src_b, "ck_b")):
+        q = snapshot_sink(
+            stream_snapshot_commits(spark, src).select("version"),
+            dest,
+            str(tmp_path / ck),
+        )
+        q.awaitTermination()
+    # both streams' batch 0 landed: 2 versions, 2 rows
+    assert len(st.committed_versions(spark, dest)) == 2
+    assert read_snapshot(spark, dest).count() == 2

@@ -65,6 +65,18 @@ def assign_shard(df: DataFrame, n_shards: int, id_col: str = "doc_id",
     token they still co-locate (all nulls are one key — upstream
     validation should reject them) but the hash input is explicit and
     documented rather than an accident of concat_ws."""
+    if n_shards <= 0:
+        # h % 0 is NULL in non-ANSI Spark SQL: every row would land
+        # under __HIVE_DEFAULT_PARTITION__ with a NULL-keyed manifest
+        raise ValueError(f"n_shards must be positive, got {n_shards}")
+    if "shard_id" in df.columns:
+        # withColumn would silently REPLACE the caller's column; its
+        # values would vanish from the written shards and from the
+        # checksum (data_cols excludes shard_id) — undetectable loss
+        raise ValueError(
+            "input already has a shard_id column — rename it first "
+            "(assign_shard owns that name)"
+        )
     h = F.conv(
         F.substring(
             F.md5(F.concat_ws(
@@ -119,11 +131,25 @@ def write_training_shards(
     """
     assigned = assign_shard(df, n_shards, id_col=id_col, seed=seed)
     if id_col != "doc_id":
+        if "doc_id" in assigned.columns:
+            # the rename would create two doc_id columns: the manifest
+            # aggregation then raises AMBIGUOUS_REFERENCE mid-write
+            # (after data already landed) and the checksum would hash
+            # the id twice — refuse before any write starts
+            raise ValueError(
+                f"id_col={id_col!r} renames to 'doc_id' but the input "
+                "already has a doc_id column — drop or rename it first"
+            )
         assigned = assigned.withColumnRenamed(id_col, "doc_id")
     assigned = assigned.persist()
     try:
         (
             assigned.write.mode("overwrite")
+            # pin STATIC overwrite per-writer: a session-wide dynamic
+            # setting would overwrite only the partitions present in
+            # the data — re-landing with fewer shards would leave the
+            # old higher-numbered shard dirs behind, manifest-less
+            .option("partitionOverwriteMode", "static")
             .partitionBy("shard_id")
             .parquet(dest_path)
         )
@@ -146,6 +172,7 @@ def land_snapshot(
     id_col: str = "doc_id",
     text_col: str | None = "text",
     seed: int = 0,
+    cache_assigned: bool = True,
 ) -> DataFrame:
     """Incremental corpus snapshot: rewrite ONLY the shards whose
     content changed since the previous landing.
@@ -170,6 +197,14 @@ def land_snapshot(
     function replaces. First landing (no manifest) degrades to
     `write_training_shards` semantics with an all-`new` report.
 
+    ``cache_assigned`` persists the assigned corpus for the manifest
+    aggregation + dirty-shard write (avoids re-evaluating the source
+    twice) — right when the corpus fits executor storage. At the
+    100 TB scale this docstring advertises, pass False: materializing
+    the WHOLE corpus to local disks to avoid a second pruned scan is
+    the wrong trade (the dirty write re-reads only the dirty shards'
+    rows, and the manifest agg is one combinable pass).
+
     Removed-shard deletion routes through the ``fs`` contract
     (sources/fs.py): LocalFS for bare paths, the Hadoop FileSystem
     connectors for ``scheme://`` URIs — so deleting a ``shard_id=K``
@@ -178,8 +213,18 @@ def land_snapshot(
     spark = df.sparkSession
     assigned = assign_shard(df, n_shards, id_col=id_col, seed=seed)
     if id_col != "doc_id":
+        if "doc_id" in assigned.columns:
+            # the rename would create two doc_id columns: the manifest
+            # aggregation then raises AMBIGUOUS_REFERENCE mid-write
+            # (after data already landed) and the checksum would hash
+            # the id twice — refuse before any write starts
+            raise ValueError(
+                f"id_col={id_col!r} renames to 'doc_id' but the input "
+                "already has a doc_id column — drop or rename it first"
+            )
         assigned = assigned.withColumnRenamed(id_col, "doc_id")
-    assigned = assigned.persist()
+    if cache_assigned:
+        assigned = assigned.persist()
     try:
         new_m = _shard_manifest(assigned, text_col)
         from pyspark.errors import AnalysisException
@@ -198,6 +243,10 @@ def land_snapshot(
         if old_m is None:
             (
                 assigned.write.mode("overwrite")
+                # static overwrite pinned per-writer (see
+                # write_training_shards) — the first landing replaces
+                # the WHOLE destination
+                .option("partitionOverwriteMode", "static")
                 .partitionBy("shard_id")
                 .parquet(dest_path)
             )
@@ -250,16 +299,24 @@ def land_snapshot(
 
                 fs = get_fs(spark, dest_path)
                 for sid in removed:
-                    fs.delete(
-                        f"{dest_path}/shard_id={sid}", ignore_errors=True
-                    )
+                    # STRICT delete, and it runs BEFORE the manifest
+                    # commit below: a swallowed failure here followed
+                    # by the new manifest (which omits this shard)
+                    # would leave a stale partition that NO later
+                    # landing revisits — it appears in neither side of
+                    # the full-outer diff, so its deleted docs are
+                    # served forever. Failing aborts the landing with
+                    # the OLD manifest intact; the retry sees the
+                    # shard as 'removed' again and re-deletes.
+                    fs.delete(f"{dest_path}/shard_id={sid}")
         (
             new_m.coalesce(1)
             .write.mode("overwrite")
             .parquet(f"{dest_path}/{MANIFEST_DIR}")
         )
     finally:
-        assigned.unpersist()
+        if cache_assigned:
+            assigned.unpersist()
     return spark.createDataFrame(rows, "shard_id int, status string")
 
 
@@ -306,5 +363,8 @@ def verify_shards(
         F.col("checksum") == F.col("got_checksum")
     )
     if text_col is not None:
-        ok = ok & (F.col("total_chars") == F.col("got_chars"))
+        # NULL-SAFE: a shard whose docs all have NULL text stores
+        # total_chars NULL in both manifests — plain == yields NULL
+        # and the coalesce would flag an intact shard as corrupted
+        ok = ok & F.col("total_chars").eqNullSafe(F.col("got_chars"))
     return cmp.withColumn("ok", F.coalesce(ok, F.lit(False)))

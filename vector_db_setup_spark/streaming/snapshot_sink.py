@@ -62,18 +62,26 @@ def make_snapshot_batch_lander(
     from vector_db_setup_spark.sources.snapshot_table import append_snapshot
 
     def _land(batch_df: DataFrame, batch_id: int) -> int | None:
-        if batch_df.isEmpty():
-            return None
-        return append_snapshot(
-            batch_df,
-            base,
-            note=f"stream {producer_id} batch {batch_id}",
-            fs=fs,
-            idempotency_key=f"{producer_id}:{batch_id}",
-            partition_by=partition_by,
-            stats_cols=stats_cols,
-            cluster_by=cluster_by,
-        )
+        # persist for the duration: the emptiness probe AND the append
+        # (write + verify read-back + stats) each evaluate the
+        # micro-batch — without the cache a non-trivial upstream
+        # transform runs per evaluation, every trigger
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return None
+            return append_snapshot(
+                batch_df,
+                base,
+                note=f"stream {producer_id} batch {batch_id}",
+                fs=fs,
+                idempotency_key=f"{producer_id}:{batch_id}",
+                partition_by=partition_by,
+                stats_cols=stats_cols,
+                cluster_by=cluster_by,
+            )
+        finally:
+            batch_df.unpersist()
 
     return _land
 
@@ -82,7 +90,7 @@ def snapshot_sink(
     stream_df: DataFrame,
     base: str,
     checkpoint: str,
-    producer_id: str = "stream",
+    producer_id: str | None = None,
     available_now: bool = True,
     **lander_kwargs,
 ):
@@ -98,6 +106,18 @@ def snapshot_sink(
             "a restart replays from scratch (the idempotency keys would "
             "still dedup inside the GC window, but offsets would not "
             "advance)"
+        )
+    if producer_id is None:
+        # derive the stream's identity from its CHECKPOINT: distinct
+        # streams have distinct checkpoints (so their batch-0 keys
+        # cannot collide — a shared literal default made silent
+        # idempotent-drop the failure mode when two streams land into
+        # one table), while a restart reuses its checkpoint and keeps
+        # the identity replay detection needs
+        import hashlib
+
+        producer_id = (
+            "ckpt-" + hashlib.md5(checkpoint.encode()).hexdigest()[:12]
         )
     lander = make_snapshot_batch_lander(
         base, producer_id=producer_id, **lander_kwargs
