@@ -735,3 +735,31 @@ def test_two_sinks_distinct_checkpoints_do_not_collide(spark, tmp_path):
     # both streams' batch 0 landed: 2 versions, 2 rows
     assert len(st.committed_versions(spark, dest)) == 2
     assert read_snapshot(spark, dest).count() == 2
+
+
+def test_hll_compaction_survives_null_event_type(spark, tmp_path):
+    """A NULL event_type group (JSON transport rows with a null field)
+    must not TypeError the compaction verify's sort."""
+    from vector_db_setup_spark.streaming.events import (
+        compact_user_cardinality,
+        hll_merge_batch,
+        read_user_cardinality,
+    )
+
+    path = str(tmp_path / "hll")
+    events = spark.createDataFrame(
+        [("click", 1), (None, 2), (None, 3), ("click", 4)],
+        "event_type string, user_id long",
+    )
+    hll_merge_batch(events, 0, path)
+    hll_merge_batch(events.filter("user_id >= 3"), 1, path)
+    before = {
+        r["event_type"]: r["est_users"]
+        for r in read_user_cardinality(spark, path).collect()
+    }
+    compact_user_cardinality(spark, path)
+    after = {
+        r["event_type"]: r["est_users"]
+        for r in read_user_cardinality(spark, path).collect()
+    }
+    assert before == after and None in after and len(after) == 2

@@ -1190,17 +1190,21 @@ def user_cardinality_stream(events: DataFrame, out_path: str, lg_k: int = 12):
     )
 
 
+def _hll_estimates(df: DataFrame) -> DataFrame:
+    """The ONE merge-on-read aggregation both the query path and the
+    compaction verify use (sharing it keeps the compaction invariant
+    checking exactly what the query serves): per-event_type estimate
+    over the lossless HLL union of the partials."""
+    return df.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    )
+
+
 def read_user_cardinality(spark, out_path: str) -> DataFrame:
     """Merge-on-read estimate: union the per-batch partials per
     event_type (exact lossless HLL union) and estimate. Returns
     (event_type, est_users)."""
-    return (
-        spark.read.parquet(out_path)
-        .groupBy("event_type")
-        .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
-        )
-    )
+    return _hll_estimates(spark.read.parquet(out_path))
 
 
 def compact_user_cardinality(
@@ -1208,23 +1212,27 @@ def compact_user_cardinality(
 ) -> None:
     """Fold the per-batch HLL partials into `_batch=-1` through the
     shared partial-sink engine — hll_union_agg IS the distributive
-    fold, and the verify invariant is the total merged estimate,
-    which lossless union cannot change."""
+    fold, and the verify invariant is the PER-EVENT-TYPE estimate
+    vector (not just the total: a fold that dropped one type's sketch
+    while another's estimate compensated must fail), which lossless
+    union cannot change."""
+
+    def _verify(df):
+        # None-safe sort key: a null event_type (JSON transport rows
+        # with a null field) must not TypeError the maintenance path
+        return sorted(
+            (
+                (r["event_type"] is None, r["event_type"], r["est_users"])
+                for r in _hll_estimates(df).collect()
+            ),
+        )
+
     _compact_partials(
         spark,
         out_path,
         key_cols=["event_type"],
         agg_exprs=[F.hll_union_agg("sk").alias("sk")],
-        verify=lambda df: sorted(
-            (r["event_type"], r["est_users"])
-            for r in df.groupBy("event_type")
-            .agg(
-                F.hll_sketch_estimate(F.hll_union_agg("sk")).alias(
-                    "est_users"
-                )
-            )
-            .collect()
-        ),
+        verify=_verify,
         keep_batches_from=keep_batches_from,
         what="compact_user_cardinality",
         fs=fs,
