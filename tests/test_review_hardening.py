@@ -763,3 +763,56 @@ def test_hll_compaction_survives_null_event_type(spark, tmp_path):
         for r in read_user_cardinality(spark, path).collect()
     }
     assert before == after and None in after and len(after) == 2
+
+
+# ---- graph review findings ----
+
+
+def test_cc_converges_when_diameter_equals_max_iter(spark):
+    """A path graph whose last label change lands exactly in round
+    max_iter must converge (the confirming round is free), not raise —
+    the documented contract is max_iter >= diameter."""
+    from vector_db_setup_spark.operators.graph import connected_components
+
+    n = 7  # path 0-1-2-...-6: diameter 6
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(
+            nodes, edges, max_iter=n - 1
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_auto_driver_cap_counts_undirected_edges_once(spark, monkeypatch):
+    """A symmetric pair list (both orientations emitted) must count
+    each undirected edge ONCE against the driver cap — reversed
+    duplicates must not push a small graph onto the iterative path."""
+    import vector_db_setup_spark.operators.graph as g
+
+    n = 40
+    sym_edges = [(i, i + 1) for i in range(n - 1)] + [
+        (i + 1, i) for i in range(n - 1)
+    ]
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    edges = spark.createDataFrame(sym_edges, "src long, dst long")
+    called = []
+    real = g.connected_components
+
+    def spy(*a, **kw):
+        called.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(g, "connected_components", spy)
+    got = {
+        r["id"]: r["component"]
+        for r in g.connected_components_auto(
+            nodes, edges, max_driver_edges=n - 1  # fits ONLY if deduped
+        ).collect()
+    }
+    assert called == [], "driver path skipped: reversed dups hit the cap"
+    assert got == {i: 0 for i in range(n)}

@@ -70,8 +70,20 @@ def connected_components(
     if sym.isEmpty():
         return labels.select("id", F.col("comp").alias("component"))
 
+    if max_iter <= 0:
+        raise NonConvergenceError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (no iteration ran (max_iter <= 0) on a "
+            "non-empty edge set) — raise max_iter, or use "
+            "connected_components_star"
+        )
     changed = -1
-    for _ in range(max_iter):
+    # max_iter + 1: a graph whose LAST label change lands exactly in
+    # round max_iter still needs one confirming changed==0 round —
+    # without it, converged labels raised a spurious
+    # NonConvergenceError and the auto path discarded the whole run.
+    # The documented contract (max_iter >= graph diameter) now holds.
+    for _ in range(max_iter + 1):
         # min label among each node's neighbors
         nbr_min = (
             sym.join(labels, sym.a == labels.id)
@@ -154,7 +166,15 @@ def connected_components_auto(
        algorithm instead of failing.
     """
     e = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        edges.select(
+            # canonicalize ORIENTATION before the distinct: a symmetric
+            # pair list ((x,y) AND (y,x) — similarity joins emit both)
+            # would otherwise count every undirected edge twice against
+            # the driver cap and push a small graph onto the iterative
+            # path for no reason; union-find is orientation-blind
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
         .filter(F.col("a") != F.col("b"))
         # distinct BEFORE the driver-path cap: multi-band LSH stages
         # emit the same pair many times, and raw row count would push a
@@ -261,12 +281,17 @@ def connected_components_star(
         m = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
         )
+        # materialize ls ONCE per round: it feeds mn AND joined, and
+        # joined appears twice in the union — without this the round's
+        # plan carries four copies of the large-star join subtree and
+        # correctness of the cost rests on exchange reuse firing
         ls = (
             sym.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .filter(F.col("hi") != F.col("lo"))
             .distinct()
+            .localCheckpoint(eager=True)
         )
         # small-star: edges already oriented hi > lo; point all smaller
         # neighbors (and hi itself) at the per-hi minimum
@@ -279,8 +304,11 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # both sides are DISTINCT checkpointed sets: equal counts plus
+        # one empty difference proves set equality — one shuffle job
+        # per round instead of two full exceptAlls
         converged = (
-            new_e.exceptAll(e).isEmpty() and e.exceptAll(new_e).isEmpty()
+            new_e.count() == e.count() and new_e.exceptAll(e).isEmpty()
         )
         e = new_e
     if not converged:

@@ -506,10 +506,10 @@ class CorpusTooLargeError(RuntimeError):
     """A driver-side collect was about to exceed its declared budget."""
 
 
-def _count_capped(df: DataFrame, cap: int) -> int:
-    """Row count, but stop scanning once cap is exceeded (limit pushdown
-    means a huge input costs one partition-ish, not a full scan)."""
-    return df.limit(cap + 1).count()
+# the ONE size-guard primitive (defined in operators/graph, imported
+# here rather than re-pasted: the tripwire test and any future fix —
+# cap<=0 handling, a cheaper probe — must cover every copy)
+from vector_db_setup_spark.operators.graph import _count_capped  # noqa: E402
 
 
 def cosine_topk_pairs_blocked(
