@@ -816,3 +816,142 @@ def test_auto_driver_cap_counts_undirected_edges_once(spark, monkeypatch):
     }
     assert called == [], "driver path skipped: reversed dups hit the cap"
     assert got == {i: 0 for i in range(n)}
+
+
+# ---- ADVICE r10 fixes ----
+
+
+def test_partial_removed_shard_delete_retry_succeeds(
+    spark, tmp_path, monkeypatch
+):
+    """PARTIAL delete failure then retry: the first attempt deletes one
+    removed shard and fails on the next, aborting with the old
+    manifest. The retry re-sees the already-deleted shard as 'removed';
+    a strict delete on the missing dir would raise forever and wedge
+    every future landing — path-missing must count as success."""
+    import vector_db_setup_spark.sources.fs as fsmod
+    from vector_db_setup_spark.sources.shards import (
+        assign_shard,
+        land_snapshot,
+        verify_shards,
+    )
+
+    dest = str(tmp_path / "shards")
+    docs = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"),
+        F.col("id").cast("string").alias("text"),
+    )
+    land_snapshot(docs, dest, n_shards=4)
+    # keep only shard 0's docs -> shards 1..3 all empty ('removed')
+    keep_ids = [
+        r["doc_id"]
+        for r in assign_shard(docs, 4)
+        .filter(F.col("shard_id") == 0)
+        .collect()
+    ]
+    assert keep_ids
+    kept = docs.filter(F.col("doc_id").isin(keep_ids))
+    real_get_fs = fsmod.get_fs
+
+    class FailsAfterOneDelete:
+        def __init__(self, inner):
+            self._inner = inner
+            self._deletes = 0
+
+        def delete(self, path, ignore_errors=False):
+            self._deletes += 1
+            if self._deletes > 1:
+                raise OSError(f"transient 503 deleting {path}")
+            return self._inner.delete(path, ignore_errors=ignore_errors)
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+    monkeypatch.setattr(
+        fsmod, "get_fs", lambda s, p: FailsAfterOneDelete(real_get_fs(s, p))
+    )
+    with pytest.raises(OSError, match="transient 503"):
+        land_snapshot(kept, dest, n_shards=4)
+    monkeypatch.setattr(fsmod, "get_fs", real_get_fs)
+    # retry with a healthy store: the shard deleted by the FAILED
+    # attempt is gone on disk but still in the old manifest — the
+    # landing must treat the missing dir as already-deleted
+    rep = {
+        r["shard_id"]: r["status"]
+        for r in land_snapshot(kept, dest, n_shards=4).collect()
+    }
+    assert [s for s in rep.values() if s == "removed"]
+    audit = verify_shards(spark, dest)
+    assert all(r["ok"] for r in audit.collect())
+    import os as _os
+
+    for sid in (1, 2, 3):
+        assert not _os.path.exists(f"{dest}/shard_id={sid}")
+    assert spark.read.parquet(dest).count() == kept.count()
+
+
+def test_derive_producer_id_normalizes_spelling(tmp_path, monkeypatch):
+    """The derived checkpoint identity must be stable across restart
+    spellings of the SAME dir (relative vs absolute, trailing slash) —
+    a changed id turns replay dedup into a double-land."""
+    from vector_db_setup_spark.streaming.snapshot_sink import (
+        derive_producer_id,
+    )
+
+    ck = tmp_path / "ck"
+    monkeypatch.chdir(tmp_path)
+    spellings = [str(ck), str(ck) + "/", "ck", "./ck", "ck/"]
+    ids = {derive_producer_id(s) for s in spellings}
+    assert len(ids) == 1
+    # distinct dirs keep distinct identities (the collision guarantee)
+    assert derive_producer_id(str(tmp_path / "other")) not in ids
+    # URI paths: verbatim minus trailing slash, never abspath'd
+    assert derive_producer_id("hdfs://nn/ck/") == derive_producer_id(
+        "hdfs://nn/ck"
+    )
+    assert derive_producer_id("hdfs://nn/ck") != derive_producer_id(
+        "hdfs://nn/ck2"
+    )
+
+
+def test_maintenance_cycle_subscriber_compaction_uses_injected_fs(
+    spark, tmp_path, monkeypatch
+):
+    """compact_subscribers must resolve the SAME injected fs as the
+    base-table compaction — a silently different filesystem compacts
+    subscriber state through the wrong store."""
+    import vector_db_setup_spark.sources.snapshot_table as st_mod
+    from vector_db_setup_spark.streaming.commit_log import maintenance_cycle
+
+    base = str(tmp_path / "base")
+    state = str(tmp_path / "state")
+    write_snapshot(
+        spark.range(0, 5).select(F.col("id").alias("doc_id")), base
+    )
+    write_snapshot(
+        spark.range(0, 5).select(F.col("id").alias("doc_id")), state
+    )
+    seen: list[tuple[str, object]] = []
+    real_compact_if = st_mod.compact_if
+
+    def spy(spark_, path, **kw):
+        seen.append((path, kw.get("fs")))
+        return real_compact_if(spark_, path, **kw)
+
+    monkeypatch.setattr(st_mod, "compact_if", spy)
+    from vector_db_setup_spark.sources.fs import LocalFS
+
+    # a DISTINCT LocalFS instance: functional for the local paths, but
+    # identity-checkable — fs is only auto-resolved when None, so the
+    # injected object must reach both compact_if calls untouched
+    sentinel_fs = LocalFS()
+    maintenance_cycle(
+        spark, base,
+        subscriber_states=[state],
+        compact=dict(max_data_dirs=10_000),
+        compact_subscribers=dict(max_data_dirs=10_000),
+        checkpoint=False, gc=None, fs=sentinel_fs,
+    )
+    paths = {p for p, _ in seen}
+    assert base in paths and state in paths
+    assert all(fs is sentinel_fs for _, fs in seen)

@@ -307,8 +307,19 @@ def land_snapshot(
                     # the full-outer diff, so its deleted docs are
                     # served forever. Failing aborts the landing with
                     # the OLD manifest intact; the retry sees the
-                    # shard as 'removed' again and re-deletes.
-                    fs.delete(f"{dest_path}/shard_id={sid}")
+                    # shard as 'removed' again.
+                    #
+                    # Path-MISSING counts as success, not failure: a
+                    # PARTIAL failure (some deletes landed before one
+                    # raised) leaves the old manifest, so the retry
+                    # re-sees the already-deleted shards as 'removed';
+                    # a strict delete on a now-absent dir would raise
+                    # on every retry and wedge all future landings.
+                    # Only a store refusing to delete an EXISTING dir
+                    # aborts the landing.
+                    shard_dir = f"{dest_path}/shard_id={sid}"
+                    if fs.exists(shard_dir):
+                        fs.delete(shard_dir)
         (
             new_m.coalesce(1)
             .write.mode("overwrite")

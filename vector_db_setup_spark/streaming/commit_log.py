@@ -1598,9 +1598,13 @@ def maintenance_cycle(
             spark, base, fs=fs, **compact
         )
     if compact_subscribers is not None:
+        # fs=fs: subscriber-state compaction must resolve the SAME
+        # injected filesystem as the base-table steps — with a custom
+        # connector (or the test fakes) silently falling back to the
+        # default resolver would compact through a different store.
         report["compacted_subscribers"] = {
             state: st.compact_if(
-                spark, state, keep_meta=True, **compact_subscribers
+                spark, state, keep_meta=True, fs=fs, **compact_subscribers
             )
             for state in (subscriber_states or [])
         }

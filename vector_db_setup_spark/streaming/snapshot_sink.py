@@ -41,6 +41,27 @@ from typing import Callable
 from pyspark.sql import DataFrame
 
 
+def derive_producer_id(checkpoint: str) -> str:
+    """Checkpoint → stable producer identity for the idempotency keys.
+
+    NORMALIZED before hashing: the same checkpoint spelled differently
+    across restarts (relative vs absolute, trailing slash) must hash to
+    the same identity — otherwise a restart-replayed micro-batch
+    double-lands instead of being idempotently dropped. Scheme-less
+    paths are absolutized; URI paths (file:/..., hdfs://...) are kept
+    verbatim minus trailing slashes. RELOCATING a checkpoint dir still
+    changes the identity — pass an explicit producer_id if you move
+    checkpoints between restarts."""
+    import hashlib
+    import os
+    import re
+
+    norm = checkpoint.rstrip("/")
+    if not re.match(r"[A-Za-z][A-Za-z0-9+.-]*:", norm):
+        norm = os.path.abspath(norm)
+    return "ckpt-" + hashlib.md5(norm.encode()).hexdigest()[:12]
+
+
 def make_snapshot_batch_lander(
     base: str,
     producer_id: str = "stream",
@@ -113,12 +134,9 @@ def snapshot_sink(
         # cannot collide — a shared literal default made silent
         # idempotent-drop the failure mode when two streams land into
         # one table), while a restart reuses its checkpoint and keeps
-        # the identity replay detection needs
-        import hashlib
-
-        producer_id = (
-            "ckpt-" + hashlib.md5(checkpoint.encode()).hexdigest()[:12]
-        )
+        # the identity replay detection needs. Path-normalized — see
+        # derive_producer_id.
+        producer_id = derive_producer_id(checkpoint)
     lander = make_snapshot_batch_lander(
         base, producer_id=producer_id, **lander_kwargs
     )
