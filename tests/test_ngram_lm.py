@@ -129,3 +129,37 @@ def test_lm_counts_shape(spark):
         ("bi", "a", "b"): 1,
         ("bi", "b", "a"): 2,
     }
+
+
+def test_ppl_quantile_buckets_threshold_semantics(spark):
+    """Cut points split by VALUE (ties share a bucket), labels cover
+    probs+1 bands, and the approx default agrees with exact on a
+    separated distribution."""
+    from vector_db_setup_spark.operators.ngram_lm import (
+        ppl_quantile_buckets,
+    )
+
+    per = spark.createDataFrame(
+        [(i, 1, float(v)) for i, v in enumerate(
+            [1, 1, 1, 5, 5, 5, 9, 9, 9]
+        )],
+        "doc_id long, n_bigrams long, ppl double",
+    )
+    got = {
+        r["doc_id"]: r["bucket"]
+        for r in ppl_quantile_buckets(per, exact=True).collect()
+    }
+    # p33 lands inside the 1s..5s span, p67 inside 5s..9s: each value
+    # class is one bucket, ties never split
+    assert {got[i] for i in (0, 1, 2)} == {"head"}
+    assert {got[i] for i in (3, 4, 5)} == {"middle"}
+    assert {got[i] for i in (6, 7, 8)} == {"tail"}
+    approx = {
+        r["doc_id"]: r["bucket"]
+        for r in ppl_quantile_buckets(per, exact=False).collect()
+    }
+    assert approx == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="labels"):
+        ppl_quantile_buckets(per, probs=(0.5,), labels=("a", "b", "c"))

@@ -383,20 +383,30 @@ def test_semdedup_grouped_gemm_no_cartesian(spark):
     assert "FlatMapGroupsInPandas" in plan
 
 
-def test_lm_perplexity_broadcasts_lm_and_windows_aggregate(spark):
+def test_lm_perplexity_broadcasts_lm_and_has_no_global_window(spark):
     """lm_perplexity_buckets (driver row since r10 third rotation):
     the LM tables broadcast into the scoring join (never a shuffled
-    corpus-side join), no cartesian beyond the 1-row V cross join, and
-    the tercile window runs ABOVE the per-doc aggregate — the plan's
-    single-partition WindowExec consumes ≤|docs| rows, not tokens."""
+    corpus-side join), no cartesian beyond the 1-row cut/V cross
+    joins, and the bucket assignment is a broadcast threshold compare
+    — NO WindowExec anywhere and no Exchange SinglePartition over the
+    per-doc rows (the r10 global ntile(3), VERDICT r10 What's-wrong
+    #1, is gone; the only single-partition exchange left feeds the
+    1-row quantile aggregate)."""
     from vector_db_setup_spark.plans.inspect import executed_plan
 
     df = q.lm_perplexity_buckets(spark, SF_ORACLE)
     plan = executed_plan(df)
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
-    # the window sits above a HashAggregate keyed by doc_id
-    assert "Window" in plan and "ntile" in plan
+    import re as _re
+
+    # word-boundary ntile — "percentile(" contains bare "ntile("
+    assert "Window" not in plan
+    assert not _re.search(r"(?<![a-zA-Z])ntile\(", plan)
+    # the global sort the ntile needed is gone entirely
+    assert "Sort " not in plan, plan
+    # the cut points reduce through a PARTIAL percentile (combinable)
+    assert "partial_percentile" in plan
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     assert scans and all(
         "n_chars" not in ln and "lang" not in ln for ln in scans
