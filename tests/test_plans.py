@@ -409,6 +409,10 @@ def test_lm_perplexity_broadcasts_lm_and_has_no_global_window(spark):
     # word-boundary ntile — "percentile(" contains bare "ntile("
     assert "Window" not in plan
     assert not _re.search(r"(?<![a-zA-Z])ntile\(", plan)
+    # the reference bigram counts are memoized+persisted: the c12
+    # broadcast join AND the c1 derivation both read the cache, so the
+    # reference slice's bigram explode runs once (VERDICT r10 #6)
+    assert plan.count("InMemoryTableScan") >= 2, plan
     # the global sort the ntile needed is gone entirely
     assert "Sort " not in plan, plan
     # the cut points reduce through a PARTIAL percentile (combinable)
@@ -432,6 +436,10 @@ def test_dsir_topk_and_broadcast(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    # the raw pool's feature relation is memoized+persisted: BOTH
+    # consumers (denominator totals, per-doc weights) read the cache,
+    # so the raw tokenize runs once per session (VERDICT r10 #6)
+    assert plan.count("InMemoryTableScan") >= 2, plan
     scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
     assert scans and all(
         "n_chars" not in ln and "lang" not in ln for ln in scans

