@@ -59,7 +59,7 @@ def register(name: str, oracle: str | None = None):
 # CORRECTNESS_local.json, tests/conftest.py) remains their auditable
 # gate.
 _DRIVER_PRIORITY = [
-    "knn_l2_flagship", "knn_cosine", "sql_vector_knn", "batch_knn",
+    "knn_l2_flagship", "sql_vector_knn", "batch_knn",
     "batch_knn_blocked", "pq_adc_distances",
     "pricing_summary", "top_customers", "regional_revenue",
     "doc_count", "doc_sample", "lm_perplexity_buckets",
@@ -73,15 +73,16 @@ _DRIVER_PRIORITY = [
     "simhash_hamming_topk",
     "embedding_similar_topk", "rrf_fusion",
     "data_quality_report", "lang_id_detect",
-    "rollup_orders", "purchase_attribution", "dsir_resampled",
+    "purchase_attribution", "dsir_resampled",
     "stratified_eval_sample",
-    "mixture_weights_temperature", "mixture_epochs_at_budget",
+    "mixture_weights_temperature",
     "nation_set_ops",
     "customer_order_windows", "events_tumbling", "events_sessionize",
     "event_funnel",
     "benchmark_overlap_bloom",
     "corpus_merge_view", "doc_shingles_udtf",
     "fever_pipeline", "fever_accuracy", "multimodal_byte_stats",
+    "price_quantiles", "events_session_window", "events_sliding",
 ]
 # r5 rotation (documented, not silent; VERDICT r4 item 4): IN
 # doc_winnow_fingerprints, doc_pii_scrub, event_funnel, token_budgets
@@ -227,6 +228,21 @@ _DRIVER_PRIORITY = [
 # stays driver-exercised end-to-end through fever_pipeline +
 # fever_accuracy, whose judge IS the majority vote, and majority_vote
 # remains green in the local parity gate).
+#
+# r11 rotation (same contract; VERDICT r10 item 5): IN price_quantiles
+# (first driver row for the distribution-profiling family — exact
+# interpolated percentile ≡ quantile_cont, the parity the r11
+# lm_perplexity_buckets fix leans on), events_session_window and
+# events_sliding (first driver rows for the session-window and
+# sliding-window streaming-twin shapes; tumbling/sessionize cover only
+# the other two shapes) — OUT knn_cosine (the KNN family keeps FIVE
+# driver rows: knn_l2_flagship, sql_vector_knn, batch_knn,
+# batch_knn_blocked, pq_adc_distances), mixture_epochs_at_budget (in
+# since r9, two green rounds; the mixing family keeps
+# mixture_weights_temperature) and rollup_orders (the window/grouping
+# family keeps customer_order_windows + event_funnel +
+# purchase_attribution). All three rotated-out queries remain green in
+# the local parity gate.
 
 
 def _ordered(d: dict) -> dict:
