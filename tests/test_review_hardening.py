@@ -955,3 +955,63 @@ def test_maintenance_cycle_subscriber_compaction_uses_injected_fs(
     paths = {p for p, _ in seen}
     assert base in paths and state in paths
     assert all(fs is sentinel_fs for _, fs in seen)
+
+
+# ---- r11 review pass: graph / events / fs ----
+
+
+def test_hadoopfs_du_suffix_missing_path_matches_localfs(spark, tmp_path):
+    """du_suffix on a missing path must be (0, 0) on BOTH filesystem
+    implementations — LocalFS's os.walk yields nothing, and a stats
+    probe racing a concurrent GC must not fail only when deployed on
+    HadoopFS (listFiles raises FileNotFoundException there)."""
+    from vector_db_setup_spark.sources.fs import HadoopFS, LocalFS, get_fs
+
+    missing = str(tmp_path / "never_written")
+    assert LocalFS().du_suffix(missing, ".parquet") == (0, 0)
+    hfs = get_fs(spark, f"file://{missing}")
+    assert isinstance(hfs, HadoopFS)
+    assert hfs.du_suffix(f"file://{missing}", ".parquet") == (0, 0)
+    # sanity: an existing dir still counts through both
+    d = tmp_path / "data"
+    d.mkdir()
+    (d / "a.parquet").write_bytes(b"xx")
+    assert LocalFS().du_suffix(str(d), ".parquet") == (2, 1)
+    assert get_fs(spark, f"file://{d}").du_suffix(
+        f"file://{d}", ".parquet"
+    ) == (2, 1)
+
+
+def test_funnel_stream_ignores_null_ts_events(spark, tmp_path):
+    """A null-ts view must NOT qualify the funnel: the batch twin's
+    min(CASE WHEN ...) ignores nulls, but pandas NaT.value is
+    INT64_MIN — unguarded, the stream installed an impossibly-early
+    first view that qualified every later click."""
+    from vector_db_setup_spark.streaming.events import funnel_state_stream
+
+    rows = [
+        (1, None, 7, "view", 1.0, "{}"),
+        (2, "2024-01-01 01:00:00", 7, "click", 1.0, "{}"),
+        (3, "2024-01-01 02:00:00", 7, "purchase", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "ev")
+    df.write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    q = (
+        funnel_state_stream(stream)
+        .writeStream.format("memory")
+        .queryName("t_funnel_nullts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    row = spark.table("t_funnel_nullts").collect()[-1]
+    # no valid view -> nothing downstream qualifies (batch semantics)
+    assert row["view_us"] is None
+    assert row["click_us"] is None
+    assert row["purchase_us"] is None

@@ -194,6 +194,12 @@ class HadoopFS:
     def du_suffix(self, path: str, suffix: str) -> tuple[int, int]:
         total = 0
         n = 0
+        # missing path -> (0, 0), matching LocalFS (os.walk on a
+        # missing dir yields nothing): a stats probe racing a
+        # concurrent GC must not fail on one filesystem and succeed on
+        # the other. listFiles would raise FileNotFoundException here.
+        if not self._fs.exists(self._jpath(path)):
+            return 0, 0
         it = self._fs.listFiles(self._jpath(path), True)
         while it.hasNext():
             fi = it.next()

@@ -445,6 +445,13 @@ def funnel_state_stream(events: DataFrame) -> DataFrame:
             ).fillna(3)
             allp = allp.sort_values(["ts", "__prio"], kind="mergesort")
             for ts, et in zip(allp["ts"], allp["event_type"]):
+                # null-ts events: the batch twin's min(CASE...) IGNORES
+                # nulls, so a null-ts view must not qualify the funnel —
+                # NaT.value is INT64_MIN, which would otherwise install
+                # an impossibly-early first view that qualifies every
+                # later click
+                if pd.isna(ts):
+                    continue
                 us = int(ts.value // 1000)  # pandas ns → µs
                 if et == "view" and mv is None:
                     mv = us
