@@ -6993,6 +6993,68 @@ def mixture_epochs_at_budget(
 
 
 @register(
+    "source_caps",
+    """
+    WITH ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '-cap') ASC,
+                            doc_id ASC) AS rk
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rk <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN rk <= 10 THEN doc_id ELSE 0 END) AS BIGINT)
+               AS kept_id_sum
+    FROM ranked GROUP BY source
+    """,
+)
+def source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document caps (RefinedWeb-style domain capping): keep
+    at most CAP documents per source, chosen by a SEEDED md5 rank so
+    the sample is deterministic, engine-replayable, and stable under
+    corpus growth within a source (a doc's hash never changes; only
+    its rank can move when competitors arrive). Over-represented
+    domains (link farms, crawl traps, boilerplate mills) are the
+    pathology this bounds — the per-DOMAIN complement of the
+    per-language temperature mix (`mixture_weights_temperature`).
+    Output pins membership, not just counts: `kept_id_sum` is a
+    checksum over exactly the kept doc ids, so an engine keeping a
+    different same-size subset hash-mismatches.
+
+    Shape at 100 TB: the rank window partitions BY SOURCE — bounded
+    groups, local sorts, no global ordering anywhere; the summary is
+    one map-side-combinable groupBy over the ranked rows. A consumer
+    that only needs the KEPT rows filters rk <= CAP directly, which
+    Spark compiles to WindowGroupLimit (per-partition top-k heaps —
+    the rank never materializes past CAP per group). For a
+    pathologically hot single source, cap enforcement degrades to that
+    source's local sort — still one partition group, and exactly the
+    source the cap exists to cut."""
+    cap = 10
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-cap"))),
+            F.col("doc_id"),
+        )
+    )
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", rk.alias("rk")
+    )
+    kept = F.col("rk") <= cap
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+        F.sum(F.when(kept, F.col("doc_id")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("kept_id_sum"),
+    )
+
+
+@register(
     "duplicate_spans",
     """
     WITH toks AS (
