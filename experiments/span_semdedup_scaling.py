@@ -164,20 +164,35 @@ def main():
         if "dsir" in ops:
             from vector_db_setup_spark.operators import dsir
 
+            # deployment shape (r11): the raw pool's features are
+            # persisted and passed in, so the pool tokenizes ONCE per
+            # measurement instead of per consumer — matching both the
+            # oracled queries' per-session memo and the commit-log-
+            # maintained pool. Feature build time reported separately
+            # (it is the once-per-corpus-version cost).
+            raw = docs.filter(F.col("doc_id") >= 5000)
+            t0 = time.time()
+            rf = dsir.hashed_ngram_counts(raw).persist()
+            rf.count()
+            feats_s = time.time() - t0
+
             def _build():
                 return dsir.dsir_resample(
-                    docs.filter(F.col("doc_id") >= 5000),
+                    raw,
                     docs.filter(F.col("doc_id") < 5000),
                     k=max(n_docs // 10, 10),
+                    raw_feats=rf,
                 )
 
             cold, _ = timed(lambda: _force(_build()))
             warm, _ = timed(lambda: _force(_build()))
             row["dsir_resample"] = {
+                "feats_s": round(feats_s, 2),
                 "cold_s": round(cold, 2),
                 "warm_s": round(warm, 2),
                 "rows": _build().count(),
             }
+            rf.unpersist()
 
         # --- SemDeDup: k scales with N (k = N/1000, floor 4) ---
         if "semdedup" not in ops:
