@@ -445,3 +445,28 @@ def test_dsir_topk_and_broadcast(spark):
         "n_chars" not in ln and "lang" not in ln for ln in scans
     ), plan
     assert any("PushedFilters: [IsNotNull(doc_id)" in ln for ln in scans)
+
+
+def test_session_and_sliding_windows_partial_agg_pruned_scan(spark):
+    """events_session_window + events_sliding (driver rows since r11):
+    both are groupBy window aggregates — partial (map-side) aggregation
+    before the exchange for the sliding form, session merge keyed by
+    user (no global sort/single partition), and the events scan prunes
+    to the referenced columns (never props/value for these counts)."""
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    sl = executed_plan(q.events_sliding(spark, SF_ORACLE))
+    assert "partial_count" in sl
+    assert "SinglePartition" not in sl, sl
+    scans = [ln for ln in sl.splitlines() if "FileScan parquet" in ln]
+    assert scans and all(
+        "props" not in ln and "value" not in ln for ln in scans
+    ), sl
+
+    se = executed_plan(q.events_session_window(spark, SF_ORACLE))
+    # session merge shuffles on (user, session key) — never one task
+    assert "SinglePartition" not in se, se
+    scans = [ln for ln in se.splitlines() if "FileScan parquet" in ln]
+    assert scans and all(
+        "props" not in ln and "value" not in ln for ln in scans
+    ), se

@@ -1015,3 +1015,33 @@ def test_funnel_stream_ignores_null_ts_events(spark, tmp_path):
     assert row["view_us"] is None
     assert row["click_us"] is None
     assert row["purchase_us"] is None
+
+
+def test_load_table_memo_and_fresh_escape_hatch(spark, tmp_path):
+    """load_table memoizes per (session, dir, table) — repeat calls
+    return the SAME lazy plan object (the r11 warm-tax fix) — and the
+    documented caveat has its escape hatch: the cached plan snapshots
+    the dir's FILE LISTING, so after mutating a directory fresh=True
+    re-lists while the cached object may serve the stale listing."""
+    import shutil
+
+    from vector_db_setup_spark.sources.registry import load_table
+
+    d = tmp_path / "dir"
+    d.mkdir()
+    spark.range(0, 5).select(F.col("id").alias("doc_id")).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    a = load_table(spark, str(d), "documents")
+    b = load_table(spark, str(d), "documents")
+    assert a is b
+    assert a.count() == 5
+    # mutate the dir: drop in a second file with more rows
+    spark.range(100, 103).select(F.col("id").alias("doc_id")).coalesce(
+        1
+    ).write.mode("append").parquet(str(d / "documents.parquet"))
+    fresh = load_table(spark, str(d), "documents", fresh=True)
+    assert fresh is not a
+    assert fresh.count() == 8
+    # and the fresh load REPLACES the cache entry
+    assert load_table(spark, str(d), "documents") is fresh
