@@ -163,3 +163,140 @@ def test_ppl_quantile_buckets_threshold_semantics(spark):
 
     with _pytest.raises(ValueError, match="labels"):
         ppl_quantile_buckets(per, probs=(0.5,), labels=("a", "b", "c"))
+
+
+# ---- maintained perplexity histogram (r11) ----
+
+
+def _hist_rows(df):
+    return sorted((int(r["bin"]), int(r["n"])) for r in df.collect())
+
+
+def test_ppl_histogram_maintained_equals_from_scratch(spark, tmp_path):
+    """Bootstrap + append/delete/merge drains == one from-scratch
+    histogram of the head, bin for bin (exact cancellation: a doc's
+    text scores the same ppl on its add and its remove under the
+    frozen LM)."""
+    from vector_db_setup_spark.operators.ngram_lm import ppl_histogram
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_ppl_histogram_from_commits,
+    )
+
+    src = str(tmp_path / "src")
+    lm = str(tmp_path / "lm")
+    hist = str(tmp_path / "hist")
+    ck = str(tmp_path / "ck")
+    # frozen reference LM from a static slice
+    ref = _corpus(spark, 0, 30)
+    write_snapshot(lm_counts(ref), lm, meta={"kind": "bigram_lm"})
+    geo = dict(lo=0.0, hi=100.0, n_bins=64)
+
+    write_snapshot(_corpus(spark, 100, 160), src)
+    drain = lambda: maintain_ppl_histogram_from_commits(  # noqa: E731
+        spark, src, lm, hist, ck, **geo,
+        text_col="text", key_col="doc_id",
+    )
+    drain()
+    append_snapshot(_corpus(spark, 160, 190, rev="r1"), src)
+    delete_from_snapshot(
+        spark.range(100, 110).select(F.col("id").alias("doc_id")), src,
+        key_col="doc_id",
+    )
+    merge_snapshot(_corpus(spark, 120, 130, rev="r2"), src, key_col="doc_id")
+    drain()
+
+    want = _hist_rows(
+        ppl_histogram(
+            perplexity_against_lm(
+                read_snapshot(spark, src), read_snapshot(spark, lm)
+            ),
+            **geo,
+        )
+    )
+    got = _hist_rows(read_snapshot(spark, hist))
+    assert got == want and got
+    # replayed drain is a no-op
+    drain()
+    assert _hist_rows(read_snapshot(spark, hist)) == got
+
+
+def test_ppl_histogram_refuses_lm_drift(spark, tmp_path):
+    """The frozen-LM contract: once the reference LM advances, the next
+    drain must refuse rather than serve stale-binned cut points."""
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_ppl_histogram_from_commits,
+    )
+
+    src = str(tmp_path / "src")
+    lm = str(tmp_path / "lm")
+    hist = str(tmp_path / "hist")
+    write_snapshot(lm_counts(_corpus(spark, 0, 30)), lm)
+    write_snapshot(_corpus(spark, 100, 140), src)
+    maintain_ppl_histogram_from_commits(
+        spark, src, lm, hist, str(tmp_path / "ck"),
+        lo=0.0, hi=100.0, n_bins=64,
+    )
+    # the reference churns: its maintainer lands a new LM version
+    append_snapshot(lm_counts(_corpus(spark, 30, 35, rev="x")), lm)
+    append_snapshot(_corpus(spark, 140, 150), src)
+    # the refusal surfaces through the streaming foreachBatch wrapper,
+    # so match on the message, not the Python type
+    with pytest.raises(Exception, match="frozen-LM"):
+        maintain_ppl_histogram_from_commits(
+            spark, src, lm, hist, str(tmp_path / "ck"),
+            lo=0.0, hi=100.0, n_bins=64,
+        )
+
+
+def test_histogram_quantiles_within_bin_width_and_bucket_map(spark):
+    """Cut points from the histogram are within one bin width of the
+    exact percentile, and bucket_by_thresholds assigns by literal
+    compare (no aggregate/window/join in the plan)."""
+    from vector_db_setup_spark.operators.ngram_lm import (
+        bucket_by_thresholds,
+        ppl_histogram,
+        quantiles_from_histogram,
+    )
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    per = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 300).cast("double").alias("ppl"),
+    )
+    lo, hi, n_bins = 0.0, 300.0, 150  # bin width 2.0
+    hist = ppl_histogram(per, lo, hi, n_bins)
+    cuts = quantiles_from_histogram(
+        hist, (1.0 / 3, 2.0 / 3), lo, hi, n_bins
+    )
+    exact = per.agg(
+        F.percentile("ppl", F.lit(1.0 / 3)),
+        F.percentile("ppl", F.lit(2.0 / 3)),
+    ).collect()[0]
+    width = (hi - lo) / n_bins
+    assert abs(cuts[0] - float(exact[0])) <= width
+    assert abs(cuts[1] - float(exact[1])) <= width
+
+    bucketed = bucket_by_thresholds(per, cuts)
+    plan = executed_plan(bucketed)
+    assert "HashAggregate" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    counts = {
+        r["bucket"]: r["count"]
+        for r in bucketed.groupBy("bucket").count().collect()
+    }
+    # thirds within histogram resolution (bin width 2 over step-1 data
+    # -> at most 2 docs per unit of cut error, 10 per bin of slack)
+    assert set(counts) == {"head", "middle", "tail"}
+    for v in counts.values():
+        assert abs(v - 1000) <= 2 * width * 10
+
+    import pytest as _p
+
+    with _p.raises(ValueError, match="labels"):
+        bucket_by_thresholds(per, [1.0], labels=("a", "b", "c"))
+    with _p.raises(ValueError, match="empty histogram"):
+        quantiles_from_histogram(
+            ppl_histogram(per.filter("ppl < -1"), lo, hi, n_bins),
+            (0.5,), lo, hi, n_bins,
+        )

@@ -21,6 +21,8 @@ the per-w1 sum of bigram counts, V as the number of distinct unigrams.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -152,3 +154,96 @@ def ppl_quantile_buckets(
     return per.crossJoin(F.broadcast(cuts)).select(
         *per.columns, bucket.alias("bucket")
     )
+
+
+def ppl_histogram(
+    per: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+    ppl_col: str = "ppl",
+) -> DataFrame:
+    """(bin, n) fixed-geometry histogram of per-document perplexities —
+    the SELF-INVERSE form of the bucket stage's distribution statistic
+    (+1 per doc added, −1 per doc removed), so the CCNet filter's cut
+    points are maintainable off the commit log at delta cost
+    (streaming/commit_log.maintain_ppl_histogram_from_commits) instead
+    of re-aggregating every per-doc row per refresh.
+
+    bin = clamp(floor((ppl − lo) / width), 0, n_bins−1): out-of-range
+    values land in the edge bins, so the histogram never drops a
+    document — quantile RESOLUTION degrades outside [lo, hi], never
+    coverage. State is ≤ n_bins rows regardless of corpus size."""
+    if not (hi > lo) or n_bins < 2:
+        raise ValueError(
+            f"need hi > lo and n_bins >= 2, got [{lo}, {hi}] x {n_bins}"
+        )
+    width = (float(hi) - float(lo)) / int(n_bins)
+    b = F.floor((F.col(ppl_col) - F.lit(float(lo))) / F.lit(width))
+    b = F.least(
+        F.greatest(b, F.lit(0)), F.lit(int(n_bins) - 1)
+    ).cast("long")
+    return (
+        per.select(b.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quantiles_from_histogram(
+    hist: DataFrame,
+    probs: tuple[float, ...],
+    lo: float,
+    hi: float,
+    n_bins: int = 1024,
+) -> list[float]:
+    """Cut points from a ppl_histogram, each within ONE bin width of
+    the exact order statistic (for probes landing inside [lo, hi]):
+    the p-th cut is the upper edge of the first bin whose cumulative
+    count reaches ceil(p·N). Pure Python over the ≤ n_bins collected
+    rows — a bounded collect by construction (the size-guarded-probe
+    discipline), not a corpus pull."""
+    width = (float(hi) - float(lo)) / int(n_bins)
+    rows = sorted(
+        (int(r["bin"]), int(r["n"])) for r in hist.collect()
+    )
+    total = sum(n for _, n in rows)
+    if total <= 0:
+        raise ValueError("empty histogram — no documents scored")
+    cuts: list[float] = []
+    for p in probs:
+        need = max(1, math.ceil(float(p) * total))
+        acc = 0
+        cut = float(hi)
+        for b, n in rows:
+            acc += n
+            if acc >= need:
+                cut = float(lo) + (b + 1) * width
+                break
+        cuts.append(round(cut, 6))
+    return cuts
+
+
+def bucket_by_thresholds(
+    per: DataFrame,
+    cuts: list[float],
+    labels: tuple[str, ...] = ("head", "middle", "tail"),
+    ppl_col: str = "ppl",
+) -> DataFrame:
+    """Bucket assignment from LITERAL cut points (e.g. the maintained
+    histogram's) — a pure map stage: no aggregate, no window, no join.
+    Same threshold semantics as ppl_quantile_buckets (ties share a
+    bucket); the cuts being literals is what makes the 100 TB
+    assignment embarrassingly parallel."""
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(cuts)+1 labels: {len(cuts)} cut points split "
+            f"into {len(cuts) + 1} buckets, got {len(labels)} labels"
+        )
+    bucket = F.when(F.col(ppl_col) <= F.lit(float(cuts[0])), labels[0])
+    for i in range(1, len(cuts)):
+        bucket = bucket.when(
+            F.col(ppl_col) <= F.lit(float(cuts[i])), labels[i]
+        )
+    bucket = bucket.otherwise(labels[-1])
+    return per.select(*per.columns, bucket.alias("bucket"))

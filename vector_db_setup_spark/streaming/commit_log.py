@@ -886,6 +886,216 @@ def maintain_lm_from_commits(
     return q
 
 
+def maintain_ppl_histogram_from_commits(
+    spark: SparkSession,
+    source_base: str,
+    lm_state_base: str,
+    state_base: str,
+    checkpoint_dir: str,
+    lo: float = 0.0,
+    hi: float = 1_000_000.0,
+    n_bins: int = 1024,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    fs=None,
+    available_now: bool = True,
+    on_rewrite: str = "raise",
+    **reader_options,
+):
+    """Keep the CCNet bucket stage's DISTRIBUTION statistic — a
+    fixed-geometry histogram of per-document perplexities
+    (operators/ngram_lm.ppl_histogram) — current off the corpus's
+    commit log. This closes the day-2 loop on the r11 percentile-cut
+    rewrite: the batch form re-aggregates every per-doc ppl row per
+    refresh (even approx_percentile rescans the corpus); the
+    maintained histogram scores only the DELTA against the reference
+    LM (+1 per doc added, −1 per doc removed — self-inverse, the
+    exploded-IVM discipline of the bigram-LM/DSIR maintainers) and the
+    cut points come from ≤ n_bins state rows
+    (operators/ngram_lm.quantiles_from_histogram, each within one bin
+    width of the exact order statistic), with assignment a pure
+    literal-threshold map (bucket_by_thresholds).
+
+    FROZEN-LM CONTRACT: a document's ppl is a function of the
+    reference LM, so the histogram is valid only while the LM state at
+    ``lm_state_base`` stays at the version recorded at bootstrap — if
+    the reference churns (its own maintainer advances the LM), every
+    previously-binned score is stale and this maintainer REFUSES the
+    drain rather than serving silently-wrong cut points; rebuild under
+    a fresh state_base against the new LM version. That is the
+    published filter's deployment shape anyway (CCNet's wiki LM is a
+    static artifact refreshed on its own slow cadence).
+
+    Docs with <1 bigram score no ppl and are excluded on BOTH the add
+    and remove side (perplexity_against_lm emits nothing for them), so
+    cancellation stays exact. Contract and failure modes otherwise
+    mirror the LM maintainer: append/delete/compact/merge consumed
+    incrementally via pair-encoded deltas; write/upsert/rollback
+    raises ``DisallowedOpError`` unless ``on_rewrite="rebuild"``."""
+    from vector_db_setup_spark.operators.ngram_lm import (
+        perplexity_against_lm,
+        ppl_histogram,
+    )
+    from vector_db_setup_spark.sources import snapshot_table as st
+
+    params = {
+        "kind": "ppl_histogram",
+        "lo": float(lo),
+        "hi": float(hi),
+        "n_bins": int(n_bins),
+        "text_col": text_col,
+        "key_col": key_col,
+        "lm_state_base": lm_state_base,
+    }
+
+    def _lm_version(s: SparkSession) -> int:
+        vs = st.committed_versions(s, lm_state_base)
+        if not vs:
+            raise ValueError(
+                f"no committed LM state at {lm_state_base} — bootstrap "
+                "the reference LM (maintain_lm_from_commits or a "
+                "write_snapshot of lm_counts) before maintaining a "
+                "perplexity histogram against it"
+            )
+        return max(vs)
+
+    def _score_hist(s: SparkSession, docs) -> "DataFrame":
+        lm = st.read_snapshot(s, lm_state_base)
+        per = perplexity_against_lm(
+            docs, lm, text_col=text_col, id_col=key_col
+        )
+        return ppl_histogram(per, lo=lo, hi=hi, n_bins=n_bins)
+
+    def _apply(s: SparkSession, through_v: int) -> None:
+        vs = st.committed_versions(s, state_base)
+        if not vs:
+            st.write_snapshot(
+                _score_hist(
+                    s,
+                    st.read_snapshot(
+                        s, source_base, version=through_v, fs=fs
+                    ),
+                ),
+                state_base,
+                note=(
+                    f"ppl histogram over {source_base} through "
+                    f"v{through_v}"
+                ),
+                idempotency_key=f"through:{through_v}",
+                meta={
+                    **params,
+                    "through_version": through_v,
+                    "lm_version": _lm_version(s),
+                },
+            )
+            return
+        meta = st.snapshot_info(s, state_base, max(vs)).get("meta") or {}
+        if meta.get("kind") != "ppl_histogram" or (
+            "through_version" not in meta
+        ):
+            raise ValueError(
+                f"state at {state_base} is not a maintained ppl "
+                "histogram — use a fresh state_base"
+            )
+        drift = {
+            k: (meta.get(k), v)
+            for k, v in params.items()
+            if k != "kind" and meta.get(k) != v
+        }
+        if drift:
+            raise ValueError(
+                f"histogram at {state_base} was built under different "
+                f"geometry/columns {drift}; rebuild under a fresh "
+                "state_base"
+            )
+        lm_now = _lm_version(s)
+        if int(meta.get("lm_version", -1)) != lm_now:
+            raise ValueError(
+                f"reference LM at {lm_state_base} advanced "
+                f"(v{meta.get('lm_version')} -> v{lm_now}) — every "
+                "previously-binned score is stale under the new LM; "
+                "rebuild the histogram under a fresh state_base "
+                "(frozen-LM contract)"
+            )
+        last = int(meta["through_version"])
+        if through_v <= last:
+            return  # replayed batch
+        try:
+            feed = st.snapshot_changes(
+                s,
+                source_base,
+                key_col,
+                from_version=last,
+                to_version=through_v,
+                fs=fs,
+                columns=[text_col],
+                carry_columns=[text_col],
+                allowed_ops=("append", "delete", "compact", "merge"),
+                change_encoding="pair",
+            )
+        except st.DisallowedOpError:
+            if on_rewrite != "rebuild":
+                raise
+            st.write_snapshot(
+                _score_hist(
+                    s,
+                    st.read_snapshot(
+                        s, source_base, version=through_v, fs=fs
+                    ),
+                ),
+                state_base,
+                note=(
+                    f"ppl histogram over {source_base} REBUILT through "
+                    f"v{through_v} (content rewrite in range)"
+                ),
+                idempotency_key=f"through:{through_v}",
+                meta={
+                    **params,
+                    "through_version": through_v,
+                    "lm_version": lm_now,
+                },
+            )
+            return
+        if not feed.limit(1).count():
+            return  # empty delta: skip the state rewrite (see agg)
+        plus = _score_hist(s, feed.filter(F.col("status") == "added"))
+        minus = _score_hist(
+            s, feed.filter(F.col("status") == "removed")
+        ).withColumn("n", -F.col("n"))
+        state = st.read_snapshot(s, state_base, version=max(vs))
+        merged = (
+            state.unionByName(plus)
+            .unionByName(minus)
+            .groupBy("bin")
+            .agg(F.sum("n").alias("n"))
+            .filter(F.col("n") > 0)
+        )
+        st.write_snapshot(
+            merged,
+            state_base,
+            note=f"ppl histogram over {source_base} through v{through_v}",
+            idempotency_key=f"through:{through_v}",
+            meta={
+                **params,
+                "through_version": through_v,
+                "lm_version": lm_now,
+            },
+        )
+
+    q = foreach_new_versions(
+        spark,
+        source_base,
+        _apply,
+        checkpoint_dir,
+        available_now=available_now,
+        **reader_options,
+    )
+    if available_now:
+        q.awaitTermination()
+        return None
+    return q
+
+
 def maintain_dsir_from_commits(
     spark: SparkSession,
     source_base: str,
