@@ -372,24 +372,27 @@ def incremental_dedup_stream(
         )
         fresh = batch_df.join(
             dup_prior.union(dup_intra).distinct(), id_col, "left_anti"
-        )
-        (
-            fresh.withColumn("_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch")
-            .parquet(out_path)
-        )
-        (
-            minhash_band_keys(fresh, text_col=text_col, id_col=id_col)
-            .select("band", "band_key")
-            .distinct()
-            .withColumn("_batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_batch")
-            .parquet(keys_path)
-        )
+        ).persist()  # evaluated twice below: docs land + band keys land
+        try:
+            (
+                fresh.withColumn("_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch")
+                .parquet(out_path)
+            )
+            (
+                minhash_band_keys(fresh, text_col=text_col, id_col=id_col)
+                .select("band", "band_key")
+                .distinct()
+                .withColumn("_batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch")
+                .parquet(keys_path)
+            )
+        finally:
+            fresh.unpersist()
 
     return (
         new_docs.writeStream.foreachBatch(_ingest)
