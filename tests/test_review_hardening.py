@@ -1045,3 +1045,80 @@ def test_load_table_memo_and_fresh_escape_hatch(spark, tmp_path):
     assert fresh.count() == 8
     # and the fresh load REPLACES the cache entry
     assert load_table(spark, str(d), "documents") is fresh
+
+
+def test_compact_parquet_restores_original_on_post_swap_failure(
+    spark, tmp_path
+):
+    """If the swapped-in directory fails verification, compact_parquet
+    must RESTORE the original at `path` (the _compact_partials
+    contract) — previously the broken copy stayed live and readers ate
+    it until manual repair."""
+    from vector_db_setup_spark.sources.fs import LocalFS
+    from vector_db_setup_spark.sources.ingest import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(0, 100).select(
+        F.col("id"), F.col("id").cast("string").alias("v")
+    ).repartition(8).write.parquet(path)
+    want = {r["id"] for r in spark.read.parquet(path).collect()}
+
+    class CorruptsAfterSwap(LocalFS):
+        corrupted = False
+
+        def move(self, src, dst):
+            super().move(src, dst)
+            # corrupt only the SWAP-IN (tmp -> path); the restore move
+            # (back -> path) must land the original intact
+            if dst.rstrip("/") == path and not self.corrupted:
+                self.corrupted = True
+                # the store "moved" a partial tree: plant a torn file
+                with open(f"{dst}/part-torn.parquet", "wb") as f:
+                    f.write(b"PAR1 this is not a parquet file")
+
+    with pytest.raises(Exception):
+        compact_parquet(spark, path, fs=CorruptsAfterSwap())
+    # original restored at path, intact; no stale backup left behind
+    got = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert got == want
+    import os as _os
+
+    assert not _os.path.exists(path + "__compact_old")
+
+
+def test_compact_parquet_refuses_lossy_rewrite_before_touching(
+    spark, tmp_path, monkeypatch
+):
+    """A rewrite that drops rows must abort with the ORIGINAL untouched
+    — the bare readability check previously passed it."""
+    from vector_db_setup_spark.sources import ingest as ing
+
+    path = str(tmp_path / "t")
+    spark.range(0, 50).select(F.col("id")).repartition(4).write.parquet(
+        path
+    )
+    real_read = spark.read.parquet
+
+    class LossyReader:
+        def __getattr__(self, name):
+            return getattr(spark.read, name)
+
+        def parquet(self_, p, *a, **kw):
+            df = real_read(p, *a, **kw)
+            # simulate a lossy rewrite: the tmp dir reads back short
+            if p.endswith("__compact_tmp"):
+                return df.limit(10)
+            return df
+
+    monkeypatch.setattr(
+        type(spark), "read", property(lambda s: LossyReader())
+    )
+    try:
+        with pytest.raises(RuntimeError, match="verification failed"):
+            ing.compact_parquet(spark, path)
+    finally:
+        monkeypatch.undo()
+    assert spark.read.parquet(path).count() == 50
+    import os as _os
+
+    assert not _os.path.exists(path + "__compact_old")

@@ -131,6 +131,19 @@ def compact_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(tmp)
+    # verify the rewrite BEFORE touching the original (the
+    # _compact_partials ordering): a full count() reads every footer +
+    # row group (schema resolution alone touched one footer and missed
+    # truncated part files), and comparing it against the source count
+    # catches a silently LOSSY rewrite — a bare readability check
+    # passed one that dropped rows
+    want = df.count()
+    got = spark.read.parquet(tmp).count()
+    if got != want:
+        raise RuntimeError(
+            f"compact_parquet verification failed: rewrote {got} rows, "
+            f"expected {want}; original untouched, attempt left at {tmp}"
+        )
 
     back = path.rstrip("/") + "__compact_old"
     if fs.exists(back):
@@ -142,11 +155,18 @@ def compact_parquet(
         )
     fs.move(path, back)
     fs.move(tmp, path)
-    # verify the swapped-in data before dropping the only remaining
-    # copy: a full count() actually reads every footer + row group
-    # (schema resolution alone touched one footer and missed truncated
-    # part files)
-    spark.read.parquet(path).count()
+    # re-verify the swapped-in copy before dropping the only remaining
+    # one; on failure RESTORE the original rather than leaving a broken
+    # directory live at `path` (the sibling _compact_partials contract)
+    try:
+        if spark.read.parquet(path).count() != want:
+            raise RuntimeError(
+                "post-swap count mismatch (store moved a partial tree?)"
+            )
+    except Exception:
+        fs.move(path, tmp)
+        fs.move(back, path)
+        raise
     if not keep_backup:
         fs.delete(back)
     _total, written = fs.du_suffix(path, ".parquet")
