@@ -470,3 +470,30 @@ def test_session_and_sliding_windows_partial_agg_pruned_scan(spark):
     assert scans and all(
         "props" not in ln and "value" not in ln for ln in scans
     ), se
+
+
+def test_source_caps_partitioned_rank_and_group_limit(spark):
+    """source_caps (r11): the cap rank partitions BY SOURCE (bounded
+    groups — never a global sort), and the kept-rows form of the same
+    rank compiles to WindowGroupLimit (per-group top-k heaps: the rank
+    never materializes past the cap)."""
+    from pyspark.sql import Window
+
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    plan = executed_plan(q.source_caps(spark, SF_ORACLE))
+    assert "windowspecdefinition(source" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("-cap"))),
+            F.col("doc_id"),
+        )
+    )
+    kept = (
+        load_table(spark, SF_ORACLE, "documents")
+        .select("source", "doc_id", rk.alias("rk"))
+        .filter("rk <= 10")
+    )
+    assert "WindowGroupLimit" in executed_plan(kept)
