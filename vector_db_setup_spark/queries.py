@@ -1371,6 +1371,75 @@ def _lsh_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keepers_by_quality",
+    f"""
+    WITH RECURSIVE {_shingle_cte()}, {_MINHASH_CTE},
+    banded AS (
+        SELECT doc_id, h // 2 AS band,
+               string_agg(sig::VARCHAR, ',' ORDER BY sig ASC) AS band_key
+        FROM mh GROUP BY doc_id, h // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+                     AND a.doc_id < b.doc_id
+    ),
+    sym AS (SELECT id_a AS a, id_b AS b FROM cand
+            UNION SELECT id_b, id_a FROM cand),
+    reach(id, comp) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.id
+    ),
+    cc AS (SELECT id AS doc_id, min(comp) AS cluster_id FROM reach
+           GROUP BY id),
+    scored AS (SELECT c.doc_id, c.cluster_id, d.n_chars
+               FROM cc c JOIN documents d USING (doc_id)),
+    keep AS (SELECT cluster_id,
+                    max_by(doc_id,
+                           n_chars * 1099511627776 - doc_id) AS keeper_id
+             FROM scored GROUP BY cluster_id)
+    SELECT s.doc_id, k.keeper_id, s.doc_id != k.keeper_id AS is_dup
+    FROM scored s JOIN keep k USING (cluster_id)
+    """,
+)
+def dedup_keepers_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup keepers with a QUALITY-RANKED keeper policy: within
+    each duplicate cluster keep the member with the most content
+    (max n_chars; smaller doc_id breaks ties), not the min id — the
+    RefinedWeb-style policy choice: when boilerplate-trimmed and
+    untrimmed copies of a page collide, a min-id keeper is an
+    arbitrary pick while the quality rank keeps the best copy. The
+    keeper rule is ONE packed max_by per cluster (score =
+    n_chars·2^40 − doc_id, unique per doc so the argmax is
+    deterministic and engine-portable; Spark max_by ≡ DuckDB arg_max).
+
+    Shape at 100 TB: consumes the SAME memoized dedup graph as
+    dedup_keepers/leakage_safe_split (built once per corpus version),
+    adds one bounded-group aggregate keyed on cluster_id and one
+    equi-join back — no new corpus-sized work beyond the shared
+    closure."""
+    cc = _lsh_dedup_cc(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = cc.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cluster_id")
+    ).join(d, "doc_id")
+    pack = (
+        F.col("n_chars").cast("long") * F.lit(1099511627776).cast("long")
+        - F.col("doc_id")
+    )
+    keep = scored.groupBy("cluster_id").agg(
+        F.max_by("doc_id", pack).alias("keeper_id")
+    )
+    return scored.join(keep, "cluster_id").select(
+        "doc_id",
+        "keeper_id",
+        (F.col("doc_id") != F.col("keeper_id")).alias("is_dup"),
+    )
+
+
+@register(
     "leakage_safe_split",
     f"""
     WITH RECURSIVE {_shingle_cte()}, {_MINHASH_CTE},
