@@ -1130,3 +1130,71 @@ def test_user_cardinality_stream_equals_batch_and_compacts(spark, tmp_path):
         for r in spark.read.parquet(path).select("_batch").distinct().collect()
     }
     assert batches == {-1}
+
+
+def test_quota_admission_single_batch_caps_per_source(spark, tmp_path):
+    """One delivery: at most cap docs admitted per source, chosen in
+    ascending doc_id order (the deterministic single-batch contract)."""
+    from vector_db_setup_spark.streaming.events import quota_admission_stream
+
+    rows = [(i, f"s{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    path = str(tmp_path / "docs")
+    df.write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    q = (
+        quota_admission_stream(stream, cap=4)
+        .writeStream.format("memory")
+        .queryName("t_quota1")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {}
+    for r in spark.table("t_quota1").collect():
+        got.setdefault(r["source"], []).append(r["doc_id"])
+    assert set(got) == {"s0", "s1", "s2"}
+    for src, ids in got.items():
+        k = int(src[1])
+        # the 4 smallest doc_ids of that source
+        assert sorted(ids) == [k, k + 3, k + 6, k + 9]
+
+
+def test_quota_admission_state_persists_across_batches(spark, tmp_path):
+    """Quota counts carry across micro-batches: a source that used part
+    of its quota in batch 1 admits only the remainder in batch 2."""
+    from vector_db_setup_spark.streaming.events import quota_admission_stream
+
+    path = str(tmp_path / "docs")
+    # file 1: 3 docs of sA; file 2: 5 more of sA + 2 of sB
+    spark.createDataFrame(
+        [(i, "sA") for i in range(3)], "doc_id long, source string"
+    ).coalesce(1).write.mode("append").parquet(path)
+    spark.createDataFrame(
+        [(i, "sA") for i in range(10, 15)] + [(100, "sB"), (101, "sB")],
+        "doc_id long, source string",
+    ).coalesce(1).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema("doc_id long, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    q = (
+        quota_admission_stream(stream, cap=5)
+        .writeStream.format("memory")
+        .queryName("t_quota2")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {}
+    for r in spark.table("t_quota2").collect():
+        got.setdefault(r["source"], []).append(r["doc_id"])
+    # sA admitted 5 total across the two batches; sB all 2 (under cap)
+    assert len(got["sA"]) == 5
+    assert sorted(got["sB"]) == [100, 101]
+    # whichever file arrived first, per-batch admissions are id-ordered
+    # prefixes, so the union is {first batch's ids} + earliest of second
+    assert len(set(got["sA"])) == 5

@@ -1247,3 +1247,68 @@ def compact_user_cardinality(
         what="compact_user_cardinality",
         fs=fs,
     )
+
+
+def quota_admission_stream(
+    docs: DataFrame,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 10,
+) -> DataFrame:
+    """Streaming twin of queries.source_caps: per-key document quotas
+    enforced ONLINE with applyInPandasWithState — admit at most ``cap``
+    documents per key across the stream's lifetime, state = one
+    admitted-count per key.
+
+    Policy difference, stated rather than hidden: the BATCH form keeps
+    a deterministic hash-ranked sample (stable under corpus growth);
+    the stream admits in ARRIVAL order (within a batch: ascending
+    id_col, so single-batch delivery is deterministic) — the online
+    admission-control shape, which cannot know future arrivals' hash
+    ranks. Both bound the same pathology (an over-represented source
+    flooding the corpus); a nightly batch re-cap can rotate the online
+    sample toward the canonical hash-ranked one.
+
+    State is ONE long per key — bounded by key cardinality, the
+    smallest state any quota can carry; emits only admitted rows
+    (append mode)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    key_type = dict(docs.dtypes)[key_col]
+    out_schema = StructType(
+        [
+            StructField(
+                key_col,
+                StringType() if key_type == "string" else LongType(),
+            ),
+            StructField(id_col, LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+
+    def _admit(key, pdfs, state: GroupState):
+        (n,) = state.get if state.exists else (0,)
+        admitted = []
+        for pdf in pdfs:
+            if n >= cap:
+                break
+            for did in sorted(pdf[id_col]):
+                if n >= cap:
+                    break
+                admitted.append(int(did))
+                n += 1
+        state.update((n,))
+        if admitted:
+            yield pd.DataFrame(
+                {key_col: [key[0]] * len(admitted), id_col: admitted}
+            )
+
+    return docs.select(key_col, id_col).groupBy(key_col).applyInPandasWithState(
+        _admit,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
