@@ -19,6 +19,8 @@ _EXAMPLES = [
      "OK — lakehouse loop (land/replay/compact/cdc/ivf/delete/gc)"),
     ("examples/run_curation_churn.py",
      "OK — curation churn loop (merge/delete/drain/verify)"),
+    ("examples/run_quota_quality_loop.py",
+     "OK — quota/quality curation loop (cap/keepers/histogram/stream)"),
 ]
 
 
