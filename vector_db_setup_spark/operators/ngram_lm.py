@@ -204,9 +204,17 @@ def quantiles_from_histogram(
     rows — a bounded collect by construction (the size-guarded-probe
     discipline), not a corpus pull."""
     width = (float(hi) - float(lo)) / int(n_bins)
-    rows = sorted(
-        (int(r["bin"]), int(r["n"])) for r in hist.collect()
-    )
+    # limit(n_bins + 1): the pull is bounded by CONSTRUCTION (a
+    # histogram of this geometry has <= n_bins rows), and the explicit
+    # limit makes that a checked contract — a caller handing a
+    # non-histogram relation gets a refusal, not a driver-sized collect
+    raw = hist.select("bin", "n").limit(int(n_bins) + 1).collect()
+    if len(raw) > int(n_bins):
+        raise ValueError(
+            f"not a ppl_histogram of n_bins={n_bins}: more than "
+            f"{n_bins} distinct bins present"
+        )
+    rows = sorted((int(r["bin"]), int(r["n"])) for r in raw)
     total = sum(n for _, n in rows)
     if total <= 0:
         raise ValueError("empty histogram — no documents scored")
