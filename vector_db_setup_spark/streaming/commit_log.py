@@ -959,8 +959,12 @@ def maintain_ppl_histogram_from_commits(
             )
         return max(vs)
 
-    def _score_hist(s: SparkSession, docs) -> "DataFrame":
-        lm = st.read_snapshot(s, lm_state_base)
+    def _score_hist(s: SparkSession, docs, lm_version: int) -> "DataFrame":
+        # PINNED to the checked version: between the version probe and
+        # the scoring read the LM's own maintainer may land a new
+        # version, and scoring the new LM while stamping the old would
+        # poison every later drift check (TOCTOU)
+        lm = st.read_snapshot(s, lm_state_base, version=lm_version)
         per = perplexity_against_lm(
             docs, lm, text_col=text_col, id_col=key_col
         )
@@ -969,12 +973,14 @@ def maintain_ppl_histogram_from_commits(
     def _apply(s: SparkSession, through_v: int) -> None:
         vs = st.committed_versions(s, state_base)
         if not vs:
+            lm_v = _lm_version(s)
             st.write_snapshot(
                 _score_hist(
                     s,
                     st.read_snapshot(
                         s, source_base, version=through_v, fs=fs
                     ),
+                    lm_v,
                 ),
                 state_base,
                 note=(
@@ -985,7 +991,7 @@ def maintain_ppl_histogram_from_commits(
                 meta={
                     **params,
                     "through_version": through_v,
-                    "lm_version": _lm_version(s),
+                    "lm_version": lm_v,
                 },
             )
             return
@@ -1042,6 +1048,7 @@ def maintain_ppl_histogram_from_commits(
                     st.read_snapshot(
                         s, source_base, version=through_v, fs=fs
                     ),
+                    lm_now,
                 ),
                 state_base,
                 note=(
@@ -1058,9 +1065,11 @@ def maintain_ppl_histogram_from_commits(
             return
         if not feed.limit(1).count():
             return  # empty delta: skip the state rewrite (see agg)
-        plus = _score_hist(s, feed.filter(F.col("status") == "added"))
+        plus = _score_hist(
+            s, feed.filter(F.col("status") == "added"), lm_now
+        )
         minus = _score_hist(
-            s, feed.filter(F.col("status") == "removed")
+            s, feed.filter(F.col("status") == "removed"), lm_now
         ).withColumn("n", -F.col("n"))
         state = st.read_snapshot(s, state_base, version=max(vs))
         merged = (
