@@ -300,3 +300,26 @@ def test_histogram_quantiles_within_bin_width_and_bucket_map(spark):
             ppl_histogram(per.filter("ppl < -1"), lo, hi, n_bins),
             (0.5,), lo, hi, n_bins,
         )
+
+
+def test_ppl_histogram_refuses_wrong_lm_kind(spark, tmp_path):
+    """Pointing lm_state_base at some OTHER maintained state must
+    refuse loudly — scoring against arbitrary rows silently bins every
+    bigram as unseen."""
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_ppl_histogram_from_commits,
+    )
+
+    src = str(tmp_path / "src")
+    not_lm = str(tmp_path / "not_lm")
+    write_snapshot(_corpus(spark, 100, 120), src)
+    write_snapshot(
+        spark.range(0, 5).select(F.col("id").alias("x")),
+        not_lm,
+        meta={"kind": "ppl_histogram"},
+    )
+    with pytest.raises(Exception, match="not a bigram LM"):
+        maintain_ppl_histogram_from_commits(
+            spark, src, not_lm, str(tmp_path / "hist"),
+            str(tmp_path / "ck"), lo=0.0, hi=100.0, n_bins=64,
+        )

@@ -957,6 +957,19 @@ def maintain_ppl_histogram_from_commits(
                 "write_snapshot of lm_counts) before maintaining a "
                 "perplexity histogram against it"
             )
+        # a wrong table here doesn't fail loudly — scoring against
+        # arbitrary rows just treats every bigram as unseen and bins
+        # the smoothed constant — so refuse any state that CLAIMS a
+        # kind other than the bigram LM's (a meta-less plain
+        # write_snapshot of lm_counts is accepted: kind is absent)
+        lm_meta = st.snapshot_info(s, lm_state_base, max(vs)).get("meta") or {}
+        if lm_meta.get("kind") not in (None, "bigram_lm"):
+            raise ValueError(
+                f"state at {lm_state_base} is "
+                f"kind={lm_meta.get('kind')!r}, not a bigram LM — "
+                "point lm_state_base at maintain_lm_from_commits "
+                "output (or a write_snapshot of lm_counts)"
+            )
         return max(vs)
 
     def _score_hist(s: SparkSession, docs, lm_version: int) -> "DataFrame":
