@@ -333,6 +333,117 @@ def sustained_span_cycles(spark, root, n_cycles=30):
     print(f"span_index == scratch     {got == want} ({len(got):,} rows)")
 
 
+def sustained_hist_cycles(spark, root, n_cycles=12):
+    """r11: the MAINTAINED PERPLEXITY HISTOGRAM as a sustained
+    subscriber — the 7th maintainer kind composed through the same
+    ``maintenance_cycle`` loop as its siblings. Every cycle appends
+    200 docs (20 exact echoes of old passages + 180 fresh), merges 50
+    content rewrites of old keys, every 5th cycle deletes 20 keys; the
+    histogram drains against a FROZEN reference LM. Claims measured
+    first-5 vs last-5 cycles while the corpus grows: drain wall FLAT
+    (scoring is paid for the delta only; the state is <=n_bins rows).
+    End state: histogram == a from-scratch score+bin of the head,
+    exact bin for bin."""
+    import statistics
+    from functools import partial
+
+    from vector_db_setup_spark.operators.ngram_lm import (
+        lm_counts,
+        perplexity_against_lm,
+        ppl_histogram,
+    )
+    from vector_db_setup_spark.sources.snapshot_table import (
+        merge_snapshot,
+    )
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_ppl_histogram_from_commits,
+        maintenance_cycle,
+    )
+
+    base = f"{root}/shist"
+    lm = f"{root}/shist_lm"
+    hist = f"{root}/shist_state"
+    # hi sized for THIS vocab: the synthetic docs' smoothed ppl sits
+    # ~8k (LM-member passages) vs ~24k (unseen bigrams) — a 5k ceiling
+    # would clamp both into the top bin and degenerate the check
+    geo = dict(lo=0.0, hi=50_000.0, n_bins=1024)
+    kw = dict(stats_cols=["doc_id"], cluster_by=["doc_id"])
+    # frozen reference LM over a STATIC slice (CCNet's static-wiki-LM
+    # shape) — the corpus under churn never touches it
+    write_snapshot(
+        lm_counts(_span_docs(spark, 0, 2_000)), lm,
+        meta={"kind": "bigram_lm"},
+    )
+    write_snapshot(_span_docs(spark, 0, 20_000).repartition(8), base, **kw)
+    drain = partial(
+        maintain_ppl_histogram_from_commits,
+        spark, base, lm, hist, f"{root}/ck_shist",
+        text_col="text", key_col="doc_id", **geo,
+    )
+    t = time.perf_counter()
+    drain()  # bootstrap (O(corpus), once)
+    boot_s = time.perf_counter() - t
+
+    nxt, m_lo = 20_000, 0
+    walls = []
+    for cycle in range(n_cycles):
+        echo = _span_docs(spark, nxt, nxt + 20, text_from_offset=nxt)
+        fresh = _span_docs(spark, nxt + 20, nxt + 200)
+        append_snapshot(echo.unionByName(fresh), base, **kw)
+        nxt += 200
+        merge_snapshot(
+            _span_docs(spark, m_lo, m_lo + 50, text_from_offset=-77_000),
+            base, key_col="doc_id",
+        )
+        m_lo += 50
+        if cycle % 5 == 4:
+            delete_from_snapshot(
+                spark.range(nxt - 210, nxt - 190).select(
+                    F.col("id").alias("doc_id")
+                ),
+                base, key_col="doc_id",
+            )
+        t = time.perf_counter()
+        maintenance_cycle(
+            spark, base,
+            drains=[drain],
+            subscriber_states=[hist],
+            compact=dict(
+                max_data_dirs=12, max_delete_entries=6,
+                target_file_bytes=256 << 10,
+            ),
+            compact_subscribers=dict(
+                max_data_dirs=12, max_delete_entries=6,
+                target_file_bytes=256 << 10,
+            ),
+            gc=dict(keep=3, orphan_min_age_s=0),
+        )
+        walls.append(time.perf_counter() - t)
+    med = statistics.median
+    print(
+        f"hist_cycles               {n_cycles} cycles "
+        f"(bootstrap {boot_s:.1f}s; corpus 20k -> {nxt:,} keys)"
+    )
+    print(
+        f"hist_cycle_wall_s         first5 {med(walls[:5]):6.3f}  "
+        f"last5 {med(walls[-5:]):6.3f}   (drain+compact+ckpt+gc)"
+    )
+    head = read_snapshot(spark, base)
+    want = sorted(
+        (int(r["bin"]), int(r["n"]))
+        for r in ppl_histogram(
+            perplexity_against_lm(head, read_snapshot(spark, lm)), **geo
+        ).collect()
+    )
+    got = sorted(
+        (int(r["bin"]), int(r["n"]))
+        for r in read_snapshot(spark, hist).collect()
+    )
+    print(f"hist == scratch           {got == want} ({len(got)} bins)")
+
+
+
+
 def main():
     spark = get_spark(
         app_name="day2-ops",
@@ -456,6 +567,7 @@ def main():
     sustained_merge_cycles(spark, root)
     print()
     sustained_span_cycles(spark, root)
+    sustained_hist_cycles(spark, root)
     shutil.rmtree(root, ignore_errors=True)
 
 
