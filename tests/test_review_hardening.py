@@ -1122,3 +1122,140 @@ def test_compact_parquet_refuses_lossy_rewrite_before_touching(
     import os as _os
 
     assert not _os.path.exists(path + "__compact_old")
+
+
+# ---- r12 ADVICE fixes ----
+
+
+def test_quota_admission_deterministic_across_arrow_chunks(spark, tmp_path):
+    """ADVICE r11 (medium): a key group spanning multiple Arrow chunks
+    must still admit the globally smallest doc_ids of the micro-batch,
+    not per-chunk prefixes. Force 1-row chunks via
+    arrow.maxRecordsPerBatch and deliver ids in DESCENDING order so a
+    chunk-order-dependent admit would pick the largest ids first."""
+    from vector_db_setup_spark.streaming.events import (
+        quota_admission_stream,
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "1")
+    try:
+        rows = [(i, "sA") for i in range(19, -1, -1)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        path = str(tmp_path / "docs")
+        df.coalesce(1).write.parquet(path)
+        stream = spark.readStream.schema(df.schema).parquet(path)
+        q = (
+            quota_admission_stream(stream, cap=3)
+            .writeStream.format("memory")
+            .queryName("t_quota_chunks")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = sorted(
+            r["doc_id"] for r in spark.table("t_quota_chunks").collect()
+        )
+        assert got == [0, 1, 2], got
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", old
+        )
+
+
+def test_table_cache_is_session_weak_and_clearable(spark):
+    """ADVICE r11 (low): _TABLE_CACHE must not pin stopped sessions'
+    DataFrames forever — it is weak-keyed by session and has an
+    explicit clear API mirroring clear_persist_cache."""
+    import weakref
+
+    from vector_db_setup_spark.sources import registry as reg
+
+    df1 = reg.load_table(spark, "/root/testdata/sf0.001", "nation")
+    assert reg.load_table(spark, "/root/testdata/sf0.001", "nation") is df1
+    assert isinstance(reg._TABLE_CACHE, weakref.WeakKeyDictionary)
+    assert spark in reg._TABLE_CACHE
+    reg.clear_table_cache(spark)
+    assert spark not in reg._TABLE_CACHE
+    df2 = reg.load_table(spark, "/root/testdata/sf0.001", "nation")
+    assert df2 is not df1
+    reg.clear_table_cache()
+    assert len(reg._TABLE_CACHE) == 0
+    # the memo still works after a full clear
+    assert (
+        reg.load_table(spark, "/root/testdata/sf0.001", "nation")
+        is reg.load_table(spark, "/root/testdata/sf0.001", "nation")
+    )
+
+
+def test_ppl_quantile_buckets_quotes_weird_column_names(spark):
+    """ADVICE r11 (low): both percentile paths must resolve a ppl
+    column containing spaces/dots as ONE identifier (backtick-quoted),
+    and match the plain-named result bucket-for-bucket."""
+    from vector_db_setup_spark.operators.ngram_lm import (
+        ppl_quantile_buckets,
+    )
+
+    per = spark.createDataFrame(
+        [(i, float(i)) for i in range(99)], "doc_id long, ppl double"
+    )
+    weird = "ppl value.v2"
+    for exact in (False, True):
+        want = {
+            (r["doc_id"], r["bucket"])
+            for r in ppl_quantile_buckets(per, exact=exact).collect()
+        }
+        got = {
+            (r["doc_id"], r["bucket"])
+            for r in ppl_quantile_buckets(
+                per.withColumnRenamed("ppl", weird),
+                ppl_col=weird,
+                exact=exact,
+            ).collect()
+        }
+        assert got == want
+
+
+def test_snapshot_sink_keeps_legacy_identity_across_upgrade(
+    spark, tmp_path
+):
+    """ADVICE r11 (low): a deployment whose checkpoint was spelled
+    non-canonically (trailing slash) and committed under the verbatim-
+    string hash must KEEP that identity after the normalization
+    upgrade — the replayed micro-batch is dropped, not double-landed."""
+    from vector_db_setup_spark.streaming.snapshot_sink import (
+        derive_producer_id,
+        legacy_producer_id,
+        snapshot_sink,
+    )
+
+    # trailing-slash spelling: legacy (verbatim hash) != normalized
+    ck = str(tmp_path / "ck_upgrade") + "/"
+    assert legacy_producer_id(ck) != derive_producer_id(ck)
+
+    base = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a")], "doc_id long, v string"
+    ).write.parquet(src)
+    # pre-upgrade deployment: batch 0 landed under the LEGACY identity
+    write_snapshot(
+        spark.createDataFrame([(1, "a")], "doc_id long, v string"),
+        base,
+        idempotency_key=f"{legacy_producer_id(ck)}:0",
+    )
+    stream = spark.readStream.schema("doc_id long, v string").parquet(src)
+    # post-upgrade restart replays batch 0 from the checkpoint-less
+    # start; continuity means the replay is an idempotent drop
+    q = snapshot_sink(stream, base, checkpoint=ck)
+    q.awaitTermination()
+    assert read_snapshot(spark, base).count() == 1
+    # a FRESH canonical-spelling deployment with no legacy commits
+    # uses the normalized identity (no false alias adoption)
+    base2 = str(tmp_path / "t2")
+    ck2 = str(tmp_path / "ck2")
+    q2 = snapshot_sink(stream, base2, checkpoint=ck2)
+    q2.awaitTermination()
+    info = snapshot_info(spark, base2, 1)
+    assert info["idempotency_key"].startswith(derive_producer_id(ck2))

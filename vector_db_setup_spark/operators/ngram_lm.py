@@ -134,25 +134,33 @@ def ppl_quantile_buckets(
             f"need len(probs)+1 labels: {len(probs)} cut points split "
             f"into {len(probs) + 1} buckets, got {len(labels)} labels"
         )
+    # backtick-quote identifiers so a ppl_col (or sibling column)
+    # containing dots, spaces, or reserved words resolves as ONE
+    # column name rather than being parsed as nested-field access
+    # (embedded backticks escape by doubling, per the SQL grammar)
+    def _q(name: str):
+        return F.col("`" + name.replace("`", "``") + "`")
+
+    ppl = _q(ppl_col)
     if exact:
         cut_cols = [
-            F.percentile(ppl_col, F.lit(p)).alias(f"_cut{i}")
+            F.percentile(ppl, F.lit(p)).alias(f"_cut{i}")
             for i, p in enumerate(probs)
         ]
     else:
         cut_cols = [
-            F.expr(
-                f"approx_percentile({ppl_col}, {float(p)!r}, {accuracy})"
+            F.percentile_approx(
+                ppl, F.lit(float(p)), F.lit(accuracy)
             ).alias(f"_cut{i}")
             for i, p in enumerate(probs)
         ]
     cuts = per.agg(*cut_cols)
-    bucket = F.when(F.col(ppl_col) <= F.col("_cut0"), labels[0])
+    bucket = F.when(ppl <= F.col("_cut0"), labels[0])
     for i in range(1, len(probs)):
-        bucket = bucket.when(F.col(ppl_col) <= F.col(f"_cut{i}"), labels[i])
+        bucket = bucket.when(ppl <= F.col(f"_cut{i}"), labels[i])
     bucket = bucket.otherwise(labels[-1])
     return per.crossJoin(F.broadcast(cuts)).select(
-        *per.columns, bucket.alias("bucket")
+        *[_q(c) for c in per.columns], bucket.alias("bucket")
     )
 
 

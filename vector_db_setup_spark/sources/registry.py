@@ -12,6 +12,7 @@ The catalog-existence probe mirrors test_connection.py:36-42
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -41,7 +42,23 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # creation, so a caller mutating the directory between loads must pass
 # fresh=True (fixture dirs are never mutated; mutable tables go through
 # sources/snapshot_table, which never routes here).
-_TABLE_CACHE: dict[tuple, DataFrame] = {}
+#
+# Keyed WEAKLY by session: a long-lived process that creates and stops
+# SparkSessions must not pin each stopped session's py4j-backed
+# DataFrames forever — when the session object is collected its whole
+# inner dict drops with it. `clear_table_cache()` is the explicit
+# escape hatch (mirror of queries.clear_persist_cache).
+_TABLE_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def clear_table_cache(spark: SparkSession | None = None) -> None:
+    """Drop memoized fixture-table plans — all sessions, or one."""
+    if spark is None:
+        _TABLE_CACHE.clear()
+    else:
+        _TABLE_CACHE.pop(spark, None)
 
 
 def load_table(
@@ -60,9 +77,12 @@ def load_table(
     TIMESTAMP), so every downstream query sees one ts type regardless of
     fixture vintage.
     """
-    key = (spark, sf_dir, name)
-    if not fresh and key in _TABLE_CACHE:
-        return _TABLE_CACHE[key]
+    per_session = _TABLE_CACHE.get(spark)
+    if per_session is None:
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    if not fresh and key in per_session:
+        return per_session[key]
     if name == "events":
         # defensively set on the CALLER's session: the driver harness
         # passes its own SparkSession, which won't have session.py's
@@ -82,7 +102,7 @@ def load_table(
         elif ts_type == "timestamp_ntz":
             # NTZ → LTZ is wall-clock-preserving under the UTC session tz
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-    _TABLE_CACHE[key] = df
+    per_session[key] = df
     return df
 
 

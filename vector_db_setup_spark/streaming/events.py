@@ -1262,16 +1262,27 @@ def quota_admission_stream(
 
     Policy difference, stated rather than hidden: the BATCH form keeps
     a deterministic hash-ranked sample (stable under corpus growth);
-    the stream admits in ARRIVAL order (within a batch: ascending
-    id_col, so single-batch delivery is deterministic) — the online
+    the stream admits in ARRIVAL order (within a micro-batch: the
+    globally smallest ``id_col`` values of the key's remaining quota,
+    so single-batch delivery is deterministic) — the online
     admission-control shape, which cannot know future arrivals' hash
     ranks. Both bound the same pathology (an over-represented source
     flooding the corpus); a nightly batch re-cap can rotate the online
     sample toward the canonical hash-ranked one.
 
+    The per-batch winners are found with a bounded max-heap of size
+    ``cap - admitted_so_far`` carried ACROSS the group's Arrow chunks:
+    a key group larger than ``spark.sql.execution.arrow.
+    maxRecordsPerBatch`` (default 10k) arrives as several pandas
+    chunks, and admitting per-chunk prefixes would make the admitted
+    set depend on chunk order rather than on id. O(cap) transient
+    driver-free memory per key, single pass.
+
     State is ONE long per key — bounded by key cardinality, the
     smallest state any quota can carry; emits only admitted rows
     (append mode)."""
+    import heapq
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -1290,16 +1301,21 @@ def quota_admission_stream(
 
     def _admit(key, pdfs, state: GroupState):
         (n,) = state.get if state.exists else (0,)
-        admitted = []
+        need = cap - n
+        # max-heap (negated) of the `need` smallest ids seen so far,
+        # maintained across ALL chunks of the group — see docstring
+        heap: list[int] = []
         for pdf in pdfs:
-            if n >= cap:
+            if need <= 0:
                 break
-            for did in sorted(pdf[id_col]):
-                if n >= cap:
-                    break
-                admitted.append(int(did))
-                n += 1
-        state.update((n,))
+            for did in pdf[id_col]:
+                did = int(did)
+                if len(heap) < need:
+                    heapq.heappush(heap, -did)
+                elif did < -heap[0]:
+                    heapq.heapreplace(heap, -did)
+        admitted = sorted(-h for h in heap)
+        state.update((n + len(admitted),))
         if admitted:
             yield pd.DataFrame(
                 {key_col: [key[0]] * len(admitted), id_col: admitted}

@@ -51,7 +51,16 @@ def derive_producer_id(checkpoint: str) -> str:
     paths are absolutized; URI paths (file:/..., hdfs://...) are kept
     verbatim minus trailing slashes. RELOCATING a checkpoint dir still
     changes the identity — pass an explicit producer_id if you move
-    checkpoints between restarts."""
+    checkpoints between restarts.
+
+    UPGRADE MIGRATION (one-time): deployments that committed under the
+    pre-normalization identity (verbatim-string hash) with a relative
+    or trailing-slash checkpoint spelling would change identity on
+    upgrade — exactly the double-land this normalization prevents
+    going forward. `snapshot_sink` therefore probes the target table
+    for commits under the LEGACY identity (`legacy_producer_id`) and
+    keeps it when found, so continuity wins over canonical form; pass
+    an explicit ``producer_id`` to override."""
     import hashlib
     import os
     import re
@@ -60,6 +69,40 @@ def derive_producer_id(checkpoint: str) -> str:
     if not re.match(r"[A-Za-z][A-Za-z0-9+.-]*:", norm):
         norm = os.path.abspath(norm)
     return "ckpt-" + hashlib.md5(norm.encode()).hexdigest()[:12]
+
+
+def legacy_producer_id(checkpoint: str) -> str:
+    """The pre-normalization identity: hash of the VERBATIM checkpoint
+    string. Differs from derive_producer_id only when the spelling is
+    non-canonical (relative path, trailing slash) — kept as a
+    recognized alias so upgrading under such a spelling does not break
+    replay detection (see derive_producer_id's migration note)."""
+    import hashlib
+
+    return "ckpt-" + hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+
+
+def _producer_has_commits(spark, base: str, producer_id: str, fs) -> bool:
+    """True iff any surviving commit at ``base`` carries an idempotency
+    key namespaced by ``producer_id`` — one marker walk through the
+    commit-log checkpoint, same cost shape as an idempotency miss."""
+    from vector_db_setup_spark.sources.snapshot_table import (
+        _infos_for,
+        _resolve_fs,
+        committed_versions,
+    )
+
+    fs = _resolve_fs(spark, base, fs)
+    try:
+        versions = committed_versions(spark, base, fs)
+    except FileNotFoundError:
+        return False  # table doesn't exist yet — nothing to migrate
+    prefix = producer_id + ":"
+    infos = _infos_for(spark, base, versions, fs, live_head=max(versions, default=None))
+    return any(
+        str(info.get("idempotency_key") or "").startswith(prefix)
+        for info in infos.values()
+    )
 
 
 def make_snapshot_batch_lander(
@@ -137,6 +180,16 @@ def snapshot_sink(
         # the identity replay detection needs. Path-normalized — see
         # derive_producer_id.
         producer_id = derive_producer_id(checkpoint)
+        legacy = legacy_producer_id(checkpoint)
+        if legacy != producer_id and _producer_has_commits(
+            stream_df.sparkSession, base, legacy, lander_kwargs.get("fs")
+        ):
+            # one-time upgrade continuity: this table already holds
+            # commits under the pre-normalization identity for this
+            # exact spelling — keep it, or the first restart-replayed
+            # micro-batch would land under a new identity and
+            # double-land exactly once (derive_producer_id docstring)
+            producer_id = legacy
     lander = make_snapshot_batch_lander(
         base, producer_id=producer_id, **lander_kwargs
     )
