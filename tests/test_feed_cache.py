@@ -1,0 +1,390 @@
+"""Shared CDC feed assembly (streaming/feed_cache): one
+``snapshot_changes`` assembly per (source, key, version-range) per
+maintenance cycle, with every subscriber's narrower feed DERIVED from
+the shared relation — derivation equivalence pinned row-for-row
+against the narrow feeds, and the cycle counted by a spy (VERDICT r11
+next-round #1)."""
+
+from __future__ import annotations
+
+import functools
+
+import pytest
+from pyspark.sql import functions as F
+
+import vector_db_setup_spark.sources.snapshot_table as st
+from vector_db_setup_spark.sources.snapshot_table import (
+    append_snapshot,
+    current_version,
+    delete_from_snapshot,
+    merge_snapshot,
+    read_snapshot,
+    snapshot_changes,
+    snapshot_info,
+    write_snapshot,
+)
+from vector_db_setup_spark.streaming import feed_cache
+from vector_db_setup_spark.streaming.feed_cache import cdc_changes
+
+
+def _docs(spark, ids_texts):
+    """(doc_id, text, grp, val) rows."""
+    return spark.createDataFrame(
+        [(i, t, g, v) for (i, t, g, v) in ids_texts],
+        "doc_id long, text string, grp string, val long",
+    )
+
+
+def _mixed_range(spark, tmp_path):
+    """v1 write, v2 append, v3 delete, v4 merge — the merge rewrites
+    doc 4's text (text-feed change), doc 5's val ONLY (text-feed
+    no-op), and inserts doc 9."""
+    base = str(tmp_path / "src")
+    write_snapshot(
+        _docs(
+            spark,
+            [
+                (1, "alpha beta", "a", 10),
+                (2, "beta gamma", "a", 20),
+                (3, "gamma delta", "b", 30),
+                (4, "delta epsilon", "b", 40),
+                (5, "epsilon zeta", "c", 50),
+                (6, "zeta eta", "c", 60),
+            ],
+        ),
+        base,
+    )
+    append_snapshot(
+        _docs(spark, [(7, "eta theta", "a", 70), (8, "theta iota", "b", 80)]),
+        base,
+    )
+    delete_from_snapshot(
+        spark.createDataFrame([(2,), (3,)], "doc_id long"),
+        base,
+        key_col="doc_id",
+    )
+    merge_snapshot(
+        _docs(
+            spark,
+            [
+                (4, "REWRITTEN text", "b", 40),  # text changed
+                (5, "epsilon zeta", "c", 555),  # val only
+                (9, "iota kappa", "a", 90),  # new
+            ],
+        ),
+        base,
+        key_col="doc_id",
+    )
+    return base
+
+
+FEED_SHAPES = [
+    # (columns, carry, encoding) — the subscriber shapes in the repo
+    (["text"], ["text"], "pair"),  # lm / ppl / dsir / lsh / span
+    ([], None, "changed"),  # bloom key-presence
+    (["grp", "val"], ["grp", "val"], "pair"),  # agg
+    (["text"], ["text"], "changed"),  # display form
+    (None, ["text", "grp", "val"], "pair"),  # full-content consumer
+]
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_derived_feeds_match_narrow_feeds_row_for_row(spark, tmp_path):
+    """Inside a cycle every subscriber shape must yield EXACTLY the
+    rows the narrow snapshot_changes call yields — including the
+    narrowing contract (doc 5's val-only rewrite invisible to the
+    text feed; the presence feed sees only genuine adds/removes)."""
+    base = _mixed_range(spark, tmp_path)
+    want = {
+        i: _rows(
+            snapshot_changes(
+                spark, base, "doc_id", 1, 4,
+                columns=c, carry_columns=k, change_encoding=e,
+            )
+        )
+        for i, (c, k, e) in enumerate(FEED_SHAPES)
+    }
+    with feed_cache.cycle() as cache:
+        for i, (c, k, e) in enumerate(FEED_SHAPES):
+            got = _rows(
+                cdc_changes(
+                    spark, base, "doc_id", 1, 4,
+                    columns=c, carry_columns=k, change_encoding=e,
+                    allowed_ops=("append", "delete", "compact", "merge"),
+                )
+            )
+            assert got == want[i], (FEED_SHAPES[i], got, want[i])
+        assert cache.assemblies == 1
+        assert cache.requests == len(FEED_SHAPES)
+        assert cache.fallbacks == 0
+    # spot-check the narrowing semantics the equivalence relies on
+    text_feed = dict(
+        ((r[0], r[-2]), r) for r in want[0]
+    )  # (doc_id, status) -> row
+    assert (5, "added") not in text_feed and (5, "removed") not in text_feed
+    assert (4, "added") in text_feed and (4, "removed") in text_feed
+    presence = {(r[0], r[1]) for r in want[1]}
+    assert (9, "added") in presence
+    assert all(d != 4 and d != 5 for d, s in presence if s == "added")
+
+
+def test_cdc_changes_is_passthrough_outside_cycle(spark, tmp_path):
+    base = _mixed_range(spark, tmp_path)
+    direct = _rows(
+        snapshot_changes(
+            spark, base, "doc_id", 1, 4, columns=["text"],
+            carry_columns=["text"], change_encoding="pair",
+        )
+    )
+    routed = _rows(
+        cdc_changes(
+            spark, base, "doc_id", 1, 4, columns=["text"],
+            carry_columns=["text"], change_encoding="pair",
+        )
+    )
+    assert routed == direct
+
+
+def test_cycle_is_not_reentrant():
+    with feed_cache.cycle():
+        with pytest.raises(RuntimeError, match="already active"):
+            with feed_cache.cycle():
+                pass
+
+
+def test_consumer_op_contract_enforced_per_consumer(spark, tmp_path):
+    """The shared assembly carries no allowed_ops; each consumer's own
+    contract must still raise DisallowedOpError on a rewrite commit —
+    while a contract-free consumer (bloom) sails through."""
+    base = str(tmp_path / "src")
+    write_snapshot(_docs(spark, [(1, "a b", "a", 1)]), base)
+    # op=write commit (full rewrite): outside every maintainer's
+    # allowed set
+    write_snapshot(
+        _docs(spark, [(1, "a b", "a", 1), (2, "b c", "b", 2)]),
+        base,
+    )
+    with feed_cache.cycle() as cache:
+        with pytest.raises(st.DisallowedOpError):
+            cdc_changes(
+                spark, base, "doc_id", 1, 2,
+                columns=["text"], carry_columns=["text"],
+                allowed_ops=("append", "delete", "compact", "merge"),
+                change_encoding="pair",
+            )
+        free = cdc_changes(
+            spark, base, "doc_id", 1, 2, columns=[],
+        )
+        assert {(r["doc_id"], r["status"]) for r in free.collect()} == {
+            (2, "added")
+        }
+        assert cache.assemblies == 1
+
+
+def test_superset_failure_falls_back_to_narrow(spark, tmp_path, monkeypatch):
+    """If the shared (all-columns) assembly fails, every request for
+    that range passes through narrow — same rows as no cache."""
+    base = _mixed_range(spark, tmp_path)
+    real = st.snapshot_changes
+
+    def breaking(spark_, base_, key_col_, *a, **kw):
+        if kw.get("columns", "x") is None:
+            raise ValueError("simulated merge_schema carry gap")
+        return real(spark_, base_, key_col_, *a, **kw)
+
+    monkeypatch.setattr(st, "snapshot_changes", breaking)
+    want = _rows(
+        real(
+            spark, base, "doc_id", 1, 4, columns=["text"],
+            carry_columns=["text"], change_encoding="pair",
+        )
+    )
+    with feed_cache.cycle() as cache:
+        got = _rows(
+            cdc_changes(
+                spark, base, "doc_id", 1, 4, columns=["text"],
+                carry_columns=["text"], change_encoding="pair",
+            )
+        )
+        assert got == want
+        assert cache.assemblies == 0
+        assert cache.fallbacks == 1
+        # the failure is remembered: the next request doesn't retry
+        # the superset, it goes straight to narrow
+        _ = cdc_changes(
+            spark, base, "doc_id", 1, 4, columns=[],
+        )
+        assert cache.fallbacks == 2
+
+
+def test_seven_subscriber_cycle_assembles_once(spark, tmp_path):
+    """The VERDICT r11 'done' check: a maintenance_cycle draining all
+    seven doc-keyed subscriber kinds (bloom, agg, lm, ppl-histogram,
+    dsir, lsh index, span index) over the same source commits runs ONE
+    snapshot_changes assembly (spy-counted), and every maintained
+    state still equals its from-scratch rebuild."""
+    from vector_db_setup_spark.operators.dsir import bucket_totals
+    from vector_db_setup_spark.operators.ngram_lm import (
+        lm_counts,
+        perplexity_against_lm,
+        ppl_histogram,
+    )
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_agg_from_commits,
+        maintain_bloom_from_commits,
+        maintain_dsir_from_commits,
+        maintain_lm_from_commits,
+        maintain_lsh_index_from_commits,
+        maintain_ppl_histogram_from_commits,
+        maintain_span_index_from_commits,
+        maintenance_cycle,
+    )
+
+    base = str(tmp_path / "src")
+    write_snapshot(
+        _docs(
+            spark,
+            [
+                (1, "alpha beta gamma", "a", 10),
+                (2, "beta gamma delta", "a", 20),
+                (3, "gamma delta epsilon", "b", 30),
+                (4, "delta epsilon zeta", "b", 40),
+                (5, "epsilon zeta eta", "c", 50),
+                (6, "zeta eta theta", "c", 60),
+            ],
+        ),
+        base,
+    )
+    # a FROZEN reference LM for the ppl histogram (never drained again)
+    frozen_lm = str(tmp_path / "frozen_lm")
+    maintain_lm_from_commits(
+        spark, base, frozen_lm, str(tmp_path / "ck_frozen")
+    )
+    ck = {k: str(tmp_path / f"ck_{k}") for k in
+          "bloom agg lm ppl dsir lsh span".split()}
+    states = {k: str(tmp_path / f"state_{k}") for k in ck}
+    drains = [
+        functools.partial(
+            maintain_bloom_from_commits, spark, base, "doc_id",
+            states["bloom"], ck["bloom"], num_bits=1 << 12, k=3,
+        ),
+        functools.partial(
+            maintain_agg_from_commits, spark, base, states["agg"],
+            ck["agg"], group_col="grp", key_col="doc_id", sum_col="val",
+        ),
+        functools.partial(
+            maintain_lm_from_commits, spark, base, states["lm"], ck["lm"],
+        ),
+        functools.partial(
+            maintain_ppl_histogram_from_commits, spark, base, frozen_lm,
+            states["ppl"], ck["ppl"], lo=0.0, hi=64.0, n_bins=16,
+        ),
+        functools.partial(
+            maintain_dsir_from_commits, spark, base, states["dsir"],
+            ck["dsir"], n_buckets=32,
+        ),
+        functools.partial(
+            maintain_lsh_index_from_commits, spark, base, states["lsh"],
+            ck["lsh"], bands=2, num_hashes=4, shingle_n=2,
+        ),
+        functools.partial(
+            maintain_span_index_from_commits, spark, base, states["span"],
+            ck["span"], shingle_n=2,
+        ),
+    ]
+    # bootstrap every subscriber at v1 (each builds from a full read —
+    # no feed yet), then evolve the source and run ONE cycle
+    for d in drains:
+        d()
+    append_snapshot(
+        _docs(spark, [(7, "eta theta iota", "a", 70),
+                      (8, "theta iota kappa", "b", 80)]),
+        base,
+    )
+    delete_from_snapshot(
+        spark.createDataFrame([(2,), (5,)], "doc_id long"),
+        base,
+        key_col="doc_id",
+    )
+    merge_snapshot(
+        _docs(spark, [(4, "REWRITTEN delta text", "b", 40),
+                      (6, "zeta eta theta", "c", 666),  # val only
+                      (9, "kappa lambda mu", "a", 90)]),
+        base,
+        key_col="doc_id",
+    )
+
+    calls = []
+    real = st.snapshot_changes
+
+    def spy(*a, **kw):
+        calls.append(kw.get("columns", "?"))
+        return real(*a, **kw)
+
+    st.snapshot_changes = spy
+    try:
+        report = maintenance_cycle(spark, base, drains=drains)
+    finally:
+        st.snapshot_changes = real
+    assert report["drained"] == 7
+    assert report["feed_assemblies"] == 1
+    assert report["feed_requests"] == 7
+    assert report["feed_fallbacks"] == 0
+    assert len(calls) == 1, calls  # the spy agrees with the counters
+
+    head = read_snapshot(spark, base)
+    # agg == from-scratch
+    got_agg = {
+        (r["grp"], r["cnt"], r["total"])
+        for r in read_snapshot(spark, states["agg"]).collect()
+    }
+    want_agg = {
+        (r["grp"], r["cnt"], r["total"])
+        for r in head.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("val").alias("total"),
+        )
+        .collect()
+    }
+    assert got_agg == want_agg
+    # lm == from-scratch
+    got_lm = {
+        tuple(r) for r in read_snapshot(spark, states["lm"]).collect()
+    }
+    want_lm = {tuple(r) for r in lm_counts(head, "text").collect()}
+    assert got_lm == want_lm
+    # dsir bucket totals == from-scratch
+    got_dsir = {
+        tuple(r) for r in read_snapshot(spark, states["dsir"]).collect()
+    }
+    want_dsir = {
+        tuple(r)
+        for r in bucket_totals(head, "text", n_buckets=32).collect()
+    }
+    assert got_dsir == want_dsir
+    # ppl histogram == from-scratch against the FROZEN LM
+    per = perplexity_against_lm(
+        head, read_snapshot(spark, frozen_lm), text_col="text"
+    )
+    want_hist = {
+        (r["bin"], r["n"])
+        for r in ppl_histogram(per, lo=0.0, hi=64.0, n_bins=16).collect()
+    }
+    got_hist = {
+        (r["bin"], r["n"])
+        for r in read_snapshot(spark, states["ppl"]).collect()
+    }
+    assert got_hist == want_hist
+    # every subscriber's cursor reached the head
+    for k in states:
+        meta = snapshot_info(
+            spark, states[k], current_version(spark, states[k])
+        )["meta"]
+        cursor = meta.get("through_version") or meta.get(
+            "source_appended_through"
+        )
+        assert cursor == 4, (k, meta)

@@ -189,14 +189,17 @@ def bloom_update_from_changes(
     ``words`` must have been built with the SAME (num_bits, k); the
     result is the merged word table (lazy, like every bloom_* op).
     """
-    from vector_db_setup_spark.sources.snapshot_table import snapshot_changes
+    from vector_db_setup_spark.streaming.feed_cache import cdc_changes
 
     added = (
-        snapshot_changes(
+        cdc_changes(
             # columns=[]: key-presence-only feed — 'added' detection
             # needs no value hashing (cheaper on wide documents) and
             # survives merge_schema boundaries, where a full-column
-            # diff would refuse the asymmetric version pair
+            # diff would refuse the asymmetric version pair. Routed
+            # through the cycle feed cache so a maintenance_cycle
+            # drain shares one assembly with its sibling subscribers
+            # (outside a cycle: a verbatim snapshot_changes call).
             spark, base, key_col, from_version, to_version, fs=fs,
             columns=[],
         )

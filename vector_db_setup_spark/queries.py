@@ -60,23 +60,23 @@ def register(name: str, oracle: str | None = None):
 # gate.
 _DRIVER_PRIORITY = [
     "knn_l2_flagship", "sql_vector_knn", "batch_knn",
-    "batch_knn_blocked", "pq_adc_distances",
+    "knn_per_lang", "pq_adc_distances",
     "pricing_summary", "top_customers", "regional_revenue",
     "doc_count", "doc_sample", "lm_perplexity_buckets",
     "duplicate_spans", "dedup_exact_groups", "leakage_safe_split",
     "minhash_lsh_candidates", "retrieval_eval",
     "corpus_span_clean", "asof_purchase_click",
     "dedup_keepers", "corpus_curation_verdict",
-    "semantic_dedup_keepers", "semdedup_doc_keepers",
+    "dedup_keepers_by_quality", "semdedup_doc_keepers",
     "doc_chunking", "context_packing",
     "bm25_scores", "doc_winnow_fingerprints", "doc_pii_scrub",
     "simhash_hamming_topk",
-    "embedding_similar_topk", "rrf_fusion",
+    "embedding_similar_topk", "rrf_fusion_per_query",
     "data_quality_report", "lang_id_detect",
     "purchase_attribution", "dsir_resampled",
     "stratified_eval_sample",
     "mixture_weights_temperature",
-    "nation_set_ops",
+    "source_caps",
     "customer_order_windows", "events_tumbling", "events_sessionize",
     "event_funnel",
     "benchmark_overlap_bloom",
@@ -243,6 +243,22 @@ _DRIVER_PRIORITY = [
 # family keeps customer_order_windows + event_funnel +
 # purchase_attribution). All three rotated-out queries remain green in
 # the local parity gate.
+#
+# r12 rotation (same contract; VERDICT r11 item 3): IN source_caps
+# (RefinedWeb-style per-source capping, WindowGroupLimit-compiled —
+# first driver row for the quota family), dedup_keepers_by_quality
+# (quality-ranked CC keeper selection — first driver row for the
+# arg-max-over-component shape), rrf_fusion_per_query (the at-scale
+# partitioned RRF — replaces plain rrf_fusion's driver row with the
+# form whose windows partition by query_id) and knn_per_lang (the
+# grouped-KNN shape, per-language top-k) — OUT batch_knn_blocked (the
+# J2 family keeps batch_knn; blocked stays green in the local gate and
+# shares batch_knn's oracle by construction), nation_set_ops (set-ops
+# green since r2; the family's EXCEPT/INTERSECT semantics stay pinned
+# in the local gate), semantic_dedup_keepers (the embedding-dedup
+# family keeps semdedup_doc_keepers, the cluster-partitioned at-scale
+# form) and rrf_fusion (superseded in-window by rrf_fusion_per_query).
+# All four rotated-out queries remain green in the local parity gate.
 
 
 def _ordered(d: dict) -> dict:

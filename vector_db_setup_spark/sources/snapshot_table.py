@@ -557,6 +557,48 @@ class TombstonedKeyError(ValueError):
     existing callers."""
 
 
+def _check_ops(infos: dict, versions, allowed_ops) -> None:
+    """The allowed_ops contract check shared by snapshot_changes and
+    check_range_ops: every listed version's marker op must be in
+    ``allowed_ops`` (pre-``op`` markers count as "write")."""
+    for b in versions:
+        op = infos[b].get("op", "write")
+        if op not in allowed_ops:
+            raise DisallowedOpError(
+                f"source commit v{b} is op={op!r}, outside "
+                f"allowed_ops {tuple(allowed_ops)} — a content "
+                "rewrite is invisible to a key-presence feed; "
+                "rebuild the derived state and restart its "
+                "subscription from a fresh checkpoint"
+            )
+
+
+def check_range_ops(
+    spark,
+    base: str,
+    from_version: int,
+    to_version: int,
+    allowed_ops,
+    fs=None,
+) -> None:
+    """Validate every commit op in (``from_version``, ``to_version``]
+    against ``allowed_ops``, raising ``DisallowedOpError`` on a
+    violation — the same contract check ``snapshot_changes`` applies
+    before assembly, exposed standalone so a consumer deriving its
+    feed from a SHARED assembly (streaming/feed_cache) still enforces
+    its OWN op contract even though the shared feed was assembled
+    without one. Marker infos come through the commit-log checkpoint —
+    one small read plus one per post-checkpoint marker."""
+    fs = _resolve_fs(spark, base, fs)
+    vs = committed_versions(spark, base, fs)
+    chain = [v for v in vs if from_version < v <= to_version]
+    infos = _infos_for(
+        spark, base, chain, fs, strict=True,
+        live_head=vs[-1] if vs else None,
+    )
+    _check_ops(infos, chain, allowed_ops)
+
+
 class DisallowedOpError(ValueError):
     """Raised by snapshot_changes(allowed_ops=...) when a commit in the
     requested range carries an op outside the consumer's contract — a
@@ -2823,16 +2865,7 @@ def snapshot_changes(
         else {}
     )
     if allowed_ops is not None:
-        for _, b in steps:
-            op = infos[b].get("op", "write")
-            if op not in allowed_ops:
-                raise DisallowedOpError(
-                    f"source commit v{b} is op={op!r}, outside "
-                    f"allowed_ops {tuple(allowed_ops)} — a content "
-                    "rewrite is invisible to a key-presence feed; "
-                    "rebuild the derived state and restart its "
-                    "subscription from a fresh checkpoint"
-                )
+        _check_ops(infos, [b for _, b in steps], allowed_ops)
 
     def _full_step(a, b):
         # write/upsert/rollback (or fast=False): the O(table) diff;

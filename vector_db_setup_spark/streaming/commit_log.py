@@ -43,6 +43,7 @@ from vector_db_setup_spark.sources.snapshot_table import (
     _V_DIGITS,
     _V_PREFIX,
 )
+from vector_db_setup_spark.streaming.feed_cache import cdc_changes
 
 # best-effort marker fields (scalars only — `data` is str|list and
 # `meta`/`stats` are open maps, so they stay in marker_json for
@@ -408,7 +409,7 @@ def maintain_ivf_from_commits(
         ]
         content = [c for c in idx_cols if c != key_col]
         try:
-            feed = st.snapshot_changes(
+            feed = cdc_changes(
                 s,
                 source_base,
                 key_col,
@@ -655,7 +656,7 @@ def maintain_agg_from_commits(
             [sum_col] if sum_col is not None else []
         )
         try:
-            feed = st.snapshot_changes(
+            feed = cdc_changes(
                 s,
                 source_base,
                 key_col,
@@ -819,7 +820,7 @@ def maintain_lm_from_commits(
         if through_v <= last:
             return  # replayed batch
         try:
-            feed = st.snapshot_changes(
+            feed = cdc_changes(
                 s,
                 source_base,
                 key_col,
@@ -1040,7 +1041,7 @@ def maintain_ppl_histogram_from_commits(
         if through_v <= last:
             return  # replayed batch
         try:
-            feed = st.snapshot_changes(
+            feed = cdc_changes(
                 s,
                 source_base,
                 key_col,
@@ -1201,7 +1202,7 @@ def maintain_dsir_from_commits(
         if through_v <= last:
             return  # replayed batch
         try:
-            feed = st.snapshot_changes(
+            feed = cdc_changes(
                 s,
                 source_base,
                 key_col,
@@ -1394,7 +1395,7 @@ def maintain_lsh_index_from_commits(
         if through_v <= last:
             return  # replayed batch
         try:
-            feed = st.snapshot_changes(
+            feed = cdc_changes(
                 s,
                 source_base,
                 key_col,
@@ -1661,7 +1662,7 @@ def maintain_span_index_from_commits(
         if through_v <= last:
             return  # replayed batch
         try:
-            feed = st.snapshot_changes(
+            feed = cdc_changes(
                 s,
                 source_base,
                 key_col,
@@ -1796,7 +1797,11 @@ def maintenance_cycle(
     1. ``drains`` — zero-arg callables (``functools.partial`` over
        ``maintain_bloom/ivf/agg_from_commits`` with availableNow) run
        FIRST: subscriber cursors advance to the head, so the retention
-       floor in step 4 is as tight as the subscribers allow.
+       floor in step 4 is as tight as the subscribers allow. The loop
+       runs under an active ``feed_cache.cycle()``: all subscribers of
+       one (source, key, version-range) share ONE pair-CDC assembly
+       (see streaming/feed_cache), and the report carries
+       ``feed_assemblies`` / ``feed_requests`` / ``feed_fallbacks``.
     2. ``compact_if(**compact)`` — absorb merge-on-read debt AFTER the
        drains: subscribers' next pass sees the compaction as one free
        'compact' step instead of racing it mid-drain.
@@ -1820,11 +1825,22 @@ def maintenance_cycle(
     step did — a maintenance job should LOG why versions survived,
     not just that it ran."""
     from vector_db_setup_spark.sources import snapshot_table as st
+    from vector_db_setup_spark.streaming import feed_cache
 
     report: dict = {"drained": 0}
-    for drain in drains:
-        drain()
-        report["drained"] += 1
+    # ONE CDC feed assembly per (source, key, version-range) for the
+    # whole drain loop: each subscriber kind derives its narrower feed
+    # from the shared persisted relation instead of re-assembling over
+    # the same source commits (the ~6-7 s per-drain protocol fixed
+    # cost the r11 ppl-histogram experiment measured, paid once
+    # instead of once per subscriber — VERDICT r11 What's-wrong #2)
+    with feed_cache.cycle() as feeds:
+        for drain in drains:
+            drain()
+            report["drained"] += 1
+    report["feed_assemblies"] = feeds.assemblies
+    report["feed_requests"] = feeds.requests
+    report["feed_fallbacks"] = feeds.fallbacks
     if compact is not None:
         report["compacted_version"] = st.compact_if(
             spark, base, fs=fs, **compact

@@ -1,0 +1,320 @@
+"""Cycle-scoped CDC feed sharing for subscriber maintainers.
+
+A maintenance cycle drains every subscriber of one snapshot table —
+Bloom, IVF, incremental aggregate, n-gram LM, perplexity histogram,
+DSIR, LSH index, span index — and each drain asks ``snapshot_changes``
+for the SAME source commits, differing only in which columns count as
+content and how changes are encoded. Feed assembly is the drain's
+dominant fixed cost (the r11 ppl-histogram experiment measured the
+per-drain protocol overhead at ~6-7 s at fixture scale, most of it
+eager guard jobs inside assembly), so a 7-subscriber cycle paid it 7×
+for one set of commits (VERDICT r11, What's-wrong #2).
+
+This module assembles the pair-encoded change feed ONCE per
+(source, key, version-range) per cycle — with ``columns=None`` (compare
+every shared column) and every non-key column carried — persists it,
+and derives each maintainer's narrower feed from the shared relation:
+
+- **op contract**: the shared feed is assembled WITHOUT ``allowed_ops``
+  (consumers disagree); each consumer's own contract is enforced by
+  ``snapshot_table.check_range_ops`` before derivation, so
+  ``DisallowedOpError`` timing and type are unchanged (self-healing
+  ``on_rewrite="rebuild"`` maintainers still catch it).
+- **change-set narrowing**: the shared feed detects a change on ANY
+  column; a consumer comparing only columns C must not see a key whose
+  rewrite left C untouched. Same-version removed/added pairs that are
+  null-safe-equal on C are dropped (both halves) — an O(batch)
+  self-join on (key, version), exactly reproducing the narrow feed's
+  "merge that rewrote only un-indexed columns produces no work"
+  contract. ``columns=[]`` (key-presence) drops ALL pairs.
+- **encoding**: ``"pair"`` consumers get the narrowed pairs verbatim;
+  ``"changed"`` consumers get each surviving pair collapsed to one
+  'changed' row carrying the post-image (the added half relabeled, the
+  removed half dropped).
+- **projection**: the consumer's ``carry_columns`` subset, in its
+  order — image semantics ride along (removed rows carry pre-images,
+  added/changed rows post-images, inherited from the shared assembly).
+
+FALLBACK: if the shared assembly itself fails (e.g. a merge_schema
+boundary where carrying every column is impossible, or a GC'd range),
+the range is marked failed and every request passes through to a
+verbatim narrow ``snapshot_changes`` call — behavior identical to no
+cache, including the error the consumer would have seen.
+
+SCOPE: one active cycle per process (``maintenance_cycle`` activates
+the cache around its drain loop; activation is module-global, not
+thread-local, because drains apply inside streaming foreachBatch
+threads). Outside an active cycle ``cdc_changes`` is a pass-through.
+"""
+
+from __future__ import annotations
+
+import contextlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_ACTIVE: "CycleFeedCache | None" = None
+
+
+def _fs_key(fs) -> int | None:
+    return None if fs is None else id(fs)
+
+
+class CycleFeedCache:
+    """Shared-assembly cache for one maintenance cycle. Counters
+    (`assemblies`, `requests`, `fallbacks`) feed the cycle report —
+    a cycle should LOG how much assembly it shared, not just run."""
+
+    def __init__(self) -> None:
+        self._supersets: dict[tuple, tuple[DataFrame, list[str]]] = {}
+        self._failed: set[tuple] = set()
+        self._ops_ok: set[tuple] = set()
+        self.assemblies = 0
+        self.requests = 0
+        self.fallbacks = 0
+
+    def close(self) -> None:
+        for df, _ in self._supersets.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session torn down mid-cycle: nothing to free
+        self._supersets.clear()
+
+    # -- op contract (per consumer, memoized per distinct contract) --
+
+    def _check_ops(
+        self, spark, base, from_v, to_v, allowed_ops, fs
+    ) -> None:
+        if allowed_ops is None:
+            return
+        from vector_db_setup_spark.sources import snapshot_table as st
+
+        key = (base, from_v, to_v, tuple(allowed_ops), _fs_key(fs))
+        if key in self._ops_ok:
+            return
+        st.check_range_ops(
+            spark, base, from_v, to_v, allowed_ops, fs=fs
+        )
+        self._ops_ok.add(key)
+
+    # -- shared assembly --
+
+    def _superset(
+        self, spark, base, key_col, from_v, to_v, fs
+    ) -> tuple[DataFrame, list[str]] | None:
+        from vector_db_setup_spark.sources import snapshot_table as st
+
+        skey = (base, key_col, from_v, to_v, _fs_key(fs))
+        if skey in self._failed:
+            return None
+        hit = self._supersets.get(skey)
+        if hit is not None:
+            return hit
+        try:
+            carry_all = [
+                c
+                for c in st.read_snapshot(
+                    spark, base, version=to_v, fs=fs
+                ).columns
+                if c != key_col
+            ]
+            if any(c in ("status", "version") for c in carry_all):
+                # the source owns the feed's contract names: a shared
+                # assembly can't carry them — serve this range narrow
+                raise ValueError("source column shadows feed contract")
+            feed = st.snapshot_changes(
+                spark,
+                base,
+                key_col,
+                from_version=from_v,
+                to_version=to_v,
+                fs=fs,
+                columns=None,  # compare every shared column
+                carry_columns=carry_all,
+                allowed_ops=None,  # per-consumer, via check_range_ops
+                change_encoding="pair",
+            ).persist()
+        except st.DisallowedOpError:
+            raise  # impossible (allowed_ops=None); never mask it
+        except Exception:
+            # merge_schema boundary, GC'd range, carry gap … — the
+            # narrow per-consumer call reproduces the exact behavior
+            # (including the error) the consumer contracts on
+            self._failed.add(skey)
+            return None
+        self.assemblies += 1
+        self._supersets[skey] = (feed, carry_all)
+        return feed, carry_all
+
+    # -- derivation --
+
+    def changes(
+        self,
+        spark: SparkSession,
+        base: str,
+        key_col: str,
+        from_version: int,
+        to_version: int | None,
+        fs=None,
+        columns: list[str] | None = None,
+        carry_columns: list[str] | None = None,
+        allowed_ops=None,
+        change_encoding: str = "changed",
+    ) -> DataFrame:
+        from vector_db_setup_spark.sources import snapshot_table as st
+
+        self.requests += 1
+        if to_version is None:
+            # pin "head" NOW: the cache key must name a fixed range —
+            # two head-relative requests straddling a source commit
+            # must not silently share one assembly
+            vs = st.committed_versions(spark, base, fs)
+            to_version = vs[-1] if vs else 0
+        self._check_ops(
+            spark, base, from_version, to_version, allowed_ops, fs
+        )
+        got = self._superset(
+            spark, base, key_col, from_version, to_version, fs
+        )
+        if got is None:
+            self.fallbacks += 1
+            return st.snapshot_changes(
+                spark,
+                base,
+                key_col,
+                from_version=from_version,
+                to_version=to_version,
+                fs=fs,
+                columns=columns,
+                carry_columns=carry_columns,
+                allowed_ops=None,  # already checked above
+                change_encoding=change_encoding,
+            )
+        feed, carry_all = got
+        carry = [c for c in (carry_columns or []) if c != key_col]
+        compare = carry_all if columns is None else list(columns)
+        if not (
+            set(compare) <= set(carry_all)
+            and set(carry) <= set(carry_all)
+        ):
+            # a consumer naming a column the head schema lacks: the
+            # narrow call raises its own contract error — reproduce it
+            self.fallbacks += 1
+            return st.snapshot_changes(
+                spark, base, key_col,
+                from_version=from_version, to_version=to_version,
+                fs=fs, columns=columns, carry_columns=carry_columns,
+                allowed_ops=None, change_encoding=change_encoding,
+            )
+        out = feed
+        k, v = F.col(key_col), F.col("version")
+        if set(compare) != set(carry_all):
+            # drop same-version pairs that are null-safe-equal on the
+            # consumer's compare set — for columns=[] that is EVERY
+            # pair (presence unchanged). O(batch) self-join.
+            pre = out.filter(F.col("status") == "removed").select(
+                k, v, *[F.col(c).alias(f"_pre{i}")
+                        for i, c in enumerate(compare)]
+            )
+            post = out.filter(F.col("status") == "added").select(
+                k, v, *[F.col(c).alias(f"_post{i}")
+                        for i, c in enumerate(compare)]
+            )
+            noop = pre.join(post, [key_col, "version"])
+            for i in range(len(compare)):
+                noop = noop.filter(
+                    F.col(f"_pre{i}").eqNullSafe(F.col(f"_post{i}"))
+                )
+            out = out.join(
+                noop.select(key_col, "version"),
+                [key_col, "version"],
+                "left_anti",
+            )
+        if change_encoding == "changed":
+            # collapse each surviving pair to one 'changed' row
+            # carrying the post-image (the narrow feed's display form)
+            pair_keys = (
+                out.filter(F.col("status") == "removed")
+                .select(key_col, "version")
+                .join(
+                    out.filter(F.col("status") == "added").select(
+                        key_col, "version"
+                    ),
+                    [key_col, "version"],
+                )
+                .withColumn("_is_pair", F.lit(True))
+            )
+            out = (
+                out.join(pair_keys, [key_col, "version"], "left")
+                .filter(
+                    ~(
+                        (F.col("status") == "removed")
+                        & F.col("_is_pair").isNotNull()
+                    )
+                )
+                .withColumn(
+                    "status",
+                    F.when(
+                        (F.col("status") == "added")
+                        & F.col("_is_pair").isNotNull(),
+                        F.lit("changed"),
+                    ).otherwise(F.col("status")),
+                )
+            )
+        return out.select(
+            k, *[F.col(c) for c in carry], F.col("status"), v
+        )
+
+
+def cdc_changes(
+    spark: SparkSession,
+    base: str,
+    key_col: str,
+    from_version: int,
+    to_version: int | None,
+    fs=None,
+    columns: list[str] | None = None,
+    carry_columns: list[str] | None = None,
+    allowed_ops=None,
+    change_encoding: str = "changed",
+) -> DataFrame:
+    """The maintainers' feed entry point: inside an active cycle the
+    shared-assembly cache serves the request; otherwise a verbatim
+    ``snapshot_changes`` call — standalone drains are unchanged."""
+    if _ACTIVE is not None:
+        return _ACTIVE.changes(
+            spark, base, key_col, from_version, to_version,
+            fs=fs, columns=columns, carry_columns=carry_columns,
+            allowed_ops=allowed_ops, change_encoding=change_encoding,
+        )
+    from vector_db_setup_spark.sources import snapshot_table as st
+
+    return st.snapshot_changes(
+        spark, base, key_col,
+        from_version=from_version, to_version=to_version,
+        fs=fs, columns=columns, carry_columns=carry_columns,
+        allowed_ops=allowed_ops, change_encoding=change_encoding,
+    )
+
+
+@contextlib.contextmanager
+def cycle():
+    """Activate a fresh CycleFeedCache for the duration (module-global
+    so foreachBatch threads see it). Non-reentrant by design — a
+    nested cycle would let the outer close() unpersist feeds the inner
+    one still references."""
+    global _ACTIVE
+    if _ACTIVE is not None:
+        raise RuntimeError(
+            "a maintenance cycle's feed cache is already active — "
+            "cycles are one-at-a-time per process"
+        )
+    cache = CycleFeedCache()
+    _ACTIVE = cache
+    try:
+        yield cache
+    finally:
+        _ACTIVE = None
+        cache.close()
