@@ -100,3 +100,76 @@ def test_build_plan_is_partial_aggregate_and_probe_broadcasts(spark):
     probe_plan = probed._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in probe_plan, probe_plan
     assert "Cartesian" not in probe_plan, probe_plan
+
+
+def test_grouped_probe_counts_equal_distinct_probe_composition(spark):
+    """bloom_probe_group_counts == distinct() + bloom_probe + groupBy,
+    including duplicate (group, item) inputs and a configuration that
+    FORCES false positives (tiny filter) — the counts must agree with
+    the composed pipeline bit-for-bit, FPs included."""
+    from vector_db_setup_spark.operators.bloom import (
+        bloom_probe_group_counts,
+    )
+
+    members = _members_df(spark, 0, 400)
+    # tiny filter: m=2^8 bits, 400 members -> saturated, many FPs
+    words = bloom_build(members, "s", num_bits=1 << 8, k=3)
+    probe = spark.range(0, 900).select(
+        (F.col("id") % 3).alias("grp"),
+        F.concat(F.lit("probe-"), (F.col("id") % 150)).alias("s"),
+    )  # duplicates: each (grp, s) appears twice
+    got = {
+        r["grp"]: (r["n_total"], r["n_hit"])
+        for r in bloom_probe_group_counts(
+            probe, "s", "grp", words, num_bits=1 << 8, k=3
+        ).collect()
+    }
+    composed = (
+        bloom_probe(
+            probe.distinct(), "s", words, num_bits=1 << 8, k=3
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("maybe_member").cast("long")).alias("n_hit"),
+        )
+        .collect()
+    )
+    want = {r["grp"]: (r["n_total"], r["n_hit"]) for r in composed}
+    assert got == want
+    # FPs were actually forced (every probe item is a non-member)
+    assert sum(h for _, h in got.values()) > 0
+
+
+def test_grouped_probe_plan_has_no_k_volume_exchange(spark):
+    """Scale contract (r12): the grouped probe's exchanges are the two
+    aggregation shuffles (per-(group,item) partial, per-group fold) —
+    the word-table join is a broadcast and no Exchange sits between
+    the probe explode and the first partial aggregate."""
+    from vector_db_setup_spark.operators.bloom import (
+        bloom_probe_group_counts,
+    )
+
+    members = _members_df(spark, 0, 100)
+    words = bloom_build(members, "s", num_bits=1 << 14, k=5)
+    probe = spark.range(0, 50).select(
+        (F.col("id") % 2).alias("grp"),
+        F.concat(F.lit("item-"), F.col("id")).alias("s"),
+    )
+    plan = (
+        bloom_probe_group_counts(probe, "s", "grp", words)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Cartesian" not in plan, plan
+    # the explode's k-row volume is reduced by a map-side partial
+    # (partial_sum over _hit per (group, item)) BEFORE any exchange —
+    # the shape that replaces bloom_probe's per-row-id regroup shuffle
+    assert "partial_sum(cast(_hit" in plan, plan
+    # exactly three keyed exchanges: the (group, item) partial, the
+    # per-group fold, and the word-table build's own bit_or exchange
+    # (inside the broadcast subtree) — none keyed on a per-row id
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "__bloom_rid" not in plan, plan

@@ -161,6 +161,68 @@ def bloom_probe(
     )
 
 
+def bloom_probe_group_counts(
+    df: DataFrame,
+    item_col: str,
+    group_col: str,
+    words: DataFrame,
+    num_bits: int = 1 << 22,
+    k: int = 5,
+    broadcast: bool = True,
+) -> DataFrame:
+    """Per-group distinct-item totals and Bloom-member counts in ONE
+    aggregation tree: (group_col, n_total, n_hit) where n_total counts
+    DISTINCT items in the group and n_hit those whose k probe bits are
+    all set.
+
+    Shuffle shape (why this exists, r12 — the benchmark_overlap_bloom
+    warm-profile finding): composing distinct() + bloom_probe +
+    groupBy costs THREE shuffles, one of them carrying k× the item
+    volume (bloom_probe's per-row regroup keys on a per-row id, so
+    every exploded probe row crosses the wire). Here the k-bit AND
+    folds inside the FIRST aggregation: explode k positions,
+    broadcast-join the word table (no shuffle), partial-aggregate per
+    (group, item) map-side — the exchange carries ~distinct
+    (group, item) rows — then one tiny per-group fold. Two map-side-
+    combined shuffles, none above distinct-pair volume. Duplicate
+    (group, item) inputs are safe without a pre-distinct: duplicates
+    share the same probe bits, so sum(hit) == count(rows) still means
+    "all k bits set"."""
+    wt = words.select(
+        F.col("idx").alias("_widx"), F.col("word").alias("_word")
+    )
+    if broadcast:
+        wt = F.broadcast(wt)
+    per_item = (
+        _positions(
+            df.select(group_col, item_col), item_col, num_bits, k
+        )
+        .withColumn("_idx", F.shiftright("_pos", 6))
+        .withColumn(
+            "_mask",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pmod(_pos, 64) AS INT))"
+            ),
+        )
+        .join(wt, F.col("_idx") == F.col("_widx"), "left")
+        .withColumn(
+            "_hit",
+            (F.col("_word").isNotNull())
+            & (F.col("_word").bitwiseAND(F.col("_mask")) != 0),
+        )
+        .groupBy(group_col, item_col)
+        .agg(
+            (F.sum(F.col("_hit").cast("long")) == F.count(F.lit(1))).alias(
+                "_member"
+            )
+        )
+    )
+    return per_item.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("_member").cast("long")).alias("n_hit"),
+    )
+
+
 def bloom_update_from_changes(
     spark,
     base: str,

@@ -2427,16 +2427,68 @@ def knn_random_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivf_cluster_sizes")
+_EMB_DIM = 64  # the fixture embedding width (TESTDATA.md) — the LSH
+# plane literals and the IVF oracle's element loop are sized to it; a
+# different-width table breaks query and oracle together (visibly)
+
+
+@register(
+    "ivf_cluster_sizes",
+    f"""
+    WITH idx AS (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i),
+    elem AS (
+        SELECT e.vec_id, s.i, e.embedding[s.i]::DOUBLE AS v
+        FROM embeddings e CROSS JOIN idx s
+    ),
+    cents AS (
+        SELECT vec_id % 8 AS cid, i, round(avg(v), 6) AS cv
+        FROM elem GROUP BY 1, 2
+    ),
+    clist AS (SELECT cid, list(cv ORDER BY i) AS cent FROM cents GROUP BY cid),
+    assign AS (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_distance(e.embedding::DOUBLE[], c.cent),
+                            c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN clist c
+    )
+    SELECT CAST(cid AS INT) AS cluster_id, CAST(count(*) AS BIGINT) AS n_vectors
+    FROM assign WHERE rn = 1 GROUP BY cid ORDER BY cid
+    """,
+)
 def ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF batch index build (SURVEY.md §2.9 V6): KMeans centroids →
-    nearest-centroid assignment → per-cluster cardinality. Iterative
-    KMeans is not SQL-expressible → rows-only check; recall is asserted
-    in tests/test_ann.py instead."""
-    from vector_db_setup_spark.operators.ann import ivf_assign, kmeans_centroids
+    """IVF assignment + per-cluster cardinality (SURVEY.md §2.9 V6),
+    EXACT-oracled (VERDICT r11 item 4): centroids are DETERMINISTIC
+    data-derived means over hash partitions (vec_id % 8), rounded to
+    6dp so both engines assign against bit-identical literals — the
+    same literal-centroid trick semdedup_doc_keepers uses. This
+    exact-oracles the assignment path (distance + argmin with the
+    lowest-id tie-break) end to end; the iterative KMeans FIT stays
+    rows-only where it belongs (ivf_knn / ivfpq_knn /
+    embedding_ivf_pairs; recall asserted in tests/test_ann.py).
+
+    The centroid collect is k=8 rows of 64 doubles — bounded, the
+    broadcast-kernel pattern every ANN entry uses."""
+    from vector_db_setup_spark.operators.ann import ivf_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cents = kmeans_centroids(emb, k=8)
+    dim = _EMB_DIM
+    cents_rows = (
+        emb.groupBy((F.col("vec_id") % 8).alias("cid"))
+        .agg(
+            *[
+                F.round(
+                    F.avg(F.col("embedding")[i].cast("double")), 6
+                ).alias(f"c{i}")
+                for i in range(dim)
+            ]
+        )
+        .orderBy("cid")
+        .collect()
+    )
+    cents = [[r[f"c{i}"] for i in range(dim)] for r in cents_rows]
     return (
         ivf_assign(emb, cents)
         .groupBy("cluster_id")
@@ -2445,16 +2497,40 @@ def ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lsh_bucket_counts")
+def _lsh_oracle_sql() -> str:
+    """Sign-bit LSH bucket counts as DuckDB SQL: the seeded planes are
+    PSEUDO-random (numpy default_rng(42)) — deterministic for a fixed
+    (dim, n_planes, seed) — so they embed as literals and the whole
+    bucketing is engine-portable. Both engines compute the dot product
+    in double (Spark casts the float32 arrays up; the oracle casts
+    ::DOUBLE[]), so the sign test agrees."""
+    from vector_db_setup_spark.operators.ann import random_hyperplanes
+
+    planes = random_hyperplanes(_EMB_DIM, n_planes=8)
+    lit = lambda p: "[" + ", ".join(repr(float(x)) for x in p) + "]"  # noqa: E731
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit(p)}) > 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b, p in enumerate(planes)
+    )
+    return (
+        f"SELECT CAST(({terms}) AS BIGINT) AS bucket_id, "
+        "CAST(count(*) AS BIGINT) AS n_vectors "
+        "FROM embeddings GROUP BY 1 ORDER BY 1"
+    )
+
+
+@register("lsh_bucket_counts", _lsh_oracle_sql())
 def lsh_bucket_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-projection LSH bucketing: seeded hyperplanes → sign-bit
-    bucket id → bucket cardinalities. Plane literals come from a seeded
-    host RNG → rows-only check."""
+    bucket id → bucket cardinalities. EXACT-oracled (VERDICT r11 item
+    4): the planes are a deterministic function of (dim=64, n_planes=8,
+    seed=42), embedded in the oracle as literals — see
+    _lsh_oracle_sql."""
     from vector_db_setup_spark.operators.ann import lsh_bucket, random_hyperplanes
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    planes = random_hyperplanes(dim, n_planes=8)
+    planes = random_hyperplanes(_EMB_DIM, n_planes=8)
     return (
         lsh_bucket(emb, planes)
         .groupBy("bucket_id")
@@ -3474,15 +3550,44 @@ def lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("orders_sample_stats")
+@register(
+    "orders_sample_stats",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_sampled,
+           round(avg(o_totalprice), 2) AS avg_price_sample
+    FROM orders
+    WHERE ('0x' || substr(md5(o_orderkey::VARCHAR || ':42'), 1, 4))::BIGINT
+          % 10 = 0
+    """,
+)
 def orders_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded Bernoulli sampling (the 100 TB dev-loop tool: iterate on
-    ~1% before running the fleet). Sample membership depends on row
-    order within partitions → rows-only check; the assertion is the
-    statistics' plausibility, not exact values."""
+    """~10% Bernoulli sample via HASH MEMBERSHIP (the 100 TB dev-loop
+    tool: iterate on a slice before running the fleet), EXACT-oracled
+    (VERDICT r11 item 4). md5(key || seed) % 10 decides membership, so
+    the draw is reproducible, engine-portable, and independent of
+    partitioning/row order — unlike `DataFrame.sample`, whose
+    membership shifts whenever the scan's partition layout does (the
+    same hash-the-key property as stratified_eval_sample and
+    corpus_shard_assignment; rate-based rather than exact-n)."""
     o = load_table(spark, sf_dir, "orders")
-    s = o.sample(fraction=0.1, seed=42)
-    return s.agg(
+    member = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"), F.lit(":42")
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        == 0
+    )
+    return o.filter(member).agg(
         F.count(F.lit(1)).alias("n_sampled"),
         F.round(F.avg("o_totalprice"), 2).alias("avg_price_sample"),
     )
@@ -5998,23 +6103,29 @@ def benchmark_overlap_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom == exact holds as an equality here — while the rows-only
     invariant tests in tests/test_bloom.py pin the general semantics
     (superset of exact, FP rate within bound) where FPs are forced."""
+    from vector_db_setup_spark.operators.bloom import (
+        bloom_probe_group_counts,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    sh = dd.shingle_hashes(d).distinct()
+    sh = dd.shingle_hashes(d)
     bench = sh.filter(F.col("doc_id") < 20).select("s").distinct()
-    corpus = sh.filter(F.col("doc_id") >= 20)
     words = bloom_build(bench, "s", num_bits=1 << 22, k=5)
-    probed = bloom_probe(corpus, "s", words, num_bits=1 << 22, k=5)
-    # n_total and n_hit reduce from the SAME probe rows (one per
-    # distinct (doc_id, s)) — one aggregation, no second corpus scan
-    # and no hits-to-sizes join (the exact twin needs the join because
-    # its semi-join drops the misses; the probe keeps them as False).
-    return probed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.sum(F.col("maybe_member").cast("long")).alias("n_hit"),
-        (
-            F.sum(F.col("maybe_member").cast("long")) / F.count(F.lit(1))
-            >= 0.5
-        ).alias("contaminated"),
+    # ONE aggregation tree over the raw corpus shingles (r12, VERDICT
+    # r11 What's-wrong #3): the previous distinct() + bloom_probe +
+    # groupBy pipeline paid three shuffles, one carrying k=5× the
+    # shingle volume through the probe's per-row regroup; the grouped
+    # probe folds the k-bit AND into a map-side-combined partial so
+    # no exchange exceeds distinct-(doc_id, s) volume.
+    counts = bloom_probe_group_counts(
+        sh.filter(F.col("doc_id") >= 20), "s", "doc_id", words,
+        num_bits=1 << 22, k=5,
+    )
+    return counts.select(
+        "doc_id",
+        "n_total",
+        "n_hit",
+        (F.col("n_hit") / F.col("n_total") >= 0.5).alias("contaminated"),
     )
 
 
