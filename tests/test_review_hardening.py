@@ -1259,3 +1259,88 @@ def test_snapshot_sink_keeps_legacy_identity_across_upgrade(
     q2.awaitTermination()
     info = snapshot_info(spark, base2, 1)
     assert info["idempotency_key"].startswith(derive_producer_id(ck2))
+
+
+# ---- r12 review pass: validate / quantize / multimodal ----
+
+
+def test_flag_violations_refuses_column_collision(spark):
+    """An input that already carries the flag column must be refused —
+    withColumn would silently replace it and quarantine_split would
+    then DROP it from the clean half (caller data loss)."""
+    from vector_db_setup_spark.operators.validate import (
+        flag_violations,
+        quarantine_split,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", ["keep-me"])],
+        "id long, v string, _violations array<string>",
+    )
+    rules = [{"rule": "not_null", "col": "v"}]
+    with pytest.raises(ValueError, match="_violations"):
+        flag_violations(df, rules)
+    with pytest.raises(ValueError, match="_violations"):
+        quarantine_split(df, rules)
+    # a different out_col works on the same frame
+    out = flag_violations(df, rules, out_col="_flags")
+    assert out.select("_violations").first()[0] == ["keep-me"]
+
+
+def test_pq_train_keeps_callers_cache(spark):
+    """pq_train persists its input for the m KMeans fits — but must
+    NOT unpersist a frame the CALLER had already cached (their next
+    action would silently recompute)."""
+    from vector_db_setup_spark.operators.quantize import pq_train
+
+    emb = (
+        spark.range(0, 64)
+        .selectExpr(
+            "transform(sequence(1, 8), "
+            "i -> cast((id * i) % 7 as float)) AS embedding"
+        )
+        .persist()
+    )
+    try:
+        emb.count()
+        assert emb.is_cached
+        books = pq_train(emb, m=2, ksub=4, max_iter=2)
+        assert books.shape == (2, 4, 4)
+        assert emb.is_cached, "caller's cache was dropped"
+        # an unpersisted input is persisted only for the duration
+        emb2 = spark.range(0, 64).selectExpr(
+            "transform(sequence(1, 8), "
+            "i -> cast((id + i) % 5 as float)) AS embedding"
+        )
+        pq_train(emb2, m=2, ksub=4, max_iter=2)
+        assert not emb2.is_cached
+    finally:
+        emb.unpersist()
+
+
+def test_multimodal_extractors_survive_null_payloads(spark):
+    """A NULL binary payload must not fail the Arrow batch: the three
+    extractors treat it as empty bytes (n_bytes 0 / 0 samples / the
+    1x1-black decode fallback)."""
+    from vector_db_setup_spark.multimodal.columns import (
+        extract_audio_features,
+        extract_image_features,
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x01\x02\x03\x04")), (2, None)],
+        "doc_id long, img binary",
+    )
+    img = {
+        r["doc_id"]: r for r in extract_image_features(df).collect()
+    }
+    assert img[2]["n_bytes"] == 0 and img[2]["mean_byte"] == 0.0
+    assert img[1]["n_bytes"] == 4
+    aud = {
+        r["doc_id"]: r for r in extract_audio_features(df).collect()
+    }
+    assert aud[2]["n_samples"] == 0 and aud[2]["rms"] == 0.0
+    rs = {r["doc_id"]: r for r in resize_images(df).collect()}
+    assert rs[2]["out_h"] == 4 and rs[2]["mean_px"] == 0.0
+    assert set(rs) == {1, 2}

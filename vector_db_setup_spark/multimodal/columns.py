@@ -257,7 +257,12 @@ def extract_image_features(
         for pdf in batches:
             ids, nb, mb, hists = [], [], [], []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                b = np.frombuffer(payload, dtype=np.uint8)
+                # a NULL payload must not fail the whole Arrow batch:
+                # treat it as empty bytes (n_bytes 0, zero histogram)
+                # — same contract as an empty payload
+                b = np.frombuffer(
+                    b"" if payload is None else payload, dtype=np.uint8
+                )
                 ids.append(i)
                 nb.append(len(b))
                 mb.append(float(b.mean()) if len(b) else 0.0)
@@ -343,7 +348,11 @@ def resize_images(
         for pdf in batches:
             ids, means = [], []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                arr = decode_image(bytes(payload), real=real)
+                # NULL payload -> empty bytes: decode_image's empty
+                # fallback (1x1 black) keeps the batch alive
+                arr = decode_image(
+                    b"" if payload is None else bytes(payload), real=real
+                )
                 h, w = arr.shape[:2]
                 ri = (np.arange(out_h) * h) // out_h
                 ci = (np.arange(out_w) * w) // out_w
@@ -470,7 +479,11 @@ def extract_audio_features(
         for pdf in batches:
             ids, ns, rms, zc = [], [], [], []
             for i, payload in zip(pdf[id_col], pdf[payload_col]):
-                wav = decode_audio(bytes(payload), real=real)
+                # NULL payload -> empty bytes (0 samples, rms 0) — a
+                # null row must not fail the whole Arrow batch
+                wav = decode_audio(
+                    b"" if payload is None else bytes(payload), real=real
+                )
                 ids.append(i)
                 ns.append(len(wav))
                 rms.append(float(np.sqrt((wav**2).mean())) if len(wav) else 0.0)

@@ -147,8 +147,13 @@ def pq_train(
     dsub = dim // m
     books = []
     # persist for the duration of training: m KMeans fits (plus their
-    # iterations) would otherwise each re-scan the source
-    emb = emb.persist()
+    # iterations) would otherwise each re-scan the source. Only
+    # unpersist what WE persisted — a caller-persisted input must keep
+    # its cache after training (unpersisting someone else's cache is a
+    # silent perf regression on their next action).
+    ours = not emb.is_cached
+    if ours:
+        emb = emb.persist()
     try:
         for j in range(m):
             sub = emb.select(
@@ -158,7 +163,8 @@ def pq_train(
                 kmeans_centroids(sub, k=ksub, seed=seed + j, max_iter=max_iter)
             )
     finally:
-        emb.unpersist()
+        if ours:
+            emb.unpersist()
     return np.stack(books)
 
 

@@ -120,6 +120,13 @@ def flag_violations(
             "row-level flagging can't evaluate aggregate rules: "
             + ", ".join(_rule_name(r) for r in bad)
         )
+    if out_col in df.columns:
+        # withColumn would silently REPLACE it — and quarantine_split
+        # then drops it from the clean half, destroying caller data
+        raise ValueError(
+            f"input already has a column named {out_col!r}; pass a "
+            "different out_col"
+        )
     names = [
         F.when(_violation_expr(r) == 1, F.lit(_rule_name(r)))
         for r in rules
