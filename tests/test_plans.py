@@ -497,3 +497,30 @@ def test_source_caps_partitioned_rank_and_group_limit(spark):
         .filter("rk <= 10")
     )
     assert "WindowGroupLimit" in executed_plan(kept)
+
+
+def test_r12_rotation_queries_plan_shapes(spark):
+    """The four r12-rotated-in driver rows: no SinglePartition
+    anywhere; knn_per_lang's grouped top-k compiles to partial+final
+    WindowGroupLimit (each input partition pruned to its local top-3
+    BEFORE the lang exchange); rrf_fusion_per_query's windows all
+    partition by query_id."""
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    kl = executed_plan(q.knn_per_lang(spark, SF_ORACLE))
+    assert "SinglePartition" not in kl, kl
+    assert kl.count("WindowGroupLimit") >= 2, kl  # partial + final
+    assert "windowspecdefinition(lang" in kl, kl
+
+    rrf = executed_plan(q.rrf_fusion_per_query(spark, SF_ORACLE))
+    assert "SinglePartition" not in rrf, rrf
+    specs = [
+        ln for ln in rrf.splitlines() if "windowspecdefinition(" in ln
+    ]
+    assert specs and all(
+        "windowspecdefinition(query_id" in ln for ln in specs
+    ), rrf
+
+    dq = executed_plan(q.dedup_keepers_by_quality(spark, SF_ORACLE))
+    assert "SinglePartition" not in dq, dq
+    assert "Cartesian" not in dq, dq

@@ -1344,3 +1344,19 @@ def test_multimodal_extractors_survive_null_payloads(spark):
     rs = {r["doc_id"]: r for r in resize_images(df).collect()}
     assert rs[2]["out_h"] == 4 and rs[2]["mean_px"] == 0.0
     assert set(rs) == {1, 2}
+
+
+def test_bpe_encode_refuses_out_col_collision(spark):
+    """Same guard class as flag_violations: appending a duplicate
+    field to the mapInPandas schema yields an ambiguous column."""
+    from vector_db_setup_spark.operators.bpe import bpe_encode
+
+    df = spark.createDataFrame(
+        [("ab ab", ["x"])], "text string, bpe_tokens array<string>"
+    )
+    with pytest.raises(ValueError, match="bpe_tokens"):
+        bpe_encode(df, [("a", "b")])
+    out = bpe_encode(df, [("a", "b")], out_col="toks")
+    row = out.first()
+    assert row["bpe_tokens"] == ["x"]  # caller data intact
+    assert row["toks"] == ["ab", "</w>", "ab", "</w>"]

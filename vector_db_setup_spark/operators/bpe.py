@@ -260,6 +260,13 @@ def bpe_encode(
 
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
 
+    if out_col in df.columns:
+        # appending a duplicate field to the mapInPandas schema would
+        # produce an ambiguous column downstream
+        raise ValueError(
+            f"input already has a column named {out_col!r}; pass a "
+            "different out_col"
+        )
     ranks = {pair: i for i, pair in enumerate(merges)}
     out_schema = StructType(
         list(df.schema.fields) + [StructField(out_col, ArrayType(StringType()))]
