@@ -388,3 +388,48 @@ def test_seven_subscriber_cycle_assembles_once(spark, tmp_path):
             "source_appended_through"
         )
         assert cursor == 4, (k, meta)
+
+
+def test_sub_range_requests_share_the_covering_assembly(spark, tmp_path):
+    """A cursor-divergent subscriber shares too: feed(a, b] filtered to
+    from < version <= to IS feed(from, to] (every row is stamped with
+    the commit that introduced it), so a narrower request after a
+    wider one derives by filter — zero extra assemblies — and matches
+    the narrow snapshot_changes call row-for-row."""
+    base = _mixed_range(spark, tmp_path)  # versions 1..4
+    want_34 = _rows(
+        snapshot_changes(
+            spark, base, "doc_id", 3, 4,
+            columns=["text"], carry_columns=["text"],
+            change_encoding="pair",
+        )
+    )
+    want_23 = _rows(
+        snapshot_changes(
+            spark, base, "doc_id", 2, 3, columns=[],
+        )
+    )
+    with feed_cache.cycle() as cache:
+        # the laggard (full range) assembles once...
+        cdc_changes(
+            spark, base, "doc_id", 1, 4,
+            columns=["text"], carry_columns=["text"],
+            change_encoding="pair",
+        ).collect()
+        assert cache.assemblies == 1
+        # ...and both narrower cursors derive from its feed
+        got_34 = _rows(
+            cdc_changes(
+                spark, base, "doc_id", 3, 4,
+                columns=["text"], carry_columns=["text"],
+                change_encoding="pair",
+            )
+        )
+        got_23 = _rows(
+            cdc_changes(spark, base, "doc_id", 2, 3, columns=[])
+        )
+        assert got_34 == want_34
+        assert got_23 == want_23
+        assert cache.assemblies == 1
+        assert cache.cover_hits == 2
+        assert cache.fallbacks == 0

@@ -1841,6 +1841,7 @@ def maintenance_cycle(
     report["feed_assemblies"] = feeds.assemblies
     report["feed_requests"] = feeds.requests
     report["feed_fallbacks"] = feeds.fallbacks
+    report["feed_cover_hits"] = feeds.cover_hits
     if compact is not None:
         report["compacted_version"] = st.compact_if(
             spark, base, fs=fs, **compact

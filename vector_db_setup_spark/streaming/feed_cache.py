@@ -35,6 +35,14 @@ and derives each maintainer's narrower feed from the shared relation:
   order — image semantics ride along (removed rows carry pre-images,
   added/changed rows post-images, inherited from the shared assembly).
 
+SUB-RANGE COVER: cursor-divergent subscribers share too — a feed is a
+union of per-version step attributions (every row stamped with the
+commit that introduced it), so a request for (from, to] inside an
+already-assembled (a, b] derives by a version filter, zero extra
+assembly (``cover_hits`` in the counters). Order matters: the widest
+range must be requested first to cover the rest; a wider-after-narrow
+request assembles its own feed.
+
 FALLBACK: if the shared assembly itself fails (e.g. a merge_schema
 boundary where carrying every column is impossible, or a GC'd range),
 the range is marked failed and every request passes through to a
@@ -73,6 +81,7 @@ class CycleFeedCache:
         self.assemblies = 0
         self.requests = 0
         self.fallbacks = 0
+        self.cover_hits = 0
 
     def close(self) -> None:
         for df, _ in self._supersets.values():
@@ -112,6 +121,29 @@ class CycleFeedCache:
         hit = self._supersets.get(skey)
         if hit is not None:
             return hit
+        # SUB-RANGE cover: a feed is a union of per-version step
+        # attributions (every row stamped with the commit that
+        # introduced it — the coalesced append/delete runs stamp
+        # per-version too), so feed(a, b] filtered to
+        # from_v < version <= to_v IS feed(from_v, to_v] row-for-row.
+        # This lets a cursor-divergent subscriber (a laggard, or a
+        # fresh bootstrap draining a wider range first) share the
+        # assembly instead of forcing its own. The covering range's
+        # assembly already proved the chain dense, so any integer
+        # sub-bound names a committed version.
+        for (b2, k2, f2, t2, fk2), (feed, cols) in self._supersets.items():
+            if (
+                (b2, k2, fk2) == (base, key_col, _fs_key(fs))
+                and f2 <= from_v
+                and to_v <= t2
+            ):
+                sub = feed.filter(
+                    (F.col("version") > from_v)
+                    & (F.col("version") <= to_v)
+                )
+                self._supersets[skey] = (sub, cols)
+                self.cover_hits += 1
+                return sub, cols
         try:
             carry_all = [
                 c
