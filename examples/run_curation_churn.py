@@ -202,6 +202,16 @@ def main(sf_dir: str) -> None:
             gc=dict(keep=2, orphan_min_age_s=0),
         )
         print(f"maintenance_cycle: {report}")
+        # r12: the drain loop runs under the cycle feed cache — the
+        # day's six subscriber drains must share ONE pair-CDC assembly
+        # per key column over the same commits (IVF subscribes on the
+        # same doc_id key here), not re-derive it per kind
+        assert report["feed_assemblies"] + report["feed_cover_hits"] <= 2, report
+        assert report["feed_fallbacks"] == 0, report
+        print(
+            f"shared CDC feed: {report['feed_requests']} subscriber "
+            f"feeds served by {report['feed_assemblies']} assembly(ies)"
+        )
 
         # ---- verification: both subscribers equal a from-scratch view
         agg_got = {
