@@ -27,8 +27,15 @@ assemblies per cycle (1 vs 7), and end-state parity (agg == rebuilt
 groupBy, LM == rebuilt counts) for BOTH variants — sharing must change
 the cost, never the states.
 
+After the A/B comparison, `sustained_full_loop` runs the REALISTIC
+composition: 10 cycles of the full maintenance_cycle (shared feed +
+compaction + checkpoint + retention GC) over all seven kinds — cycle
+walls flat (compaction absorbs the merge-on-read debt the drains-only
+variant deliberately let grow), one assembly per cycle, end states
+equal from-scratch rebuilds.
+
 Run:  python experiments/shared_feed_cycle.py
-(~8-12 min on local[32]; deterministic.) Results recorded in
+(~15-20 min on local[32]; deterministic.) Results recorded in
 SCALE_EXPERIMENTS.md "Shared CDC feed assembly".
 """
 
@@ -97,6 +104,7 @@ class _NullCache:
     assemblies = 0
     requests = 0
     fallbacks = 0
+    cover_hits = 0
 
 
 @contextlib.contextmanager
@@ -153,6 +161,68 @@ def _drain_cycle(spark, base, drains):
         spark, base, drains=drains, checkpoint=False,
     )
     return time.perf_counter() - t, report
+
+
+def sustained_full_loop(spark, root, n_cycles=10):
+    """The realistic day-2 composition: all seven subscriber kinds
+    draining through the FULL maintenance_cycle (shared feed +
+    subscriber-state compaction + commit-log checkpoint + retention
+    GC) for n_cycles of append+merge churn. Claims measured: cycle
+    wall FLAT (first-3 vs last-3 medians) because compaction absorbs
+    the merge-on-read debt the drains-only variant deliberately let
+    grow, exactly ONE feed assembly per cycle, and agg/LM end states
+    equal from-scratch rebuilds after the final cycle."""
+    base, drains, states = _deploy(spark, root, "flat")
+    for d in drains:
+        d()  # bootstrap
+    walls, asm = [], []
+    nxt = N_DOCS
+    for c in range(n_cycles):
+        _evolve(spark, base, nxt)
+        nxt += 200
+        t = time.perf_counter()
+        report = maintenance_cycle(
+            spark, base,
+            drains=drains,
+            subscriber_states=list(states.values()),
+            compact=dict(max_data_dirs=12, max_delete_entries=6),
+            compact_subscribers=dict(
+                max_data_dirs=12, max_delete_entries=6
+            ),
+            gc=dict(keep=3, orphan_min_age_s=0),
+        )
+        walls.append(time.perf_counter() - t)
+        asm.append(report["feed_assemblies"])
+        print(
+            f"flat cycle {c}: {walls[-1]:6.2f}s  "
+            f"assemblies {asm[-1]}  cover_hits "
+            f"{report['feed_cover_hits']}  fallbacks "
+            f"{report['feed_fallbacks']}"
+        )
+    med = statistics.median
+    first3, last3 = med(walls[:3]), med(walls[-3:])
+    print(
+        f"flat_cycle_wall_s         first3 {first3:6.2f}  "
+        f"last3 {last3:6.2f}  (ratio {last3 / first3:0.2f})"
+    )
+    print(f"assemblies_per_cycle      {med(asm):.0f} (7 drains)")
+    head = read_snapshot(spark, base)
+    got_agg = sorted(
+        tuple(r) for r in read_snapshot(spark, states["agg"]).collect()
+    )
+    want_agg = sorted(
+        tuple(r)
+        for r in head.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("val").alias("total"))
+        .collect()
+    )
+    got_lm_n = read_snapshot(spark, states["lm"]).count()
+    want_lm_n = lm_counts(head, "text").count()
+    print(
+        f"end states: agg == rebuilt {got_agg == want_agg}; "
+        f"lm rows {got_lm_n} vs scratch {want_lm_n} "
+        f"({got_lm_n == want_lm_n})"
+    )
 
 
 def main():
@@ -238,6 +308,7 @@ def main():
                 f"lm rows maintained {got_lm_n} vs scratch {want_lm_n} "
                 f"({got_lm_n == want_lm_n})"
             )
+        sustained_full_loop(spark, root)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
