@@ -433,3 +433,42 @@ def test_sub_range_requests_share_the_covering_assembly(spark, tmp_path):
         assert cache.assemblies == 1
         assert cache.cover_hits == 2
         assert cache.fallbacks == 0
+
+
+def test_map_typed_source_column_still_served_correctly(spark, tmp_path):
+    """A source carrying a MapType column (no Spark equality/hash
+    support) must still serve every consumer the right rows inside a
+    cycle — via the all-columns assembly when the engine can hash it,
+    else the narrow fallback; either way rows == narrow call."""
+    base = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(1, "a b", {"k": "v"}), (2, "b c", {"k": "w"})],
+        "doc_id long, text string, props map<string,string>",
+    )
+    write_snapshot(df, base)
+    append_snapshot(
+        spark.createDataFrame(
+            [(3, "c d", {"x": "y"})],
+            "doc_id long, text string, props map<string,string>",
+        ),
+        base,
+    )
+    want = _rows(
+        snapshot_changes(
+            spark, base, "doc_id", 1, 2,
+            columns=["text"], carry_columns=["text"],
+            change_encoding="pair",
+        )
+    )
+    with feed_cache.cycle() as cache:
+        got = _rows(
+            cdc_changes(
+                spark, base, "doc_id", 1, 2,
+                columns=["text"], carry_columns=["text"],
+                change_encoding="pair",
+            )
+        )
+        assert got == want
+        # whichever path served it, nothing silently dropped
+        assert cache.requests == 1
+        assert cache.assemblies + cache.fallbacks >= 1

@@ -227,6 +227,18 @@ class CycleFeedCache:
         feed, carry_all = got
         carry = [c for c in (carry_columns or []) if c != key_col]
         compare = carry_all if columns is None else list(columns)
+        dtypes = dict(feed.dtypes)
+        if any(dtypes.get(c, "").startswith("map<") for c in compare):
+            # Spark defines no equality (eqNullSafe) over MapType, so
+            # the pair-narrowing join can't evaluate — serve narrow
+            # (snapshot_changes hashes maps through its own path)
+            self.fallbacks += 1
+            return st.snapshot_changes(
+                spark, base, key_col,
+                from_version=from_version, to_version=to_version,
+                fs=fs, columns=columns, carry_columns=carry_columns,
+                allowed_ops=None, change_encoding=change_encoding,
+            )
         if not (
             set(compare) <= set(carry_all)
             and set(carry) <= set(carry_all)
