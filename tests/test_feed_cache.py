@@ -472,3 +472,85 @@ def test_map_typed_source_column_still_served_correctly(spark, tmp_path):
         # whichever path served it, nothing silently dropped
         assert cache.requests == 1
         assert cache.assemblies + cache.fallbacks >= 1
+
+
+def test_parallel_drains_match_sequential_states(spark, tmp_path):
+    """maintenance_cycle(parallel_drains=4) over four subscriber kinds
+    must land EXACTLY the states the sequential loop lands — same agg
+    rows, same LM counts, same bloom words, same dsir totals — while
+    still sharing one feed assembly (the cache lock serializes the
+    assembly, not the drains' own work)."""
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_agg_from_commits,
+        maintain_bloom_from_commits,
+        maintain_dsir_from_commits,
+        maintain_lm_from_commits,
+        maintenance_cycle,
+    )
+
+    def deploy(tag):
+        base = str(tmp_path / f"{tag}_src")
+        write_snapshot(
+            _docs(
+                spark,
+                [
+                    (1, "alpha beta gamma", "a", 10),
+                    (2, "beta gamma delta", "a", 20),
+                    (3, "gamma delta epsilon", "b", 30),
+                    (4, "delta epsilon zeta", "b", 40),
+                ],
+            ),
+            base,
+        )
+        ck = lambda k: str(tmp_path / f"{tag}_ck_{k}")  # noqa: E731
+        st_ = lambda k: str(tmp_path / f"{tag}_state_{k}")  # noqa: E731
+        drains = [
+            functools.partial(
+                maintain_bloom_from_commits, spark, base, "doc_id",
+                st_("bloom"), ck("bloom"), num_bits=1 << 12, k=3,
+            ),
+            functools.partial(
+                maintain_agg_from_commits, spark, base, st_("agg"),
+                ck("agg"), group_col="grp", key_col="doc_id",
+                sum_col="val",
+            ),
+            functools.partial(
+                maintain_lm_from_commits, spark, base, st_("lm"),
+                ck("lm"),
+            ),
+            functools.partial(
+                maintain_dsir_from_commits, spark, base, st_("dsir"),
+                ck("dsir"), n_buckets=16,
+            ),
+        ]
+        states = {k: st_(k) for k in "bloom agg lm dsir".split()}
+        return base, drains, states
+
+    results = {}
+    for tag, par in (("seq", None), ("par", 4)):
+        base, drains, states = deploy(tag)
+        for d in drains:
+            d()  # bootstrap
+        append_snapshot(
+            _docs(spark, [(7, "eta theta iota", "a", 70),
+                          (8, "theta iota kappa", "b", 80)]),
+            base,
+        )
+        merge_snapshot(
+            _docs(spark, [(4, "REWRITTEN delta", "b", 44),
+                          (9, "kappa lambda mu", "a", 90)]),
+            base, key_col="doc_id",
+        )
+        report = maintenance_cycle(
+            spark, base, drains=drains, parallel_drains=par,
+        )
+        assert report["drained"] == 4
+        assert report["feed_assemblies"] == 1, report
+        assert report["feed_fallbacks"] == 0, report
+        results[tag] = {
+            k: sorted(
+                tuple(r) for r in read_snapshot(spark, states[k]).collect()
+            )
+            for k in states
+        }
+    assert results["par"] == results["seq"]

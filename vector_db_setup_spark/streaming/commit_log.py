@@ -1789,6 +1789,7 @@ def maintenance_cycle(
     checkpoint: bool = True,
     gc: dict | None = None,
     fs=None,
+    parallel_drains: int | None = None,
 ) -> dict:
     """ONE day-2 maintenance pass over a snapshot table, in the order
     the pieces' contracts require — the crontab entry the day-2
@@ -1802,6 +1803,12 @@ def maintenance_cycle(
        one (source, key, version-range) share ONE pair-CDC assembly
        (see streaming/feed_cache), and the report carries
        ``feed_assemblies`` / ``feed_requests`` / ``feed_fallbacks``.
+       ``parallel_drains=N`` (default None = sequential) overlaps the
+       drains on a thread pool — subscribers are independent (own
+       state table, checkpoint, idempotency namespace; feed assembly
+       serialized by the cache lock), so the per-drain stream
+       machinery overlaps instead of queueing; every drain still runs
+       to completion before the first failure (drains order) raises.
     2. ``compact_if(**compact)`` — absorb merge-on-read debt AFTER the
        drains: subscribers' next pass sees the compaction as one free
        'compact' step instead of racing it mid-drain.
@@ -1835,9 +1842,36 @@ def maintenance_cycle(
     # cost the r11 ppl-histogram experiment measured, paid once
     # instead of once per subscriber — VERDICT r11 What's-wrong #2)
     with feed_cache.cycle() as feeds:
-        for drain in drains:
-            drain()
-            report["drained"] += 1
+        if parallel_drains and parallel_drains > 1 and len(drains) > 1:
+            # subscribers are INDEPENDENT by construction — each owns
+            # its state table, checkpoint, and idempotency namespace,
+            # and the feed cache serializes assembly under its lock —
+            # so their drains can overlap: Spark schedules the
+            # concurrent jobs across the same executors, and the
+            # per-drain stream machinery (checkpoint reads, marker
+            # listing, read-back verification) overlaps instead of
+            # serializing. Failure semantics match the sequential
+            # loop: every drain runs to completion, then the FIRST
+            # failure (in drains order) raises.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(
+                max_workers=int(parallel_drains)
+            ) as pool:
+                futures = [pool.submit(d) for d in drains]
+                errs = []
+                for f in futures:
+                    try:
+                        f.result()
+                        report["drained"] += 1
+                    except Exception as e:  # noqa: BLE001
+                        errs.append(e)
+                if errs:
+                    raise errs[0]
+        else:
+            for drain in drains:
+                drain()
+                report["drained"] += 1
     report["feed_assemblies"] = feeds.assemblies
     report["feed_requests"] = feeds.requests
     report["feed_fallbacks"] = feeds.fallbacks

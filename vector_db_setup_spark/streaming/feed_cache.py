@@ -75,9 +75,18 @@ class CycleFeedCache:
     a cycle should LOG how much assembly it shared, not just run."""
 
     def __init__(self) -> None:
+        import threading
+
         self._supersets: dict[tuple, tuple[DataFrame, list[str]]] = {}
         self._failed: set[tuple] = set()
         self._ops_ok: set[tuple] = set()
+        # one lock over derivation state: parallel drains
+        # (maintenance_cycle(parallel_drains=N)) must not race the
+        # dicts, and the FIRST requester of a range assembles while
+        # the rest wait instead of duplicating the eager guard jobs —
+        # the consumers' expensive work (state rewrite, read-back)
+        # happens outside the lock, on the returned lazy DataFrames
+        self._lock = threading.Lock()
         self.assemblies = 0
         self.requests = 0
         self.fallbacks = 0
@@ -183,6 +192,26 @@ class CycleFeedCache:
     # -- derivation --
 
     def changes(
+        self,
+        spark: SparkSession,
+        base: str,
+        key_col: str,
+        from_version: int,
+        to_version: int | None,
+        fs=None,
+        columns: list[str] | None = None,
+        carry_columns: list[str] | None = None,
+        allowed_ops=None,
+        change_encoding: str = "changed",
+    ) -> DataFrame:
+        with self._lock:
+            return self._changes_locked(
+                spark, base, key_col, from_version, to_version,
+                fs=fs, columns=columns, carry_columns=carry_columns,
+                allowed_ops=allowed_ops, change_encoding=change_encoding,
+            )
+
+    def _changes_locked(
         self,
         spark: SparkSession,
         base: str,
