@@ -554,3 +554,75 @@ def test_parallel_drains_match_sequential_states(spark, tmp_path):
             for k in states
         }
     assert results["par"] == results["seq"]
+
+
+def test_cycle_drain_stays_obatch_no_bare_source_scan(
+    spark, tmp_path, monkeypatch
+):
+    """The shared path keeps the maintainers' O(batch) contract: a
+    post-bootstrap drain through maintenance_cycle never reads the
+    source head — the only un-pruned read_snapshot call on the source
+    is the feed cache's LAZY schema probe (column list off the parquet
+    footer; no job over the data)."""
+    import vector_db_setup_spark.sources.snapshot_table as st_mod
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_agg_from_commits,
+        maintenance_cycle,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "agg")
+    write_snapshot(
+        _docs(
+            spark,
+            [(i, f"t{i}", "ab"[i % 2], i * 10) for i in range(40)],
+        ),
+        src,
+    )
+    drain = functools.partial(
+        maintain_agg_from_commits, spark, src, state,
+        str(tmp_path / "ck"), group_col="grp", key_col="doc_id",
+        sum_col="val",
+    )
+    drain()  # bootstrap (full read, expected)
+
+    real = st_mod.read_snapshot
+    bare: list = []
+
+    def spy(spark_, base_, version=None, fs=None, key_between=None,
+            key_in=None, tag=None):
+        if base_ == src and key_between is None and key_in is None:
+            import inspect
+
+            caller = inspect.stack()[1].function
+            if caller not in ("_snapshot_columns", "_superset"):
+                bare.append((version, caller))
+        return real(
+            spark_, base_, version=version, fs=fs,
+            key_between=key_between, key_in=key_in, tag=tag,
+        )
+
+    monkeypatch.setattr(st_mod, "read_snapshot", spy)
+    append_snapshot(
+        _docs(spark, [(100, "new", "a", 5), (101, "new2", "b", 7)]),
+        src,
+    )
+    merge_snapshot(
+        _docs(spark, [(0, "rewritten", "a", 999)]), src,
+        key_col="doc_id",
+    )
+    report = maintenance_cycle(spark, src, drains=[drain])
+    monkeypatch.setattr(st_mod, "read_snapshot", real)
+    assert bare == [], f"cycle drain bare-scanned the source: {bare}"
+    assert report["feed_assemblies"] == 1
+    maintained = {
+        tuple(r) for r in read_snapshot(spark, state).collect()
+    }
+    rebuilt = {
+        tuple(r)
+        for r in read_snapshot(spark, src)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("val").alias("total"))
+        .collect()
+    }
+    assert maintained == rebuilt
