@@ -190,7 +190,9 @@ def main(sf_dir: str) -> None:
         )
         print("delete commit: 3 keys retired")
 
-        # ---- one maintenance pass consumes the whole day O(batch)
+        # ---- one maintenance pass consumes the whole day O(batch);
+        # the six independent drains overlap on a thread pool (r12)
+        # while sharing ONE pair-CDC assembly through the cycle cache
         report = maintenance_cycle(
             spark, base,
             drains=drains,
@@ -200,6 +202,7 @@ def main(sf_dir: str) -> None:
             # drain; the loop absorbs their merge-on-read debt too
             compact_subscribers=dict(max_data_dirs=8, max_delete_entries=4),
             gc=dict(keep=2, orphan_min_age_s=0),
+            parallel_drains=6,
         )
         print(f"maintenance_cycle: {report}")
         # r12: the drain loop runs under the cycle feed cache — the
