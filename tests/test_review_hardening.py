@@ -1360,3 +1360,33 @@ def test_bpe_encode_refuses_out_col_collision(spark):
     row = out.first()
     assert row["bpe_tokens"] == ["x"]  # caller data intact
     assert row["toks"] == ["ab", "</w>", "ab", "</w>"]
+
+
+def test_shard_export_refuses_map_columns_before_writing(
+    spark, tmp_path
+):
+    """A map-typed column breaks the manifest checksum (xxhash64 has
+    no MapType hash) — the refusal must land BEFORE any shard data is
+    written, not in the manifest aggregation after."""
+    import os
+
+    from vector_db_setup_spark.sources.shards import (
+        land_snapshot,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "t", {"k": "v"})],
+        "doc_id long, text string, props map<string,string>",
+    )
+    dest = str(tmp_path / "shards")
+    with pytest.raises(ValueError, match="map-typed"):
+        write_training_shards(df, dest, n_shards=2)
+    with pytest.raises(ValueError, match="map-typed"):
+        land_snapshot(df, dest, n_shards=2)
+    assert not os.path.exists(dest)  # nothing landed
+    # serialized maps shard fine
+    ok = write_training_shards(
+        df.withColumn("props", F.to_json("props")), dest, n_shards=2
+    )
+    assert ok.agg(F.sum("n_docs")).first()[0] == 1

@@ -89,6 +89,21 @@ def assign_shard(df: DataFrame, n_shards: int, id_col: str = "doc_id",
     return df.withColumn("shard_id", (h % n_shards).cast("int"))
 
 
+def _refuse_unhashable_columns(df: DataFrame) -> None:
+    """xxhash64 (the manifest checksum) defines no hash over MapType;
+    without this check the failure surfaces in the MANIFEST aggregation
+    — i.e. AFTER the shard data already landed, leaving a manifest-less
+    destination. Refuse before any write starts; callers with map
+    columns should serialize them (to_json) upstream."""
+    bad = [c for c, t in df.dtypes if t.startswith("map<")]
+    if bad:
+        raise ValueError(
+            f"columns {bad} are map-typed — the order-independent "
+            "manifest checksum (xxhash64) cannot hash maps; serialize "
+            "them (e.g. to_json) before sharding"
+        )
+
+
 def _shard_manifest(df: DataFrame, text_col: str | None) -> DataFrame:
     """Per-shard manifest row from an assigned DataFrame. The checksum
     is bit_xor(xxhash64(<every data column, name-sorted>)):
@@ -129,6 +144,7 @@ def write_training_shards(
     aggregation reuses the assigned frame and reduces to n_shards rows
     before anything reaches the driver.
     """
+    _refuse_unhashable_columns(df)
     assigned = assign_shard(df, n_shards, id_col=id_col, seed=seed)
     if id_col != "doc_id":
         if "doc_id" in assigned.columns:
@@ -211,6 +227,7 @@ def land_snapshot(
     prefix works the same on HDFS/S3A/GCS as on local disk.
     """
     spark = df.sparkSession
+    _refuse_unhashable_columns(df)
     assigned = assign_shard(df, n_shards, id_col=id_col, seed=seed)
     if id_col != "doc_id":
         if "doc_id" in assigned.columns:
