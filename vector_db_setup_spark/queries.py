@@ -6607,16 +6607,53 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("quantized_knn")  # rows-only: approximate-by-design (recall tested)
+@register(
+    "quantized_knn",
+    f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT {_QVEC_SQL} AS qv),
+    idx AS (SELECT vec_id, v, unnest(generate_series(1, {_EMB_DIM})) AS i
+            FROM e),
+    bounds AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+               FROM idx GROUP BY i),
+    deq AS (
+        SELECT x.vec_id, x.i,
+               CASE WHEN b.hi = b.lo THEN b.lo
+                    ELSE b.lo + least(255, greatest(0,
+                         CAST(round(255.0 * (x.v[x.i] - b.lo)
+                                    / (b.hi - b.lo)) AS INT)))
+                         * (b.hi - b.lo) / 255.0 END AS dv
+        FROM idx x JOIN bounds b USING (i)
+    ),
+    approx AS (
+        SELECT d.vec_id,
+               round(sqrt(sum((d.dv - (SELECT qv FROM q)[d.i])^2)), 6)
+                   AS ad
+        FROM deq d GROUP BY d.vec_id
+    ),
+    cands AS (SELECT vec_id FROM approx ORDER BY ad ASC, vec_id ASC
+              LIMIT 40)
+    SELECT e.vec_id,
+           round(list_distance(e.v, (SELECT qv FROM q)), 6) AS distance
+    FROM e JOIN cands USING (vec_id)
+    ORDER BY distance ASC, e.vec_id ASC LIMIT 10
+    """,
+)
 def quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KNN over int8-quantized embeddings with exact rerank — the
     compressed-scan shape: rank ALL vectors by decoded-code L2 (the
     4x-smaller representation is what a 100 TB scan would read), keep
     a 4k candidate margin, rerank those exactly at full precision.
-    Approximate by design (a true neighbor can fall outside the
-    margin when quantization reorders the boundary) — recall against
-    exact KNN is pinned in tests/test_ann.py, and the reconstruction
-    error that drives it is the oracled `embedding_quantization_error`."""
+    Approximate vs EXACT KNN by design (a true neighbor can fall
+    outside the margin when quantization reorders the boundary) —
+    recall against exact KNN stays pinned in tests/test_ann.py — but
+    the PIPELINE itself is deterministic IEEE math (min/max fit,
+    round-clamped codes, decode, rounded-distance candidate cut with
+    id tie-break, exact rerank), so since r12 it is EXACT-oracled in
+    DuckDB end to end (same literal-free data-derived form as
+    `embedding_quantization_error`; the candidate ordering rounds the
+    approx distance to 6 dp on both engines so summation-order ulps
+    cannot flip the margin boundary)."""
     from vector_db_setup_spark.functions.vector import l2_distance
     from vector_db_setup_spark.operators.quantize import (
         attach_quantizer,
@@ -6635,7 +6672,11 @@ def quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vector_db_setup_spark.functions.vector import vector_literal
 
     approx = enc.withColumn(
-        "approx_dist", l2_distance(F.col("deq"), vector_literal(qvec))
+        # rounded to 6 dp BEFORE the candidate cut (r12, oracle
+        # parity): summation-order ulps between engines must not flip
+        # which vector makes the margin; ties break on vec_id
+        "approx_dist",
+        F.round(l2_distance(F.col("deq"), vector_literal(qvec)), 6),
     )
     cands = approx.orderBy(
         F.col("approx_dist").asc(), F.col("vec_id").asc()
