@@ -53,6 +53,16 @@ SCOPE: one active cycle per process (``maintenance_cycle`` activates
 the cache around its drain loop; activation is module-global, not
 thread-local, because drains apply inside streaming foreachBatch
 threads). Outside an active cycle ``cdc_changes`` is a pass-through.
+
+COST SHAPE of carrying every column: the shared feed moves the DELTA
+(batch dirs + pruned pre-image probes), so the extra columns cost
+O(ingest batch), never O(corpus) — the right trade when subscribers
+collectively touch most columns (the curation deployment: text +
+groups + values + embeddings). A source dominated by a huge payload
+column NO subscriber consumes (multimodal blobs) pays to ship those
+bytes once per cycle; keep such payloads in their own table (the
+multimodal/columns.py layout guidance) or run those drains outside
+the cycle (pass-through narrows per consumer).
 """
 
 from __future__ import annotations
