@@ -1390,3 +1390,25 @@ def test_shard_export_refuses_map_columns_before_writing(
         df.withColumn("props", F.to_json("props")), dest, n_shards=2
     )
     assert ok.agg(F.sum("n_docs")).first()[0] == 1
+
+
+def test_asof_join_deterministic_on_duplicate_right_timestamps(spark):
+    """Two right rows at the same (key, time): the carried payload is
+    the GREATEST payload struct — deterministic across runs and
+    repartitionings, where a bare (time, side) sort carried whichever
+    duplicate sorted last that run."""
+    from vector_db_setup_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100.0)], "k long, t double"
+    )
+    right = spark.createDataFrame(
+        [(1, 50.0, "a"), (1, 50.0, "z"), (1, 50.0, "m")],
+        "k long, t double, v string",
+    )
+    for n_parts in (1, 3, 7):
+        out = asof_join(
+            left, right.repartition(n_parts), "k", "t", "t", ["v"]
+        ).collect()
+        assert len(out) == 1
+        assert out[0]["asof_v"] == "z", (n_parts, out)

@@ -40,6 +40,15 @@ def asof_join(
 
     Equal timestamps: the right row wins (sorted before the left row),
     matching ASOF's inclusive <=.
+
+    DUPLICATE right rows at the same (key, right_time): the carried
+    payload is the GREATEST (right_time, *payload) struct — a
+    deterministic tie-break (field-wise struct ordering) where a bare
+    (time, side) sort would carry whichever duplicate happened to sort
+    last that run. DuckDB's native ASOF leaves the same tie
+    implementation-defined, so an oracle comparison on data with
+    duplicate (key, time) right rows is inherently unstable — dedup
+    the right side first when that matters.
     """
     r_struct = F.struct(
         F.col(right_time).alias("__rt"), *[F.col(c) for c in right_payload]
@@ -60,7 +69,11 @@ def asof_join(
         F.lit(None).cast(l2.schema["__l"].dataType).alias("__l"),
         r_struct.alias("__r"),
     )
-    w = Window.partitionBy(key).orderBy("__t", "__side").rowsBetween(
+    # __r as the final sort key: among right rows sharing (key, time)
+    # the LAST one wins last(ignorenulls), so order them by the payload
+    # struct itself — deterministic, run-stable. Left rows (__r null,
+    # __side=1) sort after every same-time right row regardless.
+    w = Window.partitionBy(key).orderBy("__t", "__side", "__r").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     carried = (
