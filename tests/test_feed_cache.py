@@ -626,3 +626,130 @@ def test_cycle_drain_stays_obatch_no_bare_source_scan(
         .collect()
     }
     assert maintained == rebuilt
+
+
+# ---- property: derivation == narrow over random commit histories ----
+
+from hypothesis import HealthCheck, given, seed, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PROP = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+    derandomize=True,
+)
+
+# a commit step: ("append", ids) | ("delete", ids) | ("merge", [(id, which_cols_change)])
+_step = st.one_of(
+    st.tuples(
+        st.just("append"),
+        st.lists(st.integers(100, 139), min_size=1, max_size=4, unique=True),
+    ),
+    st.tuples(
+        st.just("delete"),
+        st.lists(st.integers(0, 19), min_size=1, max_size=3, unique=True),
+    ),
+    st.tuples(
+        st.just("merge"),
+        st.lists(
+            st.tuples(
+                st.integers(0, 19),
+                st.sampled_from(["text", "val", "both", "none"]),
+            ),
+            min_size=1,
+            max_size=4,
+            unique_by=lambda t: t[0],
+        ),
+    ),
+)
+
+_shape = st.sampled_from(
+    [
+        (["text"], ["text"], "pair"),
+        ([], None, "changed"),
+        (["grp", "val"], ["grp", "val"], "pair"),
+        (["val"], ["text", "val"], "changed"),
+        (None, ["text", "grp", "val"], "pair"),
+    ]
+)
+
+
+@given(steps=st.lists(_step, min_size=1, max_size=3), shape=_shape)
+@settings(**_PROP)
+@seed(1207)
+def test_derivation_equals_narrow_on_random_histories(
+    spark, tmp_path_factory, steps, shape
+):
+    """For RANDOM commit histories (appends of fresh ids, deletes,
+    merges that rewrite text / val / both / neither) and a random
+    subscriber shape, the cycle-derived feed must equal the narrow
+    snapshot_changes call row-for-row — the generative form of the
+    fixed-scenario equivalence test (the narrowing predicate is the
+    subtle part: a 'none'/other-column rewrite must stay invisible to
+    a consumer whose compare set it does not touch)."""
+    base = str(tmp_path_factory.mktemp("prop") / "src")
+    write_snapshot(
+        _docs(
+            spark,
+            [(i, f"text {i}", "ab"[i % 2], i * 10) for i in range(20)],
+        ),
+        base,
+    )
+    next_append_ids = iter(range(1000, 2000))
+    deleted: set[int] = set()
+    for op, payload in steps:
+        if op == "append":
+            # remap to globally fresh ids: a generated id may already
+            # exist (or repeat across steps) — appends must not dup
+            rows = [
+                (next(next_append_ids), f"new {i}", "c", i)
+                for i in payload
+            ]
+            append_snapshot(_docs(spark, rows), base)
+        elif op == "delete":
+            payload = [i for i in payload if i not in deleted]
+            if not payload:
+                continue
+            delete_from_snapshot(
+                spark.createDataFrame(
+                    [(i,) for i in payload], "doc_id long"
+                ),
+                base,
+                key_col="doc_id",
+            )
+            deleted.update(payload)
+        else:
+            rows = []
+            for i, which in payload:
+                if i in deleted:
+                    # merging a tombstoned key is refused by design
+                    # (TombstonedKeyError) — not what this test probes
+                    continue
+                text = (
+                    f"text {i}"
+                    if which in ("val", "none")
+                    else f"rewritten {i}"
+                )
+                val = i * 10 if which in ("text", "none") else i * 10 + 1
+                rows.append((i, text, "ab"[i % 2], val))
+            if not rows:
+                continue
+            merge_snapshot(_docs(spark, rows), base, key_col="doc_id")
+    head = current_version(spark, base)
+    cols, carry, enc = shape
+    want = _rows(
+        snapshot_changes(
+            spark, base, "doc_id", 1, head,
+            columns=cols, carry_columns=carry, change_encoding=enc,
+        )
+    )
+    with feed_cache.cycle() as cache:
+        got = _rows(
+            cdc_changes(
+                spark, base, "doc_id", 1, head,
+                columns=cols, carry_columns=carry, change_encoding=enc,
+            )
+        )
+    assert got == want, (steps, shape)
+    assert cache.fallbacks == 0
