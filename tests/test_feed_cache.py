@@ -631,7 +631,8 @@ def test_cycle_drain_stays_obatch_no_bare_source_scan(
 # ---- property: derivation == narrow over random commit histories ----
 
 from hypothesis import HealthCheck, given, seed, settings  # noqa: E402
-from hypothesis import strategies as st  # noqa: E402
+from hypothesis import strategies as hst  # noqa: E402  (NOT `st`: that
+# alias is the snapshot_table module for the whole file)
 
 _PROP = dict(
     max_examples=6,
@@ -641,21 +642,21 @@ _PROP = dict(
 )
 
 # a commit step: ("append", ids) | ("delete", ids) | ("merge", [(id, which_cols_change)])
-_step = st.one_of(
-    st.tuples(
-        st.just("append"),
-        st.lists(st.integers(100, 139), min_size=1, max_size=4, unique=True),
+_step = hst.one_of(
+    hst.tuples(
+        hst.just("append"),
+        hst.lists(hst.integers(100, 139), min_size=1, max_size=4, unique=True),
     ),
-    st.tuples(
-        st.just("delete"),
-        st.lists(st.integers(0, 19), min_size=1, max_size=3, unique=True),
+    hst.tuples(
+        hst.just("delete"),
+        hst.lists(hst.integers(0, 19), min_size=1, max_size=3, unique=True),
     ),
-    st.tuples(
-        st.just("merge"),
-        st.lists(
-            st.tuples(
-                st.integers(0, 19),
-                st.sampled_from(["text", "val", "both", "none"]),
+    hst.tuples(
+        hst.just("merge"),
+        hst.lists(
+            hst.tuples(
+                hst.integers(0, 19),
+                hst.sampled_from(["text", "val", "both", "none"]),
             ),
             min_size=1,
             max_size=4,
@@ -664,7 +665,7 @@ _step = st.one_of(
     ),
 )
 
-_shape = st.sampled_from(
+_shape = hst.sampled_from(
     [
         (["text"], ["text"], "pair"),
         ([], None, "changed"),
@@ -675,7 +676,7 @@ _shape = st.sampled_from(
 )
 
 
-@given(steps=st.lists(_step, min_size=1, max_size=3), shape=_shape)
+@given(steps=hst.lists(_step, min_size=1, max_size=3), shape=_shape)
 @settings(**_PROP)
 @seed(1207)
 def test_derivation_equals_narrow_on_random_histories(
