@@ -1412,3 +1412,79 @@ def test_asof_join_deterministic_on_duplicate_right_timestamps(spark):
         ).collect()
         assert len(out) == 1
         assert out[0]["asof_v"] == "z", (n_parts, out)
+
+
+# ---- r13 review pass: ADVICE r12 findings ----
+
+
+def test_snapshot_sink_never_flips_back_to_legacy_identity(
+    spark, tmp_path
+):
+    """ADVICE r12 (medium): a table that ALREADY runs under the
+    normalized identity but still retains pre-normalization commits
+    must keep the derived id — flipping back to legacy would stop
+    recognizing the next restart-replayed micro-batch (keyed
+    ``derived:<batch>``) as a replay and double-land it. The most
+    recent surviving commit's identity wins."""
+    from vector_db_setup_spark.streaming.snapshot_sink import (
+        _resolve_producer_identity,
+        derive_producer_id,
+        legacy_producer_id,
+        snapshot_sink,
+    )
+
+    ck = str(tmp_path / "ck_flip") + "/"
+    derived = derive_producer_id(ck)
+    legacy = legacy_producer_id(ck)
+    assert derived != legacy
+
+    base = str(tmp_path / "t")
+    # history: v1 under legacy (pre-normalization), v2 under derived
+    # (post-upgrade) — both survive
+    write_snapshot(
+        _df(spark, [(1, "a", "x")]), base,
+        idempotency_key=f"{legacy}:0",
+    )
+    append_snapshot(
+        _df(spark, [(2, "b", "y")]), base,
+        idempotency_key=f"{derived}:1",
+    )
+    assert (
+        _resolve_producer_identity(spark, base, derived, legacy, None)
+        == derived
+    )
+    # end-to-end: the sink's replay of batch 1 under the derived id is
+    # an idempotent drop, not a double-land
+    src = str(tmp_path / "src")
+    _df(spark, [(2, "b", "y")]).write.parquet(src)
+    stream = spark.readStream.schema(
+        "id long, cat string, v string"
+    ).parquet(src)
+    # pre-seed the checkpoint-free restart: batch 0 of this stream
+    # will carry key derived:0; land it manually first so the sink's
+    # micro-batch is a replay
+    append_snapshot(
+        _df(spark, [(3, "c", "z")]), base,
+        idempotency_key=f"{derived}:0",
+    )
+    q = snapshot_sink(stream, base, checkpoint=ck)
+    q.awaitTermination()
+    assert read_snapshot(spark, base).count() == 3  # no double-land
+
+    # legacy-only history still adopts legacy (upgrade continuity)
+    base2 = str(tmp_path / "t2")
+    write_snapshot(
+        _df(spark, [(1, "a", "x")]), base2,
+        idempotency_key=f"{legacy}:0",
+    )
+    assert (
+        _resolve_producer_identity(spark, base2, derived, legacy, None)
+        == legacy
+    )
+    # empty/no table → derived
+    assert (
+        _resolve_producer_identity(
+            spark, str(tmp_path / "missing"), derived, legacy, None
+        )
+        == derived
+    )

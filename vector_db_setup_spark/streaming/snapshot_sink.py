@@ -57,10 +57,13 @@ def derive_producer_id(checkpoint: str) -> str:
     pre-normalization identity (verbatim-string hash) with a relative
     or trailing-slash checkpoint spelling would change identity on
     upgrade — exactly the double-land this normalization prevents
-    going forward. `snapshot_sink` therefore probes the target table
-    for commits under the LEGACY identity (`legacy_producer_id`) and
-    keeps it when found, so continuity wins over canonical form; pass
-    an explicit ``producer_id`` to override."""
+    going forward. `snapshot_sink` therefore resolves the identity
+    from the table's own history: the identity carried by the most
+    recent surviving commit wins, so a legacy-only table keeps its
+    legacy id (continuity over canonical form) while a table already
+    running under the derived id is never flipped back to legacy even
+    if old pre-normalization commits survive. Pass an explicit
+    ``producer_id`` to override."""
     import hashlib
     import os
     import re
@@ -82,10 +85,21 @@ def legacy_producer_id(checkpoint: str) -> str:
     return "ckpt-" + hashlib.md5(checkpoint.encode()).hexdigest()[:12]
 
 
-def _producer_has_commits(spark, base: str, producer_id: str, fs) -> bool:
-    """True iff any surviving commit at ``base`` carries an idempotency
-    key namespaced by ``producer_id`` — one marker walk through the
-    commit-log checkpoint, same cost shape as an idempotency miss."""
+def _resolve_producer_identity(
+    spark, base: str, derived: str, legacy: str, fs
+) -> str:
+    """Pick the stream identity when the canonical (``derived``) and
+    verbatim (``legacy``) checkpoint hashes differ. ONE marker walk
+    through the commit-log checkpoint (same cost shape as an
+    idempotency miss): the identity carried by the MOST RECENT
+    surviving commit wins. That ordering matters — a deployment that
+    already runs under the derived id but still retains
+    pre-normalization commits must NOT be flipped back to legacy, or
+    the next restart-replayed micro-batch (keyed ``derived:<batch>``)
+    would stop being recognized as a replay and double-land (ADVICE
+    r12). Legacy wins only when it alone has ever committed — the
+    one-time upgrade-continuity case. No commits under either →
+    derived (fresh table, canonical identity)."""
     from vector_db_setup_spark.sources.snapshot_table import (
         _infos_for,
         _resolve_fs,
@@ -96,13 +110,20 @@ def _producer_has_commits(spark, base: str, producer_id: str, fs) -> bool:
     try:
         versions = committed_versions(spark, base, fs)
     except FileNotFoundError:
-        return False  # table doesn't exist yet — nothing to migrate
-    prefix = producer_id + ":"
-    infos = _infos_for(spark, base, versions, fs, live_head=max(versions, default=None))
-    return any(
-        str(info.get("idempotency_key") or "").startswith(prefix)
-        for info in infos.values()
+        return derived  # table doesn't exist yet — nothing to migrate
+    infos = _infos_for(
+        spark, base, versions, fs, live_head=max(versions, default=None)
     )
+    best_version = None
+    best_identity = derived
+    for version, info in infos.items():
+        key = str(info.get("idempotency_key") or "")
+        for identity in (derived, legacy):
+            if key.startswith(identity + ":") and (
+                best_version is None or version > best_version
+            ):
+                best_version, best_identity = version, identity
+    return best_identity
 
 
 def make_snapshot_batch_lander(
@@ -181,15 +202,19 @@ def snapshot_sink(
         # derive_producer_id.
         producer_id = derive_producer_id(checkpoint)
         legacy = legacy_producer_id(checkpoint)
-        if legacy != producer_id and _producer_has_commits(
-            stream_df.sparkSession, base, legacy, lander_kwargs.get("fs")
-        ):
-            # one-time upgrade continuity: this table already holds
-            # commits under the pre-normalization identity for this
-            # exact spelling — keep it, or the first restart-replayed
-            # micro-batch would land under a new identity and
-            # double-land exactly once (derive_producer_id docstring)
-            producer_id = legacy
+        if legacy != producer_id:
+            # upgrade continuity: keep whichever identity this table
+            # MOST RECENTLY committed under — legacy only when it alone
+            # has history; a table already running under the derived id
+            # is never flipped back (derive_producer_id docstring,
+            # _resolve_producer_identity for the ordering argument)
+            producer_id = _resolve_producer_identity(
+                stream_df.sparkSession,
+                base,
+                producer_id,
+                legacy,
+                lander_kwargs.get("fs"),
+            )
     lander = make_snapshot_batch_lander(
         base, producer_id=producer_id, **lander_kwargs
     )
