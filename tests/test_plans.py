@@ -524,3 +524,43 @@ def test_r12_rotation_queries_plan_shapes(spark):
     dq = executed_plan(q.dedup_keepers_by_quality(spark, SF_ORACLE))
     assert "SinglePartition" not in dq, dq
     assert "Cartesian" not in dq, dq
+
+
+def test_r13_rotation_queries_plan_shapes(spark):
+    """The four r13-rotated-in driver rows (PLANS.md r13 sections):
+    quantized_knn's fit reaches the corpus by a 1-row broadcast cross
+    (never a corpus shuffle) and both top-k stages compile to
+    TakeOrderedAndProject; ivf_cluster_sizes / lsh_bucket_counts are
+    pure map-stage assignments against literals with zero
+    SinglePartition; orders_sample_stats samples by an md5 Filter on
+    the scan (no Sample operator) and its only SinglePartition carries
+    the one summary row."""
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    qk = executed_plan(q.quantized_knn(spark, SF_ORACLE))
+    assert qk.count("TakeOrderedAndProject") == 2, qk  # approx + rerank
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in qk, qk
+    # the only SinglePartition is the 1-row min/max fit aggregate
+    assert qk.count("Exchange SinglePartition") == 1, qk
+    # the 128 per-dimension min/max partials are elided after the
+    # first ~25 ("... N more fields") — partial_min proves the
+    # map-side combine either way
+    assert "partial_min" in qk, qk
+    # the corpus is never hash-shuffled
+    assert "Exchange hashpartitioning" not in qk, qk
+
+    for name in ("ivf_cluster_sizes", "lsh_bucket_counts"):
+        plan = executed_plan(getattr(q, name)(spark, SF_ORACLE))
+        assert "SinglePartition" not in plan, (name, plan)
+        assert "Join" not in plan, (name, plan)  # literals, not a dim
+        assert "partial_count" in plan, (name, plan)  # map-side combine
+
+    ss = executed_plan(q.orders_sample_stats(spark, SF_ORACLE))
+    assert "Sample" not in ss, ss  # md5 membership, not DataFrame.sample
+    assert "partial_avg" in ss and "partial_count" in ss, ss
+    assert ss.count("Exchange SinglePartition") == 1, ss
+    scans = [ln for ln in ss.splitlines() if "FileScan parquet" in ln]
+    # scan prunes to the two referenced columns
+    assert scans and all(
+        "o_orderdate" not in ln and "o_comment" not in ln for ln in scans
+    ), ss

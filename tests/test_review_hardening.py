@@ -1488,3 +1488,74 @@ def test_snapshot_sink_never_flips_back_to_legacy_identity(
         )
         == derived
     )
+
+
+def test_bloom_group_counts_refuses_reserved_names(spark):
+    """ADVICE r12 (low): bloom_probe_group_counts lacked bloom_probe's
+    reserved-name clash guard — group_col='_idx' silently grouped by
+    the probe's word index and returned wrong counts."""
+    import vector_db_setup_spark.operators.bloom as bloom
+    from vector_db_setup_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe_group_counts,
+    )
+
+    assert "bloom_probe_group_counts" in bloom.__all__
+    words = bloom_build(
+        spark.createDataFrame([("a",)], "item string"),
+        "item", num_bits=1 << 12, k=3,
+    )
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", "b")], "_idx string, item string"
+    )
+    with pytest.raises(ValueError, match="_idx"):
+        bloom_probe_group_counts(
+            df, "item", "_idx", words, num_bits=1 << 12, k=3
+        )
+    with pytest.raises(ValueError, match="n_total"):
+        bloom_probe_group_counts(
+            df.withColumnRenamed("_idx", "n_total"),
+            "item", "n_total", words, num_bits=1 << 12, k=3,
+        )
+    # a clean shape still computes exact counts
+    out = bloom_probe_group_counts(
+        df.withColumnRenamed("_idx", "grp"),
+        "item", "grp", words, num_bits=1 << 12, k=3,
+    ).collect()
+    assert [(r["grp"], r["n_total"], r["n_hit"]) for r in out] == [
+        ("g", 2, 1)
+    ]
+
+
+def test_asof_join_carries_map_payload(spark):
+    """ADVICE r12 (low): a MapType payload column made the window
+    orderBy fail analysis ('data type is not orderable'). Maps are now
+    carried but excluded from the tie-break; orderable columns still
+    break duplicate-(key,time) ties deterministically."""
+    from vector_db_setup_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [("k", 10), ("k", 5)], "k string, t long"
+    )
+    right = spark.createDataFrame(
+        [("k", 7, "x", {"a": "1"}), ("k", 2, "y", {"b": "2"})],
+        "k string, t long, v string, props map<string,string>",
+    )
+    out = {
+        r["t"]: (r["asof_v"], r["asof_props"])
+        for r in asof_join(
+            left, right, "k", "t", "t", ["v", "props"]
+        ).collect()
+    }
+    assert out[10] == ("x", {"a": "1"})
+    assert out[5] == ("y", {"b": "2"})
+    # deterministic tie-break on the orderable column still holds with
+    # a map riding along: greatest v wins among duplicate timestamps
+    right2 = spark.createDataFrame(
+        [("k", 7, "a", {"m": "1"}), ("k", 7, "z", {"m": "2"})],
+        "k string, t long, v string, props map<string,string>",
+    )
+    got = asof_join(
+        left, right2, "k", "t", "t", ["v", "props"]
+    ).filter(F.col("t") == 10).collect()[0]
+    assert got["asof_v"] == "z" and got["asof_props"] == {"m": "2"}

@@ -50,9 +50,25 @@ from pyspark.sql import functions as F
 __all__ = [
     "bloom_build",
     "bloom_probe",
+    "bloom_probe_group_counts",
     "bloom_merge",
     "bloom_update_from_changes",
 ]
+
+# probe-internal working names: silently shadowed by withColumn if the
+# caller's data uses them, so both probes refuse them up front
+_PROBE_RESERVED = frozenset(
+    {"_pos", "_i", "_idx", "_mask", "_hit", "_widx", "_word"}
+)
+
+
+def _refuse_reserved(fn: str, cols, extra=()) -> None:
+    clash = (_PROBE_RESERVED | set(extra)) & set(cols)
+    if clash:
+        raise ValueError(
+            f"{fn} reserves column names {sorted(clash)}; "
+            "rename them on the input first"
+        )
 
 
 def _positions(df: DataFrame, item_col: str, num_bits: int, k: int) -> DataFrame:
@@ -118,14 +134,7 @@ def bloom_probe(
     negatives). Probe cost: k rows per input row joined against the
     word table (broadcast when it fits, keyed shuffle when it does
     not), then one groupBy back over the input's own columns."""
-    reserved = {"_pos", "_i", "_idx", "_mask", "_hit", "_widx",
-                "_word", "__bloom_rid"}
-    clash = reserved & set(df.columns)
-    if clash:
-        raise ValueError(
-            f"bloom_probe reserves column names {sorted(clash)}; "
-            "rename them on the input first"
-        )
+    _refuse_reserved("bloom_probe", df.columns, extra=("__bloom_rid",))
     wt = words.select(F.col("idx").alias("_widx"), F.col("word").alias("_word"))
     if broadcast:
         wt = F.broadcast(wt)
@@ -188,6 +197,14 @@ def bloom_probe_group_counts(
     (group, item) inputs are safe without a pre-distinct: duplicates
     share the same probe bits, so sum(hit) == count(rows) still means
     "all k bits set"."""
+    # same clash guard as bloom_probe (ADVICE r12: group_col='_idx'
+    # silently grouped by the probe's word index), plus this probe's
+    # own working/output names
+    _refuse_reserved(
+        "bloom_probe_group_counts",
+        (group_col, item_col),
+        extra=("_member", "n_total", "n_hit"),
+    )
     wt = words.select(
         F.col("idx").alias("_widx"), F.col("word").alias("_word")
     )

@@ -23,6 +23,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt) -> bool:
+    """True iff Spark defines an ordering over the type (maps — and
+    anything containing one — cannot appear in a sort key)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def asof_join(
@@ -42,18 +55,32 @@ def asof_join(
     matching ASOF's inclusive <=.
 
     DUPLICATE right rows at the same (key, right_time): the carried
-    payload is the GREATEST (right_time, *payload) struct — a
-    deterministic tie-break (field-wise struct ordering) where a bare
-    (time, side) sort would carry whichever duplicate happened to sort
-    last that run. DuckDB's native ASOF leaves the same tie
-    implementation-defined, so an oracle comparison on data with
-    duplicate (key, time) right rows is inherently unstable — dedup
-    the right side first when that matters.
+    payload is the GREATEST (right_time, *payload) struct over the
+    ORDERABLE payload columns — a deterministic tie-break (field-wise
+    struct ordering) where a bare (time, side) sort would carry
+    whichever duplicate happened to sort last that run. Non-orderable
+    payload columns (maps, or structs/arrays containing them) are
+    carried but excluded from the tie-break (Spark defines no ordering
+    over them — ADVICE r12: putting them in the sort key failed
+    analysis); duplicates distinguished ONLY by such a column remain
+    implementation-defined, same as DuckDB's native ASOF — dedup the
+    right side first when that matters.
     """
     r_struct = F.struct(
         F.col(right_time).alias("__rt"), *[F.col(c) for c in right_payload]
     )
     r_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
+    # tie-break struct: only payload columns Spark can sort (a MapType
+    # in the window orderBy is an analysis error, not a slow path)
+    sortable = [
+        c
+        for c in right_payload
+        if _orderable(right.schema[c].dataType)
+    ]
+    s_struct = F.struct(
+        F.col(right_time).alias("__rt"), *[F.col(c) for c in sortable]
+    )
+    s_type = right.select(s_struct.alias("__rs")).schema["__rs"].dataType
 
     l2 = left.select(
         F.col(key),
@@ -61,6 +88,7 @@ def asof_join(
         F.lit(1).alias("__side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
         F.lit(None).cast(r_type).alias("__r"),
+        F.lit(None).cast(s_type).alias("__rs"),
     )
     r2 = right.select(
         F.col(key),
@@ -68,12 +96,14 @@ def asof_join(
         F.lit(0).alias("__side"),
         F.lit(None).cast(l2.schema["__l"].dataType).alias("__l"),
         r_struct.alias("__r"),
+        s_struct.alias("__rs"),
     )
-    # __r as the final sort key: among right rows sharing (key, time)
-    # the LAST one wins last(ignorenulls), so order them by the payload
-    # struct itself — deterministic, run-stable. Left rows (__r null,
-    # __side=1) sort after every same-time right row regardless.
-    w = Window.partitionBy(key).orderBy("__t", "__side", "__r").rowsBetween(
+    # __rs as the final sort key: among right rows sharing (key, time)
+    # the LAST one wins last(ignorenulls), so order them by the
+    # orderable payload projection — deterministic, run-stable. Left
+    # rows (__rs null, __side=1) sort after every same-time right row
+    # regardless.
+    w = Window.partitionBy(key).orderBy("__t", "__side", "__rs").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     carried = (

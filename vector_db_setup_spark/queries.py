@@ -60,7 +60,8 @@ def register(name: str, oracle: str | None = None):
 # gate.
 _DRIVER_PRIORITY = [
     "knn_l2_flagship", "sql_vector_knn", "batch_knn",
-    "knn_per_lang", "pq_adc_distances",
+    "knn_per_lang", "pq_adc_distances", "quantized_knn",
+    "ivf_cluster_sizes", "lsh_bucket_counts",
     "pricing_summary", "top_customers", "regional_revenue",
     "doc_count", "doc_sample", "lm_perplexity_buckets",
     "duplicate_spans", "dedup_exact_groups", "leakage_safe_split",
@@ -68,13 +69,13 @@ _DRIVER_PRIORITY = [
     "corpus_span_clean", "asof_purchase_click",
     "dedup_keepers", "corpus_curation_verdict",
     "dedup_keepers_by_quality", "semdedup_doc_keepers",
-    "doc_chunking", "context_packing",
-    "bm25_scores", "doc_winnow_fingerprints", "doc_pii_scrub",
+    "context_packing",
+    "bm25_scores", "doc_pii_scrub",
     "simhash_hamming_topk",
     "embedding_similar_topk", "rrf_fusion_per_query",
     "data_quality_report", "lang_id_detect",
-    "purchase_attribution", "dsir_resampled",
-    "stratified_eval_sample",
+    "dsir_resampled",
+    "stratified_eval_sample", "orders_sample_stats",
     "mixture_weights_temperature",
     "source_caps",
     "customer_order_windows", "events_tumbling", "events_sessionize",
@@ -82,7 +83,7 @@ _DRIVER_PRIORITY = [
     "benchmark_overlap_bloom",
     "corpus_merge_view", "doc_shingles_udtf",
     "fever_pipeline", "fever_accuracy", "multimodal_byte_stats",
-    "price_quantiles", "events_session_window", "events_sliding",
+    "events_session_window", "events_sliding",
 ]
 # r5 rotation (documented, not silent; VERDICT r4 item 4): IN
 # doc_winnow_fingerprints, doc_pii_scrub, event_funnel, token_budgets
@@ -259,6 +260,25 @@ _DRIVER_PRIORITY = [
 # family keeps semdedup_doc_keepers, the cluster-partitioned at-scale
 # form) and rrf_fusion (superseded in-window by rrf_fusion_per_query).
 # All four rotated-out queries remain green in the local parity gate.
+#
+# r13 rotation (same contract; VERDICT r12 item 2): IN quantized_knn
+# (the int8-SQ fit/encode/decode/margin/rerank pipeline — exact-oracled
+# since r12, never a driver row), ivf_cluster_sizes (the IVF assignment
+# path against shared seeded centroid literals — exact-oracled since
+# r12; the ADVICE r12 literal-embedding fix landed this round),
+# lsh_bucket_counts (sign-bit LSH bucketing against embedded plane
+# literals — exact-oracled since r12) and orders_sample_stats
+# (md5-membership sampling, partition-layout-independent — exact-oracled
+# since r12) — OUT doc_chunking (the chunking family stays
+# driver-exercised through context_packing, which consumes chunk
+# geometry end-to-end), doc_winnow_fingerprints (the fingerprinting
+# family keeps simhash_hamming_topk + minhash_lsh_candidates driver
+# rows), price_quantiles (in since r11, two green rounds; the
+# profiling family keeps data_quality_report and the exact-percentile
+# parity stays pinned in the local gate) and purchase_attribution (in
+# since r8, long green; the window family keeps customer_order_windows
+# + event_funnel + source_caps). All four rotated-out queries remain
+# green in the local parity gate.
 
 
 def _ordered(d: dict) -> dict:
@@ -2432,65 +2452,62 @@ _EMB_DIM = 64  # the fixture embedding width (TESTDATA.md) — the LSH
 # different-width table breaks query and oracle together (visibly)
 
 
-@register(
-    "ivf_cluster_sizes",
-    f"""
-    WITH idx AS (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i),
-    elem AS (
-        SELECT e.vec_id, s.i, e.embedding[s.i]::DOUBLE AS v
-        FROM embeddings e CROSS JOIN idx s
-    ),
-    cents AS (
-        SELECT vec_id % 8 AS cid, i, round(avg(v), 6) AS cv
-        FROM elem GROUP BY 1, 2
-    ),
-    clist AS (SELECT cid, list(cv ORDER BY i) AS cent FROM cents GROUP BY cid),
+def _ivf_oracle_centroids() -> list[list[float]]:
+    """8 seeded pseudo-random unit centroids, rounded to 6dp — ONE set
+    of constants both engines assign against (the _lsh_oracle_sql
+    pattern). ADVICE r12: the previous form had each engine
+    independently compute round(avg(embedding[i]), 6) — different
+    summation orders, so a mean landing on a 6-dp rounding boundary
+    could yield different centroid literals. Deterministic for fixed
+    (dim, k, seed), scale-factor-independent, and unit-normalized so
+    the argmin spreads across clusters on unit-ish embeddings."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    c = rng.standard_normal((8, _EMB_DIM))
+    c /= np.linalg.norm(c, axis=1, keepdims=True)
+    return [[round(float(x), 6) for x in row] for row in c]
+
+
+def _ivf_oracle_sql() -> str:
+    cents = _ivf_oracle_centroids()
+    clist = ", ".join(
+        "(%d, [%s])" % (cid, ", ".join(repr(v) for v in row))
+        for cid, row in enumerate(cents)
+    )
+    return f"""
+    WITH clist(cid, cent) AS (VALUES {clist}),
     assign AS (
         SELECT e.vec_id, c.cid,
                row_number() OVER (
                    PARTITION BY e.vec_id
-                   ORDER BY list_distance(e.embedding::DOUBLE[], c.cent),
+                   ORDER BY list_distance(e.embedding::DOUBLE[],
+                                          c.cent::DOUBLE[]),
                             c.cid
                ) AS rn
         FROM embeddings e CROSS JOIN clist c
     )
     SELECT CAST(cid AS INT) AS cluster_id, CAST(count(*) AS BIGINT) AS n_vectors
     FROM assign WHERE rn = 1 GROUP BY cid ORDER BY cid
-    """,
-)
+    """
+
+
+@register("ivf_cluster_sizes", _ivf_oracle_sql())
 def ivf_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF assignment + per-cluster cardinality (SURVEY.md §2.9 V6),
-    EXACT-oracled (VERDICT r11 item 4): centroids are DETERMINISTIC
-    data-derived means over hash partitions (vec_id % 8), rounded to
-    6dp so both engines assign against bit-identical literals — the
-    same literal-centroid trick semdedup_doc_keepers uses. This
-    exact-oracles the assignment path (distance + argmin with the
-    lowest-id tie-break) end to end; the iterative KMeans FIT stays
-    rows-only where it belongs (ivf_knn / ivfpq_knn /
-    embedding_ivf_pairs; recall asserted in tests/test_ann.py).
-
-    The centroid collect is k=8 rows of 64 doubles — bounded, the
-    broadcast-kernel pattern every ANN entry uses."""
+    EXACT-oracled (VERDICT r11 item 4): centroids are ONE set of
+    seeded literals embedded in both the Spark plan and the DuckDB
+    oracle (_ivf_oracle_centroids — ADVICE r12 replaced the
+    independently-rounded data-derived means). This exact-oracles the
+    assignment path (distance + argmin with the lowest-id tie-break)
+    end to end; the iterative KMeans FIT stays rows-only where it
+    belongs (ivf_knn / ivfpq_knn / embedding_ivf_pairs; recall
+    asserted in tests/test_ann.py)."""
     from vector_db_setup_spark.operators.ann import ivf_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = _EMB_DIM
-    cents_rows = (
-        emb.groupBy((F.col("vec_id") % 8).alias("cid"))
-        .agg(
-            *[
-                F.round(
-                    F.avg(F.col("embedding")[i].cast("double")), 6
-                ).alias(f"c{i}")
-                for i in range(dim)
-            ]
-        )
-        .orderBy("cid")
-        .collect()
-    )
-    cents = [[r[f"c{i}"] for i in range(dim)] for r in cents_rows]
     return (
-        ivf_assign(emb, cents)
+        ivf_assign(emb, _ivf_oracle_centroids())
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cluster_id")

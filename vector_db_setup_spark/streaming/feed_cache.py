@@ -41,7 +41,11 @@ commit that introduced it), so a request for (from, to] inside an
 already-assembled (a, b] derives by a version filter, zero extra
 assembly (``cover_hits`` in the counters). Order matters: the widest
 range must be requested first to cover the rest; a wider-after-narrow
-request assembles its own feed.
+request assembles its own feed. ``maintenance_cycle`` removes the
+ordering hazard by PREWARMING the union (min subscriber cursor, head]
+range before any drain runs (``prewarm``), so one assembly per key
+column is deterministic even when ``parallel_drains`` randomizes which
+drain reaches the cache first.
 
 FALLBACK: if the shared assembly itself fails (e.g. a merge_schema
 boundary where carrying every column is impossible, or a GC'd range),
@@ -49,10 +53,20 @@ the range is marked failed and every request passes through to a
 verbatim narrow ``snapshot_changes`` call — behavior identical to no
 cache, including the error the consumer would have seen.
 
-SCOPE: one active cycle per process (``maintenance_cycle`` activates
-the cache around its drain loop; activation is module-global, not
+SCOPE: the active caches live in a module-global registry (not
 thread-local, because drains apply inside streaming foreachBatch
-threads). Outside an active cycle ``cdc_changes`` is a pass-through.
+threads), keyed by the cycle's source-table path. Concurrent cycles
+over DIFFERENT tables — a scheduler maintaining several independent
+snapshot tables in one process — each get their own cache (ADVICE
+r12: this used to hard-fail on the second cycle); nested or
+concurrent cycles on the SAME scope share one refcounted cache whose
+persisted feeds are freed only when the last cycle exits. Scoping is
+by the exact ``base`` string the cycle was opened with — a drain
+spelling the source path differently simply misses the cache and
+runs its verbatim narrow call (correct, just unshared). A bare
+``cycle()`` registers a wildcard scope serving every source (the
+standalone/test form); per-base scopes take precedence over it.
+Outside any active cycle ``cdc_changes`` is a pass-through.
 
 COST SHAPE of carrying every column: the shared feed moves the DELTA
 (batch dirs + pruned pre-image probes), so the extra columns cost
@@ -68,11 +82,22 @@ the cycle (pass-through narrows per consumer).
 from __future__ import annotations
 
 import contextlib
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_ACTIVE: "CycleFeedCache | None" = None
+# scope (source base path, or None = wildcard) -> [cache, refcount];
+# every mutation AND lookup under _REGISTRY_LOCK, so cycle activation
+# is atomic (VERDICT r12) and a cache is never observed half-installed
+_REGISTRY: dict[str | None, list] = {}
+_REGISTRY_LOCK = threading.Lock()
+
+
+def _active_cache_for(base: str) -> "CycleFeedCache | None":
+    with _REGISTRY_LOCK:
+        entry = _REGISTRY.get(base) or _REGISTRY.get(None)
+        return entry[0] if entry is not None else None
 
 
 def _fs_key(fs) -> int | None:
@@ -85,8 +110,6 @@ class CycleFeedCache:
     a cycle should LOG how much assembly it shared, not just run."""
 
     def __init__(self) -> None:
-        import threading
-
         self._supersets: dict[tuple, tuple[DataFrame, list[str]]] = {}
         self._failed: set[tuple] = set()
         self._ops_ok: set[tuple] = set()
@@ -198,6 +221,74 @@ class CycleFeedCache:
         self.assemblies += 1
         self._supersets[skey] = (feed, carry_all)
         return feed, carry_all
+
+    # -- up-front union assembly --
+
+    def prewarm(self, spark, base, subscriber_states, fs=None) -> int:
+        """Assemble the UNION range the cycle's subscribers will need,
+        BEFORE any drain runs: read each subscriber state's cursor and
+        key column from its newest marker meta and assemble
+        (min cursor, head] once per key column. This makes
+        ``feed_assemblies == 1`` deterministic under
+        ``parallel_drains`` — without it, whichever drain wins the
+        cache lock assembles first, so a laggard losing the race to a
+        head-cursor subscriber pays a second assembly for its wider
+        range in some runs and none in others (VERDICT r12). Strictly
+        best-effort and semantics-free: an unreadable or cursor-less
+        state is skipped (its drain assembles on demand, exactly as
+        before), and derivation never consults anything prewarm wrote
+        beyond the ordinary superset entries. Returns the number of
+        ranges assembled."""
+        from vector_db_setup_spark.sources import snapshot_table as st
+
+        try:
+            vs = st.committed_versions(spark, base, fs)
+        except Exception:
+            return 0  # source missing/unreadable: drains will say why
+        if not vs:
+            return 0
+        head = max(vs)
+        froms: dict[str, int] = {}
+        for state in subscriber_states or []:
+            try:
+                svs = st.committed_versions(spark, state, fs)
+                if not svs:
+                    continue  # unbootstrapped: first drain reads head
+                meta = (
+                    st.snapshot_info(spark, state, max(svs), fs).get(
+                        "meta"
+                    )
+                    or {}
+                )
+            except Exception:
+                continue
+            key = meta.get("key_col")
+            src = meta.get("source_base")
+            if not key or (src is not None and src != base):
+                continue
+            # same cursor semantics as snapshot_table.subscriber_cursor
+            if "through_version" in meta:
+                cur = int(meta["through_version"])
+            elif (
+                meta.get("source_appended_through") is not None
+                and meta.get("source_deleted_through") is not None
+            ):
+                cur = min(
+                    int(meta["source_appended_through"]),
+                    int(meta["source_deleted_through"]),
+                )
+            else:
+                continue
+            froms[key] = min(froms.get(key, cur), cur)
+        warmed = 0
+        with self._lock:
+            for key, from_v in froms.items():
+                if from_v < head and (
+                    self._superset(spark, base, key, from_v, head, fs)
+                    is not None
+                ):
+                    warmed += 1
+        return warmed
 
     # -- derivation --
 
@@ -363,11 +454,13 @@ def cdc_changes(
     allowed_ops=None,
     change_encoding: str = "changed",
 ) -> DataFrame:
-    """The maintainers' feed entry point: inside an active cycle the
+    """The maintainers' feed entry point: inside an active cycle whose
+    scope covers ``base`` (exact-path scope, else the wildcard) the
     shared-assembly cache serves the request; otherwise a verbatim
     ``snapshot_changes`` call — standalone drains are unchanged."""
-    if _ACTIVE is not None:
-        return _ACTIVE.changes(
+    cache = _active_cache_for(base)
+    if cache is not None:
+        return cache.changes(
             spark, base, key_col, from_version, to_version,
             fs=fs, columns=columns, carry_columns=carry_columns,
             allowed_ops=allowed_ops, change_encoding=change_encoding,
@@ -383,21 +476,31 @@ def cdc_changes(
 
 
 @contextlib.contextmanager
-def cycle():
-    """Activate a fresh CycleFeedCache for the duration (module-global
-    so foreachBatch threads see it). Non-reentrant by design — a
-    nested cycle would let the outer close() unpersist feeds the inner
-    one still references."""
-    global _ACTIVE
-    if _ACTIVE is not None:
-        raise RuntimeError(
-            "a maintenance cycle's feed cache is already active — "
-            "cycles are one-at-a-time per process"
-        )
-    cache = CycleFeedCache()
-    _ACTIVE = cache
+def cycle(base: str | None = None):
+    """Activate a CycleFeedCache scoped to ``base`` for the duration
+    (registry is module-global so foreachBatch threads see it; see the
+    module docstring's SCOPE section). ``base=None`` registers the
+    wildcard scope serving every source. Activation is atomic, and
+    the registry is refcounted per scope: concurrent cycles over
+    different tables are independent (they used to hard-fail —
+    ADVICE r12), while nested/concurrent cycles on the same scope
+    share ONE cache whose persisted feeds are freed only when the
+    LAST holder exits — an outer close() must never unpersist feeds
+    an inner cycle still references."""
+    with _REGISTRY_LOCK:
+        entry = _REGISTRY.get(base)
+        if entry is None:
+            entry = [CycleFeedCache(), 0]
+            _REGISTRY[base] = entry
+        entry[1] += 1
+        cache = entry[0]
     try:
         yield cache
     finally:
-        _ACTIVE = None
-        cache.close()
+        with _REGISTRY_LOCK:
+            entry[1] -= 1
+            last = entry[1] == 0
+            if last:
+                _REGISTRY.pop(base, None)
+        if last:
+            cache.close()
