@@ -144,6 +144,20 @@ def read_count_min_sketch(binary: bytes) -> CountMinSketch:
     if version != 1:
         raise ValueError(f"unsupported CountMinSketch version {version}")
     total, depth, width = struct.unpack_from(">qii", binary, 4)
+    # header sanity BEFORE sizing allocations from it: a truncated or
+    # corrupt binary must raise here, not unpack garbage rows or build
+    # a zero-row sketch whose estimate_string would min() over nothing
+    # (r13 review pass)
+    if depth <= 0 or width <= 0:
+        raise ValueError(
+            f"corrupt CountMinSketch header: depth={depth} width={width}"
+        )
+    need = 4 + 8 + 4 + 4 + 8 * depth + 8 * depth * width
+    if len(binary) < need:
+        raise ValueError(
+            f"truncated CountMinSketch: {len(binary)} bytes, header "
+            f"({depth}x{width}) needs {need}"
+        )
     off = 4 + 8 + 4 + 4
     off += 8 * depth  # skip hashA (numeric-item hashing only)
     table = []

@@ -40,12 +40,16 @@ _FUNCS: dict[str, str] = {
     "negative_inner_product": (
         f"(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN -({_DOT})"
     ),
-    # pgvector `<=>` = 1 - cosine similarity
+    # pgvector `<=>` = 1 - cosine similarity. nullif on the norm
+    # product: a zero vector yields NULL, matching the DataFrame twin
+    # (functions/vector.py cosine_similarity) — without it ANSI mode
+    # raises DIVIDE_BY_ZERO, so ONE zero vector in the corpus would
+    # crash every SQL cosine query (r13 review pass)
     "cosine_distance": (
         "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE RETURN "
-        f"1.0D - {_DOT} / "
-        "(sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)) * "
-        "sqrt(aggregate(zip_with(b, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)))"
+        f"1.0D - {_DOT} / nullif("
+        "sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)) * "
+        "sqrt(aggregate(zip_with(b, b, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)), 0.0D)"
     ),
     "vector_dims": "(a ARRAY<DOUBLE>) RETURNS INT RETURN size(a)",
     "vector_norm": (

@@ -30,12 +30,54 @@ def rollup_level(
     )
 
 
+_UNIT_SECONDS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
+
+
+def _window_seconds(window: str) -> int | None:
+    """Parse a Spark interval string ('1 hour', '90 minutes',
+    '1 day 6 hours') to seconds; None for forms this parser doesn't
+    know (sub-second, months — the caller then skips the alignment
+    check rather than guessing)."""
+    total = 0
+    toks = window.strip().lower().split()
+    if len(toks) % 2:
+        return None
+    for n, unit in zip(toks[::2], toks[1::2]):
+        unit = unit.rstrip("s")
+        if unit not in _UNIT_SECONDS or not n.isdigit():
+            return None
+        total += int(n) * _UNIT_SECONDS[unit]
+    return total or None
+
+
 def cascade(
-    finer: DataFrame, window: str, bucket_col: str = "bucket"
+    finer: DataFrame,
+    window: str,
+    bucket_col: str = "bucket",
+    finer_window: str | None = None,
 ) -> DataFrame:
     """Next-coarser level from a finer rollup's partials: re-bucket the
     finer bucket timestamps and re-sum counts/sums. Never touches raw
-    data."""
+    data.
+
+    CORRECT ONLY when the coarser window is an integer multiple of the
+    finer one: each finer bucket is attributed to the coarser window
+    containing its START, so a misaligned cascade (hourly → '90
+    minutes') silently books a straddling bucket's whole count to one
+    side (r13 review pass). Pass ``finer_window`` (the string the finer
+    level was built with) to have that checked up front; omitted, the
+    caller owns the alignment invariant."""
+    if finer_window is not None:
+        fine_s, coarse_s = _window_seconds(finer_window), _window_seconds(window)
+        if fine_s and coarse_s and coarse_s % fine_s != 0:
+            raise ValueError(
+                f"cascade window {window!r} is not an integer multiple "
+                f"of the finer level's {finer_window!r} — a finer "
+                "bucket would straddle two coarser windows and its "
+                "whole count would silently land on one side"
+            )
     return (
         finer.groupBy(F.window(bucket_col, window).alias("w"), "event_type")
         .agg(

@@ -41,6 +41,15 @@ def salted_join(
             f"salted_join supports inner/left joins only, got {how!r} "
             "(outer-preserved dim rows would duplicate per salt)"
         )
+    # withColumn would silently OVERWRITE a caller's __salt column and
+    # join on corrupted salts (r13 review pass — same clash class as
+    # bloom_probe's reserved names)
+    clash = [d for d in (fact, dim) if "__salt" in d.columns]
+    if clash:
+        raise ValueError(
+            "salted_join reserves the column name '__salt'; rename it "
+            "on the input first"
+        )
     if hot_keys is None:
         fact_s = fact.withColumn(
             "__salt", (F.rand(seed=42) * n_salts).cast("int")

@@ -3000,7 +3000,7 @@ def events_daily_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     hourly = rollup_level(ev, "1 hour")
-    daily = cascade(hourly, "1 day")
+    daily = cascade(hourly, "1 day", finer_window="1 hour")
     # avg derived from the ROUNDED sum: 2-decimal data / power-of-two
     # counts produces exact 6dp rounding ties, where float noise in the
     # raw sum decides the side differently per engine; rounding first

@@ -49,7 +49,18 @@ def read_csv(
 
 
 def write_csv(
-    df: DataFrame, path: str, header: bool = True, mode: str = "overwrite"
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    mode: str = "overwrite",
+    delimiter: str = ",",
 ) -> None:
-    """Distributed CSV sink (one file per partition)."""
-    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+    """Distributed CSV sink (one file per partition). ``delimiter``
+    mirrors read_csv's — a round-trip through a non-comma dialect used
+    to write commas regardless (r13 review pass)."""
+    (
+        df.write.mode(mode)
+        .option("header", str(header).lower())
+        .option("delimiter", delimiter)
+        .csv(path)
+    )
