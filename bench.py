@@ -66,6 +66,11 @@ EXTENDED = [
     "dedup_keepers_by_quality",
     "rrf_fusion_per_query",
     "knn_per_lang",
+    # r13 rotation (driver-window additions)
+    "quantized_knn",
+    "ivf_cluster_sizes",
+    "lsh_bucket_counts",
+    "orders_sample_stats",
 ]
 
 
@@ -198,7 +203,10 @@ def main() -> None:
     except Exception:
         pass
     load_stamps_2: dict[str, float] = {}
-    for name in HEADLINE:
+    # the EXTENDED set gets the same min-of-2 treatment (VERDICT r12
+    # item 8): extended-row round comparisons used to need calibration
+    # arithmetic because their single-shot colds carried host noise
+    for name in HEADLINE + EXTENDED:
         if timings.get(name, -1.0) < 0:
             continue
         load_stamps_2[name] = round(os.getloadavg()[0], 2)
@@ -211,7 +219,7 @@ def main() -> None:
     cold_min = {
         name: min(t, cold2.get(name, t))
         for name, t in timings.items()
-        if name in HEADLINE and t >= 0
+        if t >= 0
     }
 
     # second phase: steady-state (plan codegen + Python worker pool
@@ -246,7 +254,12 @@ def main() -> None:
         "queries": timings,
         "queries_cold2": cold2,
         "queries_cold_min": cold_min,
-        "value_cold_min": round(sum(cold_min.values()), 3),
+        "value_cold_min": round(
+            sum(t for n, t in cold_min.items() if n in HEADLINE), 3
+        ),
+        "value_extended_cold_min": round(
+            sum(t for n, t in cold_min.items() if n in EXTENDED), 3
+        ),
         "queries_load_1m": load_stamps,
         "queries_load_1m_pass2": load_stamps_2,
         "sf": sf,
@@ -292,6 +305,7 @@ def main() -> None:
             n: t for n, t in timings.items() if n in HEADLINE
         },
         "value_cold_min": out["value_cold_min"],
+        "value_extended_cold_min": out["value_extended_cold_min"],
         "load_avg_1m": out["load_avg_1m"],
         "value_warm": out["value_warm"],
         "value_extended": out["value_extended"],

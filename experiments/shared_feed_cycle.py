@@ -108,7 +108,7 @@ class _NullCache:
 
 
 @contextlib.contextmanager
-def _no_share():
+def _no_share(base=None):  # same signature as feed_cache.cycle
     yield _NullCache()
 
 

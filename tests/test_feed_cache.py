@@ -939,3 +939,52 @@ def test_parallel_drain_failures_all_surface(spark, tmp_path):
     assert sorted(ran) == ["f1", "f2", "ok"]
     notes = getattr(exc.value, "__notes__", [])
     assert any("boom-second" in n for n in notes), notes
+
+
+def test_prewarm_skips_unbootstrapped_subscribers(spark, tmp_path):
+    """An unbootstrapped subscriber (state table with no commits yet)
+    has no cursor — prewarm must skip it (its first drain reads the
+    head directly, no feed), while still pre-assembling for the
+    bootstrapped laggard. Best-effort contract: nothing raises, states
+    land correctly."""
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_agg_from_commits,
+        maintain_bloom_from_commits,
+        maintenance_cycle,
+    )
+
+    base = str(tmp_path / "src")
+    bloom_state = str(tmp_path / "state_bloom")
+    agg_state = str(tmp_path / "state_agg")  # never bootstrapped
+    bloom_drain = functools.partial(
+        maintain_bloom_from_commits, spark, base, "doc_id",
+        bloom_state, str(tmp_path / "ck_bloom"), num_bits=1 << 12, k=3,
+    )
+    agg_drain = functools.partial(
+        maintain_agg_from_commits, spark, base, agg_state,
+        str(tmp_path / "ck_agg"), group_col="grp", key_col="doc_id",
+        sum_col="val",
+    )
+    write_snapshot(
+        _docs(spark, [(1, "alpha", "a", 10), (2, "beta", "b", 20)]),
+        base,
+    )
+    bloom_drain()  # bloom bootstraps at v1
+    append_snapshot(_docs(spark, [(3, "gamma", "a", 30)]), base)
+
+    report = maintenance_cycle(
+        spark,
+        base,
+        drains=[bloom_drain, agg_drain],
+        subscriber_states=[bloom_state, agg_state],
+        parallel_drains=2,
+    )
+    assert report["drained"] == 2
+    # only bloom's (1, 2] range could be prewarmed; agg bootstraps
+    assert report["feed_prewarmed"] == 1, report
+    assert report["feed_assemblies"] == 1, report
+    got = {
+        (r["grp"], r["total"])
+        for r in read_snapshot(spark, agg_state).collect()
+    }
+    assert got == {("a", 40), ("b", 20)}
