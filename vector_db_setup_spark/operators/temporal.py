@@ -71,12 +71,17 @@ def asof_join(
     )
     r_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
     # tie-break struct: only payload columns Spark can sort (a MapType
-    # in the window orderBy is an analysis error, not a slow path)
+    # in the window orderBy is an analysis error, not a slow path).
+    # When EVERY payload column is orderable — the common case — __r
+    # itself is the sort key and no separate projection ships through
+    # the shuffle; the extra __rs column exists only when a
+    # non-orderable column must be excluded from the tie-break.
     sortable = [
         c
         for c in right_payload
         if _orderable(right.schema[c].dataType)
     ]
+    all_orderable = len(sortable) == len(right_payload)
     s_struct = F.struct(
         F.col(right_time).alias("__rt"), *[F.col(c) for c in sortable]
     )
@@ -88,7 +93,11 @@ def asof_join(
         F.lit(1).alias("__side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
         F.lit(None).cast(r_type).alias("__r"),
-        F.lit(None).cast(s_type).alias("__rs"),
+        *(
+            []
+            if all_orderable
+            else [F.lit(None).cast(s_type).alias("__rs")]
+        ),
     )
     r2 = right.select(
         F.col(key),
@@ -96,14 +105,15 @@ def asof_join(
         F.lit(0).alias("__side"),
         F.lit(None).cast(l2.schema["__l"].dataType).alias("__l"),
         r_struct.alias("__r"),
-        s_struct.alias("__rs"),
+        *([] if all_orderable else [s_struct.alias("__rs")]),
     )
-    # __rs as the final sort key: among right rows sharing (key, time)
-    # the LAST one wins last(ignorenulls), so order them by the
-    # orderable payload projection — deterministic, run-stable. Left
-    # rows (__rs null, __side=1) sort after every same-time right row
+    # the orderable projection as the final sort key: among right rows
+    # sharing (key, time) the LAST one wins last(ignorenulls), so
+    # order them by it — deterministic, run-stable. Left rows (sort
+    # struct null, __side=1) sort after every same-time right row
     # regardless.
-    w = Window.partitionBy(key).orderBy("__t", "__side", "__rs").rowsBetween(
+    sort_key = "__r" if all_orderable else "__rs"
+    w = Window.partitionBy(key).orderBy("__t", "__side", sort_key).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     carried = (
