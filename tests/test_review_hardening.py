@@ -1679,3 +1679,111 @@ def test_write_csv_honors_delimiter(spark, tmp_path):
     )
     back = read_csv(spark, out, schema, delimiter="\t").collect()
     assert [(r["id"], r["txt"]) for r in back] == [(1, "a|b")]
+
+
+def test_reserved_working_columns_never_corrupt_user_data(
+    spark, tmp_path
+):
+    """r13 review sweep over the remaining withColumn temp names
+    (bloom_probe's clash class): operators either REFUSE a colliding
+    caller column (range_join, batch_knn __rn, weak_labels,
+    incremental_dedup_stream / decontamination gate contract columns)
+    or pick a FRESH name so the caller's data rides through untouched
+    (fast-CDC _hb/_hp, z-order __z)."""
+    from vector_db_setup_spark.operators.knn import batch_knn_join
+    from vector_db_setup_spark.operators.quality_model import weak_labels
+    from vector_db_setup_spark.operators.temporal import range_join
+
+    l = spark.createDataFrame([("k", 5, 0.0)], "k string, t long, __b double")
+    r = spark.createDataFrame([("k", 3)], "k string, t long")
+    with pytest.raises(ValueError, match="__b"):
+        range_join(l, r, "k", "t", "t", 60)
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0], 9)], "doc_id long, embedding array<double>, __rn long"
+    )
+    qdf = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="__rn"):
+        batch_knn_join(qdf, corpus, k=1)
+
+    docs = spark.createDataFrame([("hello world", 1.0)], "text string, _q double")
+    with pytest.raises(ValueError, match="_q"):
+        weak_labels(docs)
+
+    from vector_db_setup_spark.streaming.events import (
+        decontamination_gate_batch,
+        incremental_dedup_stream,
+    )
+
+    src = str(tmp_path / "stream_src")
+    spark.createDataFrame(
+        [(1, "x", 0)], "doc_id long, text string, _batch int"
+    ).write.parquet(src)
+    bad_stream = spark.readStream.schema(
+        "doc_id long, text string, _batch int"
+    ).parquet(src)
+    with pytest.raises(ValueError, match="_batch"):
+        incremental_dedup_stream(
+            bad_stream,
+            spark.createDataFrame([(1, "x")], "doc_id long, text string"),
+            str(tmp_path / "out"),
+        )
+    from vector_db_setup_spark.operators.bloom import bloom_build
+
+    words = bloom_build(
+        spark.createDataFrame([("a",)], "item string"), "item",
+        num_bits=1 << 12, k=3,
+    )
+    with pytest.raises(ValueError, match="_clean"):
+        decontamination_gate_batch(
+            spark.createDataFrame(
+                [(1, "x", True)], "doc_id long, text string, _clean boolean"
+            ),
+            0, words, str(tmp_path / "gate"), num_bits=1 << 12, k=3,
+        )
+
+
+def test_fast_cdc_carries_hash_named_user_columns(spark, tmp_path):
+    """r13 review: a SOURCE column literally named _hb/_hp used to be
+    replaced by the fast-CDC content hash in the 'changed' feed; the
+    working names are now chosen fresh, so the user's column rides
+    through with its real value."""
+    base = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", 100), (2, "b", 200)], "id long, _hb string, _hp long"
+        ),
+        base,
+    )
+    merge_snapshot(
+        spark.createDataFrame([(2, "B", 222)], "id long, _hb string, _hp long"),
+        base,
+        key_col="id",
+    )
+    feed = snapshot_changes(
+        spark, base, "id", 1, 2,
+        columns=["_hb", "_hp"], carry_columns=["_hb", "_hp"],
+        change_encoding="changed",
+    ).collect()
+    assert [(r["id"], r["_hb"], r["_hp"], r["status"]) for r in feed] == [
+        (2, "B", 222, "changed")
+    ]
+
+
+def test_zorder_write_preserves_user_z_column(spark, tmp_path):
+    """r13 review: write_zordered overwrote (then dropped) a caller's
+    __z column; the working name is now chosen fresh."""
+    from vector_db_setup_spark.plans.storage import write_zordered
+
+    df = spark.createDataFrame(
+        [(1, 2, "keep-me"), (3, 4, "me-too")],
+        "a long, b long, __z string",
+    )
+    out = str(tmp_path / "z")
+    write_zordered(df, out, "a", "b", n_files=1)
+    back = sorted(
+        (r["a"], r["__z"]) for r in spark.read.parquet(out).collect()
+    )
+    assert back == [(1, "keep-me"), (3, "me-too")]

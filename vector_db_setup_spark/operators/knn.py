@@ -183,7 +183,10 @@ def batch_knn_join(
     the corpus id — required for result-equivalence with the GEMM path
     (``similarity.batch_knn_blocked``), which always tie-breaks on id.
     """
-    clash = {query_id_col, "__qvec"} & set(corpus.columns)
+    # __rn included: withColumn would silently overwrite it and the
+    # tail drop() would remove the caller's column from the result
+    # (r13 review pass — bloom_probe's clash class)
+    clash = {query_id_col, "__qvec", "__rn"} & set(corpus.columns)
     if clash:
         raise ValueError(
             f"corpus already has column(s) {sorted(clash)}; rename them "

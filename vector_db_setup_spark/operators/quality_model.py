@@ -61,6 +61,13 @@ def weak_labels(
     heuristic); sub-0.1%-rank threshold jitter moves only docs whose
     keep/drop call was arbitrary anyway, and the invariant tests pin
     separation/agreement, not the exact cutoff."""
+    if "_q" in docs.columns or "label" in docs.columns:
+        # withColumn would silently overwrite the caller's column (and
+        # the tail drop() remove _q from the result) — r13 review pass
+        raise ValueError(
+            "weak_labels reserves column names ['_q', 'label']; "
+            "rename them on the input first"
+        )
     scored = docs.withColumn("_q", quality_score(text_col))
     hi, lo = scored.select(
         F.expr(f"approx_percentile(_q, {keep_quantile}, 10000)"),

@@ -149,6 +149,17 @@ def range_join(
     OTHER shared column name still duplicates in the output (standard
     join behavior) — project/rename first if that matters.
     """
+    # withColumn would silently overwrite (and the tail drop() remove)
+    # a caller's column of the same name — refuse, same clash class as
+    # bloom_probe's reserved names (r13 review pass)
+    clash = {"__rt", "__lt", "__b"} & (
+        set(left.columns) | set(right.columns)
+    )
+    if clash:
+        raise ValueError(
+            f"range_join reserves column names {sorted(clash)}; "
+            "rename them on the input first"
+        )
     b_r = F.floor(F.col(right_time).cast("double") / delta_seconds)
     r2 = right.withColumn("__rt", F.col(right_time).cast("double")).withColumn(
         "__b", b_r.cast("long")

@@ -132,11 +132,16 @@ def write_zordered(
         scale_to_bits(col_b, bounds["b_lo"], bounds["b_hi"], bits),
         bits,
     )
+    # fresh working name: a caller's __z column would be overwritten
+    # and dropped from the written data (r13 review pass)
+    zc = "__z"
+    while zc in df.columns:
+        zc += "_"
     (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
+        df.withColumn(zc, z)
+        .repartitionByRange(n_files, zc)
+        .sortWithinPartitions(zc)
+        .drop(zc)
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -2458,12 +2458,22 @@ def _fast_step(
             # change — exactly what the full diff reports (unchanged)
             return added
         hash_of = F.xxhash64(*[F.col(c) for c in compare])
-        pre_h = prior.select(F.col(key_col), hash_of.alias("_hp"))
+        # fresh working names: a SOURCE column named _hb/_hp would be
+        # overwritten by withColumn and (when carried) replace the
+        # user's data with the content hash in the feed (r13 review
+        # pass — bloom_probe's clash class, solved by renaming ours)
+        taken = set(batch.columns) | {key_col}
+        hb, hp = "_hb", "_hp"
+        while hb in taken:
+            hb += "_"
+        while hp in taken or hp == hb:
+            hp += "_"
+        pre_h = prior.select(F.col(key_col), hash_of.alias(hp))
         if not pair:
             changed = (
-                batch.withColumn("_hb", hash_of)
+                batch.withColumn(hb, hash_of)
                 .join(pre_h, key_col, "inner")
-                .filter(F.col("_hb") != F.col("_hp"))
+                .filter(F.col(hb) != F.col(hp))
                 .select(
                     F.col(key_col),
                     *[F.col(c) for c in carry],
@@ -2476,9 +2486,9 @@ def _fast_step(
         # 'removed' and its POST-image (from the batch dir) as 'added'
         # — the encoding an invertible maintainer consumes O(batch)
         changed_keys = (
-            batch.withColumn("_hb", hash_of)
+            batch.withColumn(hb, hash_of)
             .join(pre_h, key_col, "inner")
-            .filter(F.col("_hb") != F.col("_hp"))
+            .filter(F.col(hb) != F.col(hp))
             .select(F.col(key_col))
         )
         removed_pre = prior.join(
@@ -3065,11 +3075,16 @@ def write_snapshot_zordered(
         scale_to_bits(col_b, bounds["b_lo"], bounds["b_hi"], bits),
         bits,
     )
+    # fresh working name: a caller's __z column would be overwritten
+    # and dropped from the landed data (r13 review pass)
+    zc = "__z"
+    while zc in df.columns:
+        zc += "_"
     clustered = (
-        df.withColumn("__z", z)
-        .repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
+        df.withColumn(zc, z)
+        .repartitionByRange(n_files, zc)
+        .sortWithinPartitions(zc)
+        .drop(zc)
     )
     return write_snapshot(
         clustered,

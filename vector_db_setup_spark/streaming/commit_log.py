@@ -1700,19 +1700,25 @@ def maintain_span_index_from_commits(
             w_first = Window.partitionBy(key_col).orderBy(
                 F.col("version").asc(), F.col("status").desc()
             )
+            # fresh working name: a source whose key/text column is
+            # literally "_rn" would have it overwritten by the rank
+            # (r13 review pass)
+            rn = "_rn"
+            while rn in feed.columns:
+                rn += "_"
             final_added = (
-                feed.withColumn("_rn", F.row_number().over(w_last))
+                feed.withColumn(rn, F.row_number().over(w_last))
                 .filter(
-                    (F.col("_rn") == 1) & (F.col("status") == "added")
+                    (F.col(rn) == 1) & (F.col("status") == "added")
                 )
                 .select(key_col, text_col)
             )
             # the pre-image as of the cursor: the EARLIEST event per key
             # being 'removed' means the index holds that text today
             first_removed = (
-                feed.withColumn("_rn", F.row_number().over(w_first))
+                feed.withColumn(rn, F.row_number().over(w_first))
                 .filter(
-                    (F.col("_rn") == 1) & (F.col("status") == "removed")
+                    (F.col(rn) == 1) & (F.col("status") == "removed")
                 )
                 .select(key_col, text_col)
             )

@@ -330,6 +330,14 @@ def incremental_dedup_stream(
 
     from vector_db_setup_spark.operators.dedup import minhash_band_keys
 
+    if "_batch" in new_docs.columns:
+        # _batch is this sink family's exactly-once partition contract;
+        # withColumn would silently replace the caller's data with the
+        # batch id in the landed parquet (r13 review pass)
+        raise ValueError(
+            "incremental_dedup_stream reserves the column name "
+            "'_batch'; rename it on the input first"
+        )
     keys_path = out_path.rstrip("/") + "__bandkeys"
     corpus_keys = (
         minhash_band_keys(corpus, text_col=text_col, id_col=id_col)
@@ -1040,6 +1048,15 @@ def decontamination_gate_batch(
     from vector_db_setup_spark.operators.bloom import bloom_probe
     from vector_db_setup_spark.operators.dedup import shingle_hashes
 
+    clash = {"_batch", "_clean", "_contaminated"} & set(batch_df.columns)
+    if clash:
+        # these are the gate's partition/verdict contract columns;
+        # withColumn would silently replace the caller's data in the
+        # landed parquet (r13 review pass)
+        raise ValueError(
+            f"decontamination gate reserves column names "
+            f"{sorted(clash)}; rename them on the input first"
+        )
     sh = shingle_hashes(batch_df, text_col=text_col, id_col=id_col).distinct()
     probed = bloom_probe(sh, "s", words, num_bits=num_bits, k=k)
     verdict = probed.groupBy(id_col).agg(
