@@ -1787,3 +1787,28 @@ def test_zorder_write_preserves_user_z_column(spark, tmp_path):
         (r["a"], r["__z"]) for r in spark.read.parquet(out).collect()
     )
     assert back == [(1, "keep-me"), (3, "me-too")]
+
+
+def test_ivf_assign_refuses_existing_cluster_id(spark):
+    """r13 review: the expression form silently overwrote an existing
+    cluster_id column (the GEMM form crashed on a duplicate schema
+    field); both now refuse loudly."""
+    from vector_db_setup_spark.operators.ann import (
+        ivf_assign,
+        ivf_assign_gemm,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 7)],
+        "vec_id long, embedding array<float>, cluster_id int",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    with pytest.raises(ValueError, match="cluster_id"):
+        ivf_assign(emb, cents)
+    with pytest.raises(ValueError, match="cluster_id"):
+        ivf_assign_gemm(emb, cents)
+    clean = emb.drop("cluster_id")
+    with pytest.raises(ValueError, match="embedding"):
+        ivf_assign(clean, cents, dist_col="embedding")
+    got = ivf_assign(clean, cents).collect()[0]
+    assert got["cluster_id"] == 0

@@ -48,6 +48,21 @@ def kmeans_centroids(
     return np.array([np.asarray(c) for c in model.clusterCenters()])
 
 
+def _refuse_assign_clash(fn: str, emb: DataFrame, dist_col) -> None:
+    """Both assignment forms APPEND cluster_id (+ dist_col): an input
+    already carrying those names was silently overwritten by the
+    expression form (and crashed the GEMM form on a duplicate schema
+    field) — refuse loudly instead (r13 review pass, bloom_probe's
+    clash class)."""
+    clash = {"cluster_id"} | ({dist_col} if dist_col else set())
+    clash &= set(emb.columns)
+    if clash:
+        raise ValueError(
+            f"{fn} appends column(s) {sorted(clash)} which already "
+            "exist on the input; rename or drop them first"
+        )
+
+
 def ivf_assign(
     emb: DataFrame,
     centroids: np.ndarray,
@@ -69,6 +84,7 @@ def ivf_assign(
     not_null upstream (operators/validate) if unsearchable rows must
     be an error rather than absent.
     """
+    _refuse_assign_clash("ivf_assign", emb, dist_col)
     cents = F.array(*[vector_literal(c) for c in centroids])
     dists = F.transform(cents, lambda c: l2_distance_sq(F.col(vec_col), c))
     out = emb.withColumn(
@@ -107,6 +123,7 @@ def ivf_assign_gemm(
     """
     from pyspark.sql import types as T
 
+    _refuse_assign_clash("ivf_assign_gemm", emb, dist_col)
     cents = np.asarray(centroids, dtype=np.float64)
     cn = (cents**2).sum(axis=1)
     # COPY the schema: StructType.add mutates in place, and emb.schema
