@@ -445,3 +445,74 @@ def test_multiband_default_recall_beats_single_bucketing(spark):
     }
     assert single, "fixture must produce same-bucket high-cos pairs"
     assert single <= multi
+
+
+def test_benchmark_semantic_overlap_surfaces_planted_duplicate(
+    spark, tmp_path
+):
+    """Planted witness for the semantic decontamination query: a corpus
+    vector that EXACTLY duplicates a benchmark vector must surface at
+    rank 1 with cosine 1.0 against that benchmark id; a colinear
+    (scaled) copy also scores 1.0 (cosine is scale-invariant — the
+    paraphrase analogy); an orthogonal vector scores 0."""
+    import vector_db_setup_spark.queries as q
+    from vector_db_setup_spark.sources.registry import clear_table_cache
+
+    dim = 8
+    rows = []
+    # benchmark ids 0..19: unit basis-ish vectors
+    for b in range(20):
+        v = [0.0] * dim
+        v[b % dim] = 1.0
+        v[(b + 3) % dim] = float(b) / 40.0
+        rows.append((b, v))
+    # corpus: 100 duplicates benchmark 7; 101 is benchmark 3 scaled by
+    # 5; 102 is orthogonal to everything benchmark-heavy
+    rows.append((100, list(rows[7][1])))
+    rows.append((101, [5.0 * x for x in rows[3][1]]))
+    v102 = [0.0] * dim
+    v102[7] = 1.0
+    rows.append((102, v102))
+    sf_dir = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.parquet(f"{sf_dir}/embeddings.parquet")
+    clear_table_cache(spark)
+    out = q.benchmark_semantic_overlap(spark, sf_dir).collect()
+    byid = {r["vec_id"]: r for r in out}
+    assert out[0]["vec_id"] in (100, 101)  # the two cosine-1.0 rows
+    assert byid[100]["nearest_benchmark_id"] == 7
+    assert byid[100]["max_cosine"] == 1.0
+    assert byid[101]["nearest_benchmark_id"] == 3
+    assert byid[101]["max_cosine"] == 1.0
+    assert byid[102]["max_cosine"] < 1.0
+    clear_table_cache(spark)
+
+
+def test_length_outliers_by_mad_flags_planted_outlier(spark, tmp_path):
+    """Planted witness: one language with tight lengths plus a single
+    huge document — the outlier (and only it) must be flagged with the
+    expected robust z; a constant-length language (MAD 0) must flag
+    nothing instead of dividing by zero."""
+    import os
+
+    import vector_db_setup_spark.queries as q
+    from vector_db_setup_spark.sources.registry import clear_table_cache
+
+    rows = [(i, "en", n) for i, n in enumerate([100, 102, 98, 101, 99, 1000])]
+    rows += [(10 + i, "zz", 50) for i in range(4)]  # constant: MAD 0
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir, exist_ok=True)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long"
+    ).write.parquet(f"{sf_dir}/documents.parquet")
+    clear_table_cache(spark)
+    out = q.length_outliers_by_mad(spark, sf_dir).collect()
+    # en: median 100.5, MAD = median(|x-100.5|) = 1.5 ->
+    # outlier z = 899.5/1.5 = 599.666667; the rest are <= 2
+    assert [(r["doc_id"], r["lang"]) for r in out] == [(5, "en")]
+    assert out[0]["robust_z"] == round(899.5 / 1.5, 6)
+    clear_table_cache(spark)
