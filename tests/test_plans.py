@@ -564,3 +564,26 @@ def test_r13_rotation_queries_plan_shapes(spark):
     assert scans and all(
         "o_orderdate" not in ln and "o_comment" not in ln for ln in scans
     ), ss
+
+
+def test_r13_addition_queries_plan_shapes(spark):
+    """The two r13 curation additions (PLANS.md sections):
+    benchmark_semantic_overlap is ONE map stage — literal benchmark
+    vectors in the Project, zero exchanges of any kind, final
+    TakeOrderedAndProject; length_outliers_by_mad broadcasts its
+    bounded per-language stats back onto the scan and never creates a
+    SinglePartition exchange."""
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    so = executed_plan(q.benchmark_semantic_overlap(spark, SF_ORACLE))
+    assert "TakeOrderedAndProject" in so, so
+    assert "Join" not in so, so
+    assert "Exchange" not in so, so  # pure map stage
+    scans = [ln for ln in so.splitlines() if "FileScan parquet" in ln]
+    assert scans and all("ReadSchema: struct<vec_id:bigint,embedding" in ln for ln in scans), so
+
+    mo = executed_plan(q.length_outliers_by_mad(spark, SF_ORACLE))
+    assert "BroadcastHashJoin" in mo, mo
+    assert "FlatMapGroupsInPandas" in mo, mo  # the MAD UDAF stage
+    assert "TakeOrderedAndProject" in mo, mo
+    assert "Exchange SinglePartition" not in mo, mo
