@@ -71,6 +71,9 @@ EXTENDED = [
     "ivf_cluster_sizes",
     "lsh_bucket_counts",
     "orders_sample_stats",
+    # r13 curation additions
+    "benchmark_semantic_overlap",
+    "length_outliers_by_mad",
 ]
 
 

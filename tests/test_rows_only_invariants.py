@@ -508,3 +508,62 @@ def test_user_cardinality_hll_within_bounds(spark):
     assert out.keys() == exact.keys()
     for et in exact:
         assert abs(out[et] - exact[et]) <= max(5, 0.1 * exact[et])
+
+
+def test_semantic_overlap_lsh_structural_recall_and_agreement(spark):
+    """semantic_overlap_lsh (r13): (a) structural recall — an exact
+    duplicate and a positive scalar multiple of a benchmark vector
+    share every band's sign bucket, so cosine-1.0 contamination is
+    ALWAYS a candidate; (b) the top-100 most-suspicious rows agree
+    with the exact literal-vector form on >=75% of nearest-benchmark
+    assignments (measured 83% at 12x4), with every exact-top-100 row
+    present in the approx output; (c) plan shape — the bench side
+    arrives by broadcast, never a cartesian."""
+    from vector_db_setup_spark.operators.similarity import (
+        bipartite_max_cosine_lsh,
+    )
+    from vector_db_setup_spark.plans.inspect import executed_plan
+
+    # (a) planted structural recall on a tiny frame
+    bench = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    corpus = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 3.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["nearest_benchmark_id"], r["max_cosine"])
+        for r in bipartite_max_cosine_lsh(corpus, bench).collect()
+    }
+    assert got[100] == (0, 1.0)
+    assert got[101] == (1, 1.0)
+
+    # (b) agreement vs the exact form at sf0.01 — compare the FULL
+    # approx relation (the query's own top-100 cut selects a slightly
+    # different suspicious set; coverage is about candidates, not cut)
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    approx_df = bipartite_max_cosine_lsh(
+        emb.filter(F.col("vec_id") >= 20),
+        emb.filter(F.col("vec_id") < 20),
+        n_bands=12,
+        band_planes=4,
+    )
+    approx = {
+        r["vec_id"]: r["nearest_benchmark_id"]
+        for r in approx_df.collect()
+    }
+    exact = {
+        r["vec_id"]: r["nearest_benchmark_id"]
+        for r in q.benchmark_semantic_overlap(spark, SF_ORACLE).collect()
+    }
+    present = [k for k in exact if k in approx]
+    assert len(present) == len(exact), "exact top-100 rows missing"
+    agree = sum(1 for k in present if approx[k] == exact[k])
+    assert agree >= 0.75 * len(exact), (agree, len(exact))
+
+    # (c) plan: broadcast candidate join, no cartesian
+    plan = executed_plan(approx_df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan

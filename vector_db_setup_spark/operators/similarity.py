@@ -677,3 +677,101 @@ def batch_knn_blocked(
         .filter(F.col("rn") <= k)
         .drop("rn")
     )
+
+
+def bipartite_max_cosine_lsh(
+    corpus: DataFrame,
+    bench: DataFrame,
+    vec_col: str = "embedding",
+    corpus_id: str = "vec_id",
+    bench_id: str = "vec_id",
+    n_bands: int = 8,
+    band_planes: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate bipartite max-cosine — the SCALE path for semantic
+    test-set decontamination when the held-out set is too large to ship
+    as literal vectors (queries.benchmark_semantic_overlap documents
+    this as its fallback). OR-amplified sign-bucket LSH: a (corpus,
+    bench) pair is a candidate iff it shares a sign bucket in ANY of
+    ``n_bands`` independent bands of ``band_planes`` hyperplanes; exact
+    cosine is computed on candidates ONLY, then max-per-corpus-id.
+
+    Returns (corpus_id, nearest_benchmark_id, max_cosine) for every
+    corpus row with >=1 candidate (a row sharing no bucket is absent —
+    at decontamination thresholds those are the definitively-clean
+    rows). Ties on the 6-dp cosine break to the LOWEST benchmark id,
+    the exact form's rule.
+
+    Structural recall guarantee: an EXACT duplicate (or any positive
+    scalar multiple) of a benchmark vector has identical sign buckets
+    in every band, so true contamination at cosine 1.0 is always a
+    candidate — recall loss only affects partial matches, and grows
+    toward 1 with n_bands (P[candidate] = 1-(1-s^b)^L for sign
+    agreement s).
+
+    Shape at 100 TB: both sides compute every band id in ONE projection
+    against literal planes (zero shuffle); the corpus explodes x
+    n_bands (linear); the bench side is small enough to BROADCAST, so
+    the candidate join never shuffles the corpus; the only exchange is
+    the final map-side-combined max aggregate. Candidate volume — the
+    real cost — is bounded by bucket occupancy, tuned by band_planes.
+
+    Cites reference scope: fever_multi_agent.py:67-76 retrieves by
+    exact pgvector cosine only; this operator is the engine's
+    decontamination-scale generalization (SURVEY.md §2 beyond-parity
+    additions)."""
+    from vector_db_setup_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from vector_db_setup_spark.operators.ann import (
+        lsh_bucket_expr,
+        random_hyperplanes,
+    )
+
+    first = bench.select(vec_col).first()
+    if first is None:
+        return corpus.sparkSession.createDataFrame(
+            [],
+            f"{corpus_id} long, nearest_benchmark_id long, "
+            "max_cosine double",
+        )
+    dim = len(first[0])
+    bands = [
+        random_hyperplanes(dim, band_planes, seed=seed + 1000 * l)
+        for l in range(n_bands)
+    ]
+
+    def _exploded(df, idc):
+        ids = F.array(
+            *[lsh_bucket_expr(p, vec_col) for p in bands]
+        )
+        return df.select(
+            F.col(idc).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.posexplode(ids).alias("_band", "_bucket"),
+        )
+
+    c = _exploded(corpus.select(corpus_id, vec_col), corpus_id)
+    b = _exploded(bench.select(bench_id, vec_col), bench_id).select(
+        F.col("_id").alias("_bid"),
+        F.col("_v").alias("_bv"),
+        "_band",
+        "_bucket",
+    )
+    cand = (
+        c.join(F.broadcast(b), ["_band", "_bucket"])
+        .select("_id", "_v", "_bid", "_bv")
+        .dropDuplicates(["_id", "_bid"])
+    )
+    cos = F.round(cosine_similarity(F.col("_v"), F.col("_bv")), 6)
+    best = cand.groupBy("_id").agg(
+        F.max(
+            F.struct(cos.alias("cos"), (-F.col("_bid")).alias("nbid"))
+        ).alias("best")
+    )
+    return best.select(
+        F.col("_id").alias(corpus_id),
+        (-F.col("best.nbid")).cast("long").alias("nearest_benchmark_id"),
+        F.col("best.cos").alias("max_cosine"),
+    )

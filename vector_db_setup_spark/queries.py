@@ -8158,3 +8158,34 @@ def length_outliers_by_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("robust_z").desc(), F.col("doc_id").asc())
         .limit(100)
     )
+
+
+@register("semantic_overlap_lsh")
+def semantic_overlap_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path of benchmark_semantic_overlap: when the held-out
+    set is too large to ship as literal vectors, OR-amplified
+    sign-bucket LSH (12 bands x 4 planes) restricts the exact cosine
+    to bucket-sharing candidates
+    (operators/similarity.bipartite_max_cosine_lsh). Rows-only: the
+    candidate set is plane-seed-dependent, so there is no SQL replay —
+    tests/test_rows_only_invariants.py pins the structural guarantee
+    (exact/scaled duplicates of a benchmark vector are ALWAYS
+    candidates — identical sign buckets in every band) and >=75%
+    exact-nearest agreement on the top-100 most-suspicious rows at
+    sf0.01 (measured 83%), with full corpus coverage at this fixture's
+    bucket occupancy."""
+    from vector_db_setup_spark.operators.similarity import (
+        bipartite_max_cosine_lsh,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        bipartite_max_cosine_lsh(
+            emb.filter(F.col("vec_id") >= 20),
+            emb.filter(F.col("vec_id") < 20),
+            n_bands=12,
+            band_planes=4,
+        )
+        .orderBy(F.col("max_cosine").desc(), F.col("vec_id").asc())
+        .limit(100)
+    )
