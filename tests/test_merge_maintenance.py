@@ -734,3 +734,180 @@ def test_lsh_index_maintainer_refuses_non_integral_key(spark, tmp_path):
             spark, src, str(tmp_path / "idx"), str(tmp_path / "ck"),
             text_col="text", key_col="doc_id",
         )
+
+
+# ---- r13: semantic-overlap maintainer (day-2 twin of
+# ---- benchmark_semantic_overlap) ----
+
+
+def _vec_rows(spark, pairs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pairs],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_semantic_overlap_maintainer_tracks_source_obatch(
+    spark, tmp_path
+):
+    """Bootstrap + append + merge(vector rewrite) + delete: the
+    maintained score table must equal the from-scratch exact recompute
+    after every drain, and a replayed drain is an idempotent no-op."""
+    import functools
+
+    from vector_db_setup_spark.operators.similarity import (
+        max_cosine_against_literal,
+    )
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_semantic_overlap_from_commits,
+    )
+
+    base = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    bench = _vec_rows(
+        spark, [(0, [1, 0, 0, 0]), (1, [0, 1, 0, 0]), (2, [0, 0, 1, 0])]
+    )
+    bench_rows = sorted(
+        (r["vec_id"], list(r["embedding"]))
+        for r in bench.collect()
+    )
+    drain = functools.partial(
+        maintain_semantic_overlap_from_commits,
+        spark, base, state, str(tmp_path / "ck"), bench,
+    )
+
+    def expect():
+        live = read_snapshot(spark, base).select("vec_id", "embedding")
+        return sorted(
+            tuple(r)
+            for r in max_cosine_against_literal(
+                live, bench_rows
+            ).collect()
+        )
+
+    def got():
+        return sorted(
+            tuple(r) for r in read_snapshot(spark, state).collect()
+        )
+
+    write_snapshot(
+        _vec_rows(
+            spark,
+            [(100, [1, 0, 0, 0]), (101, [0, 2, 0, 0]),
+             (102, [1, 1, 0, 0])],
+        ),
+        base,
+    )
+    drain()  # bootstrap
+    assert got() == expect()
+
+    append_snapshot(
+        _vec_rows(spark, [(103, [0, 0, 5, 0]), (104, [1, 0, 1, 0])]),
+        base,
+    )
+    drain()
+    assert got() == expect()
+
+    # merge rewrites 101's vector (changed) and inserts 105
+    merge_snapshot(
+        _vec_rows(spark, [(101, [0, 0, 0, 9]), (105, [0, 1, 1, 0])]),
+        base,
+        key_col="vec_id",
+    )
+    drain()
+    assert got() == expect()
+    # the rewritten key's score moved with its vector
+    by_id = {r[0]: r for r in got()}
+    assert by_id[101][2] == 0.0  # orthogonal to every benchmark now
+
+    delete_from_snapshot(
+        spark.createDataFrame([(100,)], "vec_id long"),
+        base,
+        key_col="vec_id",
+    )
+    drain()
+    assert got() == expect()
+    assert 100 not in {r[0] for r in got()}
+
+    # replayed drain (no new commits): cursor short-circuits, state
+    # unchanged
+    before = got()
+    drain()
+    assert got() == before
+
+
+def test_semantic_overlap_maintainer_heals_resurrected_key(
+    spark, tmp_path
+):
+    """A key deleted from the source then re-landed must merge back
+    into the state through the tombstone-heal path (compaction with
+    meta kept), not raise TombstonedKeyError."""
+    import functools
+
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_semantic_overlap_from_commits,
+    )
+
+    base = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    bench = _vec_rows(spark, [(0, [1, 0])])
+    drain = functools.partial(
+        maintain_semantic_overlap_from_commits,
+        spark, base, state, str(tmp_path / "ck"), bench,
+    )
+    write_snapshot(
+        _vec_rows(spark, [(100, [1, 0]), (101, [0, 1])]), base
+    )
+    drain()
+    delete_from_snapshot(
+        spark.createDataFrame([(100,)], "vec_id long"),
+        base, key_col="vec_id",
+    )
+    drain()
+    assert {r["vec_id"] for r in read_snapshot(spark, state).collect()} == {101}
+    # the SOURCE compacts (clearing ITS tombstones) and re-lands the
+    # deleted key via merge; the STATE still carries the unscoped
+    # tombstone, so the drain's merge exercises the heal path
+    compact_snapshot(spark, base)
+    merge_snapshot(_vec_rows(spark, [(100, [2, 0])]), base, key_col="vec_id")
+    drain()  # re-landed key: heal + merge, not an error
+    got = {
+        r["vec_id"]: r["max_cosine"]
+        for r in read_snapshot(spark, state).collect()
+    }
+    assert got == {100: 1.0, 101: 0.0}
+
+
+def test_semantic_overlap_maintainer_refuses_benchmark_swap(
+    spark, tmp_path
+):
+    """A drain under a DIFFERENT benchmark set must refuse loudly —
+    mixed-benchmark scores are silently meaningless."""
+    import functools
+
+    from vector_db_setup_spark.streaming.commit_log import (
+        maintain_semantic_overlap_from_commits,
+    )
+
+    base = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    write_snapshot(_vec_rows(spark, [(100, [1, 0])]), base)
+    maintain_semantic_overlap_from_commits(
+        spark, base, state, str(tmp_path / "ck1"),
+        _vec_rows(spark, [(0, [1, 0])]),
+    )
+    append_snapshot(_vec_rows(spark, [(101, [0, 1])]), base)
+    # the refusal is raised inside foreachBatch, so it surfaces
+    # wrapped in a StreamingQueryException — match the message
+    with pytest.raises(Exception, match="different benchmark"):
+        maintain_semantic_overlap_from_commits(
+            spark, base, state, str(tmp_path / "ck2"),
+            _vec_rows(spark, [(0, [0, 1])]),
+        )
+    # oversized benchmark refused up front
+    big = _vec_rows(spark, [(i, [1, 0]) for i in range(5)])
+    with pytest.raises(ValueError, match="max_bench"):
+        maintain_semantic_overlap_from_commits(
+            spark, base, str(tmp_path / "s2"), str(tmp_path / "ck3"),
+            big, max_bench=4,
+        )

@@ -775,3 +775,56 @@ def bipartite_max_cosine_lsh(
         (-F.col("best.nbid")).cast("long").alias("nearest_benchmark_id"),
         F.col("best.cos").alias("max_cosine"),
     )
+
+
+def max_cosine_against_literal(
+    df: DataFrame,
+    bench: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact max-cosine of every ``df`` vector against a BOUNDED list
+    of ``(benchmark_id, vector)`` pairs shipped as literals — the
+    scoring core of queries.benchmark_semantic_overlap and of the
+    commit-log semantic-overlap maintainer. One pure map stage: the
+    per-benchmark cosines and the (cos, -bid) argmax all evaluate
+    inside a single Project, so the caller's frame is never joined or
+    shuffled. Ties on the 6-dp cosine break to the LOWEST benchmark
+    id. Returns (id_col, nearest_benchmark_id, max_cosine)."""
+    import math
+
+    from vector_db_setup_spark.functions.vector import vector_literal
+
+    v = F.col(vec_col)
+    norm = F.sqrt(F.aggregate(
+        F.zip_with(v, v, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+
+    def _cos(bvec):
+        lit = vector_literal([float(x) for x in bvec])
+        dot = F.aggregate(
+            F.zip_with(v, lit, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bnorm = math.sqrt(sum(float(x) * float(x) for x in bvec))
+        return F.round(dot / (norm * F.lit(bnorm)), 6)
+
+    best = F.array_max(
+        F.array(*[
+            F.struct(_cos(bv).alias("cos"), F.lit(-bid).alias("nbid"))
+            for bid, bv in sorted(bench)
+        ])
+    )
+    return df.select(
+        id_col,
+        best.alias("_best"),
+    ).select(
+        id_col,
+        (-F.col("_best.nbid")).cast("long").alias(
+            "nearest_benchmark_id"
+        ),
+        F.col("_best.cos").alias("max_cosine"),
+    )

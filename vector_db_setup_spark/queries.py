@@ -8046,54 +8046,18 @@ def benchmark_semantic_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the broadcast-kernel pattern every ANN entry uses. For benchmark
     sets too big for a literal (rare), the banded/bucketed similarity
     path (operators/similarity) is the fallback."""
-    from vector_db_setup_spark.functions.vector import vector_literal
+    from vector_db_setup_spark.operators.similarity import (
+        max_cosine_against_literal,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    bench = sorted(
+    bench = [
         (r["vec_id"], r["embedding"])
         for r in emb.filter(F.col("vec_id") < 20).collect()
-    )
-    v = F.col("embedding")
-    corpus_norm = F.sqrt(F.aggregate(
-        F.zip_with(v, v, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    ))
-
-    def _cos(bvec):
-        import math
-
-        lit = vector_literal([float(x) for x in bvec])
-        dot = F.aggregate(
-            F.zip_with(v, lit, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bnorm = math.sqrt(sum(float(x) * float(x) for x in bvec))
-        return F.round(dot / (corpus_norm * F.lit(bnorm)), 6)
-
-    # array of (cos, -bid) structs: array_max orders by cos then -bid,
-    # so the 6-dp tie lands on the LOWEST benchmark id — the oracle's
-    # (cos DESC, bid ASC) rule
-    scored = emb.filter(F.col("vec_id") >= 20).select(
-        "vec_id",
-        F.array_max(
-            F.array(*[
-                F.struct(
-                    _cos(bv).alias("cos"),
-                    F.lit(-bid).alias("nbid"),
-                )
-                for bid, bv in bench
-            ])
-        ).alias("best"),
-    )
+    ]
     return (
-        scored.select(
-            "vec_id",
-            (-F.col("best.nbid")).cast("long").alias(
-                "nearest_benchmark_id"
-            ),
-            F.col("best.cos").alias("max_cosine"),
+        max_cosine_against_literal(
+            emb.filter(F.col("vec_id") >= 20), bench
         )
         .orderBy(F.col("max_cosine").desc(), F.col("vec_id").asc())
         .limit(100)

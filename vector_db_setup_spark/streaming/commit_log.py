@@ -1262,6 +1262,186 @@ def maintain_dsir_from_commits(
     return q
 
 
+def maintain_semantic_overlap_from_commits(
+    spark: SparkSession,
+    source_base: str,
+    state_base: str,
+    checkpoint_dir: str,
+    bench,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fs=None,
+    available_now: bool = True,
+    max_bench: int = 4096,
+    **reader_options,
+):
+    """Keep a SEMANTIC-decontamination score table current by
+    subscribing it to ``source_base``'s commit log: the state is one
+    row per live corpus vector — (key, nearest_benchmark_id,
+    max_cosine against the fixed held-out ``bench`` DataFrame) — so
+    the contamination report over a growing corpus never re-scores
+    what already landed. Day-2 twin of queries.benchmark_semantic_overlap
+    (same literal-vector scoring core,
+    operators/similarity.max_cosine_against_literal).
+
+    O(batch) drains: added/changed keys re-score against the literal
+    benchmark (one map stage over the delta), removed keys tombstone
+    out of the state; the change feed arrives through ``cdc_changes``,
+    so a `maintenance_cycle` shares its assembly with every other
+    subscriber. The benchmark is pinned at construction (held-out
+    suites are static); its md5 digest rides the state meta and a
+    drain under a DIFFERENT benchmark refuses loudly — scores against
+    mixed benchmarks would be silently meaningless. Exactly-once: the
+    file-source checkpoint plus idempotency keys ``semover[-del]:{v}``;
+    the cursor meta stamps only the batch's LAST commit, so a crash
+    mid-batch replays the whole classification. A key re-landed after
+    deletion heals the tombstone stack via compaction (keep_meta) and
+    retries, like the IVF maintainer."""
+    import hashlib
+
+    from vector_db_setup_spark.operators.similarity import (
+        max_cosine_against_literal,
+    )
+    from vector_db_setup_spark.sources import snapshot_table as st
+
+    bench_rows = sorted(
+        (r[key_col], [float(x) for x in r[vec_col]])
+        for r in bench.select(key_col, vec_col).collect()
+    )
+    if not bench_rows:
+        raise ValueError("empty benchmark: nothing to score against")
+    if len(bench_rows) > max_bench:
+        raise ValueError(
+            f"benchmark has {len(bench_rows)} vectors > max_bench="
+            f"{max_bench} — literal scoring is the bounded-benchmark "
+            "path; use operators/similarity.bipartite_max_cosine_lsh "
+            "for large held-out sets"
+        )
+    digest = hashlib.md5(
+        repr(
+            [(b, [round(x, 6) for x in v]) for b, v in bench_rows]
+        ).encode()
+    ).hexdigest()
+
+    def _apply(s: SparkSession, through_v: int) -> None:
+        cursor_meta = {
+            "through_version": through_v,
+            "source_base": source_base,
+            "key_col": key_col,
+            "bench_digest": digest,
+            "kind": "semantic_overlap",
+        }
+        vs = st.committed_versions(s, state_base)
+        if not vs:
+            full = st.read_snapshot(
+                s, source_base, version=through_v, fs=fs
+            ).select(key_col, vec_col)
+            scored = max_cosine_against_literal(
+                full, bench_rows, vec_col, key_col
+            )
+            st.write_snapshot(
+                scored,
+                state_base,
+                note=(
+                    f"semantic overlap over {source_base} through "
+                    f"v{through_v}"
+                ),
+                idempotency_key=f"through:{through_v}",
+                meta=cursor_meta,
+            )
+            return
+        meta = st.snapshot_info(s, state_base, max(vs)).get("meta") or {}
+        if (
+            meta.get("kind") != "semantic_overlap"
+            or "through_version" not in meta
+        ):
+            raise ValueError(
+                f"state at {state_base} was not written by "
+                "maintain_semantic_overlap_from_commits; use a fresh "
+                "state_base"
+            )
+        if meta.get("bench_digest") != digest:
+            raise ValueError(
+                f"state at {state_base} was scored against a different "
+                "benchmark set — scores under mixed benchmarks are "
+                "meaningless; use a fresh state_base to rebuild"
+            )
+        last = int(meta["through_version"])
+        if through_v <= last:
+            return  # replayed batch; state already covers it
+        feed = cdc_changes(
+            s,
+            source_base,
+            key_col,
+            last,
+            through_v,
+            fs=fs,
+            columns=[vec_col],
+            carry_columns=[vec_col],
+            allowed_ops=("append", "delete", "compact", "merge"),
+            change_encoding="changed",
+        )
+        removed = feed.filter(F.col("status") == "removed").select(
+            key_col
+        )
+        upserts = feed.filter(
+            F.col("status").isin("added", "changed")
+        ).select(key_col, vec_col)
+        scored = max_cosine_against_literal(
+            upserts, bench_rows, vec_col, key_col
+        )
+        has_del = removed.first() is not None
+        has_up = upserts.first() is not None
+        if not has_del and not has_up:
+            return  # leave the cursor — replaying the empty range is free
+
+        def _heal(fn):
+            # a key re-landed after a previous drain's delete: the
+            # unscoped tombstone refuses the merge; compaction
+            # materializes the stack (meta rides), then retry
+            try:
+                return fn()
+            except st.TombstonedKeyError:
+                st.compact_snapshot(s, state_base, keep_meta=True)
+                return fn()
+
+        if has_del:
+            st.delete_from_snapshot(
+                removed,
+                state_base,
+                key_col,
+                idempotency_key=f"semover-del:{through_v}",
+                meta_update=None if has_up else cursor_meta,
+            )
+        if has_up:
+            _heal(
+                lambda: st.merge_snapshot(
+                    scored,
+                    state_base,
+                    key_col,
+                    note=(
+                        f"semantic overlap over {source_base} through "
+                        f"v{through_v}"
+                    ),
+                    idempotency_key=f"semover:{through_v}",
+                    meta_update=cursor_meta,
+                )
+            )
+
+    q = foreach_new_versions(
+        spark,
+        source_base,
+        _apply,
+        checkpoint_dir,
+        available_now=available_now,
+        **reader_options,
+    )
+    if available_now:
+        q.awaitTermination()
+        return None
+    return q
+
+
 def maintain_lsh_index_from_commits(
     spark: SparkSession,
     source_base: str,
