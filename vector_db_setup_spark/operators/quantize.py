@@ -57,10 +57,20 @@ def fit_scalar_quantizer(
         if first is None:
             raise ValueError("cannot fit a quantizer on an empty corpus")
         dim = len(first[0])
-    lo = [F.min(F.col(vec_col)[i].cast("double")) for i in range(dim)]
-    hi = [F.max(F.col(vec_col)[i].cast("double")) for i in range(dim)]
+    # one parsed expression per output array: the per-slot
+    # F.min(F.col()[i].cast(...)) form costs ~4 py4j round trips per
+    # dimension (~0.5 s of driver wall at 64 dims, re-paid every
+    # invocation); a single F.expr parse yields the identical analyzed
+    # tree (min/max over cast getItem)
+    v = f"`{vec_col}`"
+    lo = "array(" + ",".join(
+        f"min(CAST({v}[{i}] AS DOUBLE))" for i in range(dim)
+    ) + ")"
+    hi = "array(" + ",".join(
+        f"max(CAST({v}[{i}] AS DOUBLE))" for i in range(dim)
+    ) + ")"
     return emb.agg(
-        F.array(*lo).alias("lo"), F.array(*hi).alias("hi")
+        F.expr(lo).alias("lo"), F.expr(hi).alias("hi")
     )
 
 
@@ -169,8 +179,10 @@ def pq_train(
 
 
 def _sub_sq_dist(vec_col: str, j: int, dsub: int, centroid) -> "F.Column":
+    from vector_db_setup_spark.functions.vector import vector_literal
+
     sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
-    cent = F.array(*[F.lit(float(x)) for x in centroid])
+    cent = vector_literal(centroid)
     return F.aggregate(
         F.zip_with(
             sub.cast("array<double>"), cent, lambda x, y: (x - y) * (x - y)
@@ -218,8 +230,15 @@ def pq_adc_distance_expr(codebooks, query_vec, codes_col: str = "pq_codes"):
             for j in range(m)
         ]
     )  # (m, ksub) exact sub-distances
-    lut_lit = F.array(
-        *[F.array(*[F.lit(float(v)) for v in row]) for row in lut]
+    # one parsed literal (the nested F.array/F.lit form costs one py4j
+    # round trip per cell — m×ksub of them — per invocation)
+    lut_lit = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
+            for row in lut
+        )
+        + ")"
     )
     # element_at is 1-based; codes are 0-based
     return F.aggregate(
