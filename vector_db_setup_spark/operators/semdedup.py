@@ -46,14 +46,34 @@ from vector_db_setup_spark.operators.ann import (
 from vector_db_setup_spark.operators.similarity import cosine_pairs_by_column
 
 
-def semdedup_keepers(
+def semdedup_assign(
     emb: DataFrame,
     centroids: np.ndarray,
+    vec_col: str = "embedding",
+    assign: str = "auto",
+) -> DataFrame:
+    """The assignment half of `semdedup_keepers`: emb columns +
+    (cluster_id, _cd). Exposed so callers can build it ONCE, persist
+    it, and pass it back via ``assigned`` — the keeper pipeline reads
+    the assignment three times (pair generation plus both sides of the
+    domination join) and Catalyst recomputes the whole BoW/argmin
+    lineage per read otherwise (profiled: 3× the assignment cost on
+    every invocation of queries.semdedup_doc_keepers)."""
+    if assign == "auto":
+        assign = "gemm" if len(centroids) > _GEMM_ASSIGN_K else "expr"
+    assign_fn = ivf_assign_gemm if assign == "gemm" else ivf_assign
+    return assign_fn(emb, centroids, vec_col=vec_col, dist_col="_cd")
+
+
+def semdedup_keepers(
+    emb: DataFrame,
+    centroids: np.ndarray | None,
     tau: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_cluster_rows: int | None = None,
     assign: str = "auto",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Keepers after cluster-partitioned semantic dedup.
 
@@ -84,11 +104,16 @@ def semdedup_keepers(
     (ivf_assign_gemm — the large-k scale path), "auto" (default) =
     gemm when k > 16. Both produce identical assignments up to
     ULP-degenerate ties (exactly identical on integer-count vectors).
+
+    `assigned`: a PREBUILT `semdedup_assign` frame (emb + cluster_id +
+    _cd). The pipeline reads the assignment three times and Catalyst
+    does not reuse the lineage across reads, so callers should pass a
+    persisted view (queries.py memoizes one per session, the same
+    pattern as minhash's banded view); None = build from ``emb`` and
+    recompute per read.
     """
-    if assign == "auto":
-        assign = "gemm" if len(centroids) > _GEMM_ASSIGN_K else "expr"
-    assign_fn = ivf_assign_gemm if assign == "gemm" else ivf_assign
-    assigned = assign_fn(emb, centroids, vec_col=vec_col, dist_col="_cd")
+    if assigned is None:
+        assigned = semdedup_assign(emb, centroids, vec_col, assign)
     assigned = assigned.withColumn("_d0", F.round("_cd", 6))
     pairs = cosine_pairs_by_column(
         assigned,

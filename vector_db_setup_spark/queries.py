@@ -7612,7 +7612,10 @@ def semdedup_doc_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from vector_db_setup_spark.functions.text import hashed_bow_vector
-    from vector_db_setup_spark.operators.semdedup import semdedup_keepers
+    from vector_db_setup_spark.operators.semdedup import (
+        semdedup_assign,
+        semdedup_keepers,
+    )
 
     from vector_db_setup_spark.sources.registry import spread_to_cores
 
@@ -7620,12 +7623,25 @@ def semdedup_doc_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = d.select(
         "doc_id", hashed_bow_vector("text", 64).alias("vec")
     )
-    # k seed rows collected as the literal codebook (4 x 64 doubles —
-    # the same driver-side footprint as pq_adc_distances' codebook).
-    seeds = vecs.filter(F.col("doc_id") < 4).orderBy("doc_id").collect()
-    cents = np.array([r["vec"] for r in seeds], dtype=np.float64)
+
+    def _build():
+        # k seed rows collected as the literal codebook (4 x 64
+        # doubles — the same driver-side footprint as
+        # pq_adc_distances' codebook).
+        seeds = (
+            vecs.filter(F.col("doc_id") < 4).orderBy("doc_id").collect()
+        )
+        cents = np.array([r["vec"] for r in seeds], dtype=np.float64)
+        return semdedup_assign(vecs, cents, vec_col="vec")
+
+    # the BoW featurization + argmin assignment is the pipeline's
+    # expensive lineage and the keeper rule reads it three times
+    # (pairs + both domination sides); memoized like minhash's banded
+    # view so it is computed once per session, not 3× per invocation
+    assigned = _memo_persist(spark, sf_dir, "semdedup_assigned", _build)
     return semdedup_keepers(
-        vecs, cents, tau=0.95, vec_col="vec", id_col="doc_id"
+        vecs, None, tau=0.95, vec_col="vec", id_col="doc_id",
+        assigned=assigned,
     )
 
 
