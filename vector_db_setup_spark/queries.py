@@ -7842,10 +7842,22 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("c12"), F.lit(0)) + F.lit(0.5))
         / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(0.5) * F.col("v"))
     )
-    per = joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.round(F.pow(F.lit(2.0), F.avg(nll)), 6).alias("ppl"),
-    )
+
+    # The per-doc ppl relation feeds TWO consumers (the 1-row quantile
+    # cut aggregate and the bucket projection) and Catalyst recomputes
+    # the whole corpus explode+join+agg lineage per consumer (profiled
+    # as the query's two dominant stages, ~40 s + ~11 s of executor
+    # time at sf0.1). Materializing it once IS the scale plan: the cut
+    # points need the full distribution before any row can be
+    # bucketed, so two reads of `per` are inherent — persist the
+    # narrow (doc_id, n_bigrams, ppl) relation, not the explode.
+    def _build_per():
+        return joined.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.pow(F.lit(2.0), F.avg(nll)), 6).alias("ppl"),
+        )
+
+    per = _memo_persist(spark, sf_dir, "lm_ppl_per", _build_per)
     from vector_db_setup_spark.operators.ngram_lm import (
         ppl_quantile_buckets,
     )
