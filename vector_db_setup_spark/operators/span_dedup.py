@@ -351,14 +351,23 @@ def span_dedup(
     id_col: str = "doc_id",
     min_span_tokens: int | None = None,
     max_key_occurrences: int | None = None,
+    spans: DataFrame | None = None,
 ) -> DataFrame:
-    """detect + strip in one call — the corpus-cleaning entry point."""
-    spans = duplicate_spans(
-        docs,
-        n=n,
-        text_col=text_col,
-        id_col=id_col,
-        min_span_tokens=min_span_tokens,
-        max_key_occurrences=max_key_occurrences,
-    )
+    """detect + strip in one call — the corpus-cleaning entry point.
+
+    ``spans``: a PREBUILT `duplicate_spans` result for ``docs`` (same
+    n/caps). The detect half dominates the pipeline (tokenize + md5 +
+    the gram shuffle), so a caller running detect AND clean should
+    compute it once and pass it here (queries.py memoizes one per
+    session, the same pattern as minhash's banded view); None = detect
+    from ``docs``."""
+    if spans is None:
+        spans = duplicate_spans(
+            docs,
+            n=n,
+            text_col=text_col,
+            id_col=id_col,
+            min_span_tokens=min_span_tokens,
+            max_key_occurrences=max_key_occurrences,
+        )
     return strip_spans(docs, spans, text_col=text_col, id_col=id_col)

@@ -7464,9 +7464,13 @@ def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # fixture-sized parquet arrives as ONE split; the shingle-md5 map
     # is the hot stage, so spread it (no-op at real scale — see
-    # registry.spread_to_cores)
+    # registry.spread_to_cores). The span relation is memoized per
+    # session: corpus_span_clean strips the SAME spans, and detect
+    # (tokenize + md5 + the gram shuffle) dominates both queries.
     d = spread_to_cores(load_table(spark, sf_dir, "documents"))
-    return duplicate_spans(d, n=8)
+    return _memo_persist(
+        spark, sf_dir, "dup_spans_n8", lambda: duplicate_spans(d, n=8)
+    )
 
 
 @register(
@@ -7550,11 +7554,19 @@ def corpus_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/span_dedup.py; the oracle replays the full pipeline —
     including text RECONSTRUCTION — in SQL, so the cleaned strings
     themselves are value-checked, not just the counts."""
-    from vector_db_setup_spark.operators.span_dedup import span_dedup
+    from vector_db_setup_spark.operators.span_dedup import (
+        duplicate_spans,
+        span_dedup,
+    )
     from vector_db_setup_spark.sources.registry import spread_to_cores
 
     d = spread_to_cores(load_table(spark, sf_dir, "documents"))
-    return span_dedup(d, n=8)
+    # share the memoized span relation with duplicate_spans (detect is
+    # the dominant half; strip is one small per-doc agg + a map stage)
+    spans = _memo_persist(
+        spark, sf_dir, "dup_spans_n8", lambda: duplicate_spans(d, n=8)
+    )
+    return span_dedup(d, n=8, spans=spans)
 
 
 @register(
