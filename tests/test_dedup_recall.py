@@ -243,6 +243,45 @@ def test_lsh_dedup_edges_components_match_uncapped(spark, planted):
     )
 
 
+def test_lsh_edges_from_banded_components_match(spark, planted):
+    """Band-key-SET representative routing (r13: the dedup graph now
+    derives from the memoized banded view instead of re-hashing text)
+    is component-preserving: CC over lsh_edges_from_banded equals CC
+    over the plain uncapped candidate pairs AND over the text-routed
+    lsh_dedup_edges — the invariant that keeps dedup_keepers /
+    leakage_safe_split / dedup_keepers_by_quality oracle-green."""
+    from vector_db_setup_spark.operators.graph import connected_components
+
+    df, _near, _exact, _family = planted
+    nodes = df.select(F.col("doc_id").alias("id"))
+
+    def comps(edges):
+        cc = connected_components(
+            nodes, edges, id_col="id", src_col="id_a", dst_col="id_b"
+        )
+        return {r["id"]: r["component"] for r in cc.collect()}
+
+    banded_comps = comps(dd.lsh_edges_from_banded(dd.minhash_band_keys(df)))
+    assert banded_comps == comps(dd.minhash_lsh_candidates(df))
+    assert banded_comps == comps(dd.lsh_dedup_edges(df))
+
+
+def test_lsh_edges_from_banded_shingleless_stay_isolated(spark):
+    """Shingle-less docs have no banded rows, so the banded-derived
+    edge form must leave them isolated — same semantics as
+    lsh_dedup_edges (plain LSH + CC)."""
+    rows = [
+        (1, "hi there"),
+        (2, "hi there"),
+        (3, " ".join(VOCAB[:10])),
+        (4, " ".join(VOCAB[:10])),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = _pairs(dd.lsh_edges_from_banded(dd.minhash_band_keys(df)))
+    assert (1, 2) not in edges  # shingle-less: no banded rows at all
+    assert (3, 4) in edges  # exact dups: joined via member edge
+
+
 def test_lsh_dedup_edges_shingleless_exact_dups_stay_isolated(spark):
     """Docs with < shingle_n tokens never enter banding; identical
     shingle-less docs must stay isolated (plain LSH semantics), not get

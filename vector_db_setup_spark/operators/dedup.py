@@ -512,6 +512,69 @@ def lsh_edges_from_sigs(
     return rep_pairs.union(member_edges)
 
 
+def lsh_edges_from_banded(
+    banded: DataFrame,
+    id_col: str = "doc_id",
+    max_band_df: int | None = None,
+) -> DataFrame:
+    """Representative-routed LSH edges from a PREBUILT (id, band,
+    band_key) view — so the dedup-graph queries (dedup_keepers,
+    leakage_safe_split, dedup_keepers_by_quality) reuse the SAME
+    memoized banded view the candidate queries build, instead of
+    re-deriving signatures from text (the tokenize+md5+minhash half
+    dominates the graph build; measured most of dedup_keepers' cold
+    at sf0.1).
+
+    Rep routing collapses on FULL band-key-SET equality: docs whose
+    (band, band_key) sets are identical share every band, so — exactly
+    as in `lsh_edges_from_sigs` — one representative (min id) per set
+    enters the pair join and members attach by rep→member edges; any
+    pair a member would contribute routes through its rep
+    transitively, so connected components are preserved vs the
+    uncapped band-key pair set (the property the dedup oracles
+    verify). Shingle-less docs have no banded rows and stay isolated,
+    matching the text-routed form.
+
+    Output: (id_a, id_b) edges, id_a < id_b (reps carry the min id).
+    """
+    # canonical set key: sort the (band:key) strings — collect_list
+    # order is nondeterministic. band_key is comma-joined ints, so the
+    # ':'/'|' separators cannot collide.
+    keyed = banded.groupBy(id_col).agg(
+        F.concat_ws(
+            "|",
+            F.array_sort(
+                F.collect_list(
+                    F.concat_ws(
+                        ":", F.col("band").cast("string"), F.col("band_key")
+                    )
+                )
+            ),
+        ).alias("__skey")
+    )
+    rep = keyed.groupBy("__skey").agg(F.min(id_col).alias("__rep"))
+    # rep_map feeds TWO consumers (the rep semi-join and the member
+    # edges); lazy localCheckpoint caches the one-row-per-doc relation
+    # on first compute so the set-key groupBy runs once, and the
+    # ContextCleaner frees the blocks when the frame is GC'd (same
+    # reasoning as lsh_edges_from_sigs' checkpoint)
+    rep_map = (
+        keyed.join(rep, "__skey")
+        .select(F.col(id_col), "__rep")
+        .localCheckpoint(eager=False)
+    )
+    rep_banded = banded.join(
+        rep_map.filter(F.col(id_col) == F.col("__rep")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+    rep_pairs = _pairs_from_banded(rep_banded, id_col, max_band_df)
+    member_edges = rep_map.filter(F.col(id_col) != F.col("__rep")).select(
+        F.col("__rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    return rep_pairs.union(member_edges)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

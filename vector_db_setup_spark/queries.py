@@ -1399,8 +1399,16 @@ def _lsh_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         d = spread_to_cores(load_table(spark, sf_dir, "documents"))
+        # derive the rep-routed edges from the SAME memoized banded
+        # view minhash_lsh_candidates builds — the signature
+        # computation (tokenize+md5+minhash, the graph build's
+        # dominant cost) then runs once per session across the whole
+        # dedup family instead of once per family half
+        banded = _memo_persist(
+            spark, sf_dir, "minhash_banded", lambda: dd.minhash_band_keys(d)
+        )
         return _cc_with_star_fallback(
-            d.select("doc_id"), dd.lsh_dedup_edges(d)
+            d.select("doc_id"), dd.lsh_edges_from_banded(banded)
         )
 
     return _memo_persist(spark, sf_dir, "lsh_dedup_cc", build)
