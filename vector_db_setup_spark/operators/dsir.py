@@ -220,6 +220,7 @@ def dsir_resample(
     alpha: float = 1.0,
     seed: str = "dsir",
     raw_feats: DataFrame | None = None,
+    target_feats: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end DSIR: (id, n_grams, logw, gkey) for the k raw
     documents selected by Gumbel top-k under the target-vs-raw
@@ -235,8 +236,14 @@ def dsir_resample(
     maintained pool (streaming/commit_log.maintain_dsir_from_commits,
     the deployment shape: the raw side is the one that churns) — to
     tokenize once; it must carry (id_col, bucket, c) at this
-    ``n_buckets`` geometry."""
-    tf = hashed_ngram_counts(target_docs, text_col, id_col, n_buckets)
+    ``n_buckets`` geometry. ``target_feats`` is the same contract for
+    the target slice (static by convention, so callers memoize it
+    too)."""
+    tf = (
+        target_feats
+        if target_feats is not None
+        else hashed_ngram_counts(target_docs, text_col, id_col, n_buckets)
+    )
     rf = (
         raw_feats
         if raw_feats is not None
