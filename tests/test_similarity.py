@@ -32,6 +32,25 @@ def test_grid_equals_broadcast_kernel(spark):
     assert got == want
 
 
+def test_auto_grid_blocks_covers_parallelism():
+    """r13 sizing fix: the auto block count must produce enough
+    block-pairs to cover the cluster (B=4 on 20k vectors left 22 of
+    32 cores idle, measured 1.9x the B=8 wall), while tiny corpora
+    keep >=256-row blocks and huge ones hit the shuffle-bounding 64
+    cap. B never changes results (global top-k is B-invariant) —
+    only task granularity."""
+    from vector_db_setup_spark.operators.similarity import (
+        _auto_grid_blocks,
+    )
+
+    b = _auto_grid_blocks(20_000, 32)
+    assert b * (b + 1) // 2 >= 2 * 32  # parallelism rule
+    assert _auto_grid_blocks(2_000, 32) >= 2_000 // 256  # row floor caps it
+    assert _auto_grid_blocks(100, 32) == 4  # tiny corpus: clamp floor
+    assert _auto_grid_blocks(100_000_000, 32) == 64  # shuffle cap
+    assert _auto_grid_blocks(0, 32) == 4  # empty input stays sane
+
+
 def test_grid_single_block_degenerate(spark):
     emb = load_table(spark, SF_ORACLE, "embeddings").filter("vec_id < 60")
     got = _pairs(cosine_topk_pairs_grid(emb, k=5, n_blocks=1))

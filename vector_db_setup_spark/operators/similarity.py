@@ -124,6 +124,21 @@ def _mask_lower_inclusive(sims: np.ndarray, row_offset: int) -> None:
         sims[r, : row_offset + r + 1] = -np.inf
 
 
+def _auto_grid_blocks(n: int, parallelism: int) -> int:
+    """Auto block count for the grid GEMM: the larger of the size rule
+    (~8k rows/block) and the parallelism rule (enough B(B+1)/2
+    block-pairs to cover ~2× the cluster's default parallelism), with
+    a ≥256-rows-per-block floor and the [4, 64] clamp. See
+    cosine_topk_pairs_grid's docstring for the measurements behind
+    each bound."""
+    import math
+
+    size_b = (n + 8191) // 8192
+    # smallest B with B(B+1)/2 >= 2*parallelism, held to the row floor
+    par_b = min(math.isqrt(4 * parallelism) + 1, (n + 255) // 256)
+    return min(64, max(4, size_b, par_b))
+
+
 def cosine_topk_pairs_grid(
     emb: DataFrame,
     k: int,
@@ -141,16 +156,18 @@ def cosine_topk_pairs_grid(
     TakeOrdered over ≤ B(B+1)/2 · k rows.
 
     Sizing: each task holds two blocks ≈ 2·(N/B)·d·8 bytes.
-    ``n_blocks=None`` (default) AUTO-SIZES B from the corpus count —
-    ~8k rows per block, clamped to [4, 64] — so block-pair task count
-    grows with the corpus instead of a fixed handful of giant GEMMs
-    starving the executors (the r9 sf10 measurement caught exactly
-    this: a fixed B=4 left 22 of 32 cores idle on 200k vectors while
-    each task chewed a 50k-row block). The quadratic TOTAL work is
-    the price of exactness and does not change with B; the 64 cap
-    bounds the B·N shuffle (N=100M, d=64 → B=64 ≈ 1.6 GB/task). For
-    near-dup mining at the largest scales use
-    ``cosine_pairs_bucketed`` instead.
+    ``n_blocks=None`` (default) AUTO-SIZES B from BOTH the corpus
+    count (~8k rows per block) and the cluster parallelism (enough
+    block-pairs to cover ~2× defaultParallelism — the r13 sweep
+    measured B=4 on 20k vectors leaving 22 of 32 cores idle at 1.9×
+    the B=8 wall; same failure mode the r9 sf10 run caught at 200k
+    vectors), clamped to [4, 64] with a ≥256-rows-per-block floor so
+    tiny corpora don't shatter into empty GEMMs. The quadratic TOTAL
+    work is the price of exactness and does not change with B — the
+    global top-k is B-invariant (oracle-checked), B only sets task
+    granularity; the 64 cap bounds the B·N shuffle (N=100M, d=64 →
+    B=64 ≈ 1.6 GB/task). For near-dup mining at the largest scales
+    use ``cosine_pairs_bucketed`` instead.
 
     The auto-sizing count is a REAL Spark job on a filtered/joined/
     derived input (the common operator argument) — pass ``n_rows`` (a
@@ -159,7 +176,11 @@ def cosine_topk_pairs_grid(
     """
     if n_blocks is None:
         n = int(n_rows) if n_rows is not None else emb.count()
-        n_blocks = min(64, max(4, (n + 8191) // 8192))
+        try:
+            par = emb.sparkSession.sparkContext.defaultParallelism
+        except Exception:
+            par = 8
+        n_blocks = _auto_grid_blocks(n, par)
     B = int(n_blocks)
     blocked = emb.select(
         F.col(id_col).alias("id"),
