@@ -5,8 +5,24 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from tests.conftest import SF_ORACLE
 from vector_db_setup_spark import queries as q
+
+
+@pytest.fixture(autouse=True)
+def _cold_persist_cache(spark):
+    """Plan-shape assertions are written against the RAW build lineage.
+    A session-memoized intermediate (queries._PERSIST_CACHE) warmed by
+    an earlier test swaps part of the executed plan for an
+    InMemoryTableScan, so the same test can pass or fail depending on
+    suite order (the r13 driver run failed
+    test_duplicate_spans_single_tokenize_and_pruned_scan exactly this
+    way). Clear the cache before every plan test so each one inspects
+    the deterministic cold plan."""
+    q.clear_persist_cache(spark)
+    yield
 from vector_db_setup_spark.plans.inspect import (
     has_broadcast_join,
     has_take_ordered,

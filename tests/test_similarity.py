@@ -33,18 +33,20 @@ def test_grid_equals_broadcast_kernel(spark):
 
 
 def test_auto_grid_blocks_covers_parallelism():
-    """r13 sizing fix: the auto block count must produce enough
-    block-pairs to cover the cluster (B=4 on 20k vectors left 22 of
-    32 cores idle, measured 1.9x the B=8 wall), while tiny corpora
-    keep >=256-row blocks and huge ones hit the shuffle-bounding 64
-    cap. B never changes results (global top-k is B-invariant) —
-    only task granularity."""
+    """r13 sizing fix, r14-corrected target: the auto block count must
+    produce enough block-pairs to cover the cluster ONCE (B=4 on 20k
+    vectors left 22 of 32 cores idle, measured 1.9x the B=8 wall; the
+    r13 2x target overshot to B=12 and regressed 2.4x — rows are
+    replicated to B block-pairs, so excess B multiplies the shuffle),
+    while tiny corpora keep >=256-row blocks and huge ones hit the
+    shuffle-bounding 64 cap. B never changes results (global top-k is
+    B-invariant) — only task granularity."""
     from vector_db_setup_spark.operators.similarity import (
         _auto_grid_blocks,
     )
 
     b = _auto_grid_blocks(20_000, 32)
-    assert b * (b + 1) // 2 >= 2 * 32  # parallelism rule
+    assert b * (b + 1) // 2 >= 32  # parallelism rule (one GEMM wave)
     assert _auto_grid_blocks(2_000, 32) >= 2_000 // 256  # row floor caps it
     assert _auto_grid_blocks(100, 32) == 4  # tiny corpus: clamp floor
     assert _auto_grid_blocks(100_000_000, 32) == 64  # shuffle cap
@@ -535,3 +537,25 @@ def test_length_outliers_by_mad_flags_planted_outlier(spark, tmp_path):
     assert [(r["doc_id"], r["lang"]) for r in out] == [(5, "en")]
     assert out[0]["robust_z"] == round(899.5 / 1.5, 6)
     clear_table_cache(spark)
+
+
+def test_auto_grid_blocks_targets_one_gemm_wave():
+    """The parallelism rule sizes B so B(B+1)/2 block-pairs cover ~1x
+    defaultParallelism — the r13 sweep's measured optimum (B=8 at 32
+    cores; the prior 2x rule picked B=12 and regressed 2.4x / anti-
+    scaled in the r13 driver run). Pin the rule's outputs so a future
+    'tweak' has to re-justify itself against the sweep."""
+    from vector_db_setup_spark.operators.similarity import (
+        _auto_grid_blocks,
+    )
+
+    assert _auto_grid_blocks(20_000, 32) == 8  # sweep optimum
+    assert _auto_grid_blocks(20_000, 8) == 4  # 4*5/2=10 >= 8, clamp floor
+    # minimality: one fewer block must NOT cover the parallelism
+    # (n small enough that the ~8k-rows size rule stays below)
+    b = _auto_grid_blocks(100_000, 512)
+    assert b * (b + 1) // 2 >= 512 and (b - 1) * b // 2 < 512
+    # row floor: tiny corpora never shatter below ~256 rows/block
+    assert _auto_grid_blocks(1_000, 2048) == 4
+    # size rule still owns large corpora (~8k rows/block, 64 cap)
+    assert _auto_grid_blocks(1_000_000, 32) == 64

@@ -127,15 +127,28 @@ def _mask_lower_inclusive(sims: np.ndarray, row_offset: int) -> None:
 def _auto_grid_blocks(n: int, parallelism: int) -> int:
     """Auto block count for the grid GEMM: the larger of the size rule
     (~8k rows/block) and the parallelism rule (enough B(B+1)/2
-    block-pairs to cover ~2× the cluster's default parallelism), with
-    a ≥256-rows-per-block floor and the [4, 64] clamp. See
-    cosine_topk_pairs_grid's docstring for the measurements behind
-    each bound."""
+    block-pairs to cover ~1× the cluster's default parallelism), with
+    a ≥256-rows-per-block floor and the [4, 64] clamp.
+
+    The ~1× target is measured, not guessed: each input row is
+    replicated to B block-pairs before the one shuffle, so B trades
+    task granularity against shuffle volume. The r13 sweep on this
+    corpus (SCALE_EXPERIMENTS.md "Grid GEMM block-count sweep") put the
+    optimum at B=8 for 32 cores (1.69 s) with B=12 — the 2× rule's
+    pick — already past it (2.26 s), and the r13 driver confirmed the
+    2× rule anti-scaled (32-core wall 2.6× the 8-core wall). ~1×
+    pairs-per-core keeps every core busy for exactly one GEMM wave
+    while shuffling the fewest replicated bytes that achieve it."""
     import math
 
     size_b = (n + 8191) // 8192
-    # smallest B with B(B+1)/2 >= 2*parallelism, held to the row floor
-    par_b = min(math.isqrt(4 * parallelism) + 1, (n + 255) // 256)
+    # exact smallest B with B(B+1)/2 >= parallelism (one conditional
+    # bump: floor(sqrt(2p)) never lands more than 1 below nor above
+    # the minimum), held to the rows-per-block floor
+    par_b = max(1, math.isqrt(2 * parallelism))
+    if par_b * (par_b + 1) // 2 < parallelism:
+        par_b += 1
+    par_b = min(par_b, (n + 255) // 256)
     return min(64, max(4, size_b, par_b))
 
 

@@ -7482,13 +7482,13 @@ def duplicate_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # fixture-sized parquet arrives as ONE split; the shingle-md5 map
     # is the hot stage, so spread it (no-op at real scale — see
-    # registry.spread_to_cores). The span relation is memoized per
-    # session: corpus_span_clean strips the SAME spans, and detect
-    # (tokenize + md5 + the gram shuffle) dominates both queries.
+    # registry.spread_to_cores). NOT memoized: the span relation has
+    # exactly one consumer inside this query, so a persist saves
+    # nothing here and only made the executed plan depend on whether
+    # corpus_span_clean had already warmed a shared cache (the r13
+    # driver-order test failure). corpus_span_clean keeps its own memo.
     d = spread_to_cores(load_table(spark, sf_dir, "documents"))
-    return _memo_persist(
-        spark, sf_dir, "dup_spans_n8", lambda: duplicate_spans(d, n=8)
-    )
+    return duplicate_spans(d, n=8)
 
 
 @register(
