@@ -244,6 +244,30 @@ def main() -> None:
             except Exception:
                 pass
 
+    # STANDALONE pass (r13 VERDICT item 5): several queries share
+    # session-memoized intermediates (_PERSIST_CACHE: the minhash
+    # banded view serves five queries, the ngram shingle set two, ...),
+    # so pass-1 colds attribute a shared build to whichever query runs
+    # FIRST. This pass clears the persist cache before EVERY query, so
+    # each number is that query's own cache-cold cost (plan codegen
+    # stays warm — the JIT tax is a session property, not a query
+    # property). Additions only: `value` above stays the
+    # BASELINE-comparable pass-1 cold total.
+    iso: dict[str, float] = {}
+    for name in HEADLINE + EXTENDED:
+        if timings.get(name, -1.0) < 0:
+            continue
+        try:
+            q.clear_persist_cache(spark)
+        except Exception:
+            pass
+        t0 = time.perf_counter()
+        try:
+            _force(qs[name](spark, sf_dir))
+            iso[name] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            pass
+
     # headline value = the pass-1 cold total (BASELINE-comparable);
     # the min-of-2 is adjudication context, not the headline (see the
     # second-pass honesty note above)
@@ -267,6 +291,13 @@ def main() -> None:
         "queries_load_1m_pass2": load_stamps_2,
         "sf": sf,
         "queries_warm": warm,
+        "queries_standalone": iso,
+        "value_standalone": round(
+            sum(t for n, t in iso.items() if n in HEADLINE), 3
+        ),
+        "value_extended_standalone": round(
+            sum(t for n, t in iso.items() if n in EXTENDED), 3
+        ),
         "value_warm": round(
             sum(t for n, t in warm.items() if n in HEADLINE), 3
         ),
@@ -310,6 +341,8 @@ def main() -> None:
         "value_cold_min": out["value_cold_min"],
         "value_extended_cold_min": out["value_extended_cold_min"],
         "load_avg_1m": out["load_avg_1m"],
+        "value_standalone": out["value_standalone"],
+        "value_extended_standalone": out["value_extended_standalone"],
         "value_warm": out["value_warm"],
         "value_extended": out["value_extended"],
         "calib_factor": out["calib_factor"],

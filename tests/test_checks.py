@@ -291,3 +291,38 @@ def test_gc_resurrects_marker_tagged_mid_run(spark, tmp_path):
     assert list_tags(spark, base) == {"late": 1}
     assert read_snapshot(spark, base, tag="late").count() == 10
     assert 1 in committed_versions(spark, base)
+
+
+def test_persist_cache_releases_dead_sessions():
+    """The session-scoped persist memo must not pin dead sessions
+    (r13 VERDICT hygiene item: a plain dict keyed on the session object
+    grew monotonically across get_spark cycles). Weak keys: dropping
+    the last reference to a session drops its cache entries."""
+    import gc
+
+    from vector_db_setup_spark import queries as q
+
+    class FakeDF:
+        def persist(self):
+            return self
+
+        def unpersist(self):
+            pass
+
+    class FakeSession:
+        pass
+
+    base = len(q._PERSIST_CACHE)
+    kept = FakeSession()
+    q._memo_persist(kept, "/tmp/x", "keep", lambda: FakeDF())
+    for _ in range(5):
+        s = FakeSession()
+        q._memo_persist(s, "/tmp/x", "t", lambda: FakeDF())
+        del s
+    gc.collect()
+    assert len(q._PERSIST_CACHE) == base + 1  # only the live session
+    # memoization still works for the live session
+    first = q._memo_persist(kept, "/tmp/x", "keep", lambda: FakeDF())
+    again = q._memo_persist(kept, "/tmp/x", "keep", lambda: FakeDF())
+    assert first is again
+    assert q.clear_persist_cache(kept) == 1

@@ -1812,3 +1812,60 @@ def test_ivf_assign_refuses_existing_cluster_id(spark):
         ivf_assign(clean, cents, dist_col="embedding")
     got = ivf_assign(clean, cents).collect()[0]
     assert got["cluster_id"] == 0
+
+
+def test_pq_adc_lut_nonfinite_falls_back_to_lit(spark):
+    """ADVICE r13: a NaN/Inf in the query vector propagates into the
+    precomputed LUT; repr() of that cell ('nanD') used to raise
+    ParseException at expression-BUILD time. The guard must fall back
+    to the F.lit builder and propagate NaN through the data instead."""
+    import math
+
+    import numpy as np
+
+    from vector_db_setup_spark.operators.quantize import (
+        pq_adc_distance_expr,
+    )
+
+    books = np.arange(2 * 2 * 2, dtype=np.float64).reshape(2, 2, 2)
+    df = spark.createDataFrame([([0, 1],)], "pq_codes array<int>")
+    bad_q = [float("nan"), 0.0, 1.0, 2.0]
+    out = df.select(
+        pq_adc_distance_expr(books, bad_q).alias("adc")
+    ).collect()[0]["adc"]
+    assert out is None or math.isnan(out)
+    # finite query still uses the one-parse literal path and computes
+    good = df.select(
+        pq_adc_distance_expr(books, [0.0, 1.0, 2.0, 3.0]).alias("adc")
+    ).collect()[0]["adc"]
+    assert good is not None and math.isfinite(good)
+
+
+def test_max_cosine_bnorm_overflow_falls_back(spark):
+    """ADVICE r13: finite benchmark elements can overflow the norm's
+    sum-of-squares to inf (no SQL literal form). The builder must fall
+    back instead of raising ParseException."""
+    from vector_db_setup_spark.operators.similarity import (
+        max_cosine_against_literal,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    bench = [(7, [1e200, 1e200])]  # elements finite, norm inf
+    rows = max_cosine_against_literal(df, bench).collect()
+    assert len(rows) == 1  # built and executed; score degenerate (inf norm)
+
+
+def test_semdedup_keepers_requires_centroids_or_assigned(spark):
+    """ADVICE r13: centroids=None with no assigned frame used to die
+    with len(None) three calls deep."""
+    import pytest
+
+    from vector_db_setup_spark.operators.semdedup import semdedup_keepers
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="centroids"):
+        semdedup_keepers(df, None, tau=0.9)

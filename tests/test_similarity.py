@@ -47,7 +47,9 @@ def test_auto_grid_blocks_covers_parallelism():
 
     b = _auto_grid_blocks(20_000, 32)
     assert b * (b + 1) // 2 >= 32  # parallelism rule (one GEMM wave)
-    assert _auto_grid_blocks(2_000, 32) >= 2_000 // 256  # row floor caps it
+    # the >=512-rows-per-block floor holds small corpora to few blocks
+    # (2k vectors: B=4 measured ~20% faster than B=8, half the shuffle)
+    assert _auto_grid_blocks(2_000, 32) == 4
     assert _auto_grid_blocks(100, 32) == 4  # tiny corpus: clamp floor
     assert _auto_grid_blocks(100_000_000, 32) == 64  # shuffle cap
     assert _auto_grid_blocks(0, 32) == 4  # empty input stays sane
@@ -550,6 +552,8 @@ def test_auto_grid_blocks_targets_one_gemm_wave():
     )
 
     assert _auto_grid_blocks(20_000, 32) == 8  # sweep optimum
+    assert _auto_grid_blocks(2_000, 32) == 4  # 512-row floor binds
+    assert _auto_grid_blocks(2_000, 8) == 4  # same plan at low cores
     assert _auto_grid_blocks(20_000, 8) == 4  # 4*5/2=10 >= 8, clamp floor
     # minimality: one fewer block must NOT cover the parallelism
     # (n small enough that the ~8k-rows size rule stays below)

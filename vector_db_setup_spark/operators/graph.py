@@ -90,23 +90,31 @@ def connected_components(
             .groupBy(F.col("b").alias("id2"))
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        # ONE action per iteration: the convergence signal rides the
+        # label job as a chg flag (new comp < old comp — least() can
+        # only lower a label), the checkpoint is LAZY, and the sum(chg)
+        # aggregate both materializes the checkpoint blocks and returns
+        # the change count. The former shape paid a second full
+        # join-and-count job per iteration purely to compare new vs old
+        # labels (guide §7: driver round trips; 2 jobs x diameter).
+        flagged = (
             labels.join(nbr_min, labels.id == nbr_min.id2, "left")
             .select(
                 "id",
                 F.least(
                     F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
                 ).alias("comp"),
+                (
+                    F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                    < F.col("comp")
+                )
+                .cast("long")
+                .alias("chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
+        changed = flagged.agg(F.sum("chg")).first()[0] or 0
+        labels = flagged.select("id", "comp")
         if changed == 0:
             break
     if changed != 0:

@@ -231,15 +231,29 @@ def pq_adc_distance_expr(codebooks, query_vec, codes_col: str = "pq_codes"):
         ]
     )  # (m, ksub) exact sub-distances
     # one parsed literal (the nested F.array/F.lit form costs one py4j
-    # round trip per cell — m×ksub of them — per invocation)
-    lut_lit = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
-            for row in lut
+    # round trip per cell — m×ksub of them — per invocation). Non-finite
+    # LUT cells (a NaN/Inf in the query or codebooks, or a finite pair
+    # whose squared distance overflows to inf) have no plain SQL literal
+    # form — repr() would emit 'nanD'/'infD' and raise a ParseException
+    # at expression-BUILD time — so fall back to the per-cell F.lit
+    # builder, which propagates them through the data like the pre-r13
+    # form did (same guard as functions/vector.vector_literal).
+    if np.isfinite(lut).all():
+        lut_lit = F.expr(
+            "array("
+            + ",".join(
+                "array(" + ",".join(repr(float(x)) + "D" for x in row) + ")"
+                for row in lut
+            )
+            + ")"
         )
-        + ")"
-    )
+    else:
+        lut_lit = F.array(
+            *[
+                F.array(*[F.lit(float(x)) for x in row])
+                for row in lut
+            ]
+        )
     # element_at is 1-based; codes are 0-based
     return F.aggregate(
         F.zip_with(

@@ -113,6 +113,14 @@ def semdedup_keepers(
     recompute per read.
     """
     if assigned is None:
+        if centroids is None:
+            # len(None) inside semdedup_assign would raise an opaque
+            # TypeError three calls deep (ADVICE r13)
+            raise ValueError(
+                "semdedup_keepers needs either a trained `centroids` "
+                "codebook or a prebuilt `assigned` frame — both were "
+                "None"
+            )
         assigned = semdedup_assign(emb, centroids, vec_col, assign)
     assigned = assigned.withColumn("_d0", F.round("_cd", 6))
     pairs = cosine_pairs_by_column(

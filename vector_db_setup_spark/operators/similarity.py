@@ -128,7 +128,7 @@ def _auto_grid_blocks(n: int, parallelism: int) -> int:
     """Auto block count for the grid GEMM: the larger of the size rule
     (~8k rows/block) and the parallelism rule (enough B(B+1)/2
     block-pairs to cover ~1× the cluster's default parallelism), with
-    a ≥256-rows-per-block floor and the [4, 64] clamp.
+    a ≥512-rows-per-block floor and the [4, 64] clamp.
 
     The ~1× target is measured, not guessed: each input row is
     replicated to B block-pairs before the one shuffle, so B trades
@@ -138,7 +138,12 @@ def _auto_grid_blocks(n: int, parallelism: int) -> int:
     pick — already past it (2.26 s), and the r13 driver confirmed the
     2× rule anti-scaled (32-core wall 2.6× the 8-core wall). ~1×
     pairs-per-core keeps every core busy for exactly one GEMM wave
-    while shuffling the fewest replicated bytes that achieve it."""
+    while shuffling the fewest replicated bytes that achieve it.
+
+    The 512-row floor is likewise measured: blocks under ~512 rows make
+    GEMM tasks too small to amortize scheduling + Arrow transfer (the
+    2k-vector sf0.1 corpus at 32 cores ran B=4 ~20% faster than the
+    floor-256 pick B=8 while shuffling half the replicated rows)."""
     import math
 
     size_b = (n + 8191) // 8192
@@ -148,7 +153,7 @@ def _auto_grid_blocks(n: int, parallelism: int) -> int:
     par_b = max(1, math.isqrt(2 * parallelism))
     if par_b * (par_b + 1) // 2 < parallelism:
         par_b += 1
-    par_b = min(par_b, (n + 255) // 256)
+    par_b = min(par_b, (n + 511) // 512)
     return min(64, max(4, size_b, par_b))
 
 
@@ -837,7 +842,16 @@ def max_cosine_against_literal(
     import math
 
     sb = sorted(bench)
-    finite = all(math.isfinite(float(x)) for _, bv in sb for x in bv)
+    # element AND norm finiteness: finite elements can still overflow
+    # the sum-of-squares to inf (e.g. 1e200), and a non-finite bnorm
+    # has no SQL literal form ('infD' raises ParseException at BUILD
+    # time where the F.lit fallback propagates it through the data)
+    finite = all(
+        math.isfinite(float(x)) for _, bv in sb for x in bv
+    ) and all(
+        math.isfinite(math.sqrt(sum(float(x) * float(x) for x in bv)))
+        for _, bv in sb
+    )
     if sb and finite:
         v = f"`{vec_col}`"
         norm_sql = (
