@@ -4710,33 +4710,41 @@ def corpus_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("id").alias("doc_id"), F.col("component").alias("keeper_id")
     )
-    # contamination vs doc<20 benchmark (distinct 3-gram containment)
-    sh = s3.distinct()
-    bench = sh.filter(F.col("doc_id") < 20).select("s").distinct()
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_total"))
-    hits = (
-        sh.filter(F.col("doc_id") >= 20)
-        .join(F.broadcast(bench), "s", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
+    # quality + repetition + contamination in ONE conditional-
+    # aggregation pass over the cached stream (r14; guide §2.3/§2.4):
+    # the former shape read the persisted stream FOUR times (quality
+    # sums, bigram repetition, 3-gram sizes, benchmark hits) — four
+    # full corpus-stream scans at 100 TB — and joined the four per-doc
+    # relations back together. All four signals are per-doc aggregates
+    # over the same stream, so one groupBy computes them together: the
+    # benchmark membership flag arrives via ONE broadcast join of the
+    # tiny distinct bench-shingle set, and the distinct counts ride the
+    # same aggregate (Spark's Expand for multi-countDistinct trades
+    # ~3× in-memory rows inside the map task for three fewer stream
+    # scans and two fewer joins). Every arithmetic expression is
+    # unchanged (int-sum/int-count double divisions in the same order,
+    # same 6-dp rounding), so the oracle equality is preserved — the
+    # per-doc drop rule (docs with no 3-gram left the old inner join
+    # with `sizes`) is now the explicit n_total > 0 filter.
+    bench = (
+        s3.filter(F.col("doc_id") < 20)
+        .select(F.col("s").alias("_bs"))
+        .distinct()
     )
-    # bigram repetition from the same cached stream
-    rep = (
-        ss.filter(F.col("s2").isNotNull())
+    stats = (
+        ss.join(F.broadcast(bench), ss.s3 == F.col("_bs"), "left")
         .groupBy("doc_id")
         .agg(
-            F.round(1.0 - F.countDistinct("s2") / F.count(F.lit(1)), 6).alias(
-                "rep_ratio"
-            )
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum("stop").alias("n_stop"),
+            F.sum("wl").alias("sum_wl"),
+            F.count("s2").alias("n_s2"),
+            F.countDistinct("s2").alias("d_s2"),
+            F.countDistinct("s3").alias("n_total"),
+            F.countDistinct(
+                F.when(F.col("_bs").isNotNull(), F.col("s3"))
+            ).alias("n_hit"),
         )
-    )
-    # quality from the same stream: one per-doc groupBy reproduces
-    # functions/text.quality_score bit-for-bit (int-sum/int-count double
-    # divisions in the same order)
-    qstats = ss.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        F.sum("stop").alias("n_stop"),
-        F.sum("wl").alias("sum_wl"),
     )
     len_score = F.least(
         F.col("n_tok").cast("double") / F.lit(50.0), F.lit(1.0)
@@ -4747,21 +4755,26 @@ def corpus_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wl_mean = F.col("sum_wl") / F.col("n_tok")
     wl_score = F.when((wl_mean >= 3.0) & (wl_mean <= 8.0), 1.0).otherwise(0.5)
-    qual = qstats.select(
-        "doc_id",
-        F.round((len_score + stop_score + wl_score) / F.lit(3.0), 6).alias(
-            "quality"
-        ),
-    )
 
     base = (
-        d.filter(F.col("doc_id") >= 20)
-        .select("doc_id")
-        .join(qual, "doc_id")
+        stats.filter(
+            (F.col("doc_id") >= 20) & (F.col("n_total") > 0)
+        )
+        .select(
+            "doc_id",
+            F.round(
+                (len_score + stop_score + wl_score) / F.lit(3.0), 6
+            ).alias("quality"),
+            # docs with no bigram (single-token texts) had no row in
+            # the old `rep` relation → null, coalesced to 0.0 below
+            F.when(
+                F.col("n_s2") > 0,
+                F.round(1.0 - F.col("d_s2") / F.col("n_s2"), 6),
+            ).alias("rep_ratio"),
+            "n_total",
+            "n_hit",
+        )
         .join(cc, "doc_id")
-        .join(sizes, "doc_id")
-        .join(rep, "doc_id", "left")
-        .join(hits, "doc_id", "left")
     )
     containment = F.round(
         F.coalesce("n_hit", F.lit(0)) / F.col("n_total"), 6
