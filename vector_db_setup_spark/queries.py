@@ -345,6 +345,27 @@ def clear_persist_cache(spark: SparkSession | None = None) -> int:
     return n
 
 
+def _ngram_shingle_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-memoized distinct 3-gram shingle view — ONE build
+    shared by the ngram_jaccard family and the benchmark-overlap
+    contamination checks (all of them re-read the same
+    tokenize+window lineage several times per invocation otherwise).
+    Centralized so every consumer memoizes the IDENTICAL build
+    (spread_to_cores'd scan): divergent build lambdas under one tag
+    would make the materialized parallelism depend on which query ran
+    first."""
+    from vector_db_setup_spark.operators import dedup as _dd
+    from vector_db_setup_spark.sources.registry import spread_to_cores
+
+    d = spread_to_cores(load_table(spark, sf_dir, "documents"))
+    return _memo_persist(
+        spark,
+        sf_dir,
+        "ngram_shingles",
+        lambda: _dd.shingle_hashes(d).distinct(),
+    )
+
+
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     """Fetch one embedding to use as the KNN query vector.
 
@@ -1207,15 +1228,8 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-30 most similar pairs. The distinct shingle set is memoized
     per session: the pairs pipeline reads it three times and Catalyst
     does not reuse the exchange (measured 4 scans -> 1)."""
-    from vector_db_setup_spark.sources.registry import spread_to_cores
-
-    d = spread_to_cores(load_table(spark, sf_dir, "documents"))
-    sh = _memo_persist(
-        spark,
-        sf_dir,
-        "ngram_shingles",
-        lambda: dd.shingle_hashes(d).distinct(),
-    )
+    d = load_table(spark, sf_dir, "documents")
+    sh = _ngram_shingle_view(spark, sf_dir)
     pairs = dd.ngram_jaccard_pairs(d, shingles=sh)
     return (
         pairs.orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
@@ -1252,12 +1266,7 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle applies the identical cap, so the capped semantics are
     value-checked, not just smoke-tested."""
     d = load_table(spark, sf_dir, "documents")
-    sh = _memo_persist(
-        spark,
-        sf_dir,
-        "ngram_shingles",
-        lambda: dd.shingle_hashes(d).distinct(),
-    )
+    sh = _ngram_shingle_view(spark, sf_dir)
     pairs = dd.ngram_jaccard_pairs(d, max_df=20, shingles=sh)
     return (
         pairs.orderBy(F.col("jaccard").desc(), F.col("id_a").asc(), F.col("id_b").asc())
@@ -1325,18 +1334,12 @@ def benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sh(doc) ∩ sh(bench)| / |sh(doc)| is computed via a BROADCAST
     semi-aggregate join on packed shingle hashes — the benchmark side is
     tiny by definition, so the 100 TB corpus never shuffles."""
-    d = load_table(spark, sf_dir, "documents")
     # the distinct shingle view is read THREE times below (bench, hits,
     # sizes) and Catalyst recomputes the tokenize+window lineage per
     # read — share the session-memoized view the ngram_jaccard family
     # already builds (IDENTICAL lineage: shingle_hashes(d).distinct(),
     # so the oracle and result are untouched by construction)
-    sh = _memo_persist(
-        spark,
-        sf_dir,
-        "ngram_shingles",
-        lambda: dd.shingle_hashes(d).distinct(),
-    )
+    sh = _ngram_shingle_view(spark, sf_dir)
     bench = sh.filter(F.col("doc_id") < 20).select("s").distinct()
     corpus = sh.filter(F.col("doc_id") >= 20)
     hits = (
@@ -6176,7 +6179,6 @@ def benchmark_overlap_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         bloom_probe_group_counts,
     )
 
-    d = load_table(spark, sf_dir, "documents")
     # the shingle stream is read TWICE per invocation (bloom build +
     # probe) and was rebuilt from text each time — share the
     # session-memoized distinct view (ngram_jaccard family). Values
@@ -6184,12 +6186,7 @@ def benchmark_overlap_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bloom_probe_group_counts aggregates per (doc, shingle) before
     # counting, so n_total/n_hit count DISTINCT items either way (its
     # documented duplicate-safety), matching the oracle's shd CTE.
-    sh = _memo_persist(
-        spark,
-        sf_dir,
-        "ngram_shingles",
-        lambda: dd.shingle_hashes(d).distinct(),
-    )
+    sh = _ngram_shingle_view(spark, sf_dir)
     bench = sh.filter(F.col("doc_id") < 20).select("s").distinct()
     words = bloom_build(bench, "s", num_bits=1 << 22, k=5)
     # ONE aggregation tree over the raw corpus shingles (r12, VERDICT
