@@ -366,6 +366,25 @@ def _ngram_shingle_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_banded_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-memoized (doc_id, band, band_key) MinHash banding
+    view — ONE build shared by minhash_lsh_candidates/_capped and the
+    dedup-graph build (_lsh_dedup_cc). Centralized for the same reason
+    as _ngram_shingle_view: one tag, one build lambda, so the
+    materialized parallelism never depends on which consumer ran
+    first."""
+    from vector_db_setup_spark.operators import dedup as _dd
+    from vector_db_setup_spark.sources.registry import spread_to_cores
+
+    d = spread_to_cores(load_table(spark, sf_dir, "documents"))
+    return _memo_persist(
+        spark,
+        sf_dir,
+        "minhash_banded",
+        lambda: _dd.minhash_band_keys(d),
+    )
+
+
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
     """Fetch one embedding to use as the KNN query vector.
 
@@ -1162,13 +1181,8 @@ def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     on band keys — THE 100 TB dedup path (no pairwise comparison). The
     band-key view is memoized per session: the self-join reads it on
     both sides and Catalyst does not reuse the exchange."""
-    from vector_db_setup_spark.sources.registry import spread_to_cores
-
-    # one-split fixture scan -> spread the signature map (no-op at scale)
-    d = spread_to_cores(load_table(spark, sf_dir, "documents"))
-    banded = _memo_persist(
-        spark, sf_dir, "minhash_banded", lambda: dd.minhash_band_keys(d)
-    )
+    d = load_table(spark, sf_dir, "documents")
+    banded = _minhash_banded_view(spark, sf_dir)
     return dd.minhash_lsh_candidates(d, banded=banded)
 
 
@@ -1199,9 +1213,7 @@ def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle applies the identical cap, so the capped semantics are
     value-checked against DuckDB, mirroring ngram_jaccard_capped."""
     d = load_table(spark, sf_dir, "documents")
-    banded = _memo_persist(
-        spark, sf_dir, "minhash_banded", lambda: dd.minhash_band_keys(d)
-    )
+    banded = _minhash_banded_view(spark, sf_dir)
     return dd.minhash_lsh_candidates(d, max_band_df=3, banded=banded)
 
 
@@ -1431,9 +1443,7 @@ def _lsh_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # computation (tokenize+md5+minhash, the graph build's
         # dominant cost) then runs once per session across the whole
         # dedup family instead of once per family half
-        banded = _memo_persist(
-            spark, sf_dir, "minhash_banded", lambda: dd.minhash_band_keys(d)
-        )
+        banded = _minhash_banded_view(spark, sf_dir)
         return _cc_with_star_fallback(
             d.select("doc_id"), dd.lsh_edges_from_banded(banded)
         )
